@@ -1,38 +1,225 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry is an operator/query from SURVEY.md §2
+re-expressed over the driver's star schema; ``oracle_sql()`` holds the
+DuckDB-equivalent ANSI SQL. Column aliases match exactly on both sides
+(the driver hash-compares values after sorting columns by name).
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from deltalake_poc_spark.analytics import queries as Q
+from deltalake_poc_spark.analytics.io import load_table
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    customer_order_summary: the reference's central analytics query
+    (notebook cell 30 + RisingWave MV init-risingwave.sql:84-94).
+    """
+    sf_dir = "/root/testdata/sf0.001"
+    return Q.customer_order_summary(
+        load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "orders")
+    )
+
+
+# --- query callables --------------------------------------------------------
+
+def _customer_order_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return Q.customer_order_summary(
+        load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "orders")
+    )
+
+
+def _product_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return Q.product_popularity(
+        load_table(spark, sf_dir, "part"), load_table(spark, sf_dir, "lineitem")
+    )
+
+
+def _order_line_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return Q.order_line_summary(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
+    )
+
+
+def _order_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return Q.order_analytics(load_table(spark, sf_dir, "orders"))
+
+
+def _priority_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return Q.priority_stats(load_table(spark, sf_dir, "orders"))
+
+
+def _event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return Q.event_stats(load_table(spark, sf_dir, "events"))
+
+
+def _analytics_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    keys = {
+        "customer": "c_custkey",
+        "orders": "o_orderkey",
+        "lineitem": "l_orderkey",
+        "part": "p_partkey",
+        "supplier": "s_suppkey",
+    }
+    tables = {n: load_table(spark, sf_dir, n) for n in keys}
+    return Q.analytics_summary(tables, keys)
+
+
+def _change_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return Q.change_type_counts(load_table(spark, sf_dir, "events"))
+
+
+def _top_value_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return Q.top_value_events(load_table(spark, sf_dir, "events"))
+
+
+def _version_diff_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cutoff = "1995-01-01"
+    df_new = orders.filter(F.col("o_orderdate") >= cutoff).select(
+        F.col("o_custkey")
+    )
+    df_old = orders.filter(F.col("o_orderdate") < cutoff).select(
+        F.col("o_custkey")
+    )
+    return Q.version_diff_keys(df_new, df_old, "o_custkey")
+
+
+def _inventory_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return Q.inventory_status(load_table(spark, sf_dir, "part"))
+
+
+def _scalar_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return Q.scalar_showcase(load_table(spark, sf_dir, "events"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    return {
+        "customer_order_summary": _customer_order_summary,   # J1 A2 F10
+        "product_popularity": _product_popularity,           # J2 A3 O1
+        "order_line_summary": _order_line_summary,           # J3 A4
+        "order_analytics": _order_analytics,                 # A1 F9
+        "priority_stats": _priority_stats,                   # A5 P8
+        "event_stats": _event_stats,                         # A7
+        "analytics_summary": _analytics_summary,             # A8 A9 U1
+        "change_type_counts": _change_type_counts,           # A6
+        "top_value_events": _top_value_events,               # O1 O4
+        "version_diff_keys": _version_diff_keys,             # U3 P6
+        "inventory_status": _inventory_status,               # F8
+        "scalar_showcase": _scalar_showcase,                 # F2-F10
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL for each query (same column aliases)."""
+    return {
+        "customer_order_summary": """
+            SELECT c.c_custkey, c.c_name,
+                   COUNT(o.o_orderkey) AS order_count,
+                   ROUND(COALESCE(SUM(o.o_totalprice), 0.0), 2) AS lifetime_value
+            FROM customer c
+            LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+            GROUP BY c.c_custkey, c.c_name
+        """,
+        "product_popularity": """
+            SELECT p.p_partkey, p.p_name,
+                   COUNT(l.l_orderkey) AS times_ordered,
+                   ROUND(COALESCE(SUM(l.l_quantity), 0.0), 2) AS total_quantity
+            FROM part p
+            LEFT JOIN lineitem l ON p.p_partkey = l.l_partkey
+            GROUP BY p.p_partkey, p.p_name
+            ORDER BY times_ordered DESC, p.p_partkey ASC
+            LIMIT 10
+        """,
+        "order_line_summary": """
+            SELECT o.o_orderkey, o.o_orderstatus,
+                   COUNT(l.l_linenumber) AS item_count,
+                   ROUND(COALESCE(SUM(l.l_quantity), 0.0), 2) AS total_quantity
+            FROM orders o
+            LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            GROUP BY o.o_orderkey, o.o_orderstatus
+        """,
+        "order_analytics": """
+            SELECT strftime(date_trunc('day', o_orderdate), '%Y-%m-%d') AS order_day,
+                   o_orderstatus,
+                   COUNT(*) AS order_count,
+                   ROUND(SUM(o_totalprice), 2) AS total_revenue,
+                   ROUND(AVG(o_totalprice), 2) AS avg_order_value
+            FROM orders
+            GROUP BY 1, 2
+        """,
+        "priority_stats": """
+            SELECT o_orderpriority,
+                   COUNT(*) AS order_count,
+                   ROUND(AVG(o_totalprice), 2) AS avg_price,
+                   MIN(o_orderdate) AS first_order_date
+            FROM orders
+            WHERE o_orderstatus = 'F'
+            GROUP BY o_orderpriority
+        """,
+        "event_stats": """
+            SELECT event_type,
+                   COUNT(*) AS event_count,
+                   epoch_ms(MIN(ts)) AS first_ts_ms,
+                   epoch_ms(MAX(ts)) AS last_ts_ms
+            FROM events
+            GROUP BY event_type
+        """,
+        "analytics_summary": """
+            SELECT 'customer' AS table_name, COUNT(*) AS record_count,
+                   COUNT(DISTINCT c_custkey) AS distinct_keys FROM customer
+            UNION ALL
+            SELECT 'orders', COUNT(*), COUNT(DISTINCT o_orderkey) FROM orders
+            UNION ALL
+            SELECT 'lineitem', COUNT(*), COUNT(DISTINCT l_orderkey) FROM lineitem
+            UNION ALL
+            SELECT 'part', COUNT(*), COUNT(DISTINCT p_partkey) FROM part
+            UNION ALL
+            SELECT 'supplier', COUNT(*), COUNT(DISTINCT s_suppkey) FROM supplier
+        """,
+        "change_type_counts": """
+            SELECT event_type, COUNT(*) AS cnt FROM events GROUP BY event_type
+        """,
+        "top_value_events": """
+            SELECT event_id, event_type, ROUND(value, 4) AS value
+            FROM events
+            ORDER BY ROUND(value, 4) DESC, event_id ASC
+            LIMIT 10
+        """,
+        "version_diff_keys": """
+            SELECT DISTINCT o_custkey FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+            EXCEPT
+            SELECT DISTINCT o_custkey FROM orders
+            WHERE o_orderdate < TIMESTAMP '1995-01-01'
+        """,
+        "inventory_status": """
+            SELECT p_partkey, p_name, p_size,
+                   CASE WHEN p_size = 0 THEN 'Out of Stock'
+                        WHEN p_size < 10 THEN 'Low Stock'
+                        ELSE 'In Stock' END AS stock_status
+            FROM part
+        """,
+        "scalar_showcase": """
+            SELECT event_id,
+                   concat_ws('-', event_type, CAST(user_id AS VARCHAR)) AS event_key,
+                   CASE WHEN event_type = 'click' THEN 'INSERT'
+                        WHEN event_type = 'view' THEN 'UPDATE'
+                        WHEN event_type = 'purchase' THEN 'DELETE'
+                        ELSE 'SNAPSHOT' END AS op_name,
+                   ROUND(COALESCE(value, 0.0), 4) AS value_filled,
+                   strftime(date_trunc('day', ts), '%Y-%m-%d') AS event_day,
+                   epoch_ms(ts) AS ts_ms
+            FROM events
+        """,
+    }

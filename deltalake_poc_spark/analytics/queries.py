@@ -1,0 +1,248 @@
+"""Analytics query library — the reference's query inventory, Spark-first.
+
+Each function is DataFrame-in → DataFrame-out (no I/O, no collect), so
+it is runnable as a batch query, inside ``foreachBatch`` as an
+incrementally refreshed materialized view, or against time-travel /
+CDF snapshots. Operator IDs (J*/A*/O*/U*/F*) refer to SURVEY.md §2.
+
+Reference queries are re-expressed over the driver's star schema:
+customers→customer, orders→orders, products→part, order_items→lineitem.
+
+Scale notes (100 TB):
+- All joins are equi-joins; Catalyst picks broadcast vs shuffled hash vs
+  SMJ, and AQE re-plans at runtime (skew splitting enabled in session.py).
+- All aggregations are partial (map-side combine) — expressed via
+  ``groupBy().agg``, never RDDs.
+- Top-k (``orderBy().limit(k)``) plans TakeOrderedAndProject: per-
+  partition heap + driver merge of k rows, no global sort.
+- Money aggregates are rounded to 2 decimals so results are stable
+  across summation orders (double addition is not associative; at
+  1000-executor parallelism partial-sum order is nondeterministic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# Join-then-aggregate queries (J1-J3, A2-A4; reference notebook cells 28-30,
+# RisingWave MVs init-risingwave.sql:73-109)
+# ---------------------------------------------------------------------------
+
+def customer_order_summary(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Per-customer order count + lifetime value.
+
+    Reference: notebook cell 30 (SQL LEFT JOIN + GROUP BY) and the
+    incrementally-maintained RisingWave MV ``customer_order_summary``
+    (init-risingwave.sql:84-94). J1 + A2 + F10 (COALESCE).
+    """
+    return (
+        customer.join(
+            orders, customer.c_custkey == orders.o_custkey, "left"
+        )
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("order_count"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias(
+                "lifetime_value"
+            ),
+        )
+    )
+
+
+def product_popularity(part: DataFrame, lineitem: DataFrame, k: int = 10) -> DataFrame:
+    """Top-k most-ordered products.
+
+    Reference: notebook cell 28 (products LEFT JOIN order_items,
+    COUNT + SUM, ORDER BY DESC LIMIT 10). J2 + A3 + O1.
+    Plans TakeOrderedAndProject — no full sort at scale.
+    """
+    return (
+        part.join(lineitem, part.p_partkey == lineitem.l_partkey, "left")
+        .groupBy("p_partkey", "p_name")
+        .agg(
+            F.count("l_orderkey").alias("times_ordered"),
+            F.round(F.coalesce(F.sum("l_quantity"), F.lit(0.0)), 2).alias(
+                "total_quantity"
+            ),
+        )
+        .orderBy(F.desc("times_ordered"), F.asc("p_partkey"))
+        .limit(k)
+    )
+
+
+def order_line_summary(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Items and total quantity per order.
+
+    Reference: notebook cell 29 (orders LEFT JOIN order_items). J3 + A4.
+    """
+    return (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey, "left")
+        .groupBy("o_orderkey", "o_orderstatus")
+        .agg(
+            F.count("l_linenumber").alias("item_count"),
+            F.round(F.coalesce(F.sum("l_quantity"), F.lit(0.0)), 2).alias(
+                "total_quantity"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grouped aggregations (A1, A5-A8; RisingWave order_analytics MV, notebook
+# cell 37, datalake-init.sql views)
+# ---------------------------------------------------------------------------
+
+def order_analytics(orders: DataFrame) -> DataFrame:
+    """Daily order stats by status — the reference's flagship MV.
+
+    Reference: RisingWave MV ``order_analytics`` init-risingwave.sql:73-81
+    (DATE_TRUNC('day') + COUNT/SUM/AVG GROUP BY day, status). A1 + F9.
+    """
+    return (
+        orders.groupBy(
+            F.date_format(F.date_trunc("day", F.col("o_orderdate")), "yyyy-MM-dd").alias(
+                "order_day"
+            ),
+            F.col("o_orderstatus"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("order_count"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_revenue"),
+            F.round(F.avg("o_totalprice"), 2).alias("avg_order_value"),
+        )
+    )
+
+
+def priority_stats(orders: DataFrame) -> DataFrame:
+    """Multi-aggregate with WHERE: COUNT / AVG / MIN by priority.
+
+    Reference: notebook cell 37 (COUNT, AVG(salary), MIN(hire_date) by
+    department WHERE is_active). A5 + P8.
+    """
+    return (
+        orders.filter(F.col("o_orderstatus") == "F")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("order_count"),
+            F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+            F.min("o_orderdate").alias("first_order_date"),
+        )
+    )
+
+
+def event_stats(events: DataFrame) -> DataFrame:
+    """Per-type event counts + first/last timestamps.
+
+    Reference: ``cdc_statistics`` view datalake-init.sql:116-125
+    (COUNT, MIN(event_timestamp), MAX(event_timestamp) by table+op). A7.
+    Timestamps are exposed as epoch-milliseconds for engine-portable
+    comparison (Spark truncates parquet ns → µs; see SURVEY.md §7.2).
+    """
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("event_count"),
+        F.unix_millis(F.min("ts")).alias("first_ts_ms"),
+        F.unix_millis(F.max("ts")).alias("last_ts_ms"),
+    )
+
+
+def analytics_summary(named_tables: dict[str, DataFrame], key_col: dict[str, str]) -> DataFrame:
+    """Per-table record-count rollup, UNION ALL'd.
+
+    Reference: ``analytics_summary`` datalake-init.sql:90-113 /
+    ``sync_summary`` target-init.sql:83-106. A8 + A9 + U1.
+    """
+    parts = []
+    for name, df in named_tables.items():
+        parts.append(
+            df.agg(
+                F.count(F.lit(1)).alias("record_count"),
+                F.count_distinct(F.col(key_col[name])).alias("distinct_keys"),
+            ).select(F.lit(name).alias("table_name"), "record_count", "distinct_keys")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def change_type_counts(events: DataFrame) -> DataFrame:
+    """Count by change/event type.
+
+    Reference: notebook cell 62 (``cdf_df.groupBy('_change_type').count()``). A6.
+    """
+    return events.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+# ---------------------------------------------------------------------------
+# Sorts / top-k (O1-O4) and set ops (U3)
+# ---------------------------------------------------------------------------
+
+def top_value_events(events: DataFrame, k: int = 10) -> DataFrame:
+    """Most recent / highest-value rows, deterministically tie-broken.
+
+    Reference: notebook cell 16 (sort desc + head(10)), cell 47
+    (ORDER BY price DESC LIMIT). O1 + O4.
+    """
+    return (
+        events.select("event_id", "event_type", F.round("value", 4).alias("value"))
+        .orderBy(F.desc("value"), F.asc("event_id"))
+        .limit(k)
+    )
+
+
+def version_diff_keys(df_new: DataFrame, df_old: DataFrame, key: str) -> DataFrame:
+    """Keys present in one snapshot but not another.
+
+    Reference: notebook cell 53 (pandas set difference of ids between
+    two time-travel versions). U3 — expressed distributively as EXCEPT.
+    """
+    return df_new.select(key).distinct().exceptAll(df_old.select(key).distinct())
+
+
+# ---------------------------------------------------------------------------
+# Scalar-function showcase (F2-F10) and CASE bucketing (F8)
+# ---------------------------------------------------------------------------
+
+def inventory_status(part: DataFrame) -> DataFrame:
+    """CASE-WHEN stock bucketing.
+
+    Reference: RisingWave MV ``product_inventory`` init-risingwave.sql:96-109
+    (CASE WHEN stock=0 / <10 / else). F8, with p_size standing in for
+    stock_quantity on the driver's schema.
+    """
+    return part.select(
+        "p_partkey",
+        "p_name",
+        "p_size",
+        F.when(F.col("p_size") == 0, F.lit("Out of Stock"))
+        .when(F.col("p_size") < 10, F.lit("Low Stock"))
+        .otherwise(F.lit("In Stock"))
+        .alias("stock_status"),
+    )
+
+
+def scalar_showcase(events: DataFrame) -> DataFrame:
+    """One projection exercising the reference's scalar-function surface:
+    concat_ws (F2), cast (F3), epoch-ms→timestamp (F4), CASE op-name
+    mapping (F7), date_trunc (F9), coalesce (F10).
+
+    Reference: spark_streaming.py:221-243 (event_id construction,
+    ts_ms/1000 cast, op-code CASE), init-risingwave.sql:75,91.
+    """
+    return events.select(
+        "event_id",
+        F.concat_ws("-", F.col("event_type"), F.col("user_id").cast("string")).alias(
+            "event_key"
+        ),
+        F.when(F.col("event_type") == "click", "INSERT")
+        .when(F.col("event_type") == "view", "UPDATE")
+        .when(F.col("event_type") == "purchase", "DELETE")
+        .otherwise("SNAPSHOT")
+        .alias("op_name"),
+        F.round(F.coalesce(F.col("value"), F.lit(0.0)), 4).alias("value_filled"),
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("event_day"),
+        F.unix_millis(F.col("ts")).alias("ts_ms"),
+    )
