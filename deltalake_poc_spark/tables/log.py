@@ -1,0 +1,249 @@
+"""JSON transaction log for versioned parquet tables.
+
+A from-scratch, PySpark-native replacement for the Delta Lake
+transaction log the reference relies on (its tables live under
+``deltalake/*/_delta_log/*.json`` with add/remove file actions;
+protocol evidence at ``deltalake/customers/_delta_log/
+00000000000000000000.json``). Same core ideas — ordered JSON commits,
+add/remove file actions, per-file stats, table properties — with a
+single-writer atomic-rename commit protocol.
+
+Layout (all paths relative to the table root):
+
+    _log/00000000000000000000.json   one JSON commit per version
+    data/<uuid>.parquet              data files (referenced by commits)
+    _changes/v=N/*.parquet           change-data-feed rows for version N
+
+Commit JSON fields:
+    version, timestamp (epoch ms), operation, operationParameters,
+    add: [{path, numRecords, stats: {col: [min, max]}}],
+    remove: [path, ...],
+    schema: Spark StructType JSON (present when schema changes),
+    properties: full table-properties map (present when it changes),
+    metrics: operation metrics (numOutputRows, numTargetRowsUpdated, ...)
+
+At 100 TB the log stays tiny (one small JSON per commit; file stats
+are per-file scalars), and readers do a single driver-side replay to
+plan a distributed parquet scan — same asymptotics as Delta without
+checkpoints (add checkpointing if commit counts grow unbounded).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass, field
+
+
+@dataclass
+class FileEntry:
+    """One active data file with optional per-column [min, max] stats."""
+
+    path: str  # relative to table root
+    num_records: int = 0
+    stats: dict[str, list] = field(default_factory=dict)
+
+    def to_json(self) -> dict:
+        return {"path": self.path, "numRecords": self.num_records, "stats": self.stats}
+
+    @staticmethod
+    def from_json(d: dict) -> "FileEntry":
+        return FileEntry(d["path"], d.get("numRecords", 0), d.get("stats", {}))
+
+
+@dataclass
+class Commit:
+    version: int
+    timestamp: int  # epoch ms
+    operation: str
+    operation_parameters: dict = field(default_factory=dict)
+    add: list[FileEntry] = field(default_factory=list)
+    remove: list[str] = field(default_factory=list)
+    schema_json: str | None = None
+    properties: dict | None = None
+    metrics: dict = field(default_factory=dict)
+
+    def to_json(self) -> dict:
+        return {
+            "version": self.version,
+            "timestamp": self.timestamp,
+            "operation": self.operation,
+            "operationParameters": self.operation_parameters,
+            "add": [f.to_json() for f in self.add],
+            "remove": self.remove,
+            "schema": self.schema_json,
+            "properties": self.properties,
+            "metrics": self.metrics,
+        }
+
+    @staticmethod
+    def from_json(d: dict) -> "Commit":
+        return Commit(
+            version=d["version"],
+            timestamp=d["timestamp"],
+            operation=d["operation"],
+            operation_parameters=d.get("operationParameters", {}),
+            add=[FileEntry.from_json(x) for x in d.get("add", [])],
+            remove=d.get("remove", []),
+            schema_json=d.get("schema"),
+            properties=d.get("properties"),
+            metrics=d.get("metrics", {}),
+        )
+
+
+class ConcurrentWriteError(RuntimeError):
+    pass
+
+
+@dataclass
+class Snapshot:
+    """Replayed table state as of a version."""
+
+    version: int
+    timestamp: int
+    files: list[FileEntry]
+    schema_json: str | None
+    properties: dict
+
+    @property
+    def file_paths(self) -> list[str]:
+        return [f.path for f in self.files]
+
+
+class TableLog:
+    """Reader/writer for the transaction log of one table."""
+
+    LOG_DIR = "_log"
+    DATA_DIR = "data"
+    CHANGES_DIR = "_changes"
+
+    def __init__(self, root: str):
+        self.root = root
+        self.log_path = os.path.join(root, self.LOG_DIR)
+
+    # -- paths ---------------------------------------------------------------
+
+    def exists(self) -> bool:
+        return os.path.isdir(self.log_path) and bool(self._versions())
+
+    def data_dir(self) -> str:
+        return os.path.join(self.root, self.DATA_DIR)
+
+    def changes_dir(self, version: int) -> str:
+        return os.path.join(self.root, self.CHANGES_DIR, f"v={version}")
+
+    def abs_path(self, rel: str) -> str:
+        return os.path.join(self.root, rel)
+
+    def new_data_file_dir(self) -> str:
+        """A unique staging directory for Spark to write new data files into."""
+        return os.path.join(self.root, "_staging", uuid.uuid4().hex)
+
+    # -- log reading ----------------------------------------------------------
+
+    def _versions(self) -> list[int]:
+        if not os.path.isdir(self.log_path):
+            return []
+        out = []
+        for f in os.listdir(self.log_path):
+            if f.endswith(".json"):
+                try:
+                    out.append(int(f[:-5]))
+                except ValueError:
+                    continue
+        return sorted(out)
+
+    def latest_version(self) -> int:
+        vs = self._versions()
+        if not vs:
+            raise FileNotFoundError(f"no log at {self.log_path}")
+        return vs[-1]
+
+    def read_commit(self, version: int) -> Commit:
+        p = os.path.join(self.log_path, f"{version:020d}.json")
+        with open(p) as fh:
+            return Commit.from_json(json.load(fh))
+
+    def commits(self, start: int = 0, end: int | None = None) -> list[Commit]:
+        vs = [v for v in self._versions() if v >= start and (end is None or v <= end)]
+        return [self.read_commit(v) for v in vs]
+
+    def snapshot(self, version: int | None = None,
+                 timestamp_ms: int | None = None) -> Snapshot:
+        """Replay the log up to a version (or the latest version whose
+        commit timestamp <= timestamp_ms — reference emulates this for
+        delta-rs at delta_handler.py:247-264; Spark native is
+        ``timestampAsOf``)."""
+        all_commits = self.commits()
+        if not all_commits:
+            raise FileNotFoundError(f"no commits at {self.log_path}")
+        if timestamp_ms is not None:
+            eligible = [c for c in all_commits if c.timestamp <= timestamp_ms]
+            if not eligible:
+                raise ValueError(
+                    f"no version at or before timestamp {timestamp_ms}"
+                )
+            version = eligible[-1].version
+        if version is None:
+            version = all_commits[-1].version
+        active: dict[str, FileEntry] = {}
+        schema_json = None
+        properties: dict = {}
+        ts = 0
+        seen = False
+        for c in all_commits:
+            if c.version > version:
+                break
+            seen = True
+            ts = c.timestamp
+            for r in c.remove:
+                active.pop(r, None)
+            for a in c.add:
+                active[a.path] = a
+            if c.schema_json:
+                schema_json = c.schema_json
+            if c.properties is not None:
+                properties = dict(c.properties)
+        if not seen:
+            raise ValueError(f"version {version} does not exist")
+        return Snapshot(version, ts, list(active.values()), schema_json, properties)
+
+    # -- log writing ----------------------------------------------------------
+
+    def next_version(self) -> int:
+        vs = self._versions()
+        return (vs[-1] + 1) if vs else 0
+
+    def write_commit(self, commit: Commit) -> None:
+        """Atomically publish a commit. Single-writer: if the target
+        version file already exists the commit fails (the reference's
+        Delta writers rely on the same optimistic protocol)."""
+        os.makedirs(self.log_path, exist_ok=True)
+        target = os.path.join(self.log_path, f"{commit.version:020d}.json")
+        if os.path.exists(target):
+            raise ConcurrentWriteError(f"version {commit.version} already committed")
+        tmp = target + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as fh:
+            json.dump(commit.to_json(), fh)
+        try:
+            # link+unlink = atomic fail-if-exists publish on POSIX
+            os.link(tmp, target)
+        except FileExistsError as e:
+            raise ConcurrentWriteError(
+                f"version {commit.version} already committed"
+            ) from e
+        finally:
+            os.unlink(tmp)
+
+    def monotonic_now_ms(self) -> int:
+        """Commit timestamp, forced nondecreasing across versions so
+        timestamp-based time travel is well-defined."""
+        now = int(time.time() * 1000)
+        vs = self._versions()
+        if vs:
+            last = self.read_commit(vs[-1]).timestamp
+            if now <= last:
+                now = last + 1
+        return now

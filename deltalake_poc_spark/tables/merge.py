@@ -1,0 +1,220 @@
+"""MERGE (upsert) into a VersionedTable — scale-aware rewrite.
+
+Re-implements the Delta MERGE semantics the reference uses
+(J4/J5/M1-M3 in SURVEY.md §2.3/§2.10):
+
+- ``whenMatchedUpdateAll([condition])``   spark_streaming.py:345-359;
+  change-detection condition variant spark_delta_handler.py:218-236
+- ``whenMatchedDelete([condition])``      replaces the reference's
+  collect-ids-then-delete anti-pattern (spark_streaming.py:367-389)
+  with a set-based delete clause
+- ``whenNotMatchedInsertAll()``
+
+Execution strategy (what Delta does, re-built on plain Spark):
+
+1. **File pruning.** Each data file carries [min, max] stats for the
+   merge key. Source keys are range-joined against the (tiny,
+   broadcast) file-stats list; only files that *could* contain a
+   source key are rewritten. At 100 TB with a clustered key this is
+   the difference between rewriting GBs and rewriting the table.
+2. **Single full-outer join** of touched-file rows with the source on
+   the key; each output row is classified copy/update/delete/insert.
+   Because pruning guarantees un-touched files cannot contain source
+   keys, not-matched detection only needs the touched rows.
+3. New files written distributed; one atomic log commit swaps
+   touched files for rewritten ones and records Delta-style metrics
+   (numTargetRowsUpdated/Inserted/Deleted/Copied — the reference
+   reads these from history, notebook cells 11/22/27).
+
+Duplicate source keys raise (same contract as Delta MERGE; the
+reference's batches were simply small enough to dodge this —
+SURVEY.md §7.3. Dedup upstream, e.g. cdc.apply's latest-event-per-key
+window).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from deltalake_poc_spark.tables.log import Commit
+
+
+class MergeBuilder:
+    def __init__(self, table, source: DataFrame, on: str):
+        """``on`` is the equi-join key column name (the reference always
+        merges on ``id``: predicate "target.id = source.id")."""
+        self.table = table
+        self.source = source
+        self.key = on
+        self._update_all = False
+        self._update_cond: Column | None = None
+        self._delete = False
+        self._delete_cond: Column | None = None
+        self._insert_all = False
+        self._validate_unique = True
+
+    def when_matched_update_all(self, condition: str | Column | None = None):
+        self._update_all = True
+        self._update_cond = F.expr(condition) if isinstance(condition, str) else condition
+        return self
+
+    def when_matched_delete(self, condition: str | Column | None = None):
+        self._delete = True
+        self._delete_cond = F.expr(condition) if isinstance(condition, str) else condition
+        return self
+
+    def when_not_matched_insert_all(self):
+        self._insert_all = True
+        return self
+
+    def without_source_validation(self):
+        """Skip the duplicate-source-key check (one extra agg job)."""
+        self._validate_unique = False
+        return self
+
+    # ------------------------------------------------------------------ run
+
+    def _touched_files(self, snap) -> list[str]:
+        """Prune candidate files with per-file [min,max] key stats.
+        Returns relative paths of files that may contain source keys."""
+        entries = snap.files
+        with_stats = [e for e in entries if self.key in e.stats]
+        without = [e for e in entries if self.key not in e.stats]
+        if not with_stats:
+            return [e.path for e in entries]
+        ranges = self.table.spark.createDataFrame(
+            [(e.path, e.stats[self.key][0], e.stats[self.key][1])
+             for e in with_stats],
+            ["__path", "__kmin", "__kmax"],
+        )
+        src_keys = self.source.select(F.col(self.key).alias("__k")).distinct()
+        hit = (
+            src_keys.join(
+                F.broadcast(ranges),
+                (F.col("__k") >= F.col("__kmin")) & (F.col("__k") <= F.col("__kmax")),
+            )
+            .select("__path").distinct().collect()
+        )
+        return [r["__path"] for r in hit] + [e.path for e in without]
+
+    def execute(self) -> Commit:
+        t = self.table
+        snap = t.snapshot()
+        schema = t.schema(snap)
+        if schema is None:
+            raise ValueError("merge target has no schema")
+        key = self.key
+
+        if self._validate_unique:
+            dup = (self.source.groupBy(key).agg(F.count(F.lit(1)).alias("c"))
+                   .filter(F.col("c") > 1).limit(1).collect())
+            if dup:
+                raise ValueError(
+                    f"MERGE source has duplicate keys (e.g. {key}="
+                    f"{dup[0][key]}); dedup first (cdc.apply does this)"
+                )
+
+        rel_touched = self._touched_files(snap) if snap.files else []
+        target = t._plain_read(rel_touched, schema) if rel_touched else \
+            t.spark.createDataFrame([], schema)
+
+        src = self.source
+        # align source to target schema (missing cols -> null)
+        src_cols = {f.name for f in src.schema.fields}
+        aligned = [
+            (F.col(f"s.{f.name}") if f.name in src_cols else F.lit(None))
+            .cast(f.dataType).alias(f.name)
+            for f in schema.fields
+        ]
+
+        joined = target.alias("t").join(
+            src.alias("s"), F.col(f"t.{key}") == F.col(f"s.{key}"), "full_outer"
+        )
+
+        matched = F.col(f"t.{key}").isNotNull() & F.col(f"s.{key}").isNotNull()
+        t_only = F.col(f"t.{key}").isNotNull() & F.col(f"s.{key}").isNull()
+        s_only = F.col(f"t.{key}").isNull() & F.col(f"s.{key}").isNotNull()
+
+        true_ = F.lit(True)
+        del_cond = matched & (self._delete_cond if self._delete_cond is not None
+                              else true_) if self._delete else F.lit(False)
+        upd_cond = matched & (self._update_cond if self._update_cond is not None
+                              else true_) if self._update_all else F.lit(False)
+
+        action = (
+            F.when(del_cond, F.lit("D"))
+            .when(upd_cond, F.lit("U"))
+            .when(matched, F.lit("C"))
+            .when(t_only, F.lit("C"))
+            .when(s_only & F.lit(self._insert_all), F.lit("I"))
+            .otherwise(F.lit("X"))  # source-only without insert clause
+        )
+        classified = joined.withColumn("__action", action)
+        classified = classified.persist()
+        try:
+            counts = {
+                r["__action"]: r["n"]
+                for r in classified.groupBy("__action")
+                .agg(F.count(F.lit(1)).alias("n")).collect()
+            }
+
+            t_cols = [F.col(f"t.{f.name}").alias(f.name) for f in schema.fields]
+            result = classified.filter(F.col("__action").isin("C", "U", "I")).select(
+                *[
+                    F.when(F.col("__action").isin("U", "I"), a)
+                    .otherwise(tc)
+                    .alias(f.name)
+                    for a, tc, f in zip(aligned, t_cols, schema.fields)
+                ]
+            )
+
+            version = t.log.next_version()
+            if t.cdf_enabled(snap):
+                changes = self._change_rows(classified, schema, aligned, t_cols)
+                if changes is not None:
+                    t._write_changes(version, changes)
+
+            entries = t._materialize(result, stats_cols=None)
+            commit = Commit(
+                version=version,
+                timestamp=t.log.monotonic_now_ms(),
+                operation="MERGE",
+                operation_parameters={
+                    "predicate": f"t.{key} = s.{key}",
+                    "matchedUpdateAll": self._update_all,
+                    "matchedDelete": self._delete,
+                    "notMatchedInsertAll": self._insert_all,
+                },
+                add=entries,
+                remove=rel_touched,
+                metrics={
+                    "numTargetRowsUpdated": counts.get("U", 0),
+                    "numTargetRowsInserted": counts.get("I", 0),
+                    "numTargetRowsDeleted": counts.get("D", 0),
+                    "numTargetRowsCopied": counts.get("C", 0),
+                    "numOutputRows": sum(e.num_records for e in entries),
+                    "numTargetFilesRemoved": len(rel_touched),
+                    "numTargetFilesAdded": len(entries),
+                },
+            )
+            t.log.write_commit(commit)
+            return commit
+        finally:
+            classified.unpersist()
+
+    def _change_rows(self, classified, schema, aligned, t_cols):
+        """CDF rows for this merge: insert / delete / update_pre+postimage."""
+        parts = []
+        ins = classified.filter(F.col("__action") == "I").select(*aligned)
+        parts.append(ins.withColumn("_change_type", F.lit("insert")))
+        dele = classified.filter(F.col("__action") == "D").select(*t_cols)
+        parts.append(dele.withColumn("_change_type", F.lit("delete")))
+        pre = classified.filter(F.col("__action") == "U").select(*t_cols)
+        parts.append(pre.withColumn("_change_type", F.lit("update_preimage")))
+        post = classified.filter(F.col("__action") == "U").select(*aligned)
+        parts.append(post.withColumn("_change_type", F.lit("update_postimage")))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out

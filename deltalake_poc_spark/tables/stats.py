@@ -1,0 +1,60 @@
+"""Per-file column statistics from parquet footers.
+
+Equivalent of Delta's per-file stats (``numRecords`` + min/max, which
+the reference's tables carry in their Delta log and considered tuning
+via ``delta.dataSkippingNumIndexedCols``; spark_streaming.py:171-173).
+Footers are read driver-side with pyarrow — O(files) tiny reads, no
+data scan; at cluster scale this would run inside the write job's
+tasks instead (same information, shipped back with the file list).
+"""
+
+from __future__ import annotations
+
+import datetime
+from typing import Any
+
+import pyarrow.parquet as pq
+
+MAX_STATS_COLS = 8  # mirror delta.dataSkippingNumIndexedCols default behavior
+
+
+def _scalar(v: Any) -> Any:
+    """JSON-serializable representation of a footer min/max value."""
+    if isinstance(v, bytes):
+        try:
+            return v.decode("utf-8")
+        except UnicodeDecodeError:
+            return None
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    if isinstance(v, (int, float, str, bool)) or v is None:
+        return v
+    return None
+
+
+def collect_file_stats(abs_path: str, stats_cols: list[str] | None = None) -> tuple[int, dict]:
+    """Return (num_records, {col: [min, max]}) for one parquet file."""
+    md = pq.ParquetFile(abs_path).metadata
+    num_records = md.num_rows
+    schema = md.schema
+    names = [schema.column(i).name for i in range(len(schema))]
+    if stats_cols is None:
+        stats_cols = names[:MAX_STATS_COLS]
+    wanted = {n: i for i, n in enumerate(names) if n in stats_cols}
+    mins: dict[str, Any] = {}
+    maxs: dict[str, Any] = {}
+    failed: set[str] = set()
+    for rg in range(md.num_row_groups):
+        for name, ci in wanted.items():
+            if name in failed:
+                continue
+            st = md.row_group(rg).column(ci).statistics
+            lo = _scalar(st.min) if st is not None and st.has_min_max else None
+            hi = _scalar(st.max) if st is not None and st.has_min_max else None
+            if lo is None or hi is None:
+                failed.add(name)  # unknown for any row group -> no file stats
+                continue
+            mins[name] = lo if name not in mins else min(mins[name], lo)
+            maxs[name] = hi if name not in maxs else max(maxs[name], hi)
+    stats = {n: [mins[n], maxs[n]] for n in wanted if n in mins and n not in failed}
+    return num_records, stats

@@ -1,0 +1,523 @@
+"""VersionedTable — ACID-ish versioned parquet tables for Spark.
+
+Re-creates, from scratch and PySpark-native, the Delta Lake capability
+surface the reference uses (SURVEY.md §2.1/§2.10):
+
+- batch read / append / overwrite with schema merge   (S5, S11)
+- time travel by version and by timestamp             (S6, S7)
+- change data feed with _change_type/_commit_version  (S8)
+- create / exists / drop                              (S9, S10, M9, M11)
+- MERGE upsert and DELETE                             (M1-M3; tables/merge.py)
+- VACUUM / OPTIMIZE / history / RESTORE               (M4-M7)
+- table properties incl. enableChangeDataFeed         (M8)
+
+Design for scale: the log is driver-side metadata (tiny); all data
+movement is Spark jobs over parquet. Readers plan one distributed
+scan of exactly the active files; writers use file-stats pruning so a
+MERGE touching k of N files rewrites only those k (tables/merge.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from deltalake_poc_spark.tables.log import Commit, FileEntry, Snapshot, TableLog
+from deltalake_poc_spark.tables.stats import collect_file_stats
+
+CDF_PROP = "enableChangeDataFeed"
+CDF_COLS = ("_change_type", "_commit_version", "_commit_timestamp")
+
+
+class VersionedTable:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.log = TableLog(root)
+
+    # ------------------------------------------------------------------ DDL
+
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        root: str,
+        schema: StructType,
+        properties: dict | None = None,
+        if_not_exists: bool = False,
+    ) -> "VersionedTable":
+        """CREATE TABLE (reference: spark_delta_handler.py:109-125 DDL,
+        create-delta-tables.py:93-116 schema-only create w/ CDF)."""
+        t = cls(spark, root)
+        if t.log.exists():
+            if if_not_exists:
+                return t
+            raise FileExistsError(f"table already exists at {root}")
+        os.makedirs(t.log.data_dir(), exist_ok=True)
+        t.log.write_commit(
+            Commit(
+                version=t.log.next_version(),
+                timestamp=t.log.monotonic_now_ms(),
+                operation="CREATE TABLE",
+                schema_json=schema.json(),
+                properties=dict(properties or {}),
+            )
+        )
+        return t
+
+    @classmethod
+    def is_table(cls, root: str) -> bool:
+        """M11 — reference: DeltaTable.isDeltaTable (spark_delta_handler.py:164)."""
+        return TableLog(root).exists()
+
+    @classmethod
+    def for_path(cls, spark: SparkSession, root: str) -> "VersionedTable":
+        t = cls(spark, root)
+        if not t.log.exists():
+            raise FileNotFoundError(f"not a versioned table: {root}")
+        return t
+
+    def drop(self) -> None:
+        """M9 — DROP TABLE (notebook cell 32)."""
+        shutil.rmtree(self.log.root, ignore_errors=True)
+
+    # ------------------------------------------------------------- snapshots
+
+    def snapshot(self, version: int | None = None,
+                 timestamp_ms: int | None = None) -> Snapshot:
+        return self.log.snapshot(version, timestamp_ms)
+
+    def schema(self, snap: Snapshot | None = None) -> StructType | None:
+        snap = snap or self.snapshot()
+        return StructType.fromJson(json.loads(snap.schema_json)) if snap.schema_json else None
+
+    def properties(self) -> dict:
+        return self.snapshot().properties
+
+    def cdf_enabled(self, snap: Snapshot | None = None) -> bool:
+        snap = snap or self.snapshot()
+        return str(snap.properties.get(CDF_PROP, "false")).lower() == "true"
+
+    def version(self) -> int:
+        return self.log.latest_version()
+
+    # ---------------------------------------------------------------- reads
+
+    def read(self, version: int | None = None,
+             timestamp_ms: int | None = None) -> DataFrame:
+        """Batch read, optionally time-traveled (S5-S7; reference:
+        spark.read.format('delta').option('versionAsOf'/'timestampAsOf')
+        spark_delta_handler.py:253-267, notebook cells 20-24)."""
+        snap = self.snapshot(version, timestamp_ms)
+        return self._read_files(snap.file_paths, snap)
+
+    def _read_files(self, rel_paths: list[str], snap: Snapshot) -> DataFrame:
+        schema = self.schema(snap)
+        if not rel_paths:
+            if schema is None:
+                raise ValueError("empty table with no declared schema")
+            return self.spark.createDataFrame([], schema)
+        paths = [self.log.abs_path(p) for p in rel_paths]
+        df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
+        if schema is not None:
+            # align to declared schema: missing cols -> null, extra ignored
+            cols = []
+            present = {f.name for f in df.schema.fields}
+            for f in schema.fields:
+                if f.name in present:
+                    cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+                else:
+                    cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+            df = df.select(*cols)
+        return df
+
+    def read_change_feed(self, starting_version: int = 0,
+                         ending_version: int | None = None) -> DataFrame:
+        """Change Data Feed read (S8; reference: notebook cells 25-26,
+        54, 62 — option('readChangeFeed','true').option('startingVersion',v)).
+
+        insert-only commits are derived from their add-files (no extra
+        change files written — same trick as Delta); MERGE/DELETE/
+        UPDATE commits read explicit change files from _changes/v=N.
+        Output: table columns + _change_type/_commit_version/_commit_timestamp.
+        """
+        if not self.cdf_enabled():
+            raise ValueError(f"{CDF_PROP} is not set on table {self.log.root}")
+        snap = self.snapshot()
+        end = ending_version if ending_version is not None else snap.version
+        schema = self.schema(snap)
+        pieces: list[DataFrame] = []
+        for c in self.log.commits(starting_version, end):
+            piece = None
+            if c.operation in ("WRITE", "APPEND", "CREATE TABLE"):
+                if c.add:
+                    piece = self._stamp(self._plain_read([a.path for a in c.add], schema),
+                                        "insert", c)
+            elif c.operation in ("OVERWRITE", "RESTORE"):
+                parts = []
+                if c.add:
+                    parts.append(self._stamp(
+                        self._plain_read([a.path for a in c.add], schema), "insert", c))
+                if c.remove:
+                    parts.append(self._stamp(
+                        self._plain_read(list(c.remove), schema), "delete", c))
+                piece = self._union(parts)
+            elif c.operation in ("MERGE", "DELETE", "UPDATE"):
+                cd = self.log.changes_dir(c.version)
+                if os.path.isdir(cd) and any(
+                    f.endswith(".parquet") for f in os.listdir(cd)
+                ):
+                    ch = self.spark.read.parquet(cd)
+                    piece = (
+                        ch.withColumn("_commit_version", F.lit(c.version))
+                        .withColumn("_commit_timestamp",
+                                    F.timestamp_millis(F.lit(c.timestamp)))
+                    )
+            # OPTIMIZE / VACUUM / SET TBLPROPERTIES: no logical change
+            if piece is not None:
+                pieces.append(piece)
+        if not pieces:
+            base = self.spark.createDataFrame([], schema) if schema else None
+            if base is None:
+                raise ValueError("empty CDF and no schema")
+            return (base.withColumn("_change_type", F.lit(""))
+                        .withColumn("_commit_version", F.lit(0).cast("long"))
+                        .withColumn("_commit_timestamp", F.timestamp_millis(F.lit(0))))
+        return self._union(pieces)
+
+    def _plain_read(self, rel_paths: list[str], schema: StructType | None) -> DataFrame:
+        snap = Snapshot(0, 0, [], schema.json() if schema else None, {})
+        return self._read_files(rel_paths, snap)
+
+    def _stamp(self, df: DataFrame, change_type: str, c: Commit) -> DataFrame:
+        return (
+            df.withColumn("_change_type", F.lit(change_type))
+            .withColumn("_commit_version", F.lit(c.version).cast("long"))
+            .withColumn("_commit_timestamp", F.timestamp_millis(F.lit(c.timestamp)))
+        )
+
+    @staticmethod
+    def _union(parts: list[DataFrame]) -> DataFrame | None:
+        if not parts:
+            return None
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p, allowMissingColumns=True)
+        return out
+
+    # --------------------------------------------------------------- writes
+
+    def _materialize(self, df: DataFrame, stats_cols: list[str] | None = None,
+                     sort_within_partitions_by: list[str] | None = None) -> list[FileEntry]:
+        """Write df's rows as new parquet files under data/ and return
+        their FileEntries (with footer-derived min/max stats)."""
+        staging = self.log.new_data_file_dir()
+        if sort_within_partitions_by:
+            df = df.sortWithinPartitions(*sort_within_partitions_by)
+        df.write.mode("overwrite").parquet(staging)
+        entries: list[FileEntry] = []
+        os.makedirs(self.log.data_dir(), exist_ok=True)
+        for name in sorted(os.listdir(staging)):
+            if not name.endswith(".parquet"):
+                continue
+            src = os.path.join(staging, name)
+            rel = f"{TableLog.DATA_DIR}/{uuid.uuid4().hex}.parquet"
+            shutil.move(src, self.log.abs_path(rel))
+            n, stats = collect_file_stats(self.log.abs_path(rel), stats_cols)
+            if n == 0:
+                os.unlink(self.log.abs_path(rel))
+                continue
+            entries.append(FileEntry(rel, n, stats))
+        shutil.rmtree(staging, ignore_errors=True)
+        shutil.rmtree(os.path.dirname(staging), ignore_errors=True)
+        return entries
+
+    def _merged_schema_json(self, df: DataFrame) -> str:
+        """Schema-merge an incoming frame with the table schema
+        (mergeSchema/autoMerge: SURVEY.md §1.4; spark_streaming.py:297)."""
+        current = self.schema() if self.log.exists() else None
+        if current is None:
+            return df.schema.json()
+        names = {f.name for f in current.fields}
+        merged = StructType(current.fields + [f for f in df.schema.fields
+                                              if f.name not in names])
+        return merged.json()
+
+    def write(self, df: DataFrame, mode: str = "append",
+              stats_cols: list[str] | None = None) -> Commit:
+        """Append/overwrite (S3, S11; reference: write_deltalake mode=
+        append/overwrite delta_handler.py:107-112, df.write.format('delta')).
+        Schema merge is always on (matching the reference's global
+        spark.databricks.delta.schema.autoMerge.enabled=true)."""
+        if mode not in ("append", "overwrite"):
+            raise ValueError(f"bad mode {mode}")
+        exists = self.log.exists()
+        snap = self.snapshot() if exists else None
+        schema_json = self._merged_schema_json(df)
+        entries = self._materialize(df, stats_cols)
+        op = "APPEND" if (mode == "append" and exists) else (
+            "OVERWRITE" if exists else "WRITE")
+        commit = Commit(
+            version=self.log.next_version(),
+            timestamp=self.log.monotonic_now_ms(),
+            operation=op,
+            operation_parameters={"mode": mode},
+            add=entries,
+            remove=snap.file_paths if (mode == "overwrite" and snap) else [],
+            schema_json=schema_json,
+            properties=None if exists else {},
+            metrics={"numOutputRows": sum(e.num_records for e in entries),
+                     "numFiles": len(entries)},
+        )
+        os.makedirs(self.log.data_dir(), exist_ok=True)
+        self.log.write_commit(commit)
+        return commit
+
+    def set_properties(self, props: dict) -> Commit:
+        """M8 — ALTER TABLE SET TBLPROPERTIES (create-delta-tables.py:119-137)."""
+        snap = self.snapshot()
+        merged = dict(snap.properties)
+        merged.update(props)
+        c = Commit(
+            version=self.log.next_version(),
+            timestamp=self.log.monotonic_now_ms(),
+            operation="SET TBLPROPERTIES",
+            operation_parameters={"properties": props},
+            properties=merged,
+        )
+        self.log.write_commit(c)
+        return c
+
+    # ----------------------------------------------------- merge and delete
+
+    def merge(self, source: DataFrame, on: str):
+        """MERGE builder (J4/M1; reference: DeltaTable.merge
+        spark_streaming.py:345-359, SQL MERGE spark_delta_handler.py:218-236)."""
+        from deltalake_poc_spark.tables.merge import MergeBuilder
+
+        return MergeBuilder(self, source, on)
+
+    def delete(self, predicate) -> Commit:
+        """DELETE by predicate (J5/M3; reference: delta_table.delete
+        spark_streaming.py:385, SQL DELETE spark_delta_handler.py:160-169).
+
+        One distributed pass finds the files containing matches
+        (pushdown-friendly), then only those files are rewritten —
+        unlike the reference's collect()-ids-to-driver approach
+        (spark_streaming.py:367-389), nothing large hits the driver.
+        """
+        pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+        snap = self.snapshot()
+        if not snap.files:
+            return self._noop_commit("DELETE", {"predicate": str(predicate)})
+        df = self._read_files_with_filename(snap)
+        touched_rows = df.filter(pred)
+        touched = [
+            r["__file"] for r in
+            touched_rows.select("__file").distinct().collect()
+        ]
+        if not touched:
+            return self._noop_commit("DELETE", {"predicate": str(predicate)})
+        rel_touched = [self._rel_of(p) for p in touched]
+        schema = self.schema(snap)
+        touched_df = self._plain_read(rel_touched, schema)
+        # SQL DELETE semantics: remove rows where pred IS TRUE; keep false/null
+        keep = touched_df.filter(~F.coalesce(pred, F.lit(False)))
+        version = self.log.next_version()
+        if self.cdf_enabled(snap):
+            deleted = touched_df.filter(pred)
+            self._write_changes(version, deleted.withColumn("_change_type",
+                                                            F.lit("delete")))
+        entries = self._materialize(keep)
+        touched_set = set(rel_touched)
+        n_before = sum(e.num_records for e in snap.files if e.path in touched_set)
+        n_after = sum(e.num_records for e in entries)
+        c = Commit(
+            version=version,
+            timestamp=self.log.monotonic_now_ms(),
+            operation="DELETE",
+            operation_parameters={"predicate": str(predicate)},
+            add=entries,
+            remove=rel_touched,
+            metrics={"numDeletedRows": n_before - n_after,
+                     "numRemovedFiles": len(rel_touched),
+                     "numAddedFiles": len(entries)},
+        )
+        self.log.write_commit(c)
+        return c
+
+    def update(self, set_exprs: dict, predicate=None) -> Commit:
+        """UPDATE (M2 analogue — the reference expresses conditional
+        update through MERGE; provided for API completeness)."""
+        pred = (F.expr(predicate) if isinstance(predicate, str) else predicate) \
+            if predicate is not None else F.lit(True)
+        snap = self.snapshot()
+        if not snap.files:
+            return self._noop_commit("UPDATE", {})
+        df = self._read_files_with_filename(snap)
+        touched = [r["__file"] for r in
+                   df.filter(pred).select("__file").distinct().collect()]
+        if not touched:
+            return self._noop_commit("UPDATE", {})
+        rel_touched = [self._rel_of(p) for p in touched]
+        schema = self.schema(snap)
+        touched_df = self._plain_read(rel_touched, schema)
+        cols = []
+        for f in schema.fields:
+            if f.name in set_exprs:
+                expr = set_exprs[f.name]
+                expr = F.expr(expr) if isinstance(expr, str) else expr
+                cols.append(F.when(pred, expr).otherwise(F.col(f.name))
+                            .cast(f.dataType).alias(f.name))
+            else:
+                cols.append(F.col(f.name))
+        updated = touched_df.select(*cols)
+        version = self.log.next_version()
+        if self.cdf_enabled(snap):
+            pre = touched_df.filter(pred).withColumn("_change_type",
+                                                     F.lit("update_preimage"))
+            post = updated.filter(pred).withColumn("_change_type",
+                                                   F.lit("update_postimage"))
+            self._write_changes(version, pre.unionByName(post))
+        entries = self._materialize(updated)
+        c = Commit(
+            version=version,
+            timestamp=self.log.monotonic_now_ms(),
+            operation="UPDATE",
+            operation_parameters={"predicate": str(predicate)},
+            add=entries,
+            remove=rel_touched,
+            metrics={"numAddedFiles": len(entries),
+                     "numRemovedFiles": len(rel_touched)},
+        )
+        self.log.write_commit(c)
+        return c
+
+    def _read_files_with_filename(self, snap: Snapshot) -> DataFrame:
+        df = self._read_files(snap.file_paths, snap)
+        return df.withColumn("__file", F.input_file_name())
+
+    def _rel_of(self, abs_uri: str) -> str:
+        p = abs_uri
+        if p.startswith("file:"):
+            p = p[len("file:"):]
+            while p.startswith("//"):
+                p = p[1:]
+        root = os.path.abspath(self.log.root)
+        return os.path.relpath(os.path.abspath(p), root)
+
+    def _noop_commit(self, op: str, params: dict) -> Commit:
+        c = Commit(
+            version=self.log.next_version(),
+            timestamp=self.log.monotonic_now_ms(),
+            operation=op,
+            operation_parameters=params,
+            metrics={"numDeletedRows": 0},
+        )
+        self.log.write_commit(c)
+        return c
+
+    def _write_changes(self, version: int, change_df: DataFrame) -> None:
+        change_df.write.mode("overwrite").parquet(self.log.changes_dir(version))
+        # drop spark's _SUCCESS marker noise; harmless either way
+
+    # ----------------------------------------------------------- maintenance
+
+    def history(self) -> list[dict]:
+        """M6 — DESCRIBE HISTORY (delta_handler.py:227-234, notebook 11/22/27)."""
+        return [c.to_json() for c in reversed(self.log.commits())]
+
+    def history_df(self) -> DataFrame:
+        rows = [
+            (c["version"], c["timestamp"], c["operation"],
+             json.dumps(c["operationParameters"]), json.dumps(c["metrics"]))
+            for c in self.history()
+        ]
+        return self.spark.createDataFrame(
+            rows, "version long, timestamp long, operation string, "
+                  "operationParameters string, operationMetrics string")
+
+    def optimize(self, target_file_rows: int = 1_000_000,
+                 zorder_by: list[str] | None = None) -> Commit:
+        """M5 — OPTIMIZE compaction (spark_delta_handler.py:282-289).
+        Rewrites the current snapshot into ~target-sized files,
+        optionally range-clustered by key columns (poor man's Z-order:
+        repartitionByRange + sortWithinPartitions gives min/max file
+        stats that are tight on the cluster keys → better pruning)."""
+        snap = self.snapshot()
+        if not snap.files:
+            return self._noop_commit("OPTIMIZE", {})
+        df = self._read_files(snap.file_paths, snap)
+        total = sum(e.num_records for e in snap.files)
+        nparts = max(1, (total + target_file_rows - 1) // target_file_rows)
+        if zorder_by:
+            df = df.repartitionByRange(nparts, *zorder_by)
+            entries = self._materialize(df, sort_within_partitions_by=zorder_by)
+        else:
+            df = df.repartition(nparts)
+            entries = self._materialize(df)
+        c = Commit(
+            version=self.log.next_version(),
+            timestamp=self.log.monotonic_now_ms(),
+            operation="OPTIMIZE",
+            operation_parameters={"zorderBy": zorder_by or []},
+            add=entries,
+            remove=snap.file_paths,
+            metrics={"numRemovedFiles": len(snap.files),
+                     "numAddedFiles": len(entries)},
+        )
+        self.log.write_commit(c)
+        return c
+
+    def vacuum(self, retention_hours: float = 168.0) -> list[str]:
+        """M4 — VACUUM (delta_handler.py:275-285; default 168h retention
+        shared/config.py:109). Physically deletes data files that are
+        not in the current snapshot and were removed longer than the
+        retention window ago. Returns deleted relative paths."""
+        import time as _time
+
+        snap = self.snapshot()
+        active = set(snap.file_paths)
+        removed_at: dict[str, int] = {}
+        for c in self.log.commits():
+            for r in c.remove:
+                removed_at[r] = c.timestamp
+            for a in c.add:  # re-added (e.g. RESTORE) -> no longer removed
+                removed_at.pop(a.path, None)
+        cutoff = int(_time.time() * 1000) - int(retention_hours * 3600 * 1000)
+        deleted = []
+        data_dir = self.log.data_dir()
+        if os.path.isdir(data_dir):
+            for name in os.listdir(data_dir):
+                rel = f"{TableLog.DATA_DIR}/{name}"
+                if rel in active:
+                    continue
+                ts = removed_at.get(rel)
+                if ts is not None and ts < cutoff:
+                    os.unlink(os.path.join(data_dir, name))
+                    deleted.append(rel)
+        return deleted
+
+    def restore(self, version: int) -> Commit:
+        """M7 — RESTORE TABLE TO VERSION AS OF (README.md:145)."""
+        target = self.snapshot(version)
+        current = self.snapshot()
+        cur_paths = set(current.file_paths)
+        tgt_paths = set(target.file_paths)
+        c = Commit(
+            version=self.log.next_version(),
+            timestamp=self.log.monotonic_now_ms(),
+            operation="RESTORE",
+            operation_parameters={"version": version},
+            add=[f for f in target.files if f.path not in cur_paths],
+            remove=[p for p in current.file_paths if p not in tgt_paths],
+            schema_json=target.schema_json,
+            metrics={"restoredVersion": version},
+        )
+        self.log.write_commit(c)
+        return c

@@ -1,0 +1,238 @@
+"""VersionedTable: create/read/write, time travel, CDF, MERGE, DELETE,
+UPDATE, OPTIMIZE, VACUUM, RESTORE, history, schema evolution.
+
+Covers SURVEY.md §2.1 (S5-S11) and §2.10 (M1-M11) — the capability
+surface the reference gets from Delta Lake.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType, StringType, StructField, StructType, TimestampType,
+)
+
+from deltalake_poc_spark.tables import VersionedTable
+from deltalake_poc_spark.tables.log import ConcurrentWriteError
+
+SCHEMA = StructType([
+    StructField("id", LongType()),
+    StructField("name", StringType()),
+    StructField("email", StringType()),
+])
+
+
+def make_df(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    return VersionedTable.create(
+        spark, str(tmp_path / "t"), SCHEMA,
+        properties={"enableChangeDataFeed": "true"},
+    )
+
+
+def rows_of(df):
+    return sorted((r["id"], r["name"], r["email"]) for r in df.collect())
+
+
+def test_create_exists_drop(spark, tmp_path, table):
+    assert VersionedTable.is_table(table.log.root)
+    assert not VersionedTable.is_table(str(tmp_path / "nope"))
+    with pytest.raises(FileExistsError):
+        VersionedTable.create(spark, table.log.root, SCHEMA)
+    VersionedTable.create(spark, table.log.root, SCHEMA, if_not_exists=True)
+    t2 = VersionedTable.for_path(spark, table.log.root)
+    assert t2.version() == 0
+    t2.drop()
+    assert not VersionedTable.is_table(table.log.root)
+
+
+def test_append_read_empty_schema(spark, table):
+    assert table.read().count() == 0  # empty table reads via declared schema
+    table.write(make_df(spark, [(1, "a", "a@x"), (2, "b", "b@x")]))
+    table.write(make_df(spark, [(3, "c", "c@x")]))
+    assert rows_of(table.read()) == [(1, "a", "a@x"), (2, "b", "b@x"), (3, "c", "c@x")]
+
+
+def test_overwrite_and_time_travel(spark, table):
+    table.write(make_df(spark, [(1, "a", "a@x")]))            # v1
+    table.write(make_df(spark, [(2, "b", "b@x")]), "overwrite")  # v2
+    assert rows_of(table.read()) == [(2, "b", "b@x")]
+    assert rows_of(table.read(version=1)) == [(1, "a", "a@x")]
+    ts1 = table.log.read_commit(1).timestamp
+    assert rows_of(table.read(timestamp_ms=ts1)) == [(1, "a", "a@x")]
+    with pytest.raises(ValueError):
+        table.read(timestamp_ms=ts1 - 10_000)
+
+
+def test_merge_upsert_insert_update_delete(spark, table):
+    table.write(make_df(spark, [(1, "a", "a@x"), (2, "b", "b@x"), (3, "c", "c@x")]))
+    src = make_df(spark, [(2, "B2", "b2@x"), (4, "d", "d@x")])
+    c = (table.merge(src, on="id")
+         .when_matched_update_all()
+         .when_not_matched_insert_all()
+         .execute())
+    assert c.metrics["numTargetRowsUpdated"] == 1
+    assert c.metrics["numTargetRowsInserted"] == 1
+    assert rows_of(table.read()) == [
+        (1, "a", "a@x"), (2, "B2", "b2@x"), (3, "c", "c@x"), (4, "d", "d@x")]
+
+    # delete clause driven by a source flag column
+    src2 = spark.createDataFrame(
+        [(2, True), (4, False)], "id long, __delete boolean")
+    c2 = (table.merge(src2, on="id")
+          .when_matched_delete(condition=F.col("s.__delete"))
+          .execute())
+    assert c2.metrics["numTargetRowsDeleted"] == 1
+    assert [r[0] for r in rows_of(table.read())] == [1, 3, 4]
+
+
+def test_merge_duplicate_source_raises(spark, table):
+    table.write(make_df(spark, [(1, "a", "a@x")]))
+    dup = make_df(spark, [(1, "x", "x@x"), (1, "y", "y@x")])
+    with pytest.raises(ValueError, match="duplicate"):
+        table.merge(dup, on="id").when_matched_update_all().execute()
+
+
+def test_merge_conditional_update_skips_unchanged(spark, table):
+    """M2 — change-detection condition (spark_delta_handler.py:222-236):
+    unchanged rows are copies, not updates."""
+    table.write(make_df(spark, [(1, "a", "a@x"), (2, "b", "b@x")]))
+    src = make_df(spark, [(1, "a", "a@x"), (2, "B", "b@x")])
+    cond = "NOT (t.name <=> s.name AND t.email <=> s.email)"
+    c = (table.merge(src, on="id")
+         .when_matched_update_all(condition=cond)
+         .when_not_matched_insert_all()
+         .execute())
+    assert c.metrics["numTargetRowsUpdated"] == 1
+    assert c.metrics["numTargetRowsCopied"] == 1
+
+
+def test_delete_predicate(spark, table):
+    table.write(make_df(spark, [(i, f"n{i}", f"n{i}@x") for i in range(10)]))
+    c = table.delete("id >= 7")
+    assert c.metrics["numDeletedRows"] == 3
+    assert table.read().count() == 7
+    c2 = table.delete("id >= 100")  # no match -> no-op commit
+    assert c2.metrics["numDeletedRows"] == 0
+
+
+def test_update(spark, table):
+    table.write(make_df(spark, [(1, "a", "a@x"), (2, "b", "b@x")]))
+    table.update({"email": F.lit("new@x")}, "id = 2")
+    assert rows_of(table.read()) == [(1, "a", "a@x"), (2, "b", "new@x")]
+
+
+def test_change_data_feed(spark, table):
+    table.write(make_df(spark, [(1, "a", "a@x"), (2, "b", "b@x")]))     # v1 insert x2
+    (table.merge(make_df(spark, [(2, "B", "B@x"), (3, "c", "c@x")]), on="id")
+     .when_matched_update_all().when_not_matched_insert_all().execute())  # v2
+    table.delete("id = 1")                                               # v3
+    cdf = table.read_change_feed(starting_version=0)
+    got = sorted(
+        (r["_commit_version"], r["_change_type"], r["id"]) for r in cdf.collect()
+    )
+    assert got == [
+        (1, "insert", 1), (1, "insert", 2),
+        (2, "insert", 3),
+        (2, "update_postimage", 2), (2, "update_preimage", 2),
+        (3, "delete", 1),
+    ]
+    # range filter: only v2+
+    assert all(r["_commit_version"] >= 2
+               for r in table.read_change_feed(starting_version=2).collect())
+
+
+def test_cdf_disabled_raises(spark, tmp_path):
+    t = VersionedTable.create(spark, str(tmp_path / "nocdf"), SCHEMA)
+    with pytest.raises(ValueError, match="enableChangeDataFeed"):
+        t.read_change_feed()
+
+
+def test_history_metrics(spark, table):
+    table.write(make_df(spark, [(1, "a", "a@x")]))
+    (table.merge(make_df(spark, [(1, "A", "A@x")]), on="id")
+     .when_matched_update_all().execute())
+    h = table.history()
+    assert [c["operation"] for c in h] == ["MERGE", "APPEND", "CREATE TABLE"]
+    assert h[0]["metrics"]["numTargetRowsUpdated"] == 1
+    assert table.history_df().count() == 3
+
+
+def test_optimize_compacts(spark, table):
+    for i in range(5):
+        table.write(make_df(spark, [(i, f"n{i}", f"e{i}")]))
+    before = table.read()
+    n_files_before = len(table.snapshot().files)
+    table.optimize(target_file_rows=1000)
+    assert len(table.snapshot().files) < n_files_before
+    assert rows_of(table.read()) == rows_of(before)
+
+
+def test_vacuum(spark, table):
+    import os
+    table.write(make_df(spark, [(1, "a", "a@x")]))
+    table.write(make_df(spark, [(2, "b", "b@x")]), "overwrite")
+    data = table.log.data_dir()
+    assert len(os.listdir(data)) >= 2
+    assert table.vacuum(retention_hours=168.0) == []     # too young
+    deleted = table.vacuum(retention_hours=0.0)
+    assert len(deleted) >= 1
+    assert rows_of(table.read()) == [(2, "b", "b@x")]    # current still reads
+
+
+def test_restore(spark, table):
+    table.write(make_df(spark, [(1, "a", "a@x")]))                     # v1
+    table.write(make_df(spark, [(9, "z", "z@x")]), "overwrite")        # v2
+    table.restore(1)                                                   # v3
+    assert rows_of(table.read()) == [(1, "a", "a@x")]
+    assert table.history()[0]["operation"] == "RESTORE"
+
+
+def test_schema_evolution_append(spark, table):
+    table.write(make_df(spark, [(1, "a", "a@x")]))
+    evolved = spark.createDataFrame(
+        [(2, "b", "b@x", "NEW")], "id long, name string, email string, extra string")
+    table.write(evolved)  # mergeSchema semantics
+    df = table.read()
+    assert "extra" in df.columns
+    got = {(r["id"], r["extra"]) for r in df.collect()}
+    assert got == {(1, None), (2, "NEW")}
+
+
+def test_set_properties(spark, tmp_path):
+    t = VersionedTable.create(spark, str(tmp_path / "p"), SCHEMA)
+    assert not t.cdf_enabled()
+    t.set_properties({"enableChangeDataFeed": "true"})
+    assert t.cdf_enabled()
+
+
+def test_concurrent_commit_rejected(spark, table):
+    from deltalake_poc_spark.tables.log import Commit
+    v = table.log.next_version()
+    table.log.write_commit(Commit(version=v, timestamp=table.log.monotonic_now_ms(),
+                                  operation="APPEND"))
+    with pytest.raises(ConcurrentWriteError):
+        table.log.write_commit(Commit(version=v, timestamp=0, operation="APPEND"))
+
+
+def test_merge_file_pruning(spark, table):
+    """Files whose key range can't contain source keys are not rewritten."""
+    df = spark.range(0, 1000).select(
+        F.col("id"), F.concat(F.lit("n"), F.col("id")).alias("name"),
+        F.lit("e@x").alias("email"))
+    # write as 10 range-partitioned files -> tight id min/max per file
+    table.write(df.repartitionByRange(10, "id"), stats_cols=["id"])
+    files_before = {e.path for e in table.snapshot().files}
+    assert len(files_before) == 10
+    src = make_df(spark, [(5, "FIVE", "five@x")])
+    c = (table.merge(src, on="id").when_matched_update_all()
+         .when_not_matched_insert_all().execute())
+    # only the one file containing id=5 was rewritten
+    assert c.metrics["numTargetFilesRemoved"] == 1
+    assert table.read().filter("id = 5").collect()[0]["name"] == "FIVE"
+    assert table.read().count() == 1000
