@@ -94,6 +94,58 @@ def _version_diff_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return Q.version_diff_keys(df_new, df_old, "o_custkey")
 
 
+def _cdc_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end CDC engine (SURVEY.md §3.1/§3.2): synthesize Debezium
+    envelopes from the events table, parse (P1-P2, F1-F7), dedup latest
+    per key (window), MERGE upsert + delete clause into a versioned
+    snapshot table (J4/J5/M1/M3), read the final snapshot back.
+
+    Oracle: the same semantics in one SQL window query — latest event
+    per key wins; a trailing delete removes the row.
+    """
+    import tempfile
+
+    from pyspark.sql.types import (
+        DoubleType, LongType, StringType, StructField, StructType,
+    )
+
+    from deltalake_poc_spark.cdc import CDCApplier, parse_debezium
+    from deltalake_poc_spark.cdc.synth import raw_kafka_frame
+
+    events = load_table(spark, sf_dir, "events")
+    tagged = events.select(
+        (F.col("event_id") % 200).alias("k"),
+        F.col("event_id").alias("lsn"),
+        F.round("value", 4).alias("val"),
+        F.col("event_type").alias("name"),
+        F.when(F.col("event_id") % 7 == 0, "d").otherwise("u").alias("op"),
+        F.unix_millis(F.col("ts")).alias("ts_ms"),
+    )
+    raw = raw_kafka_frame(
+        tagged,
+        op=F.col("op"), key=F.col("k"), lsn=F.col("lsn"), ts_ms=F.col("ts_ms"),
+        after=F.when(
+            F.col("op") != "d",
+            F.struct(F.col("k").alias("id"), F.col("val").alias("val"),
+                     F.col("name").alias("name")),
+        ),
+        before=F.when(F.col("op") == "d", F.struct(F.col("k").alias("id"))),
+        table="snapshot_demo",
+    )
+    schema = StructType([
+        StructField("id", LongType()),
+        StructField("val", DoubleType()),
+        StructField("name", StringType()),
+    ])
+    applier = CDCApplier(
+        spark, tempfile.mkdtemp(prefix="cdc_pipeline_"),
+        table_schemas={"snapshot_demo": schema}, enable_cdf=False,
+    )
+    applier.apply_batch(parse_debezium(raw), tables=["snapshot_demo"])
+    snap = applier.snapshot_table("snapshot_demo").read()
+    return snap.select("id", F.round("val", 4).alias("val"), "name")
+
+
 def _inventory_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     return Q.inventory_status(load_table(spark, sf_dir, "part"))
 
@@ -117,6 +169,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "version_diff_keys": _version_diff_keys,             # U3 P6
         "inventory_status": _inventory_status,               # F8
         "scalar_showcase": _scalar_showcase,                 # F2-F10
+        "cdc_pipeline": _cdc_pipeline,                       # S14 P1-P9 J4 J5 M1 M3
     }
 
 
@@ -209,6 +262,20 @@ def oracle_sql() -> dict[str, str]:
                         WHEN p_size < 10 THEN 'Low Stock'
                         ELSE 'In Stock' END AS stock_status
             FROM part
+        """,
+        "cdc_pipeline": """
+            WITH tagged AS (
+                SELECT event_id % 200 AS id,
+                       event_id AS lsn,
+                       ROUND(value, 4) AS val,
+                       event_type AS name,
+                       CASE WHEN event_id % 7 = 0 THEN 'd' ELSE 'u' END AS op
+                FROM events
+            ), latest AS (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY id ORDER BY lsn DESC) AS rn
+                FROM tagged
+            )
+            SELECT id, val, name FROM latest WHERE rn = 1 AND op <> 'd'
         """,
         "scalar_showcase": """
             SELECT event_id,

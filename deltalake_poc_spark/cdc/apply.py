@@ -1,0 +1,169 @@
+"""Batch CDC apply — audit append + per-table dedup'd MERGE/DELETE.
+
+The reference applies CDC three ways (row-at-a-time delta-rs
+consumer/python-consumer/delta_handler.py:163-225, per-event SQL MERGE
+spark_delta_handler.py:143-242, and per-micro-batch
+spark_streaming.py:306-414). This module is the single batch-oriented
+engine all of those collapse into (SURVEY.md §3.2), with the
+reference's two scale bugs fixed:
+
+1. **In-batch duplicate keys** (SURVEY.md §7.3): Delta MERGE throws on
+   multiple source rows per key; the reference never dedups
+   (spark_streaming.py:345-359). Here: keep the LATEST event per key
+   — ordered by (source_lsn, offset) — via a window before merging; a
+   trailing delete wins over earlier upserts.
+2. **Driver-side delete** (spark_streaming.py:367-389 collects ids to
+   the driver then calls delete). Here: deletes ride the same MERGE as
+   a ``when_matched_delete`` clause — fully distributed, one pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType, TimestampType
+
+from deltalake_poc_spark.cdc import schema as S
+from deltalake_poc_spark.tables import VersionedTable
+
+
+class CDCApplier:
+    """Applies parsed CDC event batches to an audit table + per-table
+    snapshot tables (both VersionedTable)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        base_path: str,
+        table_schemas: dict[str, StructType] | None = None,
+        key_col: str = "id",
+        enable_cdf: bool = True,
+        audit_partition_by: str | None = None,
+    ):
+        self.spark = spark
+        self.base_path = base_path
+        self.table_schemas = table_schemas or S.TABLE_SCHEMAS
+        self.key_col = key_col
+        self.enable_cdf = enable_cdf
+        self._tables: dict[str, VersionedTable] = {}
+
+    # ------------------------------------------------------------- tables
+
+    def audit_table(self) -> VersionedTable:
+        return self._get_or_create("cdc_events", S.CDC_EVENTS_SCHEMA)
+
+    def snapshot_table(self, name: str) -> VersionedTable:
+        base = self.table_schemas[name]
+        full = StructType(
+            base.fields
+            + [
+                # metadata columns every snapshot carries (SURVEY.md §1.5)
+                S.StructField(S.META_OPERATION, S.StringType()),
+                S.StructField(S.META_TIMESTAMP, TimestampType()),
+                S.StructField(S.META_PROCESSED, TimestampType()),
+            ]
+        )
+        return self._get_or_create(name, full)
+
+    def _get_or_create(self, name: str, schema: StructType) -> VersionedTable:
+        if name not in self._tables:
+            root = f"{self.base_path}/{name}"
+            if VersionedTable.is_table(root):
+                self._tables[name] = VersionedTable.for_path(self.spark, root)
+            else:
+                props = {"enableChangeDataFeed": "true"} if self.enable_cdf else {}
+                self._tables[name] = VersionedTable.create(
+                    self.spark, root, schema, properties=props, if_not_exists=True
+                )
+        return self._tables[name]
+
+    # -------------------------------------------------------------- apply
+
+    def apply_batch(self, events: DataFrame,
+                    tables: list[str] | None = None) -> dict[str, dict]:
+        """Apply one batch of parsed CDC events (CDC_EVENTS_SCHEMA shape):
+        append all to the audit table, then MERGE per-table snapshots.
+        Returns per-table merge metrics."""
+        events = events.persist()
+        try:
+            self.audit_table().write(events, "append")
+            if tables is None:
+                tables = [
+                    r["source_table"]
+                    for r in events.select("source_table").distinct().collect()
+                    if r["source_table"] in self.table_schemas
+                ]
+            metrics = {}
+            for t in sorted(tables):
+                metrics[t] = self._apply_table(events, t)
+            return metrics
+        finally:
+            events.unpersist()
+
+    def _apply_table(self, events: DataFrame, name: str) -> dict:
+        table_schema = self.table_schemas[name]
+        key = self.key_col
+        ev = events.filter(F.col("source_table") == name)
+
+        # Key comes from after_data for upserts, before_data for deletes
+        # (spark_streaming.py:320-341, 367-383).
+        key_type = next(f.dataType for f in table_schema.fields if f.name == key)
+        keyed = ev.withColumn(
+            "__key",
+            F.coalesce(
+                F.get_json_object("after_data", f"$.{key}"),
+                F.get_json_object("before_data", f"$.{key}"),
+            ).cast(key_type),
+        ).filter(F.col("__key").isNotNull())  # P5 null-key guard
+
+        # Latest event per key: source_lsn then kafka offset (fixes the
+        # reference's duplicate-keys-in-batch hazard, SURVEY.md §7.3).
+        w = Window.partitionBy("__key").orderBy(
+            F.desc_nulls_last("source_lsn"), F.desc("offset")
+        )
+        latest = (
+            keyed.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+
+        # Re-type the JSON payload per the declared table schema (P9);
+        # field-level Debezium timestamps are epoch-µs (F5;
+        # database.py:20-27, "time.precision.mode": "connect").
+        payload_fields = []
+        for f in table_schema.fields:
+            if isinstance(f.dataType, TimestampType):
+                payload_fields.append(S.StructField(f.name, S.LongType()))
+            else:
+                payload_fields.append(f)
+        payload_schema = StructType(payload_fields)
+        rec = latest.withColumn(
+            "__rec", F.from_json(F.col("after_data"), payload_schema)
+        )
+
+        cols = []
+        for f in table_schema.fields:
+            src = F.col(f"__rec.{f.name}")
+            if f.name == key:
+                src = F.col("__key")
+            elif isinstance(f.dataType, TimestampType):
+                src = F.timestamp_micros(src)
+            cols.append(src.cast(f.dataType).alias(f.name))
+        src_df = rec.select(
+            *cols,
+            F.col("operation").alias(S.META_OPERATION),
+            F.col("event_timestamp").alias(S.META_TIMESTAMP),
+            F.current_timestamp().alias(S.META_PROCESSED),
+            (F.col("operation") == "d").alias("__is_delete"),
+        )
+
+        table = self.snapshot_table(name)
+        commit = (
+            table.merge(src_df, on=key)
+            .when_matched_delete(condition=F.col("s.__is_delete"))
+            .when_matched_update_all(condition=~F.col("s.__is_delete"))
+            .when_not_matched_insert_all(condition=~F.col("s.__is_delete"))
+            .without_source_validation()  # window above guarantees unique keys
+            .execute()
+        )
+        return commit.metrics

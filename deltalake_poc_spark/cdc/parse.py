@@ -1,0 +1,74 @@
+"""Debezium envelope parse — Kafka bytes → flat typed events frame.
+
+Re-implements the reference's ``parse_debezium_cdc``
+(consumer/spark-streaming/spark_streaming.py:201-265) as one
+declarative projection (P1-P2, F1-F7, F13 in SURVEY.md §2): every
+expression is a built-in Spark function, so the whole parse stays
+inside WholeStageCodegen — no Python UDFs on the hot path.
+
+Input contract (what ``spark.readStream.format("kafka")`` produces):
+    key binary, value binary, topic string, partition int, offset long
+Output: CDC_EVENTS_SCHEMA columns (audit-table shape).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from deltalake_poc_spark.cdc.schema import (
+    CDC_EVENTS_SCHEMA, MESSAGE_TYPED_SCHEMA,
+)
+
+
+def parse_debezium(raw: DataFrame) -> DataFrame:
+    """Parse raw Kafka CDC messages into the flat audit-event shape.
+
+    - tombstones (null value / null payload) are dropped (P2;
+      spark_streaming.py:245, consumer.py:152-162)
+    - ``before``/``after`` stay raw JSON strings (P9 re-types them
+      per-table at apply time)
+    - envelope ts_ms is **milliseconds** → timestamp (F4;
+      spark_streaming.py:233); field-level µs conversion happens at
+      apply time (F5)
+    - event_id = "{topic}-{partition}-{offset}" (delta_handler.py:87)
+    """
+    value_str = F.col("value").cast("string")
+    parsed = (
+        raw.withColumn("_msg", F.from_json(value_str, MESSAGE_TYPED_SCHEMA))
+        .withColumn("_payload", F.col("_msg.payload"))
+        .filter(F.col("value").isNotNull() & F.col("_payload").isNotNull()
+                & F.col("_payload.op").isNotNull())
+    )
+    return parsed.select(
+        F.concat_ws(
+            "-", F.col("topic"), F.col("partition").cast("string"),
+            F.col("offset").cast("string"),
+        ).alias("event_id"),
+        F.col("topic"),
+        F.col("partition").cast("int").alias("partition_id"),
+        F.col("offset").cast("long").alias("offset"),
+        F.col("_payload.op").alias("operation"),
+        F.when(F.col("_payload.op") == "c", "INSERT")
+        .when(F.col("_payload.op") == "u", "UPDATE")
+        .when(F.col("_payload.op") == "d", "DELETE")
+        .when(F.col("_payload.op") == "r", "SNAPSHOT")
+        .otherwise("UNKNOWN")
+        .alias("operation_name"),
+        F.col("_payload.source.db").alias("source_db"),
+        F.col("_payload.source.schema").alias("source_schema"),
+        F.col("_payload.source.table").alias("source_table"),
+        F.concat_ws(
+            ".", F.col("_payload.source.schema"), F.col("_payload.source.table")
+        ).alias("table_name"),
+        F.get_json_object(value_str, "$.payload.before").alias("before_data"),
+        F.get_json_object(value_str, "$.payload.after").alias("after_data"),
+        F.timestamp_millis(F.col("_payload.ts_ms")).alias("event_timestamp"),
+        F.col("_payload.source.lsn").alias("source_lsn"),
+        F.col("_payload.source.txId").alias("source_txid"),
+        F.current_timestamp().alias("processed_at"),
+    )
+
+
+def audit_schema():
+    return CDC_EVENTS_SCHEMA

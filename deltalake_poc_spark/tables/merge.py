@@ -52,6 +52,7 @@ class MergeBuilder:
         self._delete = False
         self._delete_cond: Column | None = None
         self._insert_all = False
+        self._insert_cond: Column | None = None
         self._validate_unique = True
 
     def when_matched_update_all(self, condition: str | Column | None = None):
@@ -64,8 +65,9 @@ class MergeBuilder:
         self._delete_cond = F.expr(condition) if isinstance(condition, str) else condition
         return self
 
-    def when_not_matched_insert_all(self):
+    def when_not_matched_insert_all(self, condition: str | Column | None = None):
         self._insert_all = True
+        self._insert_cond = F.expr(condition) if isinstance(condition, str) else condition
         return self
 
     def without_source_validation(self):
@@ -142,13 +144,15 @@ class MergeBuilder:
         upd_cond = matched & (self._update_cond if self._update_cond is not None
                               else true_) if self._update_all else F.lit(False)
 
+        ins_cond = (s_only & (self._insert_cond if self._insert_cond is not None
+                              else true_)) if self._insert_all else F.lit(False)
         action = (
             F.when(del_cond, F.lit("D"))
             .when(upd_cond, F.lit("U"))
             .when(matched, F.lit("C"))
             .when(t_only, F.lit("C"))
-            .when(s_only & F.lit(self._insert_all), F.lit("I"))
-            .otherwise(F.lit("X"))  # source-only without insert clause
+            .when(ins_cond, F.lit("I"))
+            .otherwise(F.lit("X"))  # source-only rows not inserted
         )
         classified = joined.withColumn("__action", action)
         classified = classified.persist()

@@ -1,0 +1,182 @@
+"""CDC engine: envelope parse, batch apply (merge/delete/dedup),
+metadata columns, audit trail, CDF — the golden end-to-end the
+reference never automated (SURVEY.md §5)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from deltalake_poc_spark.cdc import CDCApplier, parse_debezium
+from deltalake_poc_spark.cdc import schema as S
+
+
+def _msg(op, id_, table="customers", lsn=1, ts_ms=1700000000000,
+         after=None, before=None):
+    payload = {
+        "op": op, "ts_ms": ts_ms,
+        "source": {
+            "version": "2.3", "connector": "postgresql", "name": "cdc",
+            "ts_ms": ts_ms, "snapshot": "false", "db": "sourcedb",
+            "schema": "public", "table": table, "txId": lsn, "lsn": lsn,
+        },
+    }
+    if after is not None:
+        payload["after"] = after
+    if before is not None:
+        payload["before"] = before
+    return (
+        json.dumps({"payload": {"id": id_}}),
+        json.dumps({"payload": payload}),
+        f"cdc.public.{table}", 0, lsn,
+    )
+
+
+def _raw(spark, msgs):
+    return spark.createDataFrame(
+        msgs, "key string, value string, topic string, partition int, offset long"
+    )
+
+
+CUST = {"id": 1, "first_name": "Alice", "last_name": "A", "email": "a@x",
+        "phone": None, "address": "1 Way",
+        "created_at": 1700000000_000000, "updated_at": 1700000000_000000}
+
+
+def test_parse_envelope(spark):
+    msgs = [
+        _msg("c", 1, lsn=10, after=CUST),
+        _msg("u", 1, lsn=11, after={**CUST, "email": "new@x"}),
+        _msg("d", 1, lsn=12, before=CUST),
+        ("null-key", None, "cdc.public.customers", 0, 13),  # tombstone
+    ]
+    out = parse_debezium(_raw(spark, msgs)).orderBy("offset").collect()
+    assert len(out) == 3  # tombstone dropped (P2)
+    ins, upd, dele = out
+    assert ins["event_id"] == "cdc.public.customers-0-10"
+    assert ins["operation"] == "c" and ins["operation_name"] == "INSERT"
+    assert upd["operation_name"] == "UPDATE" and dele["operation_name"] == "DELETE"
+    assert ins["table_name"] == "public.customers"
+    assert ins["source_lsn"] == 10
+    # envelope ts_ms is milliseconds (F4)
+    assert ins["event_timestamp"].year == 2023
+    assert json.loads(upd["after_data"])["email"] == "new@x"
+    assert json.loads(dele["before_data"])["id"] == 1
+    assert dele["after_data"] is None
+
+
+def test_apply_golden_lifecycle(spark, tmp_path):
+    """insert -> update -> (next batch) delete, two tables, across
+    batches — mirrors scripts/test-cdc.sh:22-44 end to end."""
+    applier = CDCApplier(spark, str(tmp_path))
+    prod = {"id": 7, "name": "Widget", "description": "w", "price": 9.99,
+            "stock_quantity": 5, "category": "tools",
+            "created_at": 1700000000_000000, "updated_at": 1700000000_000000}
+    b1 = [
+        _msg("c", 1, lsn=10, after=CUST),
+        _msg("u", 1, lsn=11, after={**CUST, "email": "new@x"}),
+        _msg("c", 2, lsn=12, after={**CUST, "id": 2, "email": "b@x"}),
+        _msg("c", 7, table="products", lsn=13, after=prod),
+    ]
+    m1 = applier.apply_batch(parse_debezium(_raw(spark, b1)))
+    assert m1["customers"]["numTargetRowsInserted"] == 2
+    cust = applier.snapshot_table("customers").read()
+    rows = {r["id"]: r for r in cust.collect()}
+    assert rows[1]["email"] == "new@x"  # in-batch dedup kept latest
+    assert rows[1][S.META_OPERATION] == "u"
+    assert rows[1]["created_at"].year == 2023  # µs field conversion (F5)
+    assert rows[1][S.META_TIMESTAMP] is not None
+    assert rows[1][S.META_PROCESSED] is not None
+
+    b2 = [
+        _msg("d", 1, lsn=20, before={**CUST, "email": "new@x"}),
+        _msg("u", 2, lsn=21, after={**CUST, "id": 2, "email": "b2@x"}),
+    ]
+    m2 = applier.apply_batch(parse_debezium(_raw(spark, b2)))
+    assert m2["customers"]["numTargetRowsDeleted"] == 1
+    assert m2["customers"]["numTargetRowsUpdated"] == 1
+    rows = {r["id"]: r for r in applier.snapshot_table("customers").read().collect()}
+    assert set(rows) == {2}
+    assert rows[2]["email"] == "b2@x"
+    # products untouched by batch 2
+    assert applier.snapshot_table("products").read().count() == 1
+    # audit has every event
+    assert applier.audit_table().read().count() == 6
+    # CDF timeline on customers reflects the full history
+    cdf = applier.snapshot_table("customers").read_change_feed(0)
+    kinds = sorted(
+        (r["_change_type"], r["id"]) for r in cdf.collect()
+    )
+    assert ("delete", 1) in kinds and ("insert", 1) in kinds
+    assert ("update_postimage", 2) in kinds
+
+
+def test_in_batch_delete_then_insert_wins_by_order(spark, tmp_path):
+    """d followed by c (higher lsn) in ONE batch -> row exists;
+    c followed by d -> row absent (SURVEY.md §7.3)."""
+    applier = CDCApplier(spark, str(tmp_path))
+    batch = [
+        _msg("c", 1, lsn=10, after=CUST),
+        _msg("d", 1, lsn=11, before=CUST),                      # delete wins for id=1
+        _msg("d", 2, lsn=12, before={**CUST, "id": 2}),
+        _msg("c", 2, lsn=13, after={**CUST, "id": 2, "email": "re@x"}),  # re-insert wins
+    ]
+    applier.apply_batch(parse_debezium(_raw(spark, batch)))
+    rows = {r["id"]: r for r in applier.snapshot_table("customers").read().collect()}
+    assert set(rows) == {2}
+    assert rows[2]["email"] == "re@x"
+
+
+def test_delete_of_absent_key_is_noop(spark, tmp_path):
+    applier = CDCApplier(spark, str(tmp_path))
+    batch = [_msg("d", 99, lsn=10, before={**CUST, "id": 99})]
+    m = applier.apply_batch(parse_debezium(_raw(spark, batch)))
+    assert m["customers"]["numTargetRowsDeleted"] == 0
+    assert applier.snapshot_table("customers").read().count() == 0
+
+
+def test_apply_idempotent_replay(spark, tmp_path):
+    """Replaying the same batch (at-least-once delivery) must not
+    change the snapshot (T3 exactly-once contract via idempotent MERGE;
+    docs/technical-docs.md:550-589)."""
+    applier = CDCApplier(spark, str(tmp_path))
+    batch = parse_debezium(_raw(spark, [
+        _msg("c", 1, lsn=10, after=CUST),
+        _msg("u", 1, lsn=11, after={**CUST, "email": "new@x"}),
+    ]))
+    applier.apply_batch(batch)
+    before = sorted((r["id"], r["email"]) for r in
+                    applier.snapshot_table("customers").read().collect())
+    applier.apply_batch(batch)  # replay
+    after = sorted((r["id"], r["email"]) for r in
+                   applier.snapshot_table("customers").read().collect())
+    assert before == after == [(1, "new@x")]
+
+
+def test_synth_roundtrip(spark):
+    """Distributed envelope synthesis parses back to the same facts."""
+    from deltalake_poc_spark.cdc.synth import raw_kafka_frame
+
+    base = spark.range(0, 50).select(
+        F.col("id"), (F.col("id") + 100).alias("lsn"),
+        F.when(F.col("id") % 5 == 0, "d").otherwise("c").alias("op"),
+    )
+    raw = raw_kafka_frame(
+        base,
+        op=F.col("op"), key=F.col("id"), lsn=F.col("lsn"),
+        ts_ms=F.lit(1700000000000),
+        after=F.when(F.col("op") != "d",
+                     F.struct(F.col("id"), F.lit("x").alias("name"))),
+        before=F.when(F.col("op") == "d",
+                      F.struct(F.col("id"), F.lit("x").alias("name"))),
+        table="demo",
+    )
+    parsed = parse_debezium(raw)
+    assert parsed.count() == 50
+    got = parsed.filter("operation = 'd'").count()
+    assert got == 10
+    one = parsed.filter("offset = 100").collect()[0]
+    assert json.loads(one["before_data"])["id"] == 0
+    assert one["after_data"] is None
