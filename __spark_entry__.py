@@ -154,6 +154,95 @@ def _scalar_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return Q.scalar_showcase(load_table(spark, sf_dir, "events"))
 
 
+# --- training-data pipeline ops (dedup / similarity / text) -----------------
+
+def _dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deltalake_poc_spark.pipeline.dedup import exact_duplicates
+
+    return exact_duplicates(load_table(spark, sf_dir, "documents"))
+
+
+def _ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deltalake_poc_spark.pipeline.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"),
+                               n=3, threshold=0.15)
+
+
+def _minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deltalake_poc_spark.pipeline.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(load_table(spark, sf_dir, "documents"),
+                             threshold=0.3)
+
+
+def _simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deltalake_poc_spark.pipeline.dedup import simhash_pairs
+
+    return simhash_pairs(load_table(spark, sf_dir, "documents"), max_hamming=3)
+
+
+def _text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deltalake_poc_spark.pipeline.text import quality_scores
+
+    return quality_scores(load_table(spark, sf_dir, "documents"))
+
+
+def _lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deltalake_poc_spark.pipeline.text import language_id
+
+    return language_id(load_table(spark, sf_dir, "documents"))
+
+
+def _doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deltalake_poc_spark.pipeline.text import fingerprint
+
+    return fingerprint(load_table(spark, sf_dir, "documents")).drop("fp_xx64")
+
+
+def _top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deltalake_poc_spark.pipeline.text import top_tokens
+
+    return top_tokens(load_table(spark, sf_dir, "documents"), k=10)
+
+
+def _embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deltalake_poc_spark.pipeline.similarity import cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    return cosine_topk(emb, q, k=10, exclude_vec_id=0)
+
+
+def _ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deltalake_poc_spark.pipeline.similarity import ann_lsh_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    return ann_lsh_topk(emb, q, k=10, exclude_vec_id=0)
+
+
+def _embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deltalake_poc_spark.pipeline.dedup import embedding_neardup_pairs
+
+    return embedding_neardup_pairs(load_table(spark, sf_dir, "embeddings"),
+                                   threshold=0.4, block_col="label")
+
+
+def _multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deltalake_poc_spark.pipeline import multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("media_type"),
+        multimodal.fake_image_binary(
+            (F.col("n_chars") % 1920 + 16), (F.col("n_chars") % 1080 + 16)
+        ).alias("payload"),
+    )
+    return multimodal.resize_plan(multimodal.decode_media(media), max_side=512)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     return {
@@ -170,6 +259,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inventory_status": _inventory_status,               # F8
         "scalar_showcase": _scalar_showcase,                 # F2-F10
         "cdc_pipeline": _cdc_pipeline,                       # S14 P1-P9 J4 J5 M1 M3
+        # training-data pipeline ops
+        "dedup_exact_groups": _dedup_exact_groups,           # exact dedup
+        "ngram_jaccard": _ngram_jaccard,                     # n-gram Jaccard pairs
+        "minhash_dedup": _minhash_dedup,                     # MinHash+LSH (rows-only)
+        "simhash_dedup": _simhash_dedup,                     # SimHash (rows-only)
+        "text_quality": _text_quality,                       # quality scoring
+        "lang_id": _lang_id,                                 # language ID
+        "doc_fingerprint": _doc_fingerprint,                 # fingerprinting
+        "top_tokens": _top_tokens,                           # token counting
+        "embedding_topk": _embedding_topk,                   # brute-force ANN baseline
+        "ann_lsh_topk": _ann_lsh_topk,                       # LSH ANN (rows-only)
+        "embedding_neardup": _embedding_neardup,             # cosine near-dup pairs
+        "multimodal_decode": _multimodal_decode,             # binary decode (rows-only)
     }
 
 
@@ -276,6 +378,109 @@ def oracle_sql() -> dict[str, str]:
                 FROM tagged
             )
             SELECT id, val, name FROM latest WHERE rn = 1 AND op <> 'd'
+        """,
+        "dedup_exact_groups": r"""
+            SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS text_hash,
+                   MIN(doc_id) AS keep_doc_id,
+                   COUNT(*) AS n_copies
+            FROM documents
+            GROUP BY 1
+        """,
+        "ngram_jaccard": """
+            WITH toks AS (
+                SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents
+            ), grams AS (
+                SELECT doc_id,
+                       list_distinct([t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+                                      FOR i IN range(len(t) - 2)]) AS gs
+                FROM toks
+                WHERE len(t) >= 3
+            ), posting AS (
+                SELECT doc_id, len(gs) AS n_grams, unnest(gs) AS gram FROM grams
+            ), pairs AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       a.n_grams AS na, b.n_grams AS nb,
+                       COUNT(*) AS shared
+                FROM posting a JOIN posting b
+                  ON a.gram = b.gram AND a.doc_id < b.doc_id
+                GROUP BY 1, 2, 3, 4
+            )
+            SELECT doc_a, doc_b,
+                   ROUND(shared / (na + nb - shared), 4) AS jaccard
+            FROM pairs
+            WHERE ROUND(shared / (na + nb - shared), 4) >= 0.15
+        """,
+        "text_quality": """
+            WITH base AS (
+                SELECT doc_id, text,
+                       len(string_split(trim(text), ' ')) AS n_tokens,
+                       length(text) AS n_chars
+                FROM documents
+            )
+            SELECT doc_id, n_tokens,
+                   ROUND((n_chars - n_tokens + 1) / n_tokens, 4) AS mean_token_len,
+                   ROUND(len(list_filter(string_split(trim(text), ' '),
+                             t -> t IN ('the','a','of','and','to','in','is')))
+                         / n_tokens, 4) AS stopword_ratio,
+                   ROUND(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                         / n_chars, 4) AS alpha_ratio,
+                   (n_tokens >= 10 AND n_tokens <= 100000) AS length_ok
+            FROM base
+        """,
+        "lang_id": """
+            WITH toks AS (
+                SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents
+            ), scored AS (
+                SELECT doc_id,
+                    ROUND(len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is'))) / len(t), 6) AS score_en,
+                    ROUND(len(list_filter(t, x -> x IN ('der','die','das','und','ist','ein'))) / len(t), 6) AS score_de,
+                    ROUND(len(list_filter(t, x -> x IN ('le','la','les','et','est','un'))) / len(t), 6) AS score_fr,
+                    ROUND(len(list_filter(t, x -> x IN ('el','la','los','y','es','un'))) / len(t), 6) AS score_es
+                FROM toks
+            )
+            SELECT doc_id, score_en, score_de, score_fr, score_es,
+                   CASE
+                     WHEN score_en >= 0.04 AND score_en = greatest(score_en, score_de, score_fr, score_es) THEN 'en'
+                     WHEN score_de >= 0.04 AND score_de = greatest(score_en, score_de, score_fr, score_es) THEN 'de'
+                     WHEN score_fr >= 0.04 AND score_fr = greatest(score_en, score_de, score_fr, score_es) THEN 'fr'
+                     WHEN score_es >= 0.04 AND score_es = greatest(score_en, score_de, score_fr, score_es) THEN 'es'
+                     ELSE 'und'
+                   END AS lang_pred
+            FROM scored
+        """,
+        "doc_fingerprint": r"""
+            SELECT doc_id,
+                   md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp_md5,
+                   length(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS n_chars_norm
+            FROM documents
+        """,
+        "top_tokens": """
+            SELECT token, COUNT(*) AS freq
+            FROM (SELECT unnest(string_split(trim(text), ' ')) AS token
+                  FROM documents)
+            WHERE token <> ''
+            GROUP BY token
+            ORDER BY freq DESC, token ASC
+            LIMIT 10
+        """,
+        "embedding_topk": """
+            SELECT e.vec_id,
+                   ROUND(list_cosine_similarity(e.embedding::DOUBLE[],
+                                                q.embedding::DOUBLE[]), 4) AS cosine
+            FROM embeddings e,
+                 (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+            WHERE e.vec_id <> 0
+            ORDER BY cosine DESC, e.vec_id ASC
+            LIMIT 10
+        """,
+        "embedding_neardup": """
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                b.embedding::DOUBLE[]), 4) AS cosine
+            FROM embeddings a JOIN embeddings b
+              ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+                                               b.embedding::DOUBLE[]), 4) >= 0.4
         """,
         "scalar_showcase": """
             SELECT event_id,

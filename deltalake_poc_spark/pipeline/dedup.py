@@ -1,0 +1,259 @@
+"""Deduplication for large-scale corpora — exact and near-dup.
+
+All algorithms follow the canonical distributed shapes:
+
+- exact:        hash -> groupBy (one shuffle on the hash)
+- n-gram Jaccard: inverted-index self-join (explode gram -> join on
+                  gram -> count shared -> Jaccard) — exact, and the
+                  join key (gram) distributes the n² work
+- MinHash+LSH:  shingle -> 64 minhashes -> band -> bucket-join ->
+                  verify exact Jaccard on candidates only
+- SimHash:      64-bit signature -> chunk blocking -> Hamming verify
+- embedding:    cosine pairs under blocking (label) — brute force per
+                  block; see similarity.py for the LSH/ANN variant
+
+Everything is built-in-function Spark (xxhash64, higher-order array
+functions) — no Python UDFs; the shuffles are on gram/band/bucket
+keys, which is what keeps these tractable at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# ------------------------------------------------------------------ exact
+
+
+def exact_duplicates(docs: DataFrame) -> DataFrame:
+    """Groups of byte-identical (whitespace/case-normalized) texts.
+    One row per group: canonical keeper (min doc_id) + member count."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    return (
+        docs.select(F.md5(norm).alias("text_hash"), F.col("doc_id"))
+        .groupBy("text_hash")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def dedup_exact(docs: DataFrame) -> DataFrame:
+    """Keep one representative per exact-duplicate group."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    w_key = F.md5(norm)
+    keepers = (
+        docs.select(w_key.alias("text_hash"), "doc_id")
+        .groupBy("text_hash").agg(F.min("doc_id").alias("doc_id"))
+    )
+    return docs.join(keepers.select("doc_id"), "doc_id", "left_semi")
+
+
+# ---------------------------------------------------------- n-gram jaccard
+
+
+def word_ngrams(text_col="text", n: int = 3):
+    """Distinct word n-grams as an array column (declarative:
+    split -> sequence -> transform -> array_distinct). Documents with
+    fewer than n tokens yield an empty array (guard needed: Spark's
+    sequence(0, negative) would count DOWN, not produce empty)."""
+    toks = F.split(F.trim(F.col(text_col)), " ")
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j + 1).cast("int"))
+                                          for j in range(n)])
+    )
+    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
+                        threshold: float = 0.2) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs sharing >=1 gram.
+
+    Inverted-index join: |A ∩ B| from the gram-key join, |A ∪ B| =
+    |A| + |B| - |A ∩ B|. The shuffle key is the gram, so hot grams are
+    the skew risk — at scale, drop grams with document-frequency above
+    a cap first (they contribute pairs quadratically but little
+    information).
+    """
+    grams = docs.select(
+        F.col("doc_id"), word_ngrams(n=n).alias("grams")
+    ).select(
+        "doc_id", F.size("grams").alias("n_grams"), F.explode("grams").alias("gram")
+    )
+    a = grams.alias("a")
+    b = grams.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.gram") == F.col("b.gram"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_grams").alias("na"),
+            F.col("b.n_grams").alias("nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    jac = F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))
+    return (
+        pairs.select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ------------------------------------------------------------- minhash lsh
+
+
+def minhash_signatures(docs: DataFrame, num_hashes: int = 64,
+                       shingle_n: int = 3) -> DataFrame:
+    """MinHash signatures over word shingles: h_i(doc) = min over
+    shingles of xxhash64(shingle, i). Row-local, no shuffle."""
+    grams = word_ngrams(n=shingle_n)
+    sig = F.array(*[
+        F.array_min(F.transform(F.col("grams"),
+                                lambda g, i=i: F.xxhash64(g, F.lit(i))))
+        for i in range(num_hashes)
+    ])
+    return (
+        docs.select("doc_id", grams.alias("grams"))
+        .filter(F.size("grams") > 0)
+        .select("doc_id", "grams", sig.alias("sig"))
+    )
+
+
+def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 64, bands: int = 16,
+                      shingle_n: int = 3, threshold: float = 0.5) -> DataFrame:
+    """MinHash + banded LSH near-dup pairs, verified with exact Jaccard.
+
+    shingle -> signature (row-local) -> explode one (band, band_hash)
+    per band -> self-join on the bucket (the only shuffle) -> exact
+    Jaccard on the candidates only. Bands/rows tuned for the usual
+    s-curve: 16 bands x 4 rows ≈ threshold 0.5.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(docs, num_hashes, shingle_n)
+    banded = sigs.select(
+        "doc_id", "grams",
+        F.posexplode(
+            F.array(*[
+                F.xxhash64(*[F.col("sig")[b * rows_per_band + r]
+                             for r in range(rows_per_band)])
+                for b in range(bands)
+            ])
+        ).alias("band", "band_hash"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.band_hash") == F.col("b.band_hash"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
+            F.col("a.grams").alias("ga"), F.col("b.grams").alias("gb"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    inter = F.size(F.array_intersect(F.col("ga"), F.col("gb")))
+    union = F.size(F.col("ga")) + F.size(F.col("gb")) - inter
+    return (
+        cands.select(
+            "doc_a", "doc_b",
+            F.round(inter / union, 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ----------------------------------------------------------------- simhash
+
+
+def simhash_signatures(docs: DataFrame, bits: int = 64) -> DataFrame:
+    """64-bit SimHash over tokens: bit b is the sign of the sum of
+    (+1/-1) contributions of each token's hash bit b. Declarative:
+    explode -> conditional sums -> bit assembly. One shuffle (groupBy
+    doc_id)."""
+    toks = F.split(F.trim(F.col("text")), " ")
+    exploded = docs.select(
+        "doc_id", F.explode(F.array_distinct(toks)).alias("token")
+    ).withColumn("h", F.xxhash64("token"))
+    bit_sums = exploded.groupBy("doc_id").agg(*[
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(bits)
+    ])
+    sig = None
+    for b in range(bits):
+        term = F.when(F.col(f"b{b}") > 0,
+                      F.lit(1).cast("long") * (2 ** b if b < 63 else -(2 ** 63))
+                      ).otherwise(F.lit(0).cast("long"))
+        sig = term if sig is None else (sig + term)
+    return bit_sums.select("doc_id", sig.alias("simhash"))
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= k, blocked on
+    16-bit chunks (pigeonhole: distance <=3 means at least one of the
+    4 chunks is identical -> join per chunk, union, verify with
+    bit_count(xor))."""
+    sigs = simhash_signatures(docs)
+    chunks = sigs.select(
+        "doc_id", "simhash",
+        F.posexplode(F.array(*[
+            F.shiftrightunsigned(F.col("simhash"), 16 * c).bitwiseAND(F.lit(0xFFFF))
+            for c in range(4)
+        ])).alias("chunk_idx", "chunk"),
+    )
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cands = (
+        a.join(b, (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+               & (F.col("a.chunk") == F.col("b.chunk"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
+                F.col("a.simhash").alias("sa"), F.col("b.simhash").alias("sb"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return (cands.select("doc_a", "doc_b", ham.alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming))
+
+
+# ------------------------------------------------------- embedding cosine
+
+
+def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.9,
+                            block_col: str | None = "label") -> DataFrame:
+    """Near-duplicate pairs by embedding cosine similarity.
+
+    Exact within blocks: pairs are only formed inside ``block_col``
+    groups (blocking turns O(n²) into sum of O(n_b²); at 100 TB use a
+    real blocking key — LSH bucket, shard, cluster id). The cosine is
+    computed with zip_with/aggregate in double precision — built-in
+    functions only, identical fold order to the DuckDB oracle."""
+    d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = emb.select("vec_id", d.alias("v"),
+                      *([F.col(block_col)] if block_col else []))
+    a, b = base.alias("a"), base.alias("b")
+    cond = F.col("a.vec_id") < F.col("b.vec_id")
+    if block_col:
+        cond = cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    na = F.sqrt(F.aggregate(F.transform(F.col("a.v"), lambda x: x * x),
+                            F.lit(0.0), lambda acc, x: acc + x))
+    nb = F.sqrt(F.aggregate(F.transform(F.col("b.v"), lambda x: x * x),
+                            F.lit(0.0), lambda acc, x: acc + x))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"),
+            F.round(dot / (na * nb), 4).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,99 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video ride through Spark as ``binary`` columns with a
+metadata struct; decode / feature-extract / resize / frame-sample run
+as Arrow-batched pandas iterators over ``mapInPandas`` (the right
+shape for expensive per-row Python: one Python worker per partition,
+columnar Arrow transfer, no per-row overhead).
+
+The actual codec calls are STUBBED (PIL/ffmpeg are not in this
+container): ``decode_image_meta`` parses only the deterministic fake
+header produced by ``fake_image_binary`` and raises NotImplementedError
+for real formats. The Spark-side plumbing — schemas, batch iteration,
+partitioning — is real and tested; swapping the stub for PIL is a
+one-function change.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType, IntegerType, LongType, StringType, StructField, StructType,
+)
+
+FAKE_MAGIC = b"FAKEIMG1"
+
+MEDIA_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("media_type", StringType()),
+    StructField("payload", BinaryType()),
+])
+
+DECODED_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("media_type", StringType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("n_bytes", LongType()),
+    StructField("format", StringType()),
+])
+
+
+def fake_image_binary(width_col, height_col):
+    """Deterministic fake image payload: magic + packed width/height.
+    Stands in for real image bytes so the binary-column plumbing can be
+    exercised without codec libraries."""
+    return F.concat(
+        F.lit(FAKE_MAGIC),
+        F.unhex(F.lpad(F.hex(width_col.cast("int")), 8, "0")),
+        F.unhex(F.lpad(F.hex(height_col.cast("int")), 8, "0")),
+    )
+
+
+def _decode_one(payload: bytes) -> tuple[int, int, str]:
+    if payload[:8] == FAKE_MAGIC:
+        w, h = struct.unpack(">II", payload[8:16])
+        return w, h, "fake"
+    # real decoders (PIL, ffmpeg) are not available in this container
+    raise NotImplementedError(
+        "real image decoding requires PIL/ffmpeg; only FAKEIMG1 payloads "
+        "are supported in this environment"
+    )
+
+
+def decode_media(media: DataFrame) -> DataFrame:
+    """Decode binary payloads to typed metadata via mapInPandas
+    (Arrow-batched; one Python worker pass per partition)."""
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            meta = [_decode_one(p) for p in pdf["payload"]]
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "media_type": pdf["media_type"],
+                "width": [m[0] for m in meta],
+                "height": [m[1] for m in meta],
+                "n_bytes": [len(p) for p in pdf["payload"]],
+                "format": [m[2] for m in meta],
+            })
+
+    return media.mapInPandas(decode_batches, DECODED_SCHEMA)
+
+
+def resize_plan(decoded: DataFrame, max_side: int = 512) -> DataFrame:
+    """Compute target dimensions for a bounded-resize (the arithmetic
+    is declarative; the pixel work would live in the decode UDF)."""
+    scale = F.when(
+        F.greatest("width", "height") > max_side,
+        max_side / F.greatest("width", "height"),
+    ).otherwise(F.lit(1.0))
+    return decoded.select(
+        "media_id", "width", "height",
+        F.round(F.col("width") * scale).cast("int").alias("target_width"),
+        F.round(F.col("height") * scale).cast("int").alias("target_height"),
+    )

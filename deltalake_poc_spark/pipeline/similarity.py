@@ -1,0 +1,103 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute-force cosine top-k: the exact baseline — one scan, no shuffle
+  except the final TakeOrdered(k)
+- LSH-bucketed ANN: random-hyperplane signatures, multi-table probing;
+  the 100 TB path (candidates come from bucket equality joins, the
+  exact distance runs on candidates only)
+
+Dot products use zip_with/aggregate in double precision — built-in
+higher-order functions, JVM-side, no UDF.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                              F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
+                exclude_vec_id: int | None = None) -> DataFrame:
+    """Exact top-k by cosine similarity to a literal query vector."""
+    q = F.transform(F.array(*[F.lit(float(x)) for x in query_vec]),
+                    lambda x: x.cast("double"))
+    v = _as_double(F.col("embedding"))
+    sim = _dot(v, q) / (_norm(v) * _norm(q))
+    out = emb.select("vec_id", F.round(sim, 4).alias("cosine"))
+    if exclude_vec_id is not None:
+        out = out.filter(F.col("vec_id") != exclude_vec_id)
+    return out.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(k)
+
+
+def hyperplanes(dim: int, n_planes: int, n_tables: int, seed: int = 42) -> np.ndarray:
+    """Deterministic random hyperplanes, shape (tables, planes, dim)."""
+    rs = np.random.RandomState(seed)
+    return rs.normal(size=(n_tables, n_planes, dim))
+
+
+def lsh_bucket_expr(vec_col, planes: np.ndarray):
+    """Signature of one LSH table: integer whose bits are the signs of
+    the projections onto each plane. Pure column expressions (the
+    plane components become literals in the plan)."""
+    bucket = F.lit(0).cast("long")
+    for p_idx, plane in enumerate(planes):
+        proj = F.aggregate(
+            F.zip_with(
+                vec_col,
+                F.array(*[F.lit(float(c)) for c in plane]),
+                lambda x, y: x.cast("double") * y,
+            ),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(proj > 0, F.lit(2 ** p_idx)).otherwise(F.lit(0))
+    return bucket
+
+
+def ann_lsh_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
+                 n_planes: int = 8, n_tables: int = 4, seed: int = 42,
+                 exclude_vec_id: int | None = None) -> DataFrame:
+    """Approximate top-k: random-hyperplane LSH with multi-table probe.
+
+    Candidates = vectors sharing a bucket with the query in ANY of the
+    tables (union via max over per-table matches); exact cosine is then
+    computed on candidates only. With n·tables buckets the candidate
+    set is ~n/2^planes per table — at 100 TB the bucket id becomes the
+    partition key and the query never scans the full corpus.
+    """
+    dim = len(query_vec)
+    hp = hyperplanes(dim, n_planes, n_tables, seed)
+    qv = np.array(query_vec)
+    q_buckets = []
+    for t in range(n_tables):
+        bits = 0
+        for p_idx in range(n_planes):
+            if float(np.dot(hp[t, p_idx], qv)) > 0:
+                bits += 2 ** p_idx
+        q_buckets.append(bits)
+
+    cand_cond = None
+    base = emb
+    for t in range(n_tables):
+        col_name = f"__bucket_{t}"
+        base = base.withColumn(col_name,
+                               lsh_bucket_expr(F.col("embedding"), hp[t]))
+        this = F.col(col_name) == q_buckets[t]
+        cand_cond = this if cand_cond is None else (cand_cond | this)
+    candidates = base.filter(cand_cond).drop(
+        *[f"__bucket_{t}" for t in range(n_tables)])
+    return cosine_topk(candidates, query_vec, k, exclude_vec_id)

@@ -1,0 +1,118 @@
+"""Text analysis for large-scale training-data pipelines.
+
+Language-ID (stopword heuristic), quality scoring, token counting,
+document fingerprinting — each a declarative DataFrame transform
+(pure pyspark.sql.functions, WholeStageCodegen-friendly; no Python
+on the hot path). All of these are row-local: they scale linearly,
+no shuffle except where a corpus-level aggregate is requested.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword lists for the n-gram/stopword LID heuristic
+LID_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is"],
+    "de": ["der", "die", "das", "und", "ist", "ein"],
+    "fr": ["le", "la", "les", "et", "est", "un"],
+    "es": ["el", "la", "los", "y", "es", "un"],
+}
+
+
+def tokens_col(text_col="text"):
+    """Whitespace tokenization (plain split — identical semantics in
+    Spark and DuckDB, unlike regex splits)."""
+    return F.split(F.trim(F.col(text_col)), " ")
+
+
+def token_counts(docs: DataFrame) -> DataFrame:
+    """Per-document token statistics."""
+    toks = tokens_col()
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.length(F.col("text")).alias("n_chars_actual"),
+    )
+
+
+def quality_scores(docs: DataFrame) -> DataFrame:
+    """Quality heuristics: length, mean token length, stopword ratio,
+    alpha ratio — the standard cheap pre-filters for training corpora."""
+    toks = tokens_col()
+    n_tokens = F.size(toks)
+    n_chars = F.length(F.col("text"))
+    stop = LID_STOPWORDS["en"]
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*stop)))
+    alpha_chars = F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z]", ""))
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.round((n_chars - n_tokens + 1) / n_tokens, 4).alias("mean_token_len"),
+        F.round(n_stop / n_tokens, 4).alias("stopword_ratio"),
+        F.round(alpha_chars / n_chars, 4).alias("alpha_ratio"),
+        ((n_tokens >= 10) & (n_tokens <= 100_000)).alias("length_ok"),
+    )
+
+
+def language_id(docs: DataFrame, min_ratio: float = 0.04) -> DataFrame:
+    """Stopword-ratio language ID: score per language = fraction of
+    tokens that are that language's stopwords; argmax wins if above
+    ``min_ratio`` else 'und'. Deterministic, declarative, no UDF."""
+    toks = tokens_col()
+    n_tokens = F.size(toks)
+
+    def _member_of(sw):
+        # single-arg lambda: PySpark HOFs infer lambda-variable count
+        # from the function signature, so no default-arg captures
+        return lambda t: t.isin(*sw)
+
+    scored = docs.select(
+        "doc_id",
+        *[
+            F.round(
+                F.size(F.filter(toks, _member_of(sw))) / n_tokens, 6
+            ).alias(f"score_{lang}")
+            for lang, sw in LID_STOPWORDS.items()
+        ],
+    )
+    langs = list(LID_STOPWORDS)
+    best_score = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
+    pred = F.lit("und")
+    # argmax with first-lang-wins tie-break (stable, portable)
+    for lang in reversed(langs):
+        pred = F.when(
+            (F.col(f"score_{lang}") >= min_ratio)
+            & (F.col(f"score_{lang}") == best_score),
+            lang,
+        ).otherwise(pred)
+    # reversed loop makes earlier langs override later ones on ties
+    return scored.select("doc_id", *[f"score_{lang}" for lang in langs],
+                         pred.alias("lang_pred"))
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """Document fingerprint: md5 over whitespace-normalized lowercase
+    text (the cheap exact-dup key) + a 64-bit rolling-style hash."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("fp_md5"),
+        F.xxhash64(norm).alias("fp_xx64"),
+        F.length(norm).alias("n_chars_norm"),
+    )
+
+
+def top_tokens(docs: DataFrame, k: int = 10) -> DataFrame:
+    """Corpus-level token frequency top-k (the classic map-side-combine
+    aggregation: explode -> partial count -> final count -> TakeOrdered)."""
+    return (
+        docs.select(F.explode(tokens_col()).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("token"))
+        .limit(k)
+    )

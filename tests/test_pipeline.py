@@ -1,0 +1,163 @@
+"""Training-data pipeline ops: dedup (exact/minhash/simhash/ngram/
+embedding), similarity search (brute force + LSH ANN), text analysis,
+multimodal plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from deltalake_poc_spark.pipeline import dedup, multimodal, similarity, text
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog near the old river bank today"),
+    (1, "the quick brown fox jumps over the lazy dog near the old river bank tonight"),  # near-dup of 0
+    (2, "completely different words about spark engines and distributed queries here"),
+    (3, "the quick brown fox jumps over the lazy dog near the old river bank today"),  # exact dup of 0
+    (4, "tiny doc"),
+]
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_duplicates(spark, docs):
+    groups = dedup.exact_duplicates(docs).collect()
+    dup_group = [g for g in groups if g["n_copies"] > 1]
+    assert len(dup_group) == 1
+    assert dup_group[0]["keep_doc_id"] == 0
+    kept = dedup.dedup_exact(docs)
+    assert kept.count() == 4
+    assert 3 not in [r["doc_id"] for r in kept.collect()]
+
+
+def test_ngram_jaccard(spark, docs):
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+             for r in dedup.ngram_jaccard_pairs(docs, threshold=0.2).collect()}
+    assert (0, 3) in pairs and pairs[(0, 3)] == 1.0       # exact dup
+    assert (0, 1) in pairs and 0.5 < pairs[(0, 1)] < 1.0  # near dup
+    assert (0, 2) not in pairs
+
+
+def test_minhash_lsh(spark, docs):
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+             for r in dedup.minhash_lsh_pairs(docs, threshold=0.5).collect()}
+    assert pairs.get((0, 3)) == 1.0
+    assert (0, 1) in pairs           # near dup caught by banding
+    assert (0, 2) not in pairs
+    # verified jaccard is exact (same value as the exact algorithm)
+    exact = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+             for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    for k, v in pairs.items():
+        assert exact[k] == v
+
+
+def test_simhash(spark, docs):
+    sigs = {r["doc_id"]: r["simhash"]
+            for r in dedup.simhash_signatures(docs).collect()}
+    assert sigs[0] == sigs[3]  # identical text -> identical signature
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"]
+             for r in dedup.simhash_pairs(docs, max_hamming=6).collect()}
+    assert pairs.get((0, 3)) == 0
+    assert (0, 2) not in pairs
+
+    # a 1-token change in a 50-token doc perturbs only ~a few bits:
+    # that's the regime SimHash blocking is built for (short docs flip
+    # too many bits — each bit is a ±1 majority over tokens)
+    words = [f"w{i}" for i in range(50)]
+    near = spark.createDataFrame(
+        [(5, " ".join(words)), (6, " ".join(words[:-1] + ["CHANGED"]))],
+        "doc_id long, text string")
+    near_pairs = {(r["doc_a"], r["doc_b"]): r["hamming"]
+                  for r in dedup.simhash_pairs(near, max_hamming=10).collect()}
+    assert (5, 6) in near_pairs and near_pairs[(5, 6)] <= 10
+
+
+def test_embedding_neardup(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),
+        (1, [0.999, 0.01, 0.0, 0.0], 0),   # near-dup of 0
+        (2, [0.0, 1.0, 0.0, 0.0], 0),      # orthogonal
+        (3, [1.0, 0.0, 0.0, 0.0], 1),      # same vec, different block
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    pairs = {(r["vec_a"], r["vec_b"]): r["cosine"]
+             for r in dedup.embedding_neardup_pairs(emb, threshold=0.95).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] > 0.99
+    assert (0, 2) not in pairs
+    assert (0, 3) not in pairs  # blocking excludes cross-label pairs
+
+
+def test_cosine_topk(spark):
+    rows = [(i, [float(i == j) for j in range(4)], 0) for i in range(4)]
+    rows.append((9, [0.9, 0.1, 0.0, 0.0], 0))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    got = similarity.cosine_topk(emb, [1.0, 0.0, 0.0, 0.0], k=2,
+                                 exclude_vec_id=0).collect()
+    assert [r["vec_id"] for r in got] == [9, 1]
+    assert got[0]["cosine"] > 0.99
+
+
+def test_ann_lsh_recall(spark):
+    rs = np.random.RandomState(7)
+    vecs = rs.normal(size=(200, 16))
+    # plant true neighbors: vectors 1..5 are the query plus small noise
+    for i in range(1, 6):
+        vecs[i] = vecs[0] + rs.normal(scale=0.15, size=16)
+    rows = [(i, [float(x) for x in vecs[i]], 0) for i in range(200)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    q = [float(x) for x in vecs[0]]
+    exact = [r["vec_id"] for r in
+             similarity.cosine_topk(emb, q, k=5, exclude_vec_id=0).collect()]
+    approx = [r["vec_id"] for r in
+              similarity.ann_lsh_topk(emb, q, k=5, n_planes=6, n_tables=8,
+                                      exclude_vec_id=0).collect()]
+    # multi-table LSH should recover most of the true top-5
+    recall = len(set(exact) & set(approx)) / 5
+    assert recall >= 0.6, f"recall {recall}: exact={exact} approx={approx}"
+    # and the query vector's own bucket always contains itself
+    self_hit = similarity.ann_lsh_topk(emb, q, k=1, n_planes=6, n_tables=8)
+    assert self_hit.collect()[0]["vec_id"] == 0
+
+
+def test_text_analysis(spark, docs):
+    tc = {r["doc_id"]: r for r in text.token_counts(docs).collect()}
+    assert tc[4]["n_tokens"] == 2
+    assert tc[0]["n_tokens"] == 15
+    q = {r["doc_id"]: r for r in text.quality_scores(docs).collect()}
+    assert q[4]["length_ok"] is False
+    assert q[0]["stopword_ratio"] == 0.2  # 'the' x3 of 15 tokens
+    lid = {r["doc_id"]: r["lang_pred"] for r in text.language_id(docs).collect()}
+    assert lid[0] == "en"
+    fp = {r["doc_id"]: r["fp_md5"] for r in text.fingerprint(docs).collect()}
+    assert fp[0] == fp[3] and fp[0] != fp[1]
+    top = text.top_tokens(docs, k=3).collect()
+    assert top[0]["token"] == "the" and top[0]["freq"] == 9
+
+
+def test_multimodal_plumbing(spark):
+    media = spark.range(0, 20).select(
+        F.col("id").alias("media_id"),
+        F.lit("image").alias("media_type"),
+        multimodal.fake_image_binary(
+            (F.col("id") * 100 + 640), F.lit(480) + F.col("id")
+        ).alias("payload"),
+    )
+    decoded = multimodal.decode_media(media)
+    rows = {r["media_id"]: r for r in decoded.collect()}
+    assert rows[0]["width"] == 640 and rows[0]["height"] == 480
+    assert rows[19]["width"] == 2540 and rows[19]["format"] == "fake"
+    assert rows[0]["n_bytes"] == 16
+    plan = {r["media_id"]: r for r in
+            multimodal.resize_plan(decoded, max_side=512).collect()}
+    assert plan[0]["target_width"] == 512       # 640x480 -> 512x384
+    assert plan[0]["target_height"] == 384
+    # real codecs are stubbed: non-fake payloads raise cleanly
+    bad = spark.createDataFrame(
+        [(1, "image", bytearray(b"JFIF....."))],
+        multimodal.MEDIA_SCHEMA)
+    with pytest.raises(Exception, match="NotImplementedError|FAKEIMG|decoding"):
+        multimodal.decode_media(bad).collect()
