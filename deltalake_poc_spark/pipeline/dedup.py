@@ -22,6 +22,51 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+
+def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Ensure CPU-bound per-row work is spread across cores.
+
+    Documents tables often arrive as a few large-row-count parquet
+    files (locally: ONE file → one partition → one core doing all the
+    array/hash work). On a real cluster the scan parallelism comes from
+    file splits, and AQE coalesces the round-robin exchange this adds;
+    the repartition is unconditional because inspecting the physical
+    partitioning (df.rdd) costs a full plan conversion per call."""
+    target = partitions or df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(target)
+
+
+def _tokens(text_col="text"):
+    return F.split(F.trim(F.col(text_col)), " ")
+
+
+def word_ngrams_col(tokens_col, n: int = 3):
+    """Distinct word n-grams from a *materialized* tokens column.
+
+    Two deliberate choices for the hot path: (1) the tokens array must
+    be a real column, not an inline split() — Catalyst's CollapseProject
+    would otherwise inline the split into every lambda evaluation
+    (observed 3.5x slowdown); (2) grams come from slice()+concat_ws
+    rather than per-position element_at. Docs shorter than n tokens
+    yield an empty array (sequence(0, negative) would count DOWN)."""
+    t = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(t) - n),
+        lambda i: F.concat_ws(" ", F.slice(t, i.cast("int") + 1, n)),
+    )
+    return F.when(F.size(t) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def doc_grams(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
+    """(doc_id, grams) with tokens materialized and work spread."""
+    return (
+        spread(docs.select("doc_id", F.col(text_col)))
+        .select("doc_id", _tokens(text_col).alias("__toks"))
+        .select("doc_id", word_ngrams_col("__toks", n).alias("grams"))
+    )
+
 # ------------------------------------------------------------------ exact
 
 
@@ -53,22 +98,6 @@ def dedup_exact(docs: DataFrame) -> DataFrame:
 # ---------------------------------------------------------- n-gram jaccard
 
 
-def word_ngrams(text_col="text", n: int = 3):
-    """Distinct word n-grams as an array column (declarative:
-    split -> sequence -> transform -> array_distinct). Documents with
-    fewer than n tokens yield an empty array (guard needed: Spark's
-    sequence(0, negative) would count DOWN, not produce empty)."""
-    toks = F.split(F.trim(F.col(text_col)), " ")
-    idx = F.sequence(F.lit(0), F.size(toks) - n)
-    grams = F.transform(
-        idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j + 1).cast("int"))
-                                          for j in range(n)])
-    )
-    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
-        F.array().cast("array<string>")
-    )
-
-
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
                         threshold: float = 0.2) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs sharing >=1 gram.
@@ -79,23 +108,27 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
     a cap first (they contribute pairs quadratically but little
     information).
     """
-    grams = docs.select(
-        F.col("doc_id"), word_ngrams(n=n).alias("grams")
-    ).select(
-        "doc_id", F.size("grams").alias("n_grams"), F.explode("grams").alias("gram")
-    )
-    a = grams.alias("a")
-    b = grams.alias("b")
+    with_grams = doc_grams(docs, n)
+    # slim posting list: the self-join shuffles only (doc_id, gram);
+    # per-doc gram counts re-attach afterwards via broadcast (tiny)
+    posting = with_grams.select(
+        "doc_id", F.explode("grams").alias("gram"))
+    counts = with_grams.select(
+        "doc_id", F.size("grams").alias("n_grams"))
+    a = posting.alias("a")
+    b = posting.alias("b")
     pairs = (
         a.join(b, (F.col("a.gram") == F.col("b.gram"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.n_grams").alias("na"),
-            F.col("b.n_grams").alias("nb"),
         )
         .agg(F.count(F.lit(1)).alias("shared"))
+        .join(F.broadcast(counts.withColumnRenamed("doc_id", "doc_a")
+                          .withColumnRenamed("n_grams", "na")), "doc_a")
+        .join(F.broadcast(counts.withColumnRenamed("doc_id", "doc_b")
+                          .withColumnRenamed("n_grams", "nb")), "doc_b")
     )
     jac = F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))
     return (
@@ -111,14 +144,17 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 64,
                        shingle_n: int = 3) -> DataFrame:
     """MinHash signatures over word shingles: h_i(doc) = min over
     shingles of xxhash64(shingle, i). Row-local, no shuffle."""
-    grams = word_ngrams(n=shingle_n)
+
+    def _minhash(i):
+        # one-arg lambda per hash fn (PySpark HOFs infer lambda arity)
+        return lambda g: F.xxhash64(g, F.lit(i))
+
     sig = F.array(*[
-        F.array_min(F.transform(F.col("grams"),
-                                lambda g, i=i: F.xxhash64(g, F.lit(i))))
+        F.array_min(F.transform(F.col("grams"), _minhash(i)))
         for i in range(num_hashes)
     ])
     return (
-        docs.select("doc_id", grams.alias("grams"))
+        doc_grams(docs, shingle_n)
         .filter(F.size("grams") > 0)
         .select("doc_id", "grams", sig.alias("sig"))
     )
@@ -135,8 +171,12 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 64, bands: int = 16,
     """
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(docs, num_hashes, shingle_n)
+    # slim band frame: only (doc_id, band, band_hash) goes through the
+    # self-join shuffle; gram arrays re-attach to the (small) candidate
+    # set afterwards — carrying arrays through a x16-exploded join is
+    # the classic LSH-join mistake at scale
     banded = sigs.select(
-        "doc_id", "grams",
+        "doc_id",
         F.posexplode(
             F.array(*[
                 F.xxhash64(*[F.col("sig")[b * rows_per_band + r]
@@ -152,9 +192,15 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 64, bands: int = 16,
                & (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
-            F.col("a.grams").alias("ga"), F.col("b.grams").alias("gb"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
+    )
+    gram_sets = doc_grams(docs, shingle_n)
+    cands = (
+        cands.join(gram_sets.select(F.col("doc_id").alias("doc_a"),
+                                    F.col("grams").alias("ga")), "doc_a")
+        .join(gram_sets.select(F.col("doc_id").alias("doc_b"),
+                               F.col("grams").alias("gb")), "doc_b")
     )
     inter = F.size(F.array_intersect(F.col("ga"), F.col("gb")))
     union = F.size(F.col("ga")) + F.size(F.col("gb")) - inter
@@ -176,9 +222,9 @@ def simhash_signatures(docs: DataFrame, bits: int = 64) -> DataFrame:
     explode -> conditional sums -> bit assembly. One shuffle (groupBy
     doc_id)."""
     toks = F.split(F.trim(F.col("text")), " ")
-    exploded = docs.select(
+    exploded = spread(docs.select(
         "doc_id", F.explode(F.array_distinct(toks)).alias("token")
-    ).withColumn("h", F.xxhash64("token"))
+    )).withColumn("h", F.xxhash64("token"))
     bit_sums = exploded.groupBy("doc_id").agg(*[
         F.sum(
             F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1)
@@ -235,8 +281,11 @@ def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.9,
     computed with zip_with/aggregate in double precision — built-in
     functions only, identical fold order to the DuckDB oracle."""
     d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    base = emb.select("vec_id", d.alias("v"),
-                      *([F.col(block_col)] if block_col else []))
+    norm = F.sqrt(F.aggregate(F.transform(d, lambda x: x * x),
+                              F.lit(0.0), lambda acc, x: acc + x))
+    # norms are computed ONCE per vector (n), not per pair (n²)
+    base = spread(emb).select("vec_id", d.alias("v"), norm.alias("nrm"),
+                              *([F.col(block_col)] if block_col else []))
     a, b = base.alias("a"), base.alias("b")
     cond = F.col("a.vec_id") < F.col("b.vec_id")
     if block_col:
@@ -245,15 +294,11 @@ def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.9,
         F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
         F.lit(0.0), lambda acc, x: acc + x,
     )
-    na = F.sqrt(F.aggregate(F.transform(F.col("a.v"), lambda x: x * x),
-                            F.lit(0.0), lambda acc, x: acc + x))
-    nb = F.sqrt(F.aggregate(F.transform(F.col("b.v"), lambda x: x * x),
-                            F.lit(0.0), lambda acc, x: acc + x))
     return (
         a.join(b, cond)
         .select(
             F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"),
-            F.round(dot / (na * nb), 4).alias("cosine"),
+            F.round(dot / (F.col("a.nrm") * F.col("b.nrm")), 4).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )

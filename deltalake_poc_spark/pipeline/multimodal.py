@@ -82,7 +82,9 @@ def decode_media(media: DataFrame) -> DataFrame:
                 "format": [m[2] for m in meta],
             })
 
-    return media.mapInPandas(decode_batches, DECODED_SCHEMA)
+    from deltalake_poc_spark.pipeline.dedup import spread
+
+    return spread(media).mapInPandas(decode_batches, DECODED_SCHEMA)
 
 
 def resize_plan(decoded: DataFrame, max_side: int = 512) -> DataFrame:
