@@ -154,6 +154,83 @@ def _scalar_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return Q.scalar_showcase(load_table(spark, sf_dir, "events"))
 
 
+def _mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7 — materialized-view machinery: build order_analytics as an MV,
+    refresh into a versioned table (transactional overwrite), read it
+    back. Oracle: the MV definition as plain SQL."""
+    import tempfile
+
+    from deltalake_poc_spark.streaming import MaterializedView
+
+    orders = load_table(spark, sf_dir, "orders")
+    mv = MaterializedView(
+        spark, "order_analytics",
+        tempfile.mkdtemp(prefix="mv_") + "/order_analytics",
+        Q.order_analytics,
+    )
+    return mv.refresh(orders).read()
+
+
+def _time_travel_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 + U3 — version the orders table (v1: pre-1995, v2: +rest),
+    then diff customer keys between versions via time-travel reads."""
+    import tempfile
+
+    from deltalake_poc_spark.tables import VersionedTable
+    from deltalake_poc_spark.tables.inspect import version_diff
+
+    orders = load_table(spark, sf_dir, "orders")
+    root = tempfile.mkdtemp(prefix="tt_") + "/orders_vt"
+    t = VersionedTable.create(spark, root, orders.schema)
+    t.write(orders.filter(F.col("o_orderdate") < "1995-01-01"))    # v1
+    t.write(orders.filter(F.col("o_orderdate") >= "1995-01-01"))   # v2
+    return version_diff(t, v_new=2, v_old=1, key="o_custkey")
+
+
+def _cdf_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 — change-data-feed correctness: apply CDC in two batches to a
+    CDF-enabled table, then count change-feed rows by _change_type.
+    Oracle: the same counts derived from pure SQL set logic."""
+    import tempfile
+
+    from pyspark.sql.types import (
+        DoubleType, LongType, StringType, StructField, StructType,
+    )
+
+    from deltalake_poc_spark.cdc import CDCApplier, parse_debezium
+    from deltalake_poc_spark.cdc.synth import raw_kafka_frame
+
+    events = load_table(spark, sf_dir, "events")
+    tagged = events.select(
+        (F.col("event_id") % 200).alias("k"),
+        F.col("event_id").alias("lsn"),
+        F.round("value", 4).alias("val"),
+        F.when(F.col("event_id") % 7 == 0, "d").otherwise("u").alias("op"),
+        F.unix_millis(F.col("ts")).alias("ts_ms"),
+    )
+    raw = raw_kafka_frame(
+        tagged,
+        op=F.col("op"), key=F.col("k"), lsn=F.col("lsn"), ts_ms=F.col("ts_ms"),
+        after=F.when(F.col("op") != "d",
+                     F.struct(F.col("k").alias("id"), F.col("val").alias("val"))),
+        before=F.when(F.col("op") == "d", F.struct(F.col("k").alias("id"))),
+        table="cdf_demo",
+    )
+    schema = StructType([StructField("id", LongType()),
+                         StructField("val", DoubleType())])
+    applier = CDCApplier(
+        spark, tempfile.mkdtemp(prefix="cdf_"),
+        table_schemas={"cdf_demo": schema}, enable_cdf=True,
+    )
+    parsed = parse_debezium(raw)
+    applier.apply_batch(parsed.filter(F.col("source_lsn") % 2 == 0),
+                        tables=["cdf_demo"])
+    applier.apply_batch(parsed.filter(F.col("source_lsn") % 2 == 1),
+                        tables=["cdf_demo"])
+    cdf = applier.snapshot_table("cdf_demo").read_change_feed(0)
+    return cdf.groupBy("_change_type").agg(F.count(F.lit(1)).alias("cnt"))
+
+
 # --- training-data pipeline ops (dedup / similarity / text) -----------------
 
 def _dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -259,6 +336,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inventory_status": _inventory_status,               # F8
         "scalar_showcase": _scalar_showcase,                 # F2-F10
         "cdc_pipeline": _cdc_pipeline,                       # S14 P1-P9 J4 J5 M1 M3
+        "mv_refresh": _mv_refresh,                           # T7 S5 S11
+        "time_travel_diff": _time_travel_diff,               # S6 U3
+        "cdf_changes": _cdf_changes,                         # S8 M1 M3
         # training-data pipeline ops
         "dedup_exact_groups": _dedup_exact_groups,           # exact dedup
         "ngram_jaccard": _ngram_jaccard,                     # n-gram Jaccard pairs
@@ -378,6 +458,59 @@ def oracle_sql() -> dict[str, str]:
                 FROM tagged
             )
             SELECT id, val, name FROM latest WHERE rn = 1 AND op <> 'd'
+        """,
+        "mv_refresh": """
+            SELECT strftime(date_trunc('day', o_orderdate), '%Y-%m-%d') AS order_day,
+                   o_orderstatus,
+                   COUNT(*) AS order_count,
+                   ROUND(SUM(o_totalprice), 2) AS total_revenue,
+                   ROUND(AVG(o_totalprice), 2) AS avg_order_value
+            FROM orders
+            GROUP BY 1, 2
+        """,
+        "time_travel_diff": """
+            SELECT DISTINCT o_custkey FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+            EXCEPT
+            SELECT DISTINCT o_custkey FROM orders
+            WHERE o_orderdate < TIMESTAMP '1995-01-01'
+        """,
+        "cdf_changes": """
+            WITH tagged AS (
+                SELECT event_id % 200 AS id, event_id AS lsn,
+                       CASE WHEN event_id % 7 = 0 THEN 'd' ELSE 'u' END AS op
+                FROM events
+            ), l1 AS (
+                SELECT id, op FROM (
+                    SELECT id, op,
+                           ROW_NUMBER() OVER (PARTITION BY id ORDER BY lsn DESC) AS rn
+                    FROM tagged WHERE lsn % 2 = 0) WHERE rn = 1
+            ), alive1 AS (
+                SELECT id FROM l1 WHERE op <> 'd'
+            ), l2 AS (
+                SELECT id, op FROM (
+                    SELECT id, op,
+                           ROW_NUMBER() OVER (PARTITION BY id ORDER BY lsn DESC) AS rn
+                    FROM tagged WHERE lsn % 2 = 1) WHERE rn = 1
+            ), counts AS (
+                SELECT 'insert' AS _change_type,
+                       (SELECT COUNT(*) FROM alive1)
+                       + (SELECT COUNT(*) FROM l2 WHERE op <> 'd'
+                          AND id NOT IN (SELECT id FROM alive1)) AS cnt
+                UNION ALL
+                SELECT 'update_preimage',
+                       (SELECT COUNT(*) FROM l2 WHERE op <> 'd'
+                        AND id IN (SELECT id FROM alive1))
+                UNION ALL
+                SELECT 'update_postimage',
+                       (SELECT COUNT(*) FROM l2 WHERE op <> 'd'
+                        AND id IN (SELECT id FROM alive1))
+                UNION ALL
+                SELECT 'delete',
+                       (SELECT COUNT(*) FROM l2 WHERE op = 'd'
+                        AND id IN (SELECT id FROM alive1))
+            )
+            SELECT _change_type, cnt FROM counts WHERE cnt > 0
         """,
         "dedup_exact_groups": r"""
             SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS text_hash,

@@ -1,0 +1,98 @@
+"""CDC-domain analytics (RisingWave MVs + notebook queries) and the
+table inspection helpers, on small domain frames."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from deltalake_poc_spark.analytics import cdc_queries as CQ
+from deltalake_poc_spark.tables import VersionedTable
+from deltalake_poc_spark.tables.inspect import (
+    change_timeline, version_diff, version_row_counts,
+)
+
+TS = datetime.datetime(2024, 1, 5, 12, 0, 0)
+
+
+def _customers(spark):
+    return spark.createDataFrame(
+        [(1, "Alice", "A", "a@x"), (2, "Bob", "B", "b@x")],
+        "id long, first_name string, last_name string, email string")
+
+
+def _orders(spark):
+    return spark.createDataFrame(
+        [(10, 1, TS, "completed", 100.0), (11, 1, TS, "pending", 50.0),
+         (12, 2, TS + datetime.timedelta(days=1), "completed", 10.0)],
+        "id long, customer_id long, order_date timestamp, status string,"
+        " total_amount double")
+
+
+def test_customer_order_summary(spark):
+    got = {r["customer_id"]: r for r in
+           CQ.customer_order_summary(_customers(spark), _orders(spark)).collect()}
+    assert got[1]["order_count"] == 2 and got[1]["lifetime_value"] == 150.0
+    assert got[2]["order_count"] == 1
+
+
+def test_order_analytics(spark):
+    got = CQ.order_analytics(_orders(spark)).collect()
+    by_key = {(r["order_day"].day, r["status"]): r for r in got}
+    assert by_key[(5, "completed")]["order_count"] == 1
+    assert by_key[(5, "pending")]["total_revenue"] == 50.0
+
+
+def test_product_inventory_and_popularity(spark):
+    products = spark.createDataFrame(
+        [(1, "W", "tools", 9.99, 0), (2, "X", "tools", 5.0, 5),
+         (3, "Y", "toys", 2.0, 50)],
+        "id long, name string, category string, price double, stock_quantity int")
+    inv = {r["product_id"]: r["stock_status"]
+           for r in CQ.product_inventory(products).collect()}
+    assert inv == {1: "Out of Stock", 2: "Low Stock", 3: "In Stock"}
+    items = spark.createDataFrame(
+        [(100, 10, 1, 2), (101, 10, 1, 1), (102, 11, 2, 5)],
+        "id long, order_id long, product_id long, quantity int")
+    pop = CQ.product_popularity(products, items).collect()
+    assert pop[0]["product_id"] == 1 and pop[0]["times_ordered"] == 2
+    assert pop[0]["total_quantity"] == 3
+    det = {r["order_id"]: r for r in
+           CQ.order_details(_orders(spark), items).collect()}
+    assert det[10]["item_count"] == 2 and det[12]["item_count"] == 0
+
+
+def test_cdc_statistics_and_sync_summary(spark):
+    ev = spark.createDataFrame(
+        [("customers", "c", TS), ("customers", "u", TS), ("orders", "c", TS)],
+        "source_table string, operation string, event_timestamp timestamp")
+    stats = {(r["source_table"], r["operation"]): r["event_count"]
+             for r in CQ.cdc_statistics(ev).collect()}
+    assert stats == {("customers", "c"): 1, ("customers", "u"): 1,
+                     ("orders", "c"): 1}
+    snap = spark.createDataFrame([(1, TS)], "id long, __processed_at timestamp")
+    summ = CQ.sync_summary({"customers": snap, "orders": snap}).collect()
+    assert {r["table_name"] for r in summ} == {"customers", "orders"}
+    assert all(r["record_count"] == 1 for r in summ)
+
+
+def test_inspect_helpers(spark, tmp_path):
+    schema = spark.createDataFrame([], "id long, v string").schema
+    t = VersionedTable.create(spark, str(tmp_path / "t"), schema,
+                              properties={"enableChangeDataFeed": "true"})
+    t.write(spark.createDataFrame([(1, "a"), (2, "b")], schema))      # v1
+    t.write(spark.createDataFrame([(3, "c")], schema))                # v2
+    (t.merge(spark.createDataFrame([(1, "a2")], schema), on="id")
+     .when_matched_update_all().execute())                            # v3
+    t.delete("id = 2")                                                # v4
+
+    diff = [r["id"] for r in version_diff(t, v_new=2, v_old=1, key="id").collect()]
+    assert diff == [3]
+    counts = {r["version"]: r["num_rows"]
+              for r in version_row_counts(t).collect()}
+    assert counts[1] == 2 and counts[2] == 3 and counts[4] == 2
+    tl = change_timeline(t, "id", 1).collect()
+    assert [r["_change_type"] for r in tl] == [
+        "insert", "update_postimage", "update_preimage"]
+    assert tl[0]["_commit_version"] == 1
