@@ -154,6 +154,21 @@ def _scalar_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return Q.scalar_showcase(load_table(spark, sf_dir, "events"))
 
 
+def _event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation (streaming twin lives in
+    streaming/stateful.py; batch is the oracle)."""
+    from deltalake_poc_spark.analytics.events import event_windows
+
+    return event_windows(load_table(spark, sf_dir, "events"))
+
+
+def _user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via gaps-and-islands window functions."""
+    from deltalake_poc_spark.analytics.events import user_sessions
+
+    return user_sessions(load_table(spark, sf_dir, "events"))
+
+
 def _mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T7 — materialized-view machinery: build order_analytics as an MV,
     refresh into a versioned table (transactional overwrite), read it
@@ -336,6 +351,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inventory_status": _inventory_status,               # F8
         "scalar_showcase": _scalar_showcase,                 # F2-F10
         "cdc_pipeline": _cdc_pipeline,                       # S14 P1-P9 J4 J5 M1 M3
+        "event_windows": _event_windows,                     # windowed agg (streaming twin)
+        "user_sessions": _user_sessions,                     # sessionization
         "mv_refresh": _mv_refresh,                           # T7 S5 S11
         "time_travel_diff": _time_travel_diff,               # S6 U3
         "cdf_changes": _cdf_changes,                         # S8 M1 M3
@@ -458,6 +475,38 @@ def oracle_sql() -> dict[str, str]:
                 FROM tagged
             )
             SELECT id, val, name FROM latest WHERE rn = 1 AND op <> 'd'
+        """,
+        "event_windows": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS window_start,
+                   event_type,
+                   COUNT(*) AS n_events,
+                   ROUND(SUM(value), 2) AS total_value
+            FROM events
+            GROUP BY 1, 2
+        """,
+        "user_sessions": """
+            WITH flagged AS (
+                SELECT user_id, epoch_ms(ts) AS ts_ms, value,
+                       CASE WHEN epoch_ms(ts) - LAG(epoch_ms(ts)) OVER
+                                 (PARTITION BY user_id ORDER BY epoch_ms(ts))
+                                 > 30*60*1000
+                            OR LAG(epoch_ms(ts)) OVER
+                                 (PARTITION BY user_id ORDER BY epoch_ms(ts)) IS NULL
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events
+            ), numbered AS (
+                SELECT *, SUM(new_session) OVER
+                          (PARTITION BY user_id ORDER BY ts_ms
+                           ROWS UNBOUNDED PRECEDING) AS session_idx
+                FROM flagged
+            )
+            SELECT user_id, session_idx,
+                   COUNT(*) AS n_events,
+                   MIN(ts_ms) AS start_ms,
+                   MAX(ts_ms) AS end_ms,
+                   ROUND(SUM(value), 2) AS session_value
+            FROM numbered
+            GROUP BY user_id, session_idx
         """,
         "mv_refresh": """
             SELECT strftime(date_trunc('day', o_orderdate), '%Y-%m-%d') AS order_day,
