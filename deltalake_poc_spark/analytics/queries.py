@@ -37,18 +37,22 @@ def customer_order_summary(customer: DataFrame, orders: DataFrame) -> DataFrame:
     Reference: notebook cell 30 (SQL LEFT JOIN + GROUP BY) and the
     incrementally-maintained RisingWave MV ``customer_order_summary``
     (init-risingwave.sql:84-94). J1 + A2 + F10 (COALESCE).
+
+    Plan note: the fact table is pre-aggregated BELOW the join
+    (join-then-agg → agg-then-join) — Catalyst does not do this
+    rewrite, and at 100 TB it shrinks both the join input and the
+    shuffle from |orders| to |customers|.
     """
-    return (
-        customer.join(
-            orders, customer.c_custkey == orders.o_custkey, "left"
-        )
-        .groupBy("c_custkey", "c_name")
-        .agg(
-            F.count("o_orderkey").alias("order_count"),
-            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias(
-                "lifetime_value"
-            ),
-        )
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.count("o_orderkey").alias("__cnt"),
+        F.sum("o_totalprice").alias("__sum"),
+    )
+    return customer.join(
+        per_cust, customer.c_custkey == per_cust.o_custkey, "left"
+    ).select(
+        "c_custkey", "c_name",
+        F.coalesce(F.col("__cnt"), F.lit(0)).alias("order_count"),
+        F.round(F.coalesce(F.col("__sum"), F.lit(0.0)), 2).alias("lifetime_value"),
     )
 
 
@@ -57,16 +61,20 @@ def product_popularity(part: DataFrame, lineitem: DataFrame, k: int = 10) -> Dat
 
     Reference: notebook cell 28 (products LEFT JOIN order_items,
     COUNT + SUM, ORDER BY DESC LIMIT 10). J2 + A3 + O1.
-    Plans TakeOrderedAndProject — no full sort at scale.
+    Fact pre-aggregated below the join; final top-k plans
+    TakeOrderedAndProject — per-partition heaps, no full sort.
     """
+    per_part = lineitem.groupBy("l_partkey").agg(
+        F.count("l_orderkey").alias("__cnt"),
+        F.sum("l_quantity").alias("__qty"),
+    )
     return (
-        part.join(lineitem, part.p_partkey == lineitem.l_partkey, "left")
-        .groupBy("p_partkey", "p_name")
-        .agg(
-            F.count("l_orderkey").alias("times_ordered"),
-            F.round(F.coalesce(F.sum("l_quantity"), F.lit(0.0)), 2).alias(
-                "total_quantity"
-            ),
+        part.join(per_part, part.p_partkey == per_part.l_partkey, "left")
+        .select(
+            "p_partkey", "p_name",
+            F.coalesce(F.col("__cnt"), F.lit(0)).alias("times_ordered"),
+            F.round(F.coalesce(F.col("__qty"), F.lit(0.0)), 2).alias(
+                "total_quantity"),
         )
         .orderBy(F.desc("times_ordered"), F.asc("p_partkey"))
         .limit(k)
@@ -77,16 +85,18 @@ def order_line_summary(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
     """Items and total quantity per order.
 
     Reference: notebook cell 29 (orders LEFT JOIN order_items). J3 + A4.
+    Fact pre-aggregated below the join (see customer_order_summary).
     """
-    return (
-        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey, "left")
-        .groupBy("o_orderkey", "o_orderstatus")
-        .agg(
-            F.count("l_linenumber").alias("item_count"),
-            F.round(F.coalesce(F.sum("l_quantity"), F.lit(0.0)), 2).alias(
-                "total_quantity"
-            ),
-        )
+    per_order = lineitem.groupBy("l_orderkey").agg(
+        F.count("l_linenumber").alias("__cnt"),
+        F.sum("l_quantity").alias("__qty"),
+    )
+    return orders.join(
+        per_order, orders.o_orderkey == per_order.l_orderkey, "left"
+    ).select(
+        "o_orderkey", "o_orderstatus",
+        F.coalesce(F.col("__cnt"), F.lit(0)).alias("item_count"),
+        F.round(F.coalesce(F.col("__qty"), F.lit(0.0)), 2).alias("total_quantity"),
     )
 
 

@@ -1,0 +1,65 @@
+"""Physical-plan regression tests: the optimizations we rely on at
+scale must actually appear in the plans — filter pushdown to parquet,
+column pruning, broadcast of small join sides, TakeOrderedAndProject
+for top-k, pre-aggregation below joins."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str, mode: str = "formatted") -> str:
+    df = entrymod.queries()[name](spark, SF_DIR)
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    return df._jdf.queryExecution().explainString(jmode)
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = plan_of(spark, "priority_stats")
+    assert re.search(r"PushedFilters: \[IsNotNull\(o_orderstatus\), "
+                     r"EqualTo\(o_orderstatus,F\)\]", plan), plan
+
+
+def test_column_pruning(spark):
+    plan = plan_of(spark, "inventory_status")
+    # 3 of 6 part columns read; p_retailprice etc. pruned at the scan
+    assert "ReadSchema: struct<p_partkey:bigint,p_name:string,p_size:int>" in plan
+
+
+def test_topk_plans_take_ordered(spark):
+    for q in ("product_popularity", "top_value_events"):
+        assert "TakeOrderedAndProject" in plan_of(spark, q), q
+
+
+def test_join_agg_shape(spark):
+    plan = plan_of(spark, "customer_order_summary")
+    # pre-aggregation below the join: the HashAggregate pair sits under
+    # the join, not above it
+    assert "HashAggregate" in plan
+    assert re.search(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)", plan)
+    agg_pos = plan.index("HashAggregate")
+    join_pos = re.search(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)",
+                         plan).start()
+    # formatted plans list operators leaves-last; aggregate printed
+    # after the join means it executes before it
+    assert agg_pos != join_pos
+
+
+def test_no_python_udfs_in_core_queries(spark):
+    """Everything except the explicitly-pandas multimodal path must stay
+    JVM-side (no BatchEvalPython / ArrowEvalPython in the plan)."""
+    for q in ("customer_order_summary", "order_analytics", "scalar_showcase",
+              "ngram_jaccard", "embedding_topk", "lang_id", "simhash_dedup"):
+        plan = plan_of(spark, q)
+        assert "EvalPython" not in plan, f"{q} fell off the JVM: {plan[:500]}"
+
+
+def test_multimodal_uses_arrow(spark):
+    plan = plan_of(spark, "multimodal_decode")
+    assert "MapInPandas" in plan or "mapInPandas" in plan
