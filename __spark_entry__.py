@@ -121,8 +121,10 @@ def _cdc_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("event_id") % 7 == 0, "d").otherwise("u").alias("op"),
         F.unix_millis(F.col("ts")).alias("ts_ms"),
     )
+    from deltalake_poc_spark.pipeline.dedup import spread
+
     raw = raw_kafka_frame(
-        tagged,
+        spread(tagged),
         op=F.col("op"), key=F.col("k"), lsn=F.col("lsn"), ts_ms=F.col("ts_ms"),
         after=F.when(
             F.col("op") != "d",
@@ -223,8 +225,10 @@ def _cdf_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("event_id") % 7 == 0, "d").otherwise("u").alias("op"),
         F.unix_millis(F.col("ts")).alias("ts_ms"),
     )
+    from deltalake_poc_spark.pipeline.dedup import spread
+
     raw = raw_kafka_frame(
-        tagged,
+        spread(tagged),
         op=F.col("op"), key=F.col("k"), lsn=F.col("lsn"), ts_ms=F.col("ts_ms"),
         after=F.when(F.col("op") != "d",
                      F.struct(F.col("k").alias("id"), F.col("val").alias("val"))),
@@ -237,11 +241,14 @@ def _cdf_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, tempfile.mkdtemp(prefix="cdf_"),
         table_schemas={"cdf_demo": schema}, enable_cdf=True,
     )
-    parsed = parse_debezium(raw)
-    applier.apply_batch(parsed.filter(F.col("source_lsn") % 2 == 0),
-                        tables=["cdf_demo"])
-    applier.apply_batch(parsed.filter(F.col("source_lsn") % 2 == 1),
-                        tables=["cdf_demo"])
+    parsed = parse_debezium(raw).persist()  # both batches slice this
+    try:
+        applier.apply_batch(parsed.filter(F.col("source_lsn") % 2 == 0),
+                            tables=["cdf_demo"])
+        applier.apply_batch(parsed.filter(F.col("source_lsn") % 2 == 1),
+                            tables=["cdf_demo"])
+    finally:
+        parsed.unpersist()
     cdf = applier.snapshot_table("cdf_demo").read_change_feed(0)
     return cdf.groupBy("_change_type").agg(F.count(F.lit(1)).alias("cnt"))
 
