@@ -38,13 +38,14 @@ class CDCApplier:
         table_schemas: dict[str, StructType] | None = None,
         key_col: str = "id",
         enable_cdf: bool = True,
-        audit_partition_by: str | None = None,
+        infer_unknown_tables: bool = False,
     ):
         self.spark = spark
         self.base_path = base_path
-        self.table_schemas = table_schemas or S.TABLE_SCHEMAS
+        self.table_schemas = dict(table_schemas or S.TABLE_SCHEMAS)
         self.key_col = key_col
         self.enable_cdf = enable_cdf
+        self.infer_unknown_tables = infer_unknown_tables
         self._tables: dict[str, VersionedTable] = {}
 
     # ------------------------------------------------------------- tables
@@ -88,11 +89,19 @@ class CDCApplier:
         try:
             self.audit_table().write(events, "append")
             if tables is None:
-                tables = [
-                    r["source_table"]
-                    for r in events.select("source_table").distinct().collect()
-                    if r["source_table"] in self.table_schemas
-                ]
+                seen = [r["source_table"] for r in
+                        events.select("source_table").distinct().collect()]
+                if self.infer_unknown_tables:
+                    tables = seen
+                else:
+                    tables = [t for t in seen if t in self.table_schemas]
+            for t in tables:
+                if t not in self.table_schemas:
+                    # §1.4 mode 2: infer from this batch's payloads
+                    from deltalake_poc_spark.cdc.infer import infer_table_schema
+
+                    self.table_schemas[t] = infer_table_schema(
+                        self.spark, events, t)
             metrics = {}
             for t in sorted(tables):
                 metrics[t] = self._apply_table(events, t)
