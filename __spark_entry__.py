@@ -156,6 +156,35 @@ def _scalar_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return Q.scalar_showcase(load_table(spark, sf_dir, "events"))
 
 
+def _q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deltalake_poc_spark.analytics.tpch import q1_pricing_summary
+
+    return q1_pricing_summary(load_table(spark, sf_dir, "lineitem"))
+
+
+def _q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deltalake_poc_spark.analytics.tpch import q3_shipping_priority
+
+    return q3_shipping_priority(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+def _q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deltalake_poc_spark.analytics.tpch import q5_local_supplier_volume
+
+    return q5_local_supplier_volume(
+        load_table(spark, sf_dir, "region"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
 def _event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window aggregation (streaming twin lives in
     streaming/stateful.py; batch is the oracle)."""
@@ -358,6 +387,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inventory_status": _inventory_status,               # F8
         "scalar_showcase": _scalar_showcase,                 # F2-F10
         "cdc_pipeline": _cdc_pipeline,                       # S14 P1-P9 J4 J5 M1 M3
+        "q1_pricing_summary": _q1_pricing_summary,           # wide-scan computed agg
+        "q3_shipping_priority": _q3_shipping_priority,       # 3-way join top-k
+        "q5_local_supplier": _q5_local_supplier_volume,      # 5-way join bcast dims
         "event_windows": _event_windows,                     # windowed agg (streaming twin)
         "user_sessions": _user_sessions,                     # sessionization
         "mv_refresh": _mv_refresh,                           # T7 S5 S11
@@ -482,6 +514,46 @@ def oracle_sql() -> dict[str, str]:
                 FROM tagged
             )
             SELECT id, val, name FROM latest WHERE rn = 1 AND op <> 'd'
+        """,
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(SUM(l_quantity), 2) AS sum_qty,
+                   ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+                   ROUND(AVG(l_quantity), 2) AS avg_qty,
+                   ROUND(AVG(l_extendedprice), 2) AS avg_price,
+                   ROUND(AVG(l_discount), 4) AS avg_disc,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate < TIMESTAMP '1998-09-01'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q3_shipping_priority": """
+            SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
+                   ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+            FROM customer c
+            JOIN orders o ON c.c_custkey = o.o_custkey
+            JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            WHERE c.c_mktsegment = 'BUILDING'
+              AND o.o_orderdate < TIMESTAMP '1995-03-15'
+              AND l.l_shipdate > TIMESTAMP '1995-03-15'
+            GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+            ORDER BY revenue DESC, o.o_orderkey ASC
+            LIMIT 10
+        """,
+        "q5_local_supplier": """
+            SELECT n.n_name,
+                   ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+            FROM region r
+            JOIN nation n ON n.n_regionkey = r.r_regionkey
+            JOIN customer c ON c.c_nationkey = n.n_nationkey
+            JOIN orders o ON o.o_custkey = c.c_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                           AND s.s_nationkey = c.c_nationkey
+            WHERE r.r_name = 'ASIA'
+            GROUP BY n.n_name
         """,
         "event_windows": """
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS window_start,

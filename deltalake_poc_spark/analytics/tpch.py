@@ -1,0 +1,81 @@
+"""TPC-H-shaped analytics over the star schema — the multi-way-join /
+computed-aggregate workloads a 100 TB deployment actually runs.
+
+The reference's queries stop at two-table joins (SURVEY.md §2.3); the
+driver's testdata is TPC-H-ish precisely so deeper shapes can be
+exercised. Three canonical shapes:
+
+- Q1 pricing summary: wide scan, computed expressions, grouped agg —
+  pure map-side-combine throughput
+- Q3 shipping priority: selective dimension filters -> 3-way join ->
+  top-k (TakeOrderedAndProject)
+- Q5 local supplier volume: 5-way join with two tiny broadcast dims
+  (region/nation) and co-keyed fact joins
+
+All expressed declaratively; Catalyst orders the joins, AQE picks
+broadcast for the small sides at runtime.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def q1_pricing_summary(lineitem: DataFrame, ship_before: str = "1998-09-01") -> DataFrame:
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        lineitem.filter(F.col("l_shipdate") < ship_before)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q3_shipping_priority(customer: DataFrame, orders: DataFrame,
+                         lineitem: DataFrame, segment: str = "BUILDING",
+                         cutoff: str = "1995-03-15", k: int = 10) -> DataFrame:
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        customer.filter(F.col("c_mktsegment") == segment)
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .filter(F.col("o_orderdate") < cutoff)
+        .join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("l_shipdate") > cutoff)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(revenue), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(k)
+    )
+
+
+def q5_local_supplier_volume(region: DataFrame, nation: DataFrame,
+                             customer: DataFrame, supplier: DataFrame,
+                             orders: DataFrame, lineitem: DataFrame,
+                             region_name: str = "ASIA") -> DataFrame:
+    """Revenue by nation where customer and supplier share the nation.
+    region/nation are broadcast (tiny); the fact joins carry the bulk."""
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        region.filter(F.col("r_name") == region_name)
+        .join(nation, F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(customer, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(orders, F.col("o_custkey") == F.col("c_custkey"))
+        .join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            supplier,
+            (F.col("s_suppkey") == F.col("l_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(F.round(F.sum(revenue), 2).alias("revenue"))
+    )
