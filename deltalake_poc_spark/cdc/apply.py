@@ -51,7 +51,12 @@ class CDCApplier:
     # ------------------------------------------------------------- tables
 
     def audit_table(self) -> VersionedTable:
-        return self._get_or_create("cdc_events", S.CDC_EVENTS_SCHEMA)
+        """Audit table, partitioned by source_table — the partitioning
+        the reference never added (partitionColumns: [] everywhere;
+        SURVEY.md §4 flags this as the obvious improvement): per-table
+        audit queries then scan only their partition."""
+        return self._get_or_create("cdc_events", S.CDC_EVENTS_SCHEMA,
+                                   partition_by=["source_table"])
 
     def snapshot_table(self, name: str) -> VersionedTable:
         base = self.table_schemas[name]
@@ -66,7 +71,8 @@ class CDCApplier:
         )
         return self._get_or_create(name, full)
 
-    def _get_or_create(self, name: str, schema: StructType) -> VersionedTable:
+    def _get_or_create(self, name: str, schema: StructType,
+                       partition_by: list[str] | None = None) -> VersionedTable:
         if name not in self._tables:
             root = f"{self.base_path}/{name}"
             if VersionedTable.is_table(root):
@@ -74,7 +80,8 @@ class CDCApplier:
             else:
                 props = {"enableChangeDataFeed": "true"} if self.enable_cdf else {}
                 self._tables[name] = VersionedTable.create(
-                    self.spark, root, schema, properties=props, if_not_exists=True
+                    self.spark, root, schema, properties=props,
+                    if_not_exists=True, partition_by=partition_by,
                 )
         return self._tables[name]
 

@@ -39,18 +39,24 @@ from dataclasses import dataclass, field
 
 @dataclass
 class FileEntry:
-    """One active data file with optional per-column [min, max] stats."""
+    """One active data file with optional per-column [min, max] stats
+    and (for partitioned tables) its Hive-style partition values."""
 
     path: str  # relative to table root
     num_records: int = 0
     stats: dict[str, list] = field(default_factory=dict)
+    partition: dict[str, str] = field(default_factory=dict)
 
     def to_json(self) -> dict:
-        return {"path": self.path, "numRecords": self.num_records, "stats": self.stats}
+        d = {"path": self.path, "numRecords": self.num_records, "stats": self.stats}
+        if self.partition:
+            d["partition"] = self.partition
+        return d
 
     @staticmethod
     def from_json(d: dict) -> "FileEntry":
-        return FileEntry(d["path"], d.get("numRecords", 0), d.get("stats", {}))
+        return FileEntry(d["path"], d.get("numRecords", 0), d.get("stats", {}),
+                         d.get("partition", {}))
 
 
 @dataclass

@@ -179,7 +179,9 @@ class MergeBuilder:
                 if changes is not None:
                     t._write_changes(version, changes)
 
-            entries = t._materialize(result, stats_cols=None)
+            entries = t._materialize(
+                result, stats_cols=None,
+                partition_by=t.partition_columns(snap) or None)
             commit = Commit(
                 version=version,
                 timestamp=t.log.monotonic_now_ms(),

@@ -50,14 +50,25 @@ class VersionedTable:
         schema: StructType,
         properties: dict | None = None,
         if_not_exists: bool = False,
+        partition_by: list[str] | None = None,
     ) -> "VersionedTable":
         """CREATE TABLE (reference: spark_delta_handler.py:109-125 DDL,
-        create-delta-tables.py:93-116 schema-only create w/ CDF)."""
+        create-delta-tables.py:93-116 schema-only create w/ CDF).
+        ``partition_by`` enables Hive-style partitioned data layout —
+        an improvement over the reference, which partitions nothing
+        (partitionColumns: [] in every Delta log; SURVEY.md §4)."""
         t = cls(spark, root)
         if t.log.exists():
             if if_not_exists:
                 return t
             raise FileExistsError(f"table already exists at {root}")
+        props = dict(properties or {})
+        if partition_by:
+            missing = [c for c in partition_by
+                       if c not in {f.name for f in schema.fields}]
+            if missing:
+                raise ValueError(f"partition columns not in schema: {missing}")
+            props["partitionColumns"] = json.dumps(partition_by)
         os.makedirs(t.log.data_dir(), exist_ok=True)
         t.log.write_commit(
             Commit(
@@ -65,10 +76,15 @@ class VersionedTable:
                 timestamp=t.log.monotonic_now_ms(),
                 operation="CREATE TABLE",
                 schema_json=schema.json(),
-                properties=dict(properties or {}),
+                properties=props,
             )
         )
         return t
+
+    def partition_columns(self, snap: Snapshot | None = None) -> list[str]:
+        snap = snap or self.snapshot()
+        raw = snap.properties.get("partitionColumns")
+        return json.loads(raw) if raw else []
 
     @classmethod
     def is_table(cls, root: str) -> bool:
@@ -123,7 +139,12 @@ class VersionedTable:
                 raise ValueError("empty table with no declared schema")
             return self.spark.createDataFrame([], schema)
         paths = [self.log.abs_path(p) for p in rel_paths]
-        df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
+        reader = self.spark.read.option("mergeSchema", "true")
+        if self.partition_columns(snap):
+            # Hive-layout files: partition values live in the directory
+            # names; basePath lets Spark recover (and prune on) them
+            reader = reader.option("basePath", self.log.data_dir())
+        df = reader.parquet(*paths)
         if schema is not None:
             # align to declared schema: missing cols -> null, extra ignored
             cols = []
@@ -191,7 +212,8 @@ class VersionedTable:
         return self._union(pieces)
 
     def _plain_read(self, rel_paths: list[str], schema: StructType | None) -> DataFrame:
-        snap = Snapshot(0, 0, [], schema.json() if schema else None, {})
+        props = self.snapshot().properties if self.log.exists() else {}
+        snap = Snapshot(0, 0, [], schema.json() if schema else None, props)
         return self._read_files(rel_paths, snap)
 
     def _stamp(self, df: DataFrame, change_type: str, c: Commit) -> DataFrame:
@@ -213,26 +235,43 @@ class VersionedTable:
     # --------------------------------------------------------------- writes
 
     def _materialize(self, df: DataFrame, stats_cols: list[str] | None = None,
-                     sort_within_partitions_by: list[str] | None = None) -> list[FileEntry]:
+                     sort_within_partitions_by: list[str] | None = None,
+                     partition_by: list[str] | None = None) -> list[FileEntry]:
         """Write df's rows as new parquet files under data/ and return
-        their FileEntries (with footer-derived min/max stats)."""
+        their FileEntries (with footer-derived min/max stats). With
+        ``partition_by``, files land in Hive-style k=v directories under
+        data/ and carry their partition values in the log entry."""
+        import urllib.parse
+
         staging = self.log.new_data_file_dir()
         if sort_within_partitions_by:
             df = df.sortWithinPartitions(*sort_within_partitions_by)
-        df.write.mode("overwrite").parquet(staging)
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(staging)
         entries: list[FileEntry] = []
         os.makedirs(self.log.data_dir(), exist_ok=True)
-        for name in sorted(os.listdir(staging)):
-            if not name.endswith(".parquet"):
-                continue
-            src = os.path.join(staging, name)
-            rel = f"{TableLog.DATA_DIR}/{uuid.uuid4().hex}.parquet"
-            shutil.move(src, self.log.abs_path(rel))
-            n, stats = collect_file_stats(self.log.abs_path(rel), stats_cols)
-            if n == 0:
-                os.unlink(self.log.abs_path(rel))
-                continue
-            entries.append(FileEntry(rel, n, stats))
+        for dirpath, _dirs, files in os.walk(staging):
+            subdir = os.path.relpath(dirpath, staging)
+            part_vals: dict[str, str] = {}
+            if subdir != ".":
+                for seg in subdir.split(os.sep):
+                    if "=" in seg:
+                        k, v = seg.split("=", 1)
+                        part_vals[k] = urllib.parse.unquote(v)
+            for name in sorted(files):
+                if not name.endswith(".parquet"):
+                    continue
+                sub = "" if subdir == "." else subdir + "/"
+                rel = f"{TableLog.DATA_DIR}/{sub}{uuid.uuid4().hex}.parquet"
+                os.makedirs(os.path.dirname(self.log.abs_path(rel)), exist_ok=True)
+                shutil.move(os.path.join(dirpath, name), self.log.abs_path(rel))
+                n, stats = collect_file_stats(self.log.abs_path(rel), stats_cols)
+                if n == 0:
+                    os.unlink(self.log.abs_path(rel))
+                    continue
+                entries.append(FileEntry(rel, n, stats, part_vals))
         shutil.rmtree(staging, ignore_errors=True)
         shutil.rmtree(os.path.dirname(staging), ignore_errors=True)
         return entries
@@ -259,7 +298,8 @@ class VersionedTable:
         exists = self.log.exists()
         snap = self.snapshot() if exists else None
         schema_json = self._merged_schema_json(df)
-        entries = self._materialize(df, stats_cols)
+        pb = self.partition_columns(snap) if snap else []
+        entries = self._materialize(df, stats_cols, partition_by=pb or None)
         op = "APPEND" if (mode == "append" and exists) else (
             "OVERWRITE" if exists else "WRITE")
         commit = Commit(
@@ -333,7 +373,8 @@ class VersionedTable:
             deleted = touched_df.filter(pred)
             self._write_changes(version, deleted.withColumn("_change_type",
                                                             F.lit("delete")))
-        entries = self._materialize(keep)
+        entries = self._materialize(
+            keep, partition_by=self.partition_columns(snap) or None)
         touched_set = set(rel_touched)
         n_before = sum(e.num_records for e in snap.files if e.path in touched_set)
         n_after = sum(e.num_records for e in entries)
@@ -384,7 +425,8 @@ class VersionedTable:
             post = updated.filter(pred).withColumn("_change_type",
                                                    F.lit("update_postimage"))
             self._write_changes(version, pre.unionByName(post))
-        entries = self._materialize(updated)
+        entries = self._materialize(
+            updated, partition_by=self.partition_columns(snap) or None)
         c = Commit(
             version=version,
             timestamp=self.log.monotonic_now_ms(),
@@ -455,12 +497,14 @@ class VersionedTable:
         df = self._read_files(snap.file_paths, snap)
         total = sum(e.num_records for e in snap.files)
         nparts = max(1, (total + target_file_rows - 1) // target_file_rows)
+        pb = self.partition_columns(snap) or None
         if zorder_by:
             df = df.repartitionByRange(nparts, *zorder_by)
-            entries = self._materialize(df, sort_within_partitions_by=zorder_by)
+            entries = self._materialize(df, sort_within_partitions_by=zorder_by,
+                                        partition_by=pb)
         else:
             df = df.repartition(nparts)
-            entries = self._materialize(df)
+            entries = self._materialize(df, partition_by=pb)
         c = Commit(
             version=self.log.next_version(),
             timestamp=self.log.monotonic_now_ms(),
@@ -493,14 +537,16 @@ class VersionedTable:
         deleted = []
         data_dir = self.log.data_dir()
         if os.path.isdir(data_dir):
-            for name in os.listdir(data_dir):
-                rel = f"{TableLog.DATA_DIR}/{name}"
-                if rel in active:
-                    continue
-                ts = removed_at.get(rel)
-                if ts is not None and ts < cutoff:
-                    os.unlink(os.path.join(data_dir, name))
-                    deleted.append(rel)
+            for dirpath, _dirs, files in os.walk(data_dir):
+                for name in files:
+                    abs_p = os.path.join(dirpath, name)
+                    rel = os.path.relpath(abs_p, self.log.root)
+                    if rel in active:
+                        continue
+                    ts = removed_at.get(rel)
+                    if ts is not None and ts < cutoff:
+                        os.unlink(abs_p)
+                        deleted.append(rel)
         return deleted
 
     def restore(self, version: int) -> Commit:
