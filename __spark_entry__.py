@@ -78,6 +78,10 @@ def _change_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return Q.change_type_counts(load_table(spark, sf_dir, "events"))
 
 
+def _stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return Q.stats_moments(load_table(spark, sf_dir, "lineitem"))
+
+
 def _top_value_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return Q.top_value_events(load_table(spark, sf_dir, "events"))
 
@@ -382,6 +386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_stats": _event_stats,                         # A7
         "analytics_summary": _analytics_summary,             # A8 A9 U1
         "change_type_counts": _change_type_counts,           # A6
+        "stats_moments": _stats_moments,                     # percentile/stddev/corr
         "top_value_events": _top_value_events,               # O1 O4
         "version_diff_keys": _version_diff_keys,             # U3 P6
         "inventory_status": _inventory_status,               # F8
@@ -480,6 +485,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         "change_type_counts": """
             SELECT event_type, COUNT(*) AS cnt FROM events GROUP BY event_type
+        """,
+        "stats_moments": """
+            SELECT l_returnflag,
+                   COUNT(*) AS n,
+                   ROUND(quantile_cont(l_extendedprice, 0.5), 2) AS median_price,
+                   ROUND(quantile_cont(l_extendedprice, 0.95), 2) AS p95_price,
+                   ROUND(stddev_samp(l_quantity), 4) AS qty_stddev,
+                   ROUND(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr
+            FROM lineitem
+            GROUP BY l_returnflag
         """,
         "top_value_events": """
             SELECT event_id, event_type, ROUND(value, 4) AS value

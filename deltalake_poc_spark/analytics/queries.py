@@ -190,6 +190,21 @@ def change_type_counts(events: DataFrame) -> DataFrame:
 # Sorts / top-k (O1-O4) and set ops (U3)
 # ---------------------------------------------------------------------------
 
+def stats_moments(lineitem: DataFrame) -> DataFrame:
+    """Statistical aggregates the reference lacks but a real analytics
+    engine needs: exact interpolated percentiles, sample stddev,
+    Pearson correlation — all built-in JVM aggregates (percentile is
+    exact here; swap to approx_percentile at 100 TB where a sketch
+    with bounded memory is the right trade)."""
+    return lineitem.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 2).alias("median_price"),
+        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 2).alias("p95_price"),
+        F.round(F.stddev_samp("l_quantity"), 4).alias("qty_stddev"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("qty_price_corr"),
+    )
+
+
 def top_value_events(events: DataFrame, k: int = 10) -> DataFrame:
     """Most recent / highest-value rows, deterministically tie-broken.
 

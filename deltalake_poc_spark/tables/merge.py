@@ -40,6 +40,18 @@ from pyspark.sql import functions as F
 from deltalake_poc_spark.tables.log import Commit
 
 
+def change_detection_condition(columns: list[str], key: str = "id") -> str:
+    """M2 — the reference's update-only-when-changed MERGE condition
+    (spark_delta_handler.py:218-236 builds a per-column !=-with-null
+    OR chain as SQL text). Null-safe form: update when NOT every
+    non-key column is <=> equal. Prevents no-op updates from
+    rewriting files (MERGE write amplification, SURVEY.md §4)."""
+    comparisons = [f"t.{c} <=> s.{c}" for c in columns if c != key]
+    if not comparisons:
+        return "true"
+    return "NOT (" + " AND ".join(comparisons) + ")"
+
+
 class MergeBuilder:
     def __init__(self, table, source: DataFrame, on: str):
         """``on`` is the equi-join key column name (the reference always

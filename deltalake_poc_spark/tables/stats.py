@@ -49,8 +49,12 @@ def collect_file_stats(abs_path: str, stats_cols: list[str] | None = None) -> tu
             if name in failed:
                 continue
             st = md.row_group(rg).column(ci).statistics
-            lo = _scalar(st.min) if st is not None and st.has_min_max else None
-            hi = _scalar(st.max) if st is not None and st.has_min_max else None
+            try:
+                lo = _scalar(st.min) if st is not None and st.has_min_max else None
+                hi = _scalar(st.max) if st is not None and st.has_min_max else None
+            except Exception:
+                # pyarrow cannot extract stats for some types (e.g. decimal)
+                lo = hi = None
             if lo is None or hi is None:
                 failed.add(name)  # unknown for any row group -> no file stats
                 continue

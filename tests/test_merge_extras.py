@@ -1,0 +1,93 @@
+"""Change-detection condition builder, decimal money columns
+(SURVEY.md §7.1), and a hypothesis property test: MERGE semantics
+against a plain-Python model over random upsert/delete batches."""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DecimalType, LongType, StringType, StructField, StructType,
+)
+
+from deltalake_poc_spark.tables import VersionedTable
+from deltalake_poc_spark.tables.merge import change_detection_condition
+
+
+def test_change_detection_condition_builder(spark, tmp_path):
+    schema = StructType([StructField("id", LongType()),
+                         StructField("a", StringType()),
+                         StructField("b", StringType())])
+    t = VersionedTable.create(spark, str(tmp_path / "t"), schema)
+    t.write(spark.createDataFrame([(1, "x", None), (2, "y", "z")], schema))
+    cond = change_detection_condition(["id", "a", "b"])
+    assert cond == "NOT (t.a <=> s.a AND t.b <=> s.b)"
+    src = spark.createDataFrame([(1, "x", None), (2, "y", "CHANGED")], schema)
+    c = (t.merge(src, on="id")
+         .when_matched_update_all(condition=cond)
+         .execute())
+    # row 1 identical (incl. null <=> null) -> copied, not updated
+    assert c.metrics["numTargetRowsUpdated"] == 1
+    assert c.metrics["numTargetRowsCopied"] == 1
+
+
+def test_decimal_money_columns(spark, tmp_path):
+    """§7.1: the RisingWave path keeps DECIMAL(10,2)/(12,2)
+    (create-delta-tables.py:43,54,63); the table layer must round-trip
+    decimals through write/merge/stats."""
+    schema = StructType([StructField("id", LongType()),
+                         StructField("price", DecimalType(10, 2)),
+                         StructField("total", DecimalType(12, 2))])
+    t = VersionedTable.create(spark, str(tmp_path / "d"), schema)
+    t.write(spark.createDataFrame(
+        [(1, Decimal("9.99"), Decimal("19.98")),
+         (2, Decimal("0.01"), Decimal("0.02"))], schema))
+    (t.merge(spark.createDataFrame([(2, Decimal("5.00"), Decimal("10.00"))], schema),
+             on="id")
+     .when_matched_update_all().execute())
+    got = {r["id"]: (r["price"], r["total"]) for r in t.read().collect()}
+    assert got[1] == (Decimal("9.99"), Decimal("19.98"))
+    assert got[2] == (Decimal("5.00"), Decimal("10.00"))
+    agg = t.read().agg(F.sum("price").alias("s")).collect()[0]["s"]
+    assert agg == Decimal("14.99")
+
+
+SCHEMA = StructType([StructField("id", LongType()),
+                     StructField("v", StringType())])
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(batches=st.lists(
+    st.lists(
+        st.tuples(st.integers(min_value=0, max_value=6),      # key
+                  st.sampled_from(["upsert", "delete"]),
+                  st.text(alphabet="ab", max_size=2)),        # value
+        min_size=1, max_size=5, unique_by=lambda t: t[0]),
+    min_size=1, max_size=4))
+def test_merge_matches_model(spark, tmp_path_factory, batches):
+    """Random per-key-unique batches of upserts/deletes applied through
+    MERGE must equal a dict replay."""
+    tmp = tmp_path_factory.mktemp("prop")
+    t = VersionedTable.create(spark, str(tmp / "t"), SCHEMA)
+    model: dict[int, str] = {}
+    for batch in batches:
+        rows = [(k, v, op == "delete") for k, op, v in batch]
+        src = spark.createDataFrame(
+            rows, "id long, v string, __del boolean")
+        (t.merge(src, on="id")
+         .when_matched_delete(condition=F.col("s.__del"))
+         .when_matched_update_all(condition=~F.col("s.__del"))
+         .when_not_matched_insert_all(condition=~F.col("s.__del"))
+         .execute())
+        for k, op, v in batch:
+            if op == "delete":
+                model.pop(k, None)
+            else:
+                model[k] = v
+    got = {r["id"]: r["v"] for r in t.read().collect()}
+    assert got == model
