@@ -205,6 +205,21 @@ def stats_moments(lineitem: DataFrame) -> DataFrame:
     )
 
 
+def approx_stats(df: DataFrame, group_col: str, value_col: str,
+                 distinct_col: str, rsd: float = 0.05) -> DataFrame:
+    """Sketch-based aggregates for the 100 TB regime: HyperLogLog++
+    distinct counts and GK approximate percentiles — bounded memory
+    per group regardless of cardinality (exact percentile/distinct
+    materialize per-group value sets; at scale that's the OOM). No
+    DuckDB oracle (different sketch algorithms); accuracy is asserted
+    against exact results in tests."""
+    return df.groupBy(group_col).agg(
+        F.approx_count_distinct(distinct_col, rsd=rsd).alias("approx_distinct"),
+        F.expr(f"approx_percentile({value_col}, 0.5, 1000)").alias("approx_median"),
+        F.expr(f"approx_percentile({value_col}, 0.99, 1000)").alias("approx_p99"),
+    )
+
+
 def top_value_events(events: DataFrame, k: int = 10) -> DataFrame:
     """Most recent / highest-value rows, deterministically tie-broken.
 

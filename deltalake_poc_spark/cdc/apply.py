@@ -39,14 +39,25 @@ class CDCApplier:
         key_col: str = "id",
         enable_cdf: bool = True,
         infer_unknown_tables: bool = False,
+        auto_compact_every: int = 0,
+        target_file_rows: int = 1_000_000,
     ):
+        """``auto_compact_every``: run OPTIMIZE on a snapshot table every
+        N merge commits (0 = off). Micro-batch MERGEs produce small
+        rewritten files each trigger — the reference hits the same
+        small-file problem and schedules OPTIMIZE/VACUUM manually
+        (spark_delta_handler.py:282-289, SURVEY.md §4); here compaction
+        is a built-in policy of the apply loop."""
         self.spark = spark
         self.base_path = base_path
         self.table_schemas = dict(table_schemas or S.TABLE_SCHEMAS)
         self.key_col = key_col
         self.enable_cdf = enable_cdf
         self.infer_unknown_tables = infer_unknown_tables
+        self.auto_compact_every = auto_compact_every
+        self.target_file_rows = target_file_rows
         self._tables: dict[str, VersionedTable] = {}
+        self._merges_since_compact: dict[str, int] = {}
 
     # ------------------------------------------------------------- tables
 
@@ -182,4 +193,11 @@ class CDCApplier:
             .without_source_validation()  # window above guarantees unique keys
             .execute()
         )
+        if self.auto_compact_every:
+            n = self._merges_since_compact.get(name, 0) + 1
+            if n >= self.auto_compact_every:
+                table.optimize(target_file_rows=self.target_file_rows,
+                               zorder_by=[key])
+                n = 0
+            self._merges_since_compact[name] = n
         return commit.metrics

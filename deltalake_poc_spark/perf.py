@@ -41,6 +41,35 @@ def salted_join(skewed: DataFrame, compact: DataFrame, on: str,
     return out.drop(SALT)
 
 
+def salted_aggregate(df: DataFrame, group_cols: list[str],
+                     agg_exprs: dict[str, str], n_salts: int = 16) -> DataFrame:
+    """Two-stage aggregation for hot group keys: partial-aggregate by
+    (key, salt), then final-aggregate by key. Only decomposable
+    aggregates are supported (count/sum/min/max). Spark's hash
+    aggregate already does map-side partials; the explicit salt stage
+    additionally splits a single hot REDUCER key across ``n_salts``
+    tasks."""
+    supported = {"count", "sum", "min", "max"}
+    bad = {fn for fn in agg_exprs.values()} - supported
+    if bad:
+        raise ValueError(f"non-decomposable aggregates: {bad}")
+    salted = df.withColumn(
+        SALT, F.pmod(F.xxhash64(F.monotonically_increasing_id()),
+                     F.lit(n_salts)).cast("int"))
+    partial_aggs, final_aggs = [], []
+    for col, fn in agg_exprs.items():
+        partial_name = f"__p_{col}_{fn}"
+        if fn == "count":
+            partial_aggs.append(F.count(col).alias(partial_name))
+            final_aggs.append(F.sum(partial_name).alias(f"{fn}_{col}"))
+        else:
+            partial_aggs.append(getattr(F, fn)(col).alias(partial_name))
+            final_fn = F.sum if fn == "sum" else getattr(F, fn)
+            final_aggs.append(final_fn(partial_name).alias(f"{fn}_{col}"))
+    partial = salted.groupBy(*group_cols, SALT).agg(*partial_aggs)
+    return partial.groupBy(*group_cols).agg(*final_aggs)
+
+
 def write_bucketed(df: DataFrame, table_name: str, key: str,
                    n_buckets: int = 32, sort: bool = True) -> None:
     """Persist as a bucketed (and optionally sorted) catalog table.
