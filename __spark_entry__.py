@@ -354,6 +354,18 @@ def _ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_lsh_topk(emb, q, k=10, exclude_vec_id=0)
 
 
+def _ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-partitioned ANN: k-means clusters (MLlib) pruned to the
+    n_probe nearest centroids, exact cosine inside. Rows-only check
+    (k-means assignment is not SQL-expressible)."""
+    from deltalake_poc_spark.pipeline.similarity import ivf_build, ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    assigned, centers = ivf_build(emb, n_clusters=16)
+    return ivf_topk(assigned, centers, q, k=10, n_probe=4, exclude_vec_id=0)
+
+
 def _embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from deltalake_poc_spark.pipeline.dedup import embedding_neardup_pairs
 
@@ -411,6 +423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_tokens": _top_tokens,                           # token counting
         "embedding_topk": _embedding_topk,                   # brute-force ANN baseline
         "ann_lsh_topk": _ann_lsh_topk,                       # LSH ANN (rows-only)
+        "ivf_topk": _ivf_topk,                               # IVF ANN (rows-only)
         "embedding_neardup": _embedding_neardup,             # cosine near-dup pairs
         "multimodal_decode": _multimodal_decode,             # binary decode (rows-only)
     }

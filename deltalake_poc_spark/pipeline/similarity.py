@@ -68,6 +68,36 @@ def lsh_bucket_expr(vec_col, planes: np.ndarray):
     return bucket
 
 
+def ivf_build(emb: DataFrame, n_clusters: int = 16, seed: int = 42):
+    """IVF (inverted-file) index: k-means partition of the vector space
+    via Spark MLlib. Returns (assignments DataFrame with a __cluster
+    column, centroid list). At 100 TB the assignment column becomes the
+    table's partition key so a probe reads only n_probe partitions."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    vecs = emb.withColumn("__vec", array_to_vector(
+        F.transform(F.col("embedding"), lambda x: x.cast("double"))))
+    model = KMeans(k=n_clusters, seed=seed, featuresCol="__vec",
+                   predictionCol="__cluster").fit(vecs)
+    assigned = model.transform(vecs).drop("__vec")
+    centers = [c.tolist() for c in model.clusterCenters()]
+    return assigned, centers
+
+
+def ivf_topk(assigned: DataFrame, centers: list[list[float]],
+             query_vec: list[float], k: int = 10, n_probe: int = 4,
+             exclude_vec_id: int | None = None) -> DataFrame:
+    """Probe the n_probe clusters whose centroids are closest to the
+    query, then exact cosine inside them (the scan is pruned to
+    ~n_probe/n_clusters of the corpus)."""
+    qv = np.array(query_vec, dtype=float)
+    dists = [float(np.linalg.norm(np.array(c) - qv)) for c in centers]
+    probe = sorted(range(len(centers)), key=lambda i: dists[i])[:n_probe]
+    candidates = assigned.filter(F.col("__cluster").isin(probe)).drop("__cluster")
+    return cosine_topk(candidates, query_vec, k, exclude_vec_id)
+
+
 def ann_lsh_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
                  n_planes: int = 8, n_tables: int = 4, seed: int = 42,
                  exclude_vec_id: int | None = None) -> DataFrame:

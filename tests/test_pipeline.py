@@ -123,6 +123,24 @@ def test_ann_lsh_recall(spark):
     assert self_hit.collect()[0]["vec_id"] == 0
 
 
+def test_ivf_topk_recall(spark):
+    rs = np.random.RandomState(11)
+    vecs = rs.normal(size=(300, 16))
+    for i in range(1, 6):
+        vecs[i] = vecs[0] + rs.normal(scale=0.1, size=16)
+    rows = [(i, [float(x) for x in vecs[i]], 0) for i in range(300)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    q = [float(x) for x in vecs[0]]
+    assigned, centers = similarity.ivf_build(emb, n_clusters=8)
+    exact = [r["vec_id"] for r in
+             similarity.cosine_topk(emb, q, k=5, exclude_vec_id=0).collect()]
+    approx = [r["vec_id"] for r in
+              similarity.ivf_topk(assigned, centers, q, k=5, n_probe=3,
+                                  exclude_vec_id=0).collect()]
+    recall = len(set(exact) & set(approx)) / 5
+    assert recall >= 0.6, f"recall {recall}: exact={exact} approx={approx}"
+
+
 def test_text_analysis(spark, docs):
     tc = {r["doc_id"]: r for r in text.token_counts(docs).collect()}
     assert tc[4]["n_tokens"] == 2
