@@ -189,6 +189,31 @@ def _q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed as-of join (union+window, no range explosion):
+    attach to every purchase/error event the latest prior click value
+    of the same user. Oracle: DuckDB's native ASOF JOIN."""
+    from deltalake_poc_spark.analytics.asof import asof_join
+
+    events = load_table(spark, sf_dir, "events")
+    base = events.select(
+        "event_id", "user_id", "event_type",
+        F.unix_millis("ts").alias("ts_ms"),
+        F.round("value", 4).alias("value"),
+    )
+    left = base.filter(F.col("event_type").isin("purchase", "error")).select(
+        "event_id", "user_id", "ts_ms")
+    right = (
+        base.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts_ms")
+        .agg(F.max("value").alias("click_value"))  # dedup boundary ties
+    )
+    out = asof_join(left, right, key="user_id", ts="ts_ms",
+                    value_cols=["click_value"])
+    return out.select("event_id", "user_id", "ts_ms",
+                      F.col("click_value_asof").alias("last_click_value"))
+
+
 def _event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window aggregation (streaming twin lives in
     streaming/stateful.py; batch is the oracle)."""
@@ -407,6 +432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": _q1_pricing_summary,           # wide-scan computed agg
         "q3_shipping_priority": _q3_shipping_priority,       # 3-way join top-k
         "q5_local_supplier": _q5_local_supplier_volume,      # 5-way join bcast dims
+        "asof_join": _asof_join,                             # as-of join (custom op)
         "event_windows": _event_windows,                     # windowed agg (streaming twin)
         "user_sessions": _user_sessions,                     # sessionization
         "mv_refresh": _mv_refresh,                           # T7 S5 S11
@@ -582,6 +608,24 @@ def oracle_sql() -> dict[str, str]:
                            AND s.s_nationkey = c.c_nationkey
             WHERE r.r_name = 'ASIA'
             GROUP BY n.n_name
+        """,
+        "asof_join": """
+            WITH base AS (
+                SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms,
+                       ROUND(value, 4) AS value
+                FROM events
+            ), l AS (
+                SELECT event_id, user_id, ts_ms FROM base
+                WHERE event_type IN ('purchase', 'error')
+            ), r AS (
+                SELECT user_id, ts_ms, MAX(value) AS click_value
+                FROM base WHERE event_type = 'click'
+                GROUP BY user_id, ts_ms
+            )
+            SELECT l.event_id, l.user_id, l.ts_ms,
+                   r.click_value AS last_click_value
+            FROM l ASOF LEFT JOIN r
+              ON l.user_id = r.user_id AND l.ts_ms >= r.ts_ms
         """,
         "event_windows": """
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS window_start,
