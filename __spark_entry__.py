@@ -78,6 +78,10 @@ def _change_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return Q.change_type_counts(load_table(spark, sf_dir, "events"))
 
 
+def _order_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return Q.order_rollup(load_table(spark, sf_dir, "orders"))
+
+
 def _stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return Q.stats_moments(load_table(spark, sf_dir, "lineitem"))
 
@@ -423,6 +427,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_stats": _event_stats,                         # A7
         "analytics_summary": _analytics_summary,             # A8 A9 U1
         "change_type_counts": _change_type_counts,           # A6
+        "order_rollup": _order_rollup,                       # ROLLUP subtotals
         "stats_moments": _stats_moments,                     # percentile/stddev/corr
         "top_value_events": _top_value_events,               # O1 O4
         "version_diff_keys": _version_diff_keys,             # U3 P6
@@ -524,6 +529,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "change_type_counts": """
             SELECT event_type, COUNT(*) AS cnt FROM events GROUP BY event_type
+        """,
+        "order_rollup": """
+            SELECT o_orderstatus, o_orderpriority,
+                   COUNT(*) AS order_count,
+                   ROUND(SUM(o_totalprice), 2) AS total_revenue
+            FROM orders
+            GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         """,
         "stats_moments": """
             SELECT l_returnflag,

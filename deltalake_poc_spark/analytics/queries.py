@@ -205,6 +205,19 @@ def stats_moments(lineitem: DataFrame) -> DataFrame:
     )
 
 
+def order_rollup(orders: DataFrame) -> DataFrame:
+    """Hierarchical subtotals via ROLLUP (status -> priority -> grand
+    total). Not in the reference; standard analytics surface. Each
+    grouping level is one pass of the same partial aggregation."""
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("order_count"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_revenue"),
+        )
+    )
+
+
 def approx_stats(df: DataFrame, group_col: str, value_col: str,
                  distinct_col: str, rsd: float = 0.05) -> DataFrame:
     """Sketch-based aggregates for the 100 TB regime: HyperLogLog++
