@@ -61,6 +61,26 @@ class CDCApplier:
 
     # ------------------------------------------------------------- tables
 
+    def errors_table(self) -> VersionedTable:
+        """Dead-letter table for malformed messages (cdc/parse.py
+        split_malformed). The reference logs-and-skips; a DLQ table
+        keeps the bad messages queryable and replayable."""
+        from pyspark.sql.types import (
+            IntegerType, LongType, StringType, StructField, StructType,
+            TimestampType,
+        )
+
+        schema = StructType([
+            StructField("key", StringType()),
+            StructField("value", StringType()),
+            StructField("topic", StringType()),
+            StructField("partition_id", IntegerType()),
+            StructField("offset", LongType()),
+            StructField("error", StringType()),
+            StructField("failed_at", TimestampType()),
+        ])
+        return self._get_or_create("cdc_errors", schema)
+
     def audit_table(self) -> VersionedTable:
         """Audit table, partitioned by source_table — the partitioning
         the reference never added (partitionColumns: [] everywhere;

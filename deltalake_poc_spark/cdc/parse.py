@@ -72,3 +72,36 @@ def parse_debezium(raw: DataFrame) -> DataFrame:
 
 def audit_schema():
     return CDC_EVENTS_SCHEMA
+
+
+def split_malformed(raw: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Dead-letter split: rows whose value is non-null but fails to
+    parse as a Debezium envelope (malformed JSON, missing payload.op)
+    are routed to an errors frame instead of being silently dropped.
+    The reference logs-and-skips per message (consumer.py:139-209);
+    at scale a DLQ table is the operable version of that.
+
+    Returns (well_formed_raw, errors) — feed the first to
+    ``parse_debezium``; the second carries the original message +
+    error tag for an errors table.
+    """
+    tagged = raw.withColumn(
+        "_op_probe",
+        F.from_json(F.col("value").cast("string"), MESSAGE_TYPED_SCHEMA)[
+            "payload"]["op"],
+    )
+    ok = tagged.filter(
+        F.col("value").isNull() | F.col("_op_probe").isNotNull()
+    ).drop("_op_probe")  # tombstones (null value) stay on the ok path
+    errors = tagged.filter(
+        F.col("value").isNotNull() & F.col("_op_probe").isNull()
+    ).select(
+        F.col("key").cast("string").alias("key"),
+        F.col("value").cast("string").alias("value"),
+        "topic",
+        F.col("partition").cast("int").alias("partition_id"),
+        F.col("offset").cast("long").alias("offset"),
+        F.lit("unparseable_envelope").alias("error"),
+        F.current_timestamp().alias("failed_at"),
+    )
+    return ok, errors

@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
 from deltalake_poc_spark.cdc.apply import CDCApplier
-from deltalake_poc_spark.cdc.parse import parse_debezium
+from deltalake_poc_spark.cdc.parse import parse_debezium, split_malformed
 
 RAW_MESSAGE_DDL = "key string, value string, topic string, partition int, offset long"
 
@@ -45,13 +45,22 @@ class CDCStreamRunner:
         checkpoint_dir: str,
         trigger_seconds: int = 10,
         on_batch: Callable[[int, dict], None] | None = None,
+        dead_letter: bool = False,
     ):
         self.spark = spark
         self.applier = applier
         self.checkpoint_dir = checkpoint_dir
         self.trigger_seconds = trigger_seconds
         self.on_batch = on_batch
+        self.dead_letter = dead_letter
         self._queries: list[StreamingQuery] = []
+        self._mvs: list[tuple] = []
+
+    def attach_mv(self, mv, base_tables: list[str]) -> None:
+        """Refresh a MaterializedView from the named snapshot tables
+        after every applied micro-batch (T7: per-trigger MV freshness,
+        the foreachBatch equivalent of RisingWave's incremental MVs)."""
+        self._mvs.append((mv, base_tables))
 
     # ------------------------------------------------------------- sources
 
@@ -97,8 +106,17 @@ class CDCStreamRunner:
         """Parse + apply per micro-batch, checkpointed (T3/T4)."""
 
         def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+            if self.dead_letter:
+                batch_df, errors = split_malformed(batch_df)
+                errors = errors.persist()
+                if errors.count() > 0:
+                    self.applier.errors_table().write(errors, "append")
+                errors.unpersist()
             events = parse_debezium(batch_df)
             metrics = self.applier.apply_batch(events)
+            for mv, base_tables in self._mvs:
+                mv.refresh(*[self.applier.snapshot_table(t).read()
+                             for t in base_tables])
             if self.on_batch is not None:
                 self.on_batch(batch_id, metrics)
 

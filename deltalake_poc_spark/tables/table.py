@@ -28,7 +28,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
-from deltalake_poc_spark.tables.log import Commit, FileEntry, Snapshot, TableLog
+from deltalake_poc_spark.tables.log import (
+    Commit, ConcurrentWriteError, FileEntry, Snapshot, TableLog,
+)
 from deltalake_poc_spark.tables.stats import collect_file_stats
 
 CDF_PROP = "enableChangeDataFeed"
@@ -302,21 +304,31 @@ class VersionedTable:
         entries = self._materialize(df, stats_cols, partition_by=pb or None)
         op = "APPEND" if (mode == "append" and exists) else (
             "OVERWRITE" if exists else "WRITE")
-        commit = Commit(
-            version=self.log.next_version(),
-            timestamp=self.log.monotonic_now_ms(),
-            operation=op,
-            operation_parameters={"mode": mode},
-            add=entries,
-            remove=snap.file_paths if (mode == "overwrite" and snap) else [],
-            schema_json=schema_json,
-            properties=None if exists else {},
-            metrics={"numOutputRows": sum(e.num_records for e in entries),
-                     "numFiles": len(entries)},
-        )
         os.makedirs(self.log.data_dir(), exist_ok=True)
-        self.log.write_commit(commit)
-        return commit
+        # appends are blind (no read-set): on a concurrent commit, retry
+        # at the next version — the same conflict rule Delta applies.
+        # overwrite/merge/delete abort instead (their read-set is stale).
+        attempts = 5 if op == "APPEND" else 1
+        last_err: Exception | None = None
+        for _ in range(attempts):
+            commit = Commit(
+                version=self.log.next_version(),
+                timestamp=self.log.monotonic_now_ms(),
+                operation=op,
+                operation_parameters={"mode": mode},
+                add=entries,
+                remove=snap.file_paths if (mode == "overwrite" and snap) else [],
+                schema_json=schema_json,
+                properties=None if exists else {},
+                metrics={"numOutputRows": sum(e.num_records for e in entries),
+                         "numFiles": len(entries)},
+            )
+            try:
+                self.log.write_commit(commit)
+                return commit
+            except ConcurrentWriteError as e:
+                last_err = e
+        raise last_err
 
     def set_properties(self, props: dict) -> Commit:
         """M8 — ALTER TABLE SET TBLPROPERTIES (create-delta-tables.py:119-137)."""
