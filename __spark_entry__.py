@@ -193,6 +193,13 @@ def _q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketized time-range self-join (no nested-loop explosion)."""
+    from deltalake_poc_spark.analytics.events import range_join_pairs
+
+    return range_join_pairs(load_table(spark, sf_dir, "events"))
+
+
 def _asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed as-of join (union+window, no range explosion):
     attach to every purchase/error event the latest prior click value
@@ -438,6 +445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_shipping_priority": _q3_shipping_priority,       # 3-way join top-k
         "q5_local_supplier": _q5_local_supplier_volume,      # 5-way join bcast dims
         "asof_join": _asof_join,                             # as-of join (custom op)
+        "range_join": _range_join,                           # band/range join (custom op)
         "event_windows": _event_windows,                     # windowed agg (streaming twin)
         "user_sessions": _user_sessions,                     # sessionization
         "mv_refresh": _mv_refresh,                           # T7 S5 S11
@@ -620,6 +628,20 @@ def oracle_sql() -> dict[str, str]:
                            AND s.s_nationkey = c.c_nationkey
             WHERE r.r_name = 'ASIA'
             GROUP BY n.n_name
+        """,
+        "range_join": """
+            WITH b AS (
+                SELECT event_id, user_id, epoch_ms(ts) AS ts_ms
+                FROM events
+            )
+            SELECT a.user_id AS user_id,
+                   a.event_id AS event_a,
+                   c.event_id AS event_b,
+                   c.ts_ms - a.ts_ms AS delta_ms
+            FROM b a JOIN b c
+              ON a.user_id = c.user_id
+             AND a.event_id < c.event_id
+             AND abs(a.ts_ms - c.ts_ms) <= 60000
         """,
         "asof_join": """
             WITH base AS (

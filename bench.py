@@ -44,12 +44,41 @@ def main() -> None:
         df.write.mode("overwrite").format("noop").save()
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    # single-node comparison point: the same queries' oracle SQL in
+    # DuckDB at the same scale (the reference publishes no numbers, so
+    # the DuckDB-oracle runtime is the effective baseline; BASELINE.md)
+    oracle_timings: dict[str, float] = {}
+    try:
+        import duckdb
+
+        con = duckdb.connect()
+        for t in ("region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem", "events", "documents", "embeddings"):
+            path = os.path.join(sf_dir, f"{t}.parquet")
+            if os.path.exists(path):
+                con.execute(
+                    f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+        for name, sql in entrymod.oracle_sql().items():
+            t0 = time.perf_counter()
+            con.execute(sql).fetchall()
+            oracle_timings[name] = round(time.perf_counter() - t0, 3)
+        con.close()
+    except Exception:
+        oracle_timings = {}
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "total_query_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "oracle_duckdb_sec": oracle_timings,
+        "oracle_total_sec": round(sum(oracle_timings.values()), 3),
+        # these entries are full WRITE pipelines (ingest + merge + table
+        # writes + read-back); their oracles are pure SELECTs checking
+        # the semantic output, not equivalent workloads
+        "write_pipelines": ["cdc_pipeline", "cdf_changes", "mv_refresh",
+                            "time_travel_diff"],
         "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
     }))
     spark.stop()

@@ -31,6 +31,42 @@ def event_windows(events: DataFrame, duration: str = "1 hour") -> DataFrame:
     )
 
 
+def range_join_pairs(events: DataFrame, window_ms: int = 60_000) -> DataFrame:
+    """Time-range self-join: pairs of events of the same user within
+    ``window_ms`` of each other.
+
+    Bucketized band join — NOT an inequality join (which Spark plans as
+    a broadcast nested loop and explodes at scale): both sides get a
+    time bin of width ``window_ms``; one side probes its own bin ±1,
+    the equi-join runs on (user, bin), and the exact |Δt| predicate
+    filters the candidates. Work is proportional to events per
+    (user, bin) — the distributed range-join pattern.
+    """
+    base = events.select(
+        "event_id", "user_id", F.unix_millis("ts").alias("ts_ms")
+    ).withColumn("bin", F.expr(f"ts_ms div {window_ms}"))
+    probes = base.withColumn(
+        "probe_bin", F.explode(F.array(F.col("bin") - 1, F.col("bin"),
+                                       F.col("bin") + 1))
+    )
+    a, b = base.alias("a"), probes.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.bin") == F.col("b.probe_bin"))
+            & (F.col("a.event_id") < F.col("b.event_id")),
+        )
+        .filter(F.abs(F.col("a.ts_ms") - F.col("b.ts_ms")) <= window_ms)
+        .select(
+            F.col("a.user_id").alias("user_id"),
+            F.col("a.event_id").alias("event_a"),
+            F.col("b.event_id").alias("event_b"),
+            (F.col("b.ts_ms") - F.col("a.ts_ms")).alias("delta_ms"),
+        )
+    )
+
+
 def user_sessions(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Sessionization (gaps-and-islands): a new session starts when the
     gap to the previous event of the same user exceeds ``gap_minutes``.
