@@ -374,6 +374,18 @@ def _top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_tokens(load_table(spark, sf_dir, "documents"), k=10)
 
 
+def _tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deltalake_poc_spark.pipeline.text import tf_idf
+
+    return tf_idf(load_table(spark, sf_dir, "documents"))
+
+
+def _scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deltalake_poc_spark.pipeline.text import scrub_pii
+
+    return scrub_pii(load_table(spark, sf_dir, "documents"))
+
+
 def _embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from deltalake_poc_spark.pipeline.similarity import cosine_topk
 
@@ -460,6 +472,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _lang_id,                                 # language ID
         "doc_fingerprint": _doc_fingerprint,                 # fingerprinting
         "top_tokens": _top_tokens,                           # token counting
+        "tf_idf": _tf_idf,                                   # corpus TF-IDF
+        "scrub_pii": _scrub_pii,                             # PII scrubbing
         "embedding_topk": _embedding_topk,                   # brute-force ANN baseline
         "ann_lsh_topk": _ann_lsh_topk,                       # LSH ANN (rows-only)
         "ivf_topk": _ivf_topk,                               # IVF ANN (rows-only)
@@ -829,6 +843,36 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY token
             ORDER BY freq DESC, token ASC
             LIMIT 10
+        """,
+        "tf_idf": """
+            WITH posting AS (
+                SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token
+                FROM documents
+            ), tf AS (
+                SELECT doc_id, token, COUNT(*) AS tf
+                FROM posting WHERE token <> '' GROUP BY 1, 2
+            ), df AS (
+                SELECT token, COUNT(*) AS df FROM tf GROUP BY 1
+            ), n AS (
+                SELECT COUNT(DISTINCT doc_id) AS n FROM documents
+            )
+            SELECT tf.doc_id, tf.token, tf.tf, df.df,
+                   ROUND(tf.tf * (ln((n.n + 1.0) / (df.df + 1.0)) + 1.0), 4) AS tfidf
+            FROM tf JOIN df USING (token) CROSS JOIN n
+        """,
+        "scrub_pii": r"""
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(regexp_replace(text,
+                       '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<PII>', 'g'),
+                       '\+?[0-9][0-9 ()-]{7,}[0-9]', '<PII>', 'g'),
+                       '[0-9]{3}-[0-9]{2}-[0-9]{4}', '<PII>', 'g') AS text_scrubbed,
+                   len(regexp_extract_all(text,
+                       '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS n_email,
+                   len(regexp_extract_all(text,
+                       '\+?[0-9][0-9 ()-]{7,}[0-9]')) AS n_phone,
+                   len(regexp_extract_all(text,
+                       '[0-9]{3}-[0-9]{2}-[0-9]{4}')) AS n_ssn
+            FROM documents
         """,
         "embedding_topk": """
             SELECT e.vec_id,

@@ -110,7 +110,10 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
     """
     with_grams = doc_grams(docs, n)
     # slim posting list: the self-join shuffles only (doc_id, gram);
-    # per-doc gram counts re-attach afterwards via broadcast (tiny)
+    # per-doc gram counts re-attach afterwards via broadcast (tiny).
+    # (A groupBy-gram + in-array pair-generation variant was measured
+    # at parity on time but builds O(df²) structs per hot gram — the
+    # join form degrades more gracefully under gram skew.)
     posting = with_grams.select(
         "doc_id", F.explode("grams").alias("gram"))
     counts = with_grams.select(

@@ -105,6 +105,56 @@ def fingerprint(docs: DataFrame) -> DataFrame:
     )
 
 
+PII_PATTERNS = {
+    # simple-syntax patterns valid in both Java regex and RE2
+    "email": r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}",
+    "phone": r"\+?[0-9][0-9 ()-]{7,}[0-9]",
+    "ssn": r"[0-9]{3}-[0-9]{2}-[0-9]{4}",
+}
+
+
+def scrub_pii(docs: DataFrame, replacement: str = "<PII>") -> DataFrame:
+    """Training-corpus PII scrubbing: regex-replace emails / phone
+    numbers / SSN-shaped strings, and report per-kind match counts
+    (the counts drive filtering policies; the scrub drives the copy
+    that ships). Row-local, no shuffle."""
+    scrubbed = F.col("text")
+    for pat in PII_PATTERNS.values():
+        scrubbed = F.regexp_replace(scrubbed, pat, replacement)
+    out = docs.select(
+        "doc_id",
+        scrubbed.alias("text_scrubbed"),
+        *[
+            F.size(F.regexp_extract_all(F.col("text"), F.lit(pat), F.lit(0)))
+            .alias(f"n_{kind}")
+            for kind, pat in PII_PATTERNS.items()
+        ],
+    )
+    return out
+
+
+def tf_idf(docs: DataFrame, min_df: int = 1) -> DataFrame:
+    """Corpus TF-IDF: (doc_id, token, tf, df, tfidf) with the smooth
+    idf = ln((N+1)/(df+1)) + 1. Two shuffles (token counts per doc;
+    document frequency per token joined back on the token key)."""
+    toks = tokens_col()
+    posting = (
+        docs.select("doc_id", F.explode(toks).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    tf = posting.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).alias("tf"))
+    df_ = (tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+           .filter(F.col("df") >= min_df))
+    n_docs = docs.select("doc_id").distinct().count()
+    idf = F.log((F.lit(float(n_docs) + 1.0)) / (F.col("df") + 1.0)) + 1.0
+    return (
+        tf.join(df_, "token")
+        .select("doc_id", "token", "tf", "df",
+                F.round(F.col("tf") * idf, 4).alias("tfidf"))
+    )
+
+
 def top_tokens(docs: DataFrame, k: int = 10) -> DataFrame:
     """Corpus-level token frequency top-k (the classic map-side-combine
     aggregation: explode -> partial count -> final count -> TakeOrdered)."""

@@ -156,6 +156,29 @@ def test_text_analysis(spark, docs):
     assert top[0]["token"] == "the" and top[0]["freq"] == 9
 
 
+def test_scrub_pii(spark):
+    docs = spark.createDataFrame([
+        (0, "contact me at alice.b@example.com or +1 (555) 123-4567 thanks"),
+        (1, "ssn 123-45-6789 should vanish"),
+        (2, "nothing sensitive here"),
+    ], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in text.scrub_pii(docs).collect()}
+    assert out[0]["n_email"] == 1 and out[0]["n_phone"] == 1
+    assert "alice.b@example.com" not in out[0]["text_scrubbed"]
+    assert "<PII>" in out[0]["text_scrubbed"]
+    assert out[1]["n_ssn"] == 1 and "123-45-6789" not in out[1]["text_scrubbed"]
+    assert out[2]["text_scrubbed"] == "nothing sensitive here"
+
+
+def test_tf_idf(spark, docs):
+    rows = text.tf_idf(docs).collect()
+    by_key = {(r["doc_id"], r["token"]): r for r in rows}
+    # 'the' appears in 4 docs (0,1,2... not 2? doc2 has no 'the') — df sanity
+    assert by_key[(0, "the")]["tf"] == 3
+    # rare tokens score higher than ubiquitous ones for same tf
+    assert by_key[(2, "spark")]["tfidf"] > by_key[(0, "the")]["tfidf"] / 3
+
+
 def test_multimodal_plumbing(spark):
     media = spark.range(0, 20).select(
         F.col("id").alias("media_id"),
