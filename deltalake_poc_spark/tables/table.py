@@ -499,10 +499,11 @@ class VersionedTable:
     def optimize(self, target_file_rows: int = 1_000_000,
                  zorder_by: list[str] | None = None) -> Commit:
         """M5 — OPTIMIZE compaction (spark_delta_handler.py:282-289).
-        Rewrites the current snapshot into ~target-sized files,
-        optionally range-clustered by key columns (poor man's Z-order:
-        repartitionByRange + sortWithinPartitions gives min/max file
-        stats that are tight on the cluster keys → better pruning)."""
+        Rewrites the current snapshot into ~target-sized files. With
+        ``zorder_by``: Morton bit-interleaved clustering (tables/
+        zorder.py) so per-file min/max stats prune on EVERY clustered
+        column, not just the leading one — the Delta OPTIMIZE ZORDER
+        equivalent."""
         snap = self.snapshot()
         if not snap.files:
             return self._noop_commit("OPTIMIZE", {})
@@ -511,9 +512,10 @@ class VersionedTable:
         nparts = max(1, (total + target_file_rows - 1) // target_file_rows)
         pb = self.partition_columns(snap) or None
         if zorder_by:
-            df = df.repartitionByRange(nparts, *zorder_by)
-            entries = self._materialize(df, sort_within_partitions_by=zorder_by,
-                                        partition_by=pb)
+            from deltalake_poc_spark.tables.zorder import apply_zorder
+
+            df = apply_zorder(df, zorder_by, nparts)
+            entries = self._materialize(df, partition_by=pb)
         else:
             df = df.repartition(nparts)
             entries = self._materialize(df, partition_by=pb)
