@@ -125,9 +125,14 @@ class TableLog:
     DATA_DIR = "data"
     CHANGES_DIR = "_changes"
 
+    CHECKPOINT_EVERY = 100
+
     def __init__(self, root: str):
         self.root = root
         self.log_path = os.path.join(root, self.LOG_DIR)
+        # commits are immutable once published -> cache parsed commits
+        # per version for the lifetime of this handle
+        self._commit_cache: dict[int, Commit] = {}
 
     # -- paths ---------------------------------------------------------------
 
@@ -168,41 +173,93 @@ class TableLog:
         return vs[-1]
 
     def read_commit(self, version: int) -> Commit:
-        p = os.path.join(self.log_path, f"{version:020d}.json")
-        with open(p) as fh:
-            return Commit.from_json(json.load(fh))
+        c = self._commit_cache.get(version)
+        if c is None:
+            p = os.path.join(self.log_path, f"{version:020d}.json")
+            with open(p) as fh:
+                c = Commit.from_json(json.load(fh))
+            self._commit_cache[version] = c
+        return c
 
     def commits(self, start: int = 0, end: int | None = None) -> list[Commit]:
         vs = [v for v in self._versions() if v >= start and (end is None or v <= end)]
         return [self.read_commit(v) for v in vs]
+
+    def _checkpoint_path(self, version: int) -> str:
+        return os.path.join(self.log_path, f"{version:020d}.checkpoint.json")
+
+    def _latest_checkpoint_version(self, at_or_below: int) -> int | None:
+        if not os.path.isdir(self.log_path):
+            return None
+        best = None
+        for f in os.listdir(self.log_path):
+            if f.endswith(".checkpoint.json"):
+                v = int(f.split(".")[0])
+                if v <= at_or_below and (best is None or v > best):
+                    best = v
+        return best
+
+    def write_checkpoint(self, snap: "Snapshot") -> None:
+        """Materialized snapshot state so replay is O(commits since
+        checkpoint), not O(all commits) — the scaling story of a log
+        that accrues one commit per micro-batch forever (Delta's
+        parquet checkpoints, here as JSON)."""
+        p = self._checkpoint_path(snap.version)
+        tmp = p + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as fh:
+            json.dump({
+                "version": snap.version,
+                "timestamp": snap.timestamp,
+                "files": [f.to_json() for f in snap.files],
+                "schema": snap.schema_json,
+                "properties": snap.properties,
+            }, fh)
+        os.replace(tmp, p)
+
+    def _read_checkpoint(self, version: int) -> "Snapshot":
+        with open(self._checkpoint_path(version)) as fh:
+            d = json.load(fh)
+        return Snapshot(d["version"], d["timestamp"],
+                        [FileEntry.from_json(x) for x in d["files"]],
+                        d.get("schema"), d.get("properties", {}))
 
     def snapshot(self, version: int | None = None,
                  timestamp_ms: int | None = None) -> Snapshot:
         """Replay the log up to a version (or the latest version whose
         commit timestamp <= timestamp_ms — reference emulates this for
         delta-rs at delta_handler.py:247-264; Spark native is
-        ``timestampAsOf``)."""
-        all_commits = self.commits()
-        if not all_commits:
+        ``timestampAsOf``). Starts from the newest checkpoint at or
+        below the target, then replays only the tail."""
+        versions = self._versions()
+        if not versions:
             raise FileNotFoundError(f"no commits at {self.log_path}")
         if timestamp_ms is not None:
-            eligible = [c for c in all_commits if c.timestamp <= timestamp_ms]
+            eligible = [v for v in versions
+                        if self.read_commit(v).timestamp <= timestamp_ms]
             if not eligible:
                 raise ValueError(
                     f"no version at or before timestamp {timestamp_ms}"
                 )
-            version = eligible[-1].version
+            version = eligible[-1]
         if version is None:
-            version = all_commits[-1].version
-        active: dict[str, FileEntry] = {}
-        schema_json = None
-        properties: dict = {}
-        ts = 0
-        seen = False
-        for c in all_commits:
-            if c.version > version:
-                break
-            seen = True
+            version = versions[-1]
+        if version not in set(versions):
+            raise ValueError(f"version {version} does not exist")
+
+        ckpt_v = self._latest_checkpoint_version(version)
+        if ckpt_v is not None:
+            base = self._read_checkpoint(ckpt_v)
+            active = {f.path: f for f in base.files}
+            schema_json, properties, ts = base.schema_json, dict(base.properties), base.timestamp
+            start = ckpt_v + 1
+        else:
+            active = {}
+            schema_json, properties, ts = None, {}, 0
+            start = 0
+        for v in versions:
+            if v < start or v > version:
+                continue
+            c = self.read_commit(v)
             ts = c.timestamp
             for r in c.remove:
                 active.pop(r, None)
@@ -212,8 +269,6 @@ class TableLog:
                 schema_json = c.schema_json
             if c.properties is not None:
                 properties = dict(c.properties)
-        if not seen:
-            raise ValueError(f"version {version} does not exist")
         return Snapshot(version, ts, list(active.values()), schema_json, properties)
 
     # -- log writing ----------------------------------------------------------
@@ -242,6 +297,11 @@ class TableLog:
             ) from e
         finally:
             os.unlink(tmp)
+        if commit.version > 0 and commit.version % self.CHECKPOINT_EVERY == 0:
+            try:
+                self.write_checkpoint(self.snapshot(commit.version))
+            except Exception:
+                pass  # checkpoints are an optimization, never a failure
 
     def monotonic_now_ms(self) -> int:
         """Commit timestamp, forced nondecreasing across versions so

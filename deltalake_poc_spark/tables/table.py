@@ -558,7 +558,9 @@ class VersionedTable:
                     if rel in active:
                         continue
                     ts = removed_at.get(rel)
-                    if ts is not None and ts < cutoff:
+                    # <=: a removal in the same millisecond as the
+                    # cutoff is still "older than the retention window"
+                    if ts is not None and ts <= cutoff:
                         os.unlink(abs_p)
                         deleted.append(rel)
         return deleted
