@@ -118,14 +118,39 @@ class CDCApplier:
 
     # -------------------------------------------------------------- apply
 
+    def applied_batch_ids(self) -> set[str]:
+        """Batch ids already appended to the audit table (from commit
+        operationParameters) — the foreachBatch idempotence marker."""
+        audit = self.audit_table()
+        return {
+            c.operation_parameters["batchId"]
+            for c in audit.log.commits()
+            if "batchId" in c.operation_parameters
+        }
+
     def apply_batch(self, events: DataFrame,
-                    tables: list[str] | None = None) -> dict[str, dict]:
+                    tables: list[str] | None = None,
+                    batch_id: str | None = None) -> dict[str, dict]:
         """Apply one batch of parsed CDC events (CDC_EVENTS_SCHEMA shape):
         append all to the audit table, then MERGE per-table snapshots.
-        Returns per-table merge metrics."""
+        Returns per-table merge metrics.
+
+        ``batch_id`` makes the AUDIT append exactly-once under
+        at-least-once delivery (Spark replays the last un-committed
+        micro-batch after a crash): the id is stamped into the append
+        commit and replays of an already-appended batch skip the
+        append. Snapshot MERGEs are idempotent by construction (same
+        latest-event-per-key result), so they simply re-converge.
+        This closes the reference's replay-duplicates gap on the audit
+        path (its audit table is plain append; T3 in SURVEY.md §2.9).
+        """
         events = events.persist()
         try:
-            self.audit_table().write(events, "append")
+            skip_audit = (batch_id is not None
+                          and str(batch_id) in self.applied_batch_ids())
+            if not skip_audit:
+                extra = {"batchId": str(batch_id)} if batch_id is not None else None
+                self.audit_table().write(events, "append", extra_params=extra)
             if tables is None:
                 seen = [r["source_table"] for r in
                         events.select("source_table").distinct().collect()]

@@ -113,7 +113,8 @@ class CDCStreamRunner:
                     self.applier.errors_table().write(errors, "append")
                 errors.unpersist()
             events = parse_debezium(batch_df)
-            metrics = self.applier.apply_batch(events)
+            metrics = self.applier.apply_batch(
+                events, batch_id=f"{query_name}-{batch_id}")
             for mv, base_tables in self._mvs:
                 mv.refresh(*[self.applier.snapshot_table(t).read()
                              for t in base_tables])

@@ -290,7 +290,8 @@ class VersionedTable:
         return merged.json()
 
     def write(self, df: DataFrame, mode: str = "append",
-              stats_cols: list[str] | None = None) -> Commit:
+              stats_cols: list[str] | None = None,
+              extra_params: dict | None = None) -> Commit:
         """Append/overwrite (S3, S11; reference: write_deltalake mode=
         append/overwrite delta_handler.py:107-112, df.write.format('delta')).
         Schema merge is always on (matching the reference's global
@@ -315,7 +316,7 @@ class VersionedTable:
                 version=self.log.next_version(),
                 timestamp=self.log.monotonic_now_ms(),
                 operation=op,
-                operation_parameters={"mode": mode},
+                operation_parameters={"mode": mode, **(extra_params or {})},
                 add=entries,
                 remove=snap.file_paths if (mode == "overwrite" and snap) else [],
                 schema_json=schema_json,

@@ -140,19 +140,25 @@ def test_delete_of_absent_key_is_noop(spark, tmp_path):
 def test_apply_idempotent_replay(spark, tmp_path):
     """Replaying the same batch (at-least-once delivery) must not
     change the snapshot (T3 exactly-once contract via idempotent MERGE;
-    docs/technical-docs.md:550-589)."""
+    docs/technical-docs.md:550-589). With a batch_id the AUDIT append
+    is also exactly-once."""
     applier = CDCApplier(spark, str(tmp_path))
     batch = parse_debezium(_raw(spark, [
         _msg("c", 1, lsn=10, after=CUST),
         _msg("u", 1, lsn=11, after={**CUST, "email": "new@x"}),
     ]))
-    applier.apply_batch(batch)
+    applier.apply_batch(batch, batch_id="q-0")
     before = sorted((r["id"], r["email"]) for r in
                     applier.snapshot_table("customers").read().collect())
-    applier.apply_batch(batch)  # replay
+    assert applier.audit_table().read().count() == 2
+    applier.apply_batch(batch, batch_id="q-0")  # replay of the same batch
     after = sorted((r["id"], r["email"]) for r in
                    applier.snapshot_table("customers").read().collect())
     assert before == after == [(1, "new@x")]
+    assert applier.audit_table().read().count() == 2  # audit NOT duplicated
+    # a new batch id still appends
+    applier.apply_batch(batch, batch_id="q-1")
+    assert applier.audit_table().read().count() == 4
 
 
 def test_synth_roundtrip(spark):
