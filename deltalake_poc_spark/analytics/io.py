@@ -20,6 +20,13 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    try:
+        # timestamp-derived results (date_trunc/date_format) depend on
+        # the session TZ; pin UTC so any caller session matches the
+        # (TZ-naive) DuckDB oracle. Dynamic conf; idempotent.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         return _load_events(spark, path)

@@ -1,0 +1,134 @@
+"""Versioned tables as Structured Streaming SOURCES.
+
+Delta tables are streamable sources (each commit's added files become
+a micro-batch); the reference only ever streams INTO Delta, but a
+complete engine needs the outbound direction too — e.g. chaining a
+snapshot table into a downstream aggregation job.
+
+Implemented with Spark 4's Python Data Source API
+(pyspark.sql.datasource): offsets are log versions, each micro-batch
+is the set of files ADDED between two versions, and files are read on
+EXECUTORS with pyarrow (one InputPartition per data file — the scan
+parallelism is the file count, like any parquet source).
+
+Semantics match Delta's default streaming source: append-only.
+Commits that remove files (MERGE/DELETE/OVERWRITE/OPTIMIZE) raise
+unless ``ignoreChanges`` is set, in which case their added files are
+skipped (OPTIMIZE) or emitted as re-written rows (MERGE) — the same
+caveats Delta documents for ignoreChanges.
+
+Usage:
+    register_stream_source(spark)
+    df = (spark.readStream.format("versioned_table")
+          .option("path", table_root).load())
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource, DataSourceStreamReader, InputPartition,
+)
+from pyspark.sql.types import StructType
+
+from deltalake_poc_spark.tables.log import TableLog
+
+FORMAT_NAME = "versioned_table"
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, abs_path: str, field_names: list[str],
+                 partition_values: dict[str, str]):
+        self.abs_path = abs_path
+        self.field_names = field_names
+        self.partition_values = partition_values
+
+
+class VersionedTableStreamReader(DataSourceStreamReader):
+    def __init__(self, schema: StructType, options: dict):
+        self.root = options["path"]
+        self.schema_fields = [f.name for f in schema.fields]
+        self.schema = schema
+        self.ignore_changes = str(
+            options.get("ignorechanges", "false")).lower() == "true"
+        self.starting_version = int(options.get("startingversion", -1))
+
+    def _log(self) -> TableLog:
+        return TableLog(self.root)
+
+    def initialOffset(self) -> dict:
+        return {"version": self.starting_version}
+
+    def latestOffset(self) -> dict:
+        log = self._log()
+        try:
+            return {"version": log.latest_version()}
+        except FileNotFoundError:
+            return {"version": self.starting_version}
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        log = self._log()
+        parts: list[InputPartition] = []
+        snap = log.snapshot(end["version"])
+        part_cols = json.loads(
+            snap.properties.get("partitionColumns", "[]"))
+        for c in log.commits(start["version"] + 1, end["version"]):
+            if c.remove and not self.ignore_changes:
+                raise ValueError(
+                    f"commit v{c.version} ({c.operation}) rewrites data; "
+                    "streaming a versioned table requires append-only "
+                    "history or .option('ignoreChanges','true')"
+                )
+            if c.operation == "OPTIMIZE":
+                continue  # pure compaction: no new logical rows
+            for a in c.add:
+                pv = dict(a.partition) if a.partition else {}
+                if part_cols and not pv:
+                    pv = {}
+                parts.append(_FilePartition(
+                    os.path.join(self.root, a.path),
+                    self.schema_fields, pv))
+        return parts
+
+    def read(self, partition: _FilePartition) -> Iterator[tuple]:
+        import pyarrow.parquet as pq
+
+        table = pq.read_table(partition.abs_path)
+        cols = {}
+        n = table.num_rows
+        present = set(table.schema.names)
+        for name in partition.field_names:
+            if name in present:
+                cols[name] = table.column(name).to_pylist()
+            elif name in partition.partition_values:
+                cols[name] = [partition.partition_values[name]] * n
+            else:
+                cols[name] = [None] * n
+        for i in range(n):
+            yield tuple(cols[name][i] for name in partition.field_names)
+
+    def commit(self, end: dict) -> None:
+        pass  # progress tracking lives in the query checkpoint
+
+
+class VersionedTableDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return FORMAT_NAME
+
+    def schema(self) -> StructType:
+        log = TableLog(self.options["path"])
+        snap = log.snapshot()
+        if not snap.schema_json:
+            raise ValueError("table has no declared schema")
+        return StructType.fromJson(json.loads(snap.schema_json))
+
+    def streamReader(self, schema: StructType) -> VersionedTableStreamReader:
+        return VersionedTableStreamReader(schema, dict(self.options))
+
+
+def register_stream_source(spark) -> None:
+    spark.dataSource.register(VersionedTableDataSource)

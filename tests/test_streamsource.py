@@ -1,0 +1,72 @@
+"""Streaming FROM a versioned table: appended commits become
+micro-batches; checkpoint resume reads only new commits; rewriting
+commits require ignoreChanges."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from deltalake_poc_spark.tables import VersionedTable
+from deltalake_poc_spark.tables.streamsource import register_stream_source
+
+
+def _run(spark, root, out_dir, ckpt, ignore_changes=False):
+    reader = spark.readStream.format("versioned_table").option("path", root)
+    if ignore_changes:
+        reader = reader.option("ignoreChanges", "true")
+    q = (reader.load().writeStream.format("parquet")
+         .option("path", out_dir)
+         .option("checkpointLocation", ckpt)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    return spark.read.parquet(out_dir)
+
+
+def test_stream_from_versioned_table(spark, tmp_path):
+    register_stream_source(spark)
+    schema = spark.createDataFrame([], "id long, v string").schema
+    root = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+    t = VersionedTable.create(spark, root, schema)
+    t.write(spark.createDataFrame([(1, "a"), (2, "b")], schema))
+    t.write(spark.createDataFrame([(3, "c")], schema))
+
+    out = _run(spark, root, str(tmp_path / "out"), ckpt)
+    assert sorted((r["id"], r["v"]) for r in out.collect()) == [
+        (1, "a"), (2, "b"), (3, "c")]
+
+    # new append -> only the delta arrives on resume
+    t.write(spark.createDataFrame([(4, "d")], schema))
+    out = _run(spark, root, str(tmp_path / "out"), ckpt)
+    assert sorted(r["id"] for r in out.collect()) == [1, 2, 3, 4]
+    assert out.filter("id = 4").count() == 1
+
+
+def test_stream_rejects_rewrites_without_ignore_changes(spark, tmp_path):
+    register_stream_source(spark)
+    schema = spark.createDataFrame([], "id long, v string").schema
+    root = str(tmp_path / "t")
+    t = VersionedTable.create(spark, root, schema)
+    t.write(spark.createDataFrame([(1, "a")], schema))
+    (t.merge(spark.createDataFrame([(1, "A")], schema), on="id")
+     .when_matched_update_all().execute())
+
+    with pytest.raises(Exception, match="ignoreChanges|rewrites"):
+        _run(spark, root, str(tmp_path / "o1"), str(tmp_path / "c1"))
+
+    out = _run(spark, root, str(tmp_path / "o2"), str(tmp_path / "c2"), ignore_changes=True)
+    # with ignoreChanges, the rewritten file's rows are re-emitted
+    assert [(r["id"], r["v"]) for r in out.orderBy("v").collect()] == [
+        (1, "A"), (1, "a")]
+
+
+def test_stream_partitioned_table(spark, tmp_path):
+    register_stream_source(spark)
+    schema = spark.createDataFrame([], "id long, region string").schema
+    root = str(tmp_path / "p")
+    t = VersionedTable.create(spark, root, schema, partition_by=["region"])
+    t.write(spark.createDataFrame([(1, "eu"), (2, "us")], schema))
+    out = _run(spark, root, str(tmp_path / "o"), str(tmp_path / "c"))
+    got = sorted((r["id"], r["region"]) for r in out.collect())
+    assert got == [(1, "eu"), (2, "us")]
