@@ -30,7 +30,7 @@ import os
 from collections.abc import Iterator, Sequence
 
 from pyspark.sql.datasource import (
-    DataSource, DataSourceStreamReader, InputPartition,
+    DataSource, DataSourceReader, DataSourceStreamReader, InputPartition,
 )
 from pyspark.sql.types import StructType
 
@@ -114,17 +114,54 @@ class VersionedTableStreamReader(DataSourceStreamReader):
         pass  # progress tracking lives in the query checkpoint
 
 
+class VersionedTableBatchReader(DataSourceReader):
+    """Batch reads through the same format, with the reference's
+    time-travel option surface (S6/S7: spark.read.format('delta')
+    .option('versionAsOf'/'timestampAsOf', ...) —
+    spark_delta_handler.py:253-267)."""
+
+    def __init__(self, schema: StructType, options: dict):
+        self.root = options["path"]
+        self.schema_fields = [f.name for f in schema.fields]
+        self.version = (int(options["versionasof"])
+                        if "versionasof" in options else None)
+        self.timestamp_ms = (int(options["timestampasof"])
+                             if "timestampasof" in options else None)
+
+    def partitions(self) -> Sequence[InputPartition]:
+        snap = TableLog(self.root).snapshot(self.version, self.timestamp_ms)
+        return [
+            _FilePartition(os.path.join(self.root, e.path),
+                           self.schema_fields,
+                           dict(e.partition) if e.partition else {})
+            for e in snap.files
+        ]
+
+    def read(self, partition: _FilePartition) -> Iterator[tuple]:
+        yield from VersionedTableStreamReader.read(self, partition)
+
+
 class VersionedTableDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
         return FORMAT_NAME
 
-    def schema(self) -> StructType:
+    def _snapshot(self):
         log = TableLog(self.options["path"])
-        snap = log.snapshot()
+        v = (int(self.options["versionasof"])
+             if "versionasof" in self.options else None)
+        ts = (int(self.options["timestampasof"])
+              if "timestampasof" in self.options else None)
+        return log.snapshot(v, ts)
+
+    def schema(self) -> StructType:
+        snap = self._snapshot()
         if not snap.schema_json:
             raise ValueError("table has no declared schema")
         return StructType.fromJson(json.loads(snap.schema_json))
+
+    def reader(self, schema: StructType) -> VersionedTableBatchReader:
+        return VersionedTableBatchReader(schema, dict(self.options))
 
     def streamReader(self, schema: StructType) -> VersionedTableStreamReader:
         return VersionedTableStreamReader(schema, dict(self.options))

@@ -61,6 +61,27 @@ def test_stream_rejects_rewrites_without_ignore_changes(spark, tmp_path):
         (1, "A"), (1, "a")]
 
 
+def test_batch_format_read_with_time_travel(spark, tmp_path):
+    """spark.read.format('versioned_table') — the reference's exact
+    read-API shape incl. versionAsOf (spark_delta_handler.py:253-259)."""
+    register_stream_source(spark)
+    schema = spark.createDataFrame([], "id long, v string").schema
+    root = str(tmp_path / "t")
+    t = VersionedTable.create(spark, root, schema)
+    t.write(spark.createDataFrame([(1, "a")], schema))              # v1
+    t.write(spark.createDataFrame([(2, "b")], schema), "overwrite")  # v2
+
+    cur = (spark.read.format("versioned_table").option("path", root).load())
+    assert [(r["id"], r["v"]) for r in cur.collect()] == [(2, "b")]
+    old = (spark.read.format("versioned_table").option("path", root)
+           .option("versionAsOf", "1").load())
+    assert [(r["id"], r["v"]) for r in old.collect()] == [(1, "a")]
+    ts1 = t.log.read_commit(1).timestamp
+    by_ts = (spark.read.format("versioned_table").option("path", root)
+             .option("timestampAsOf", str(ts1)).load())
+    assert [r["id"] for r in by_ts.collect()] == [1]
+
+
 def test_stream_partitioned_table(spark, tmp_path):
     register_stream_source(spark)
     schema = spark.createDataFrame([], "id long, region string").schema
