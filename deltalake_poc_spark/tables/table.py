@@ -537,13 +537,17 @@ class VersionedTable:
         """M4 — VACUUM (delta_handler.py:275-285; default 168h retention
         shared/config.py:109). Physically deletes data files that are
         not in the current snapshot and were removed longer than the
-        retention window ago. Returns deleted relative paths."""
+        retention window ago, plus change-data-feed files of commits
+        older than the retention (Delta's CDF files age out with vacuum
+        the same way). Returns deleted relative paths."""
         import time as _time
 
         snap = self.snapshot()
         active = set(snap.file_paths)
         removed_at: dict[str, int] = {}
+        commit_ts: dict[int, int] = {}
         for c in self.log.commits():
+            commit_ts[c.version] = c.timestamp
             for r in c.remove:
                 removed_at[r] = c.timestamp
             for a in c.add:  # re-added (e.g. RESTORE) -> no longer removed
@@ -564,6 +568,18 @@ class VersionedTable:
                     if ts is not None and ts <= cutoff:
                         os.unlink(abs_p)
                         deleted.append(rel)
+        changes_root = os.path.join(self.log.root, TableLog.CHANGES_DIR)
+        if os.path.isdir(changes_root):
+            for name in os.listdir(changes_root):
+                if not name.startswith("v="):
+                    continue
+                v = int(name[2:])
+                ts = commit_ts.get(v)
+                # keep the current version's changes regardless
+                if ts is not None and ts <= cutoff and v < snap.version:
+                    shutil.rmtree(os.path.join(changes_root, name),
+                                  ignore_errors=True)
+                    deleted.append(f"{TableLog.CHANGES_DIR}/{name}")
         return deleted
 
     def restore(self, version: int) -> Commit:

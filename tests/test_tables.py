@@ -176,12 +176,16 @@ def test_optimize_compacts(spark, table):
 def test_vacuum(spark, table):
     import os
     table.write(make_df(spark, [(1, "a", "a@x")]))
+    (table.merge(make_df(spark, [(1, "A", "A@x")]), on="id")
+     .when_matched_update_all().execute())               # writes CDF changes
     table.write(make_df(spark, [(2, "b", "b@x")]), "overwrite")
     data = table.log.data_dir()
     assert len(os.listdir(data)) >= 2
     assert table.vacuum(retention_hours=168.0) == []     # too young
     deleted = table.vacuum(retention_hours=0.0)
     assert len(deleted) >= 1
+    # aged-out CDF change files are vacuumed too
+    assert any(d.startswith("_changes/") for d in deleted)
     assert rows_of(table.read()) == [(2, "b", "b@x")]    # current still reads
 
 
