@@ -170,6 +170,12 @@ def _q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q1_pricing_summary(load_table(spark, sf_dir, "lineitem"))
 
 
+def _q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deltalake_poc_spark.analytics.tpch import q6_forecast_revenue
+
+    return q6_forecast_revenue(load_table(spark, sf_dir, "lineitem"))
+
+
 def _q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     from deltalake_poc_spark.analytics.tpch import q3_shipping_priority
 
@@ -454,6 +460,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scalar_showcase": _scalar_showcase,                 # F2-F10
         "cdc_pipeline": _cdc_pipeline,                       # S14 P1-P9 J4 J5 M1 M3
         "q1_pricing_summary": _q1_pricing_summary,           # wide-scan computed agg
+        "q6_forecast_revenue": _q6_forecast_revenue,         # selective scan-agg
         "q3_shipping_priority": _q3_shipping_priority,       # 3-way join top-k
         "q5_local_supplier": _q5_local_supplier_volume,      # 5-way join bcast dims
         "asof_join": _asof_join,                             # as-of join (custom op)
@@ -616,6 +623,14 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_shipdate < TIMESTAMP '1998-09-01'
             GROUP BY l_returnflag, l_linestatus
+        """,
+        "q6_forecast_revenue": """
+            SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+              AND l_shipdate < TIMESTAMP '1995-01-01'
+              AND l_discount >= 0.05 AND l_discount <= 0.07
+              AND l_quantity < 24
         """,
         "q3_shipping_priority": """
             SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,

@@ -41,6 +41,21 @@ def q1_pricing_summary(lineitem: DataFrame, ship_before: str = "1998-09-01") -> 
     )
 
 
+def q6_forecast_revenue(lineitem: DataFrame) -> DataFrame:
+    """Q6: highly selective scan-and-aggregate — every predicate pushes
+    to the parquet scan, the aggregation is a single partial+final sum."""
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= "1994-01-01")
+            & (F.col("l_shipdate") < "1995-01-01")
+            & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
+             .alias("revenue"))
+    )
+
+
 def q3_shipping_priority(customer: DataFrame, orders: DataFrame,
                          lineitem: DataFrame, segment: str = "BUILDING",
                          cutoff: str = "1995-03-15", k: int = 10) -> DataFrame:
