@@ -1,0 +1,88 @@
+"""Adversarial edges: empty CDC batches, deleting every row, merge
+into empty tables, events missing source metadata."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from deltalake_poc_spark.cdc import CDCApplier, parse_debezium
+from deltalake_poc_spark.tables import VersionedTable
+
+CUST = {"id": 1, "first_name": "A", "last_name": "B", "email": "a@x",
+        "phone": None, "address": "1", "created_at": 1700000000_000000,
+        "updated_at": 1700000000_000000}
+
+
+def _raw(spark, rows):
+    return spark.createDataFrame(
+        rows, "key string, value string, topic string, partition int, offset long")
+
+
+def _msg(op, id_, lsn, after=None, before=None, source=True):
+    payload = {"op": op, "ts_ms": 1700000000000}
+    if source:
+        payload["source"] = {
+            "version": "1", "connector": "p", "name": "cdc",
+            "ts_ms": 1700000000000, "snapshot": "false", "db": "d",
+            "schema": "public", "table": "customers", "txId": lsn, "lsn": lsn}
+    if after is not None:
+        payload["after"] = after
+    if before is not None:
+        payload["before"] = before
+    return (json.dumps({"payload": {"id": id_}}),
+            json.dumps({"payload": payload}),
+            "cdc.public.customers", 0, lsn)
+
+
+def test_empty_batch_apply(spark, tmp_path):
+    applier = CDCApplier(spark, str(tmp_path))
+    empty = parse_debezium(_raw(spark, []))
+    m = applier.apply_batch(empty, tables=["customers"])
+    assert m["customers"]["numTargetRowsInserted"] == 0
+    assert applier.snapshot_table("customers").read().count() == 0
+    # and a real batch afterwards still works
+    applier.apply_batch(parse_debezium(_raw(spark, [
+        _msg("c", 1, 10, after=CUST)])))
+    assert applier.snapshot_table("customers").read().count() == 1
+
+
+def test_delete_every_row(spark, tmp_path):
+    schema = spark.createDataFrame([], "id long, v string").schema
+    t = VersionedTable.create(spark, str(tmp_path / "t"), schema,
+                              properties={"enableChangeDataFeed": "true"})
+    t.write(spark.createDataFrame([(1, "a"), (2, "b")], schema))
+    c = t.delete("id >= 0")
+    assert c.metrics["numDeletedRows"] == 2
+    assert t.read().count() == 0                 # empty-but-readable
+    assert t.snapshot().files == []
+    cdf = t.read_change_feed(0)
+    assert cdf.filter("_change_type = 'delete'").count() == 2
+    # table accepts new writes after full deletion
+    t.write(spark.createDataFrame([(3, "c")], schema))
+    assert t.read().count() == 1
+
+
+def test_merge_into_never_written_table(spark, tmp_path):
+    schema = spark.createDataFrame([], "id long, v string").schema
+    t = VersionedTable.create(spark, str(tmp_path / "t"), schema)
+    c = (t.merge(spark.createDataFrame([(1, "a")], schema), on="id")
+         .when_matched_update_all().when_not_matched_insert_all().execute())
+    assert c.metrics["numTargetRowsInserted"] == 1
+    assert t.read().count() == 1
+
+
+def test_event_without_source_block_is_isolated(spark, tmp_path):
+    """An envelope missing its source block parses (null lsn/table) but
+    cannot route to a table — it lands in the audit trail only."""
+    applier = CDCApplier(spark, str(tmp_path))
+    events = parse_debezium(_raw(spark, [
+        _msg("c", 1, 10, after=CUST),
+        _msg("c", 2, 11, after={**CUST, "id": 2}, source=False),
+    ]))
+    assert events.count() == 2
+    applier.apply_batch(events)
+    assert applier.audit_table().read().count() == 2
+    snap = applier.snapshot_table("customers").read()
+    assert [r["id"] for r in snap.collect()] == [1]  # sourceless not routed
