@@ -380,6 +380,13 @@ def _top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_tokens(load_table(spark, sf_dir, "documents"), k=10)
 
 
+def _doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deltalake_poc_spark.pipeline.text import chunk_documents
+
+    return chunk_documents(load_table(spark, sf_dir, "documents"),
+                           chunk_tokens=16, overlap=4)
+
+
 def _tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from deltalake_poc_spark.pipeline.text import tf_idf
 
@@ -479,6 +486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _lang_id,                                 # language ID
         "doc_fingerprint": _doc_fingerprint,                 # fingerprinting
         "top_tokens": _top_tokens,                           # token counting
+        "doc_chunks": _doc_chunks,                           # chunking w/ overlap
         "tf_idf": _tf_idf,                                   # corpus TF-IDF
         "scrub_pii": _scrub_pii,                             # PII scrubbing
         "embedding_topk": _embedding_topk,                   # brute-force ANN baseline
@@ -858,6 +866,23 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY token
             ORDER BY freq DESC, token ASC
             LIMIT 10
+        """,
+        "doc_chunks": """
+            WITH toks AS (
+                SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents
+            ), sized AS (
+                SELECT doc_id, t,
+                       greatest(CAST(ceil((len(t) - 4) / 12.0) AS INT), 1) AS nc
+                FROM toks
+            ), exploded AS (
+                SELECT doc_id, t, unnest(range(nc)) AS i FROM sized
+            )
+            SELECT doc_id,
+                   CAST(i AS INT) AS chunk_idx,
+                   array_to_string(t[i*12+1 : i*12+16], ' ') AS chunk_text,
+                   len(string_split(array_to_string(t[i*12+1 : i*12+16], ' '), ' '))
+                       AS n_chunk_tokens
+            FROM exploded
         """,
         "tf_idf": """
             WITH posting AS (

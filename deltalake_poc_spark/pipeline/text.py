@@ -155,6 +155,34 @@ def tf_idf(docs: DataFrame, min_df: int = 1) -> DataFrame:
     )
 
 
+def chunk_documents(docs: DataFrame, chunk_tokens: int = 64,
+                    overlap: int = 16) -> DataFrame:
+    """Split documents into overlapping token-window chunks (the
+    standard pre-tokenization step for training/embedding pipelines).
+    Stride = chunk_tokens - overlap; the last partial window is kept.
+    Row-local (sequence/transform/slice + posexplode) — no shuffle,
+    scales linearly with corpus size."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = tokens_col()
+    n = F.size(F.col("__toks"))
+    n_chunks = F.greatest(
+        F.ceil((n - F.lit(overlap)) / F.lit(stride)).cast("int"), F.lit(1))
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(
+            " ", F.slice(F.col("__toks"), (i * stride).cast("int") + 1,
+                         chunk_tokens)),
+    )
+    return (
+        docs.select("doc_id", toks.alias("__toks"))
+        .select("doc_id", F.posexplode(chunks).alias("chunk_idx", "chunk_text"))
+        .withColumn("n_chunk_tokens",
+                    F.size(F.split(F.col("chunk_text"), " ")))
+    )
+
+
 def top_tokens(docs: DataFrame, k: int = 10) -> DataFrame:
     """Corpus-level token frequency top-k (the classic map-side-combine
     aggregation: explode -> partial count -> final count -> TakeOrdered)."""
