@@ -41,10 +41,14 @@ FORMAT_NAME = "versioned_table"
 
 class _FilePartition(InputPartition):
     def __init__(self, abs_path: str, field_names: list[str],
-                 partition_values: dict[str, str]):
+                 partition_values: dict[str, str],
+                 constants: dict[str, object] | None = None):
         self.abs_path = abs_path
         self.field_names = field_names
         self.partition_values = partition_values
+        # column -> fixed value (CDF stamps: _change_type for derived
+        # commits, _commit_version/_commit_timestamp always)
+        self.constants = constants or {}
 
 
 class VersionedTableStreamReader(DataSourceStreamReader):
@@ -54,6 +58,8 @@ class VersionedTableStreamReader(DataSourceStreamReader):
         self.schema = schema
         self.ignore_changes = str(
             options.get("ignorechanges", "false")).lower() == "true"
+        self.read_change_feed = str(
+            options.get("readchangefeed", "false")).lower() == "true"
         self.starting_version = int(options.get("startingversion", -1))
 
     def _log(self) -> TableLog:
@@ -70,11 +76,10 @@ class VersionedTableStreamReader(DataSourceStreamReader):
             return {"version": self.starting_version}
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        if self.read_change_feed:
+            return self._cdf_partitions(start, end)
         log = self._log()
         parts: list[InputPartition] = []
-        snap = log.snapshot(end["version"])
-        part_cols = json.loads(
-            snap.properties.get("partitionColumns", "[]"))
         for c in log.commits(start["version"] + 1, end["version"]):
             if c.remove and not self.ignore_changes:
                 raise ValueError(
@@ -85,12 +90,55 @@ class VersionedTableStreamReader(DataSourceStreamReader):
             if c.operation == "OPTIMIZE":
                 continue  # pure compaction: no new logical rows
             for a in c.add:
-                pv = dict(a.partition) if a.partition else {}
-                if part_cols and not pv:
-                    pv = {}
                 parts.append(_FilePartition(
                     os.path.join(self.root, a.path),
-                    self.schema_fields, pv))
+                    self.schema_fields,
+                    dict(a.partition) if a.partition else {}))
+        return parts
+
+    def _cdf_partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        """Change-feed mode: each commit contributes its change rows
+        (derived inserts for append commits, explicit change files for
+        merge/update/delete, insert+delete pairs for overwrite/restore)
+        — the streaming twin of VersionedTable.read_change_feed (S8)."""
+        import datetime
+
+        log = self._log()
+        parts: list[InputPartition] = []
+        for c in log.commits(start["version"] + 1, end["version"]):
+            stamps = {
+                "_commit_version": c.version,
+                "_commit_timestamp": datetime.datetime.utcfromtimestamp(
+                    c.timestamp / 1000.0),
+            }
+
+            def fp(path, change_type=None, pv=None):
+                consts = dict(stamps)
+                if change_type is not None:
+                    consts["_change_type"] = change_type
+                if pv is None:  # recover partition values from k=v path segs
+                    pv = {seg.split("=", 1)[0]: seg.split("=", 1)[1]
+                          for seg in path.split("/") if "=" in seg}
+                return _FilePartition(os.path.join(self.root, path),
+                                      self.schema_fields, pv, consts)
+
+            if c.operation in ("WRITE", "APPEND", "CREATE TABLE"):
+                for a in c.add:
+                    parts.append(fp(a.path, "insert",
+                                    dict(a.partition) if a.partition else {}))
+            elif c.operation in ("OVERWRITE", "RESTORE"):
+                for a in c.add:
+                    parts.append(fp(a.path, "insert",
+                                    dict(a.partition) if a.partition else {}))
+                for r in c.remove:
+                    parts.append(fp(r, "delete"))
+            elif c.operation in ("MERGE", "DELETE", "UPDATE"):
+                cd = log.changes_dir(c.version)
+                if os.path.isdir(cd):
+                    for name in sorted(os.listdir(cd)):
+                        if name.endswith(".parquet"):
+                            parts.append(fp(os.path.join(
+                                TableLog.CHANGES_DIR, f"v={c.version}", name)))
         return parts
 
     def read(self, partition: _FilePartition) -> Iterator[tuple]:
@@ -101,7 +149,9 @@ class VersionedTableStreamReader(DataSourceStreamReader):
         n = table.num_rows
         present = set(table.schema.names)
         for name in partition.field_names:
-            if name in present:
+            if name in partition.constants:
+                cols[name] = [partition.constants[name]] * n
+            elif name in present:
                 cols[name] = table.column(name).to_pylist()
             elif name in partition.partition_values:
                 cols[name] = [partition.partition_values[name]] * n
@@ -155,10 +205,19 @@ class VersionedTableDataSource(DataSource):
         return log.snapshot(v, ts)
 
     def schema(self) -> StructType:
+        from pyspark.sql.types import LongType, StringType, StructField, TimestampType
+
         snap = self._snapshot()
         if not snap.schema_json:
             raise ValueError("table has no declared schema")
-        return StructType.fromJson(json.loads(snap.schema_json))
+        base = StructType.fromJson(json.loads(snap.schema_json))
+        if str(self.options.get("readchangefeed", "false")).lower() == "true":
+            return StructType(base.fields + [
+                StructField("_change_type", StringType()),
+                StructField("_commit_version", LongType()),
+                StructField("_commit_timestamp", TimestampType()),
+            ])
+        return base
 
     def reader(self, schema: StructType) -> VersionedTableBatchReader:
         return VersionedTableBatchReader(schema, dict(self.options))

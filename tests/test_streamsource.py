@@ -82,6 +82,52 @@ def test_batch_format_read_with_time_travel(spark, tmp_path):
     assert [r["id"] for r in by_ts.collect()] == [1]
 
 
+def test_stream_change_feed(spark, tmp_path):
+    """readChangeFeed streaming: each commit's change rows arrive as a
+    micro-batch with _change_type/_commit_version stamps."""
+    register_stream_source(spark)
+    schema = spark.createDataFrame([], "id long, v string").schema
+    root = str(tmp_path / "t")
+    t = VersionedTable.create(spark, root, schema,
+                              properties={"enableChangeDataFeed": "true"})
+    t.write(spark.createDataFrame([(1, "a"), (2, "b")], schema))      # v1
+    (t.merge(spark.createDataFrame([(2, "B"), (3, "c")], schema), on="id")
+     .when_matched_update_all().when_not_matched_insert_all().execute())  # v2
+    t.delete("id = 1")                                                 # v3
+
+    out_dir, ckpt = str(tmp_path / "o"), str(tmp_path / "c")
+    q = (spark.readStream.format("versioned_table")
+         .option("path", root).option("readChangeFeed", "true")
+         .load().writeStream.format("parquet").option("path", out_dir)
+         .option("checkpointLocation", ckpt)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted((r["_commit_version"], r["_change_type"], r["id"])
+                 for r in spark.read.parquet(out_dir).collect())
+    assert got == [
+        (1, "insert", 1), (1, "insert", 2),
+        (2, "insert", 3),
+        (2, "update_postimage", 2), (2, "update_preimage", 2),
+        (3, "delete", 1),
+    ]
+    # matches the batch CDF reader exactly
+    batch = sorted((r["_commit_version"], r["_change_type"], r["id"])
+                   for r in t.read_change_feed(0).collect())
+    assert got == batch
+
+    # incremental: a new delete arrives alone on resume
+    t.delete("id = 3")                                                 # v4
+    q = (spark.readStream.format("versioned_table")
+         .option("path", root).option("readChangeFeed", "true")
+         .load().writeStream.format("parquet").option("path", out_dir)
+         .option("checkpointLocation", ckpt)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    v4 = [r for r in spark.read.parquet(out_dir).collect()
+          if r["_commit_version"] == 4]
+    assert [(r["_change_type"], r["id"]) for r in v4] == [("delete", 3)]
+
+
 def test_stream_partitioned_table(spark, tmp_path):
     register_stream_source(spark)
     schema = spark.createDataFrame([], "id long, region string").schema
