@@ -82,6 +82,14 @@ def _order_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return Q.order_rollup(load_table(spark, sf_dir, "orders"))
 
 
+def _order_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return Q.order_cube(load_table(spark, sf_dir, "orders"))
+
+
+def _price_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return Q.price_ranks(load_table(spark, sf_dir, "orders"))
+
+
 def _stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return Q.stats_moments(load_table(spark, sf_dir, "lineitem"))
 
@@ -460,6 +468,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "analytics_summary": _analytics_summary,             # A8 A9 U1
         "change_type_counts": _change_type_counts,           # A6
         "order_rollup": _order_rollup,                       # ROLLUP subtotals
+        "order_cube": _order_cube,                           # CUBE subtotals
+        "price_ranks": _price_ranks,                         # rank/ntile windows
         "stats_moments": _stats_moments,                     # percentile/stddev/corr
         "top_value_events": _top_value_events,               # O1 O4
         "version_diff_keys": _version_diff_keys,             # U3 P6
@@ -573,6 +583,24 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(o_totalprice), 2) AS total_revenue
             FROM orders
             GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        """,
+        "order_cube": """
+            SELECT o_orderstatus, o_orderpriority,
+                   COUNT(*) AS order_count,
+                   ROUND(SUM(o_totalprice), 2) AS total_revenue
+            FROM orders
+            GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        """,
+        "price_ranks": """
+            SELECT * FROM (
+                SELECT o_orderkey, o_orderstatus,
+                       ROUND(o_totalprice, 2) AS price,
+                       RANK() OVER w AS price_rank,
+                       NTILE(4) OVER w AS quartile
+                FROM orders
+                WINDOW w AS (PARTITION BY o_orderstatus
+                             ORDER BY o_totalprice DESC, o_orderkey ASC)
+            ) WHERE price_rank <= 100
         """,
         "stats_moments": """
             SELECT l_returnflag,

@@ -218,6 +218,37 @@ def order_rollup(orders: DataFrame) -> DataFrame:
     )
 
 
+def price_ranks(orders: DataFrame, k: int = 100) -> DataFrame:
+    """Ranking window functions (rank + ntile) — top-k orders per
+    status with quartile assignment. Deterministic tiebreak on the key
+    so results are engine-portable. One shuffle on the partition key;
+    both windows share it."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.select(
+            "o_orderkey", "o_orderstatus",
+            F.round("o_totalprice", 2).alias("price"),
+            F.rank().over(w).alias("price_rank"),
+            F.ntile(4).over(w).alias("quartile"),
+        )
+        .filter(F.col("price_rank") <= k)
+    )
+
+
+def order_cube(orders: DataFrame) -> DataFrame:
+    """CUBE over (status, priority): every subtotal combination."""
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("order_count"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_revenue"),
+        )
+    )
+
+
 def approx_stats(df: DataFrame, group_col: str, value_col: str,
                  distinct_col: str, rsd: float = 0.05) -> DataFrame:
     """Sketch-based aggregates for the 100 TB regime: HyperLogLog++
