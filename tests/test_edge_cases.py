@@ -73,6 +73,18 @@ def test_merge_into_never_written_table(spark, tmp_path):
     assert t.read().count() == 1
 
 
+def test_restore_reverts_schema_evolution(spark, tmp_path):
+    schema = spark.createDataFrame([], "id long, v string").schema
+    t = VersionedTable.create(spark, str(tmp_path / "t"), schema)
+    t.write(spark.createDataFrame([(1, "a")], schema))                  # v1
+    t.write(spark.createDataFrame([(2, "b", "X")],
+                                  "id long, v string, extra string"))  # v2 evolves
+    assert "extra" in t.read().columns
+    t.restore(1)                                                        # v3
+    assert t.read().columns == ["id", "v"]
+    assert [r["id"] for r in t.read().collect()] == [1]
+
+
 def test_event_without_source_block_is_isolated(spark, tmp_path):
     """An envelope missing its source block parses (null lsn/table) but
     cannot route to a table — it lands in the audit trail only."""
