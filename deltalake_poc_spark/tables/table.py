@@ -498,18 +498,31 @@ class VersionedTable:
                   "operationParameters string, operationMetrics string")
 
     def optimize(self, target_file_rows: int = 1_000_000,
-                 zorder_by: list[str] | None = None) -> Commit:
+                 zorder_by: list[str] | None = None,
+                 partitions: dict[str, str] | None = None) -> Commit:
         """M5 — OPTIMIZE compaction (spark_delta_handler.py:282-289).
         Rewrites the current snapshot into ~target-sized files. With
         ``zorder_by``: Morton bit-interleaved clustering (tables/
         zorder.py) so per-file min/max stats prune on EVERY clustered
         column, not just the leading one — the Delta OPTIMIZE ZORDER
-        equivalent."""
+        equivalent. With ``partitions`` (column -> value), only files
+        of matching partitions rewrite (Delta's OPTIMIZE ... WHERE) —
+        at scale you compact the hot partition, not the table."""
         snap = self.snapshot()
-        if not snap.files:
+        files = snap.files
+        if partitions:
+            pcols = self.partition_columns(snap)
+            unknown = set(partitions) - set(pcols)
+            if unknown:
+                raise ValueError(
+                    f"optimize partitions filter on non-partition cols: {unknown}")
+            files = [e for e in files
+                     if all(e.partition.get(k) == str(v)
+                            for k, v in partitions.items())]
+        if not files:
             return self._noop_commit("OPTIMIZE", {})
-        df = self._read_files(snap.file_paths, snap)
-        total = sum(e.num_records for e in snap.files)
+        df = self._read_files([e.path for e in files], snap)
+        total = sum(e.num_records for e in files)
         nparts = max(1, (total + target_file_rows - 1) // target_file_rows)
         pb = self.partition_columns(snap) or None
         if zorder_by:
@@ -524,10 +537,11 @@ class VersionedTable:
             version=self.log.next_version(),
             timestamp=self.log.monotonic_now_ms(),
             operation="OPTIMIZE",
-            operation_parameters={"zorderBy": zorder_by or []},
+            operation_parameters={"zorderBy": zorder_by or [],
+                                  "partitions": partitions or {}},
             add=entries,
-            remove=snap.file_paths,
-            metrics={"numRemovedFiles": len(snap.files),
+            remove=[e.path for e in files],
+            metrics={"numRemovedFiles": len(files),
                      "numAddedFiles": len(entries)},
         )
         self.log.write_commit(c)

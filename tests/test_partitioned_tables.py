@@ -66,6 +66,23 @@ def test_merge_and_delete_on_partitioned(spark, ptable):
     assert sorted(dels) == [1, 3]
 
 
+def test_partition_scoped_optimize(spark, ptable):
+    for i in range(4):  # 4 small appends -> 4+ files per partition
+        ptable.write(_rows(spark, [(i * 2, "eu", f"e{i}"), (i * 2 + 1, "us", f"u{i}")]))
+    before = ptable.snapshot().files
+    us_before = {e.path for e in before if e.partition.get("region") == "us"}
+    c = ptable.optimize(target_file_rows=1000, partitions={"region": "eu"})
+    after = ptable.snapshot().files
+    us_after = {e.path for e in after if e.partition.get("region") == "us"}
+    assert us_before == us_after                      # us untouched
+    eu_after = [e for e in after if e.partition.get("region") == "eu"]
+    assert len(eu_after) == 1                         # eu compacted
+    assert c.metrics["numRemovedFiles"] == 4
+    assert ptable.read().count() == 8
+    with pytest.raises(ValueError, match="non-partition"):
+        ptable.optimize(partitions={"v": "x"})
+
+
 def test_partitioned_audit_table(spark, tmp_path):
     import json
 
