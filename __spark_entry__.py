@@ -78,6 +78,56 @@ def _change_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return Q.change_type_counts(load_table(spark, sf_dir, "events"))
 
 
+def _customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join (NOT EXISTS): customers who never ordered; plus the
+    semi-join count as a cross-check column is left to the oracle."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+def _suppliers_with_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join (EXISTS): suppliers that appear in lineitem."""
+    supplier = load_table(spark, sf_dir, "supplier")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return supplier.join(
+        lineitem, supplier.s_suppkey == lineitem.l_suppkey, "left_semi"
+    ).select("s_suppkey", "s_name")
+
+
+def _string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function surface beyond the reference: case, substring,
+    padding, reverse, replace, edit distance — all engine-portable."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper(F.col("p_brand")).alias("brand_upper"),
+        F.substring(F.col("p_name"), 1, 8).alias("name_prefix"),
+        F.lpad(F.col("p_partkey").cast("string"), 10, "0").alias("key_padded"),
+        F.reverse(F.col("p_brand")).alias("brand_rev"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+        F.levenshtein(F.col("p_brand"), F.col("p_type")).alias("brand_type_dist"),
+        F.length(F.col("p_name")).alias("name_len"),
+    )
+
+
+def _date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time extraction + arithmetic (engine-portable subset:
+    year/month/day/quarter and day difference from a fixed epoch)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("o_year"),
+        F.month("o_orderdate").alias("o_month"),
+        F.dayofmonth("o_orderdate").alias("o_day"),
+        F.quarter("o_orderdate").alias("o_quarter"),
+        F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date"))
+        .alias("days_since_1992"),
+    )
+
+
 def _order_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return Q.order_rollup(load_table(spark, sf_dir, "orders"))
 
@@ -473,6 +523,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_moments": _stats_moments,                     # percentile/stddev/corr
         "top_value_events": _top_value_events,               # O1 O4
         "version_diff_keys": _version_diff_keys,             # U3 P6
+        "customers_without_orders": _customers_without_orders,  # anti join
+        "suppliers_with_lineitems": _suppliers_with_lineitems,  # semi join
+        "string_funcs": _string_funcs,                       # string surface
+        "date_parts": _date_parts,                           # date extraction
         "inventory_status": _inventory_status,               # F8
         "scalar_showcase": _scalar_showcase,                 # F2-F10
         "cdc_pipeline": _cdc_pipeline,                       # S14 P1-P9 J4 J5 M1 M3
@@ -576,6 +630,40 @@ def oracle_sql() -> dict[str, str]:
         """,
         "change_type_counts": """
             SELECT event_type, COUNT(*) AS cnt FROM events GROUP BY event_type
+        """,
+        "customers_without_orders": """
+            SELECT c_custkey, c_name, c_mktsegment
+            FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey)
+        """,
+        "suppliers_with_lineitems": """
+            SELECT s_suppkey, s_name
+            FROM supplier s
+            WHERE EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_suppkey = s.s_suppkey)
+        """,
+        "string_funcs": """
+            SELECT p_partkey,
+                   upper(p_brand) AS brand_upper,
+                   substring(p_name, 1, 8) AS name_prefix,
+                   lpad(CAST(p_partkey AS VARCHAR), 10, '0') AS key_padded,
+                   reverse(p_brand) AS brand_rev,
+                   replace(p_type, ' ', '_') AS type_snake,
+                   levenshtein(p_brand, p_type) AS brand_type_dist,
+                   length(p_name) AS name_len
+            FROM part
+        """,
+        "date_parts": """
+            SELECT o_orderkey,
+                   CAST(year(o_orderdate) AS INT) AS o_year,
+                   CAST(month(o_orderdate) AS INT) AS o_month,
+                   CAST(day(o_orderdate) AS INT) AS o_day,
+                   CAST(quarter(o_orderdate) AS INT) AS o_quarter,
+                   CAST(date_diff('day', DATE '1992-01-01',
+                                  CAST(o_orderdate AS DATE)) AS INT)
+                       AS days_since_1992
+            FROM orders
         """,
         "order_rollup": """
             SELECT o_orderstatus, o_orderpriority,
