@@ -7,6 +7,8 @@ from __future__ import annotations
 import json
 import os
 
+from pyspark.sql import functions as F
+
 from deltalake_poc_spark.streaming.stateful import (
     sessionize_stream, windowed_event_counts,
 )
@@ -64,6 +66,37 @@ def test_windowed_counts_stream(spark, tmp_path):
     h0 = datetime.datetime.utcfromtimestamp(BASE / 1000).strftime("%Y-%m-%d %H:%M")
     assert rows[(h0, "click")] == (2, 3.0)
     assert rows[(h0, "view")] == (1, 5.0)
+
+
+def test_stream_stream_join(spark, tmp_path):
+    """Two file streams joined on user within a 5-minute window."""
+    from deltalake_poc_spark.streaming.joins import stream_stream_join
+
+    lpath, rpath = str(tmp_path / "l"), str(tmp_path / "r")
+    _write_events(lpath, "l1.json", [
+        (BASE + 0, 1, "view", 1.0),
+        (BASE + 0, 2, "view", 2.0),
+    ])
+    _write_events(rpath, "r1.json", [
+        (BASE + 2 * 60_000, 1, "purchase", 10.0),    # within 5 min of view
+        (BASE + 30 * 60_000, 2, "purchase", 20.0),   # too late for user 2
+    ])
+    left = _stream(spark, lpath).select(
+        "user_id", "ts", F.col("value").alias("view_value"))
+    right = _stream(spark, rpath).select(
+        "user_id", "ts", F.col("value").alias("purchase_value"))
+    joined = stream_stream_join(
+        left, right.withColumnRenamed("ts", "p_ts"),
+        key="user_id", left_ts="ts", right_ts="p_ts", within="5 minutes")
+    out_dir = str(tmp_path / "out")
+    q = (joined.select("user_id", "view_value", "purchase_value")
+         .writeStream.format("parquet").option("path", out_dir)
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = [(r["user_id"], r["view_value"], r["purchase_value"])
+           for r in spark.read.parquet(out_dir).collect()]
+    assert got == [(1, 1.0, 10.0)]  # only the in-window pair joins
 
 
 def test_sessionize_stream_matches_batch(spark, tmp_path):
