@@ -89,7 +89,8 @@ def test_stream_stream_join(spark, tmp_path):
         left, right.withColumnRenamed("ts", "p_ts"),
         key="user_id", left_ts="ts", right_ts="p_ts", within="5 minutes")
     out_dir = str(tmp_path / "out")
-    q = (joined.select("user_id", "view_value", "purchase_value")
+    q = (joined.select(F.col("l.user_id").alias("user_id"),
+                       "view_value", "purchase_value")
          .writeStream.format("parquet").option("path", out_dir)
          .option("checkpointLocation", str(tmp_path / "ck"))
          .outputMode("append").trigger(availableNow=True).start())
