@@ -128,6 +128,26 @@ def _date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _customer_order_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation (collect_list/array_agg): sorted order-key
+    list per customer — nested results survive the value-hash compare
+    because both engines sort the array."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(F.array_sort(F.collect_list("o_orderkey")).alias("order_keys"),
+             F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+def _intersect_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT: customers active in both halves of the date range."""
+    orders = load_table(spark, sf_dir, "orders")
+    first = orders.filter(F.col("o_orderdate") < "1995-01-01").select("o_custkey")
+    second = orders.filter(F.col("o_orderdate") >= "1995-01-01").select("o_custkey")
+    return first.intersect(second)
+
+
 def _order_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return Q.order_rollup(load_table(spark, sf_dir, "orders"))
 
@@ -527,6 +547,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suppliers_with_lineitems": _suppliers_with_lineitems,  # semi join
         "string_funcs": _string_funcs,                       # string surface
         "date_parts": _date_parts,                           # date extraction
+        "customer_order_lists": _customer_order_lists,       # array_agg
+        "intersect_keys": _intersect_keys,                   # INTERSECT
         "inventory_status": _inventory_status,               # F8
         "scalar_showcase": _scalar_showcase,                 # F2-F10
         "cdc_pipeline": _cdc_pipeline,                       # S14 P1-P9 J4 J5 M1 M3
@@ -630,6 +652,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         "change_type_counts": """
             SELECT event_type, COUNT(*) AS cnt FROM events GROUP BY event_type
+        """,
+        "customer_order_lists": """
+            SELECT o_custkey,
+                   list_sort(list(o_orderkey)) AS order_keys,
+                   COUNT(*) AS n_orders
+            FROM orders
+            GROUP BY o_custkey
+        """,
+        "intersect_keys": """
+            SELECT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1995-01-01'
+            INTERSECT
+            SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1995-01-01'
         """,
         "customers_without_orders": """
             SELECT c_custkey, c_name, c_mktsegment
