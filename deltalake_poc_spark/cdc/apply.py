@@ -39,6 +39,7 @@ class CDCApplier:
         key_col: str = "id",
         enable_cdf: bool = True,
         infer_unknown_tables: bool = False,
+        evolve_schema: bool = False,
         auto_compact_every: int = 0,
         target_file_rows: int = 1_000_000,
     ):
@@ -54,6 +55,7 @@ class CDCApplier:
         self.key_col = key_col
         self.enable_cdf = enable_cdf
         self.infer_unknown_tables = infer_unknown_tables
+        self.evolve_schema = evolve_schema
         self.auto_compact_every = auto_compact_every
         self.target_file_rows = target_file_rows
         self._tables: dict[str, VersionedTable] = {}
@@ -172,7 +174,40 @@ class CDCApplier:
         finally:
             events.unpersist()
 
+    def _maybe_evolve_schema(self, events: DataFrame, name: str) -> None:
+        """Schema drift mid-stream (SURVEY.md §1.4 mode 3 / §7.6): new
+        fields appearing in after_data extend the declared schema and
+        the snapshot table (mergeSchema semantics — the reference's
+        spark.databricks.delta.schema.autoMerge.enabled=true). Dropped
+        columns keep their place (renames/drops are not destructive)."""
+        from deltalake_poc_spark.cdc.infer import infer_table_schema
+
+        current = self.table_schemas[name]
+        inferred = infer_table_schema(
+            self.spark, events.filter(F.col("source_table") == name), name)
+        known = {f.name for f in current.fields}
+        new_fields = [f for f in inferred.fields if f.name not in known]
+        if not new_fields:
+            return
+        evolved = StructType(current.fields + new_fields)
+        self.table_schemas[name] = evolved
+        table = self.snapshot_table(name)
+        # schema-only commit: append an empty frame carrying the evolved
+        # shape; _merged_schema_json extends the table schema, no data
+        meta_fields = [
+            S.StructField(S.META_OPERATION, S.StringType()),
+            S.StructField(S.META_TIMESTAMP, TimestampType()),
+            S.StructField(S.META_PROCESSED, TimestampType()),
+        ]
+        table.write(
+            self.spark.createDataFrame(
+                [], StructType(evolved.fields + meta_fields)),
+            "append",
+        )
+
     def _apply_table(self, events: DataFrame, name: str) -> dict:
+        if self.evolve_schema and name in self.table_schemas:
+            self._maybe_evolve_schema(events, name)
         table_schema = self.table_schemas[name]
         key = self.key_col
         ev = events.filter(F.col("source_table") == name)

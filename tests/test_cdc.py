@@ -161,6 +161,30 @@ def test_apply_idempotent_replay(spark, tmp_path):
     assert applier.audit_table().read().count() == 4
 
 
+def test_schema_evolution_mid_stream(spark, tmp_path):
+    """SURVEY.md §7.6: a new column appearing in after_data mid-stream
+    extends the snapshot schema (mergeSchema semantics); earlier rows
+    read as null for it."""
+    applier = CDCApplier(spark, str(tmp_path), evolve_schema=True)
+    applier.apply_batch(parse_debezium(_raw(spark, [
+        _msg("c", 1, lsn=10, after=CUST),
+    ])))
+    b2 = [_msg("c", 2, lsn=20,
+               after={**CUST, "id": 2, "loyalty_tier": "gold"})]
+    applier.apply_batch(parse_debezium(_raw(spark, b2)))
+    snap = applier.snapshot_table("customers").read()
+    assert "loyalty_tier" in snap.columns
+    rows = {r["id"]: r for r in snap.collect()}
+    assert rows[2]["loyalty_tier"] == "gold"
+    assert rows[1]["loyalty_tier"] is None
+    # a third batch updating row 1 populates the evolved column
+    applier.apply_batch(parse_debezium(_raw(spark, [
+        _msg("u", 1, lsn=30, after={**CUST, "loyalty_tier": "silver"}),
+    ])))
+    rows = {r["id"]: r for r in applier.snapshot_table("customers").read().collect()}
+    assert rows[1]["loyalty_tier"] == "silver"
+
+
 def test_synth_roundtrip(spark):
     """Distributed envelope synthesis parses back to the same facts."""
     from deltalake_poc_spark.cdc.synth import raw_kafka_frame
