@@ -421,6 +421,19 @@ def _ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                                n=3, threshold=0.15)
 
 
+def _dedup_group_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs -> groups: connected components (iterative min-label
+    propagation) over the exact n-gram Jaccard pairs, then every doc
+    mapped to its group keeper. Oracle: transitive closure via
+    recursive CTE."""
+    from deltalake_poc_spark.pipeline.dedup import (
+        dedup_groups, ngram_jaccard_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_groups(docs, ngram_jaccard_pairs(docs, threshold=0.15))
+
+
 def _minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from deltalake_poc_spark.pipeline.dedup import minhash_lsh_pairs
 
@@ -566,6 +579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training-data pipeline ops
         "dedup_exact_groups": _dedup_exact_groups,           # exact dedup
         "ngram_jaccard": _ngram_jaccard,                     # n-gram Jaccard pairs
+        "dedup_group_assign": _dedup_group_assign,           # connected components
         "minhash_dedup": _minhash_dedup,                     # MinHash+LSH (rows-only)
         "simhash_dedup": _simhash_dedup,                     # SimHash (rows-only)
         "text_quality": _text_quality,                       # quality scoring
@@ -963,6 +977,41 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(shared / (na + nb - shared), 4) AS jaccard
             FROM pairs
             WHERE ROUND(shared / (na + nb - shared), 4) >= 0.15
+        """,
+        "dedup_group_assign": """
+            WITH RECURSIVE toks AS (
+                SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents
+            ), grams AS (
+                SELECT doc_id,
+                       list_distinct([t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+                                      FOR i IN range(len(t) - 2)]) AS gs
+                FROM toks WHERE len(t) >= 3
+            ), posting AS (
+                SELECT doc_id, len(gs) AS n_grams, unnest(gs) AS gram FROM grams
+            ), pr AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       a.n_grams AS na, b.n_grams AS nb, COUNT(*) AS shared
+                FROM posting a JOIN posting b
+                  ON a.gram = b.gram AND a.doc_id < b.doc_id
+                GROUP BY 1, 2, 3, 4
+                HAVING ROUND(COUNT(*) / (a.n_grams + b.n_grams - COUNT(*)), 4) >= 0.15
+            ), edges AS (
+                SELECT doc_a AS a, doc_b AS b FROM pr
+                UNION
+                SELECT doc_b, doc_a FROM pr
+            ), reach(a, b) AS (
+                SELECT a, b FROM edges
+                UNION
+                SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+                WHERE e.b <> r.a
+            ), comp AS (
+                SELECT a AS doc_id, least(a, MIN(b)) AS group_id
+                FROM reach GROUP BY a
+            )
+            SELECT d.doc_id,
+                   COALESCE(c.group_id, d.doc_id) AS keep_doc_id,
+                   d.doc_id = COALESCE(c.group_id, d.doc_id) AS is_kept
+            FROM documents d LEFT JOIN comp c USING (doc_id)
         """,
         "text_quality": """
             WITH base AS (

@@ -274,6 +274,79 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
             .filter(F.col("hamming") <= max_hamming))
 
 
+# -------------------------------------------------- duplicate-group closure
+
+
+def connected_components(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
+    """Collapse near-dup PAIRS into duplicate GROUPS: connected
+    components by iterative min-label propagation (each node adopts the
+    smallest id reachable among its neighbors; iterate to fixpoint).
+
+    Returns (doc_id, group_id) where group_id = min doc_id of the
+    component — the canonical keeper. Convergence needs O(diameter)
+    rounds (dup clusters are near-cliques, so usually 2-3); each round
+    is one join + one aggregation, all distributed. Driver only checks
+    the converged flag per round — no data collected.
+
+    Input: columns doc_a, doc_b (as produced by the *_pairs functions).
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("group_id", F.col("doc_id"))
+        .persist()
+    )
+    try:
+        for _ in range(max_iterations):
+            neighbor_min = (
+                edges.join(labels, edges.dst == labels.doc_id)
+                .groupBy("src")
+                .agg(F.min("group_id").alias("nbr_min"))
+            )
+            updated = (
+                labels.join(neighbor_min,
+                            labels.doc_id == neighbor_min.src, "left")
+                .select(
+                    "doc_id",
+                    F.least(F.col("group_id"),
+                            F.coalesce(F.col("nbr_min"), F.col("group_id")))
+                    .alias("group_id"),
+                    (F.col("nbr_min") < F.col("group_id")).alias("__changed"),
+                )
+                .persist()
+            )
+            changed = updated.filter(F.col("__changed")).limit(1).count()
+            old = labels
+            labels = updated.drop("__changed").persist()
+            updated.unpersist()
+            old.unpersist()
+            if changed == 0:
+                break
+        return labels
+    finally:
+        edges.unpersist()
+
+
+def dedup_groups(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Final dedup decision from near-dup pairs: every doc mapped to
+    its group keeper; docs in no pair keep themselves."""
+    comp = connected_components(pairs)
+    return (
+        docs.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .select("doc_id",
+                F.coalesce("group_id", F.col("doc_id")).alias("keep_doc_id"))
+        .withColumn("is_kept", F.col("doc_id") == F.col("keep_doc_id"))
+    )
+
+
 # ------------------------------------------------------- embedding cosine
 
 

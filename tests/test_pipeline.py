@@ -76,6 +76,30 @@ def test_simhash(spark, docs):
     assert (5, 6) in near_pairs and near_pairs[(5, 6)] <= 10
 
 
+def test_connected_components_and_groups(spark):
+    # components: {1,2,3,7} (chain 1-2, 2-3, 3-7), {5,9}; 4 isolated
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 7), (5, 9)], "doc_a long, doc_b long")
+    comp = {r["doc_id"]: r["group_id"]
+            for r in dedup.connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 7: 1, 5: 5, 9: 5}
+    docs = spark.createDataFrame([(i,) for i in (1, 2, 3, 4, 5, 7, 9)],
+                                 "doc_id long")
+    groups = {r["doc_id"]: (r["keep_doc_id"], r["is_kept"])
+              for r in dedup.dedup_groups(docs, pairs).collect()}
+    assert groups[4] == (4, True)      # isolated doc keeps itself
+    assert groups[2] == (1, False)
+    assert groups[1] == (1, True)
+    assert groups[9] == (5, False)
+    # end-to-end: groups from actual minhash pairs on the doc fixture
+    d = spark.createDataFrame(DOCS, "doc_id long, text string")
+    mp = dedup.minhash_lsh_pairs(d, threshold=0.5)
+    g = {r["doc_id"]: r["keep_doc_id"]
+         for r in dedup.dedup_groups(d, mp).collect()}
+    assert g[3] == 0 and g[1] == 0     # near/exact dups of doc 0 collapse
+    assert g[2] == 2 and g[4] == 4
+
+
 def test_embedding_neardup(spark):
     rows = [
         (0, [1.0, 0.0, 0.0, 0.0], 0),
