@@ -133,10 +133,17 @@ def _customer_order_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
     list per customer — nested results survive the value-hash compare
     because both engines sort the array."""
     orders = load_table(spark, sf_dir, "orders")
+    keys = F.array_sort(F.collect_list("o_orderkey"))
     return (
         orders.groupBy("o_custkey")
-        .agg(F.array_sort(F.collect_list("o_orderkey")).alias("order_keys"),
-             F.count(F.lit(1)).alias("n_orders"))
+        .agg(
+            # serialize the array: engines disagree on list vs ndarray
+            # representation at the pandas layer; a CSV string compares
+            # robustly under any value-hash
+            F.concat_ws(",", F.transform(keys, lambda x: x.cast("string")))
+            .alias("order_keys_csv"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
     )
 
 
@@ -669,7 +676,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "customer_order_lists": """
             SELECT o_custkey,
-                   list_sort(list(o_orderkey)) AS order_keys,
+                   array_to_string(list_sort(list(o_orderkey)), ',') AS order_keys_csv,
                    COUNT(*) AS n_orders
             FROM orders
             GROUP BY o_custkey

@@ -42,7 +42,7 @@ def _canon_cell(v):
         return pd.Timestamp(v).isoformat()
     if isinstance(v, datetime.date):
         return v.isoformat()
-    if isinstance(v, (list, tuple)):
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
         return "[" + ",".join(_canon_cell(x) for x in v) + "]"
     return repr(v)
 
