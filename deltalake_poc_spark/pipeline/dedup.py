@@ -277,19 +277,52 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
 # -------------------------------------------------- duplicate-group closure
 
 
-def connected_components(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
+def connected_components(pairs: DataFrame, max_iterations: int = 20,
+                         driver_threshold: int = 1_000_000) -> DataFrame:
     """Collapse near-dup PAIRS into duplicate GROUPS: connected
-    components by iterative min-label propagation (each node adopts the
-    smallest id reachable among its neighbors; iterate to fixpoint).
+    components; (doc_id, group_id) where group_id = min doc_id of the
+    component — the canonical keeper.
 
-    Returns (doc_id, group_id) where group_id = min doc_id of the
-    component — the canonical keeper. Convergence needs O(diameter)
-    rounds (dup clusters are near-cliques, so usually 2-3); each round
-    is one join + one aggregation, all distributed. Driver only checks
-    the converged flag per round — no data collected.
+    Two regimes, picked by edge count:
+    - up to ``driver_threshold`` edges: union-find on the driver (dup
+      pair sets are usually far smaller than the corpus; one collect
+      of the PAIRS — never the docs — beats multi-round job overhead)
+    - larger: distributed min-label propagation — each round one join
+      + one min-aggregation; O(diameter) rounds (dup clusters are
+      near-cliques, so usually 2-3); driver only sees the converged
+      flag.
 
     Input: columns doc_a, doc_b (as produced by the *_pairs functions).
     """
+    spark = pairs.sparkSession
+    pairs = pairs.persist()  # edge-count probe + collect/iteration reuse
+    n_edges = pairs.limit(driver_threshold + 1).count()
+    if n_edges <= driver_threshold:
+        try:
+            edge_rows = pairs.select("doc_a", "doc_b").collect()
+        finally:
+            pairs.unpersist()
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for r in edge_rows:
+            a, b = find(r["doc_a"]), find(r["doc_b"])
+            if a != b:
+                lo, hi = (a, b) if a < b else (b, a)
+                parent[hi] = lo
+        members = set()
+        for r in edge_rows:
+            members.add(r["doc_a"])
+            members.add(r["doc_b"])
+        data = [(m, find(m)) for m in sorted(members)]
+        return spark.createDataFrame(data, "doc_id long, group_id long")
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionByName(
@@ -297,6 +330,7 @@ def connected_components(pairs: DataFrame, max_iterations: int = 20) -> DataFram
         .distinct()
         .persist()
     )
+    pairs.unpersist()
     labels = (
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
