@@ -604,6 +604,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def _davg(col: str, scale: int = 2, nd: int = 2) -> str:
+    """DuckDB mirror of money.dec_avg: half-up average of a positive
+    measure at nd decimals via exact integer arithmetic (no
+    round-on-double — Spark and DuckDB disagree on .xx5 quotients)."""
+    K, M = 10 ** nd, 10 ** scale
+    s = (f"CAST(SUM(CAST(CAST({col} AS DECIMAL(18,{scale})) * {M} AS BIGINT))"
+         f" AS BIGINT)")
+    n = f"COUNT({col})"
+    return (f"(CAST(({2 * K} * {s} + {M} * {n}) // (2 * {M} * {n})"
+            f" AS DOUBLE) / {K}.0)")
+
+
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for each query (same column aliases)."""
     return {
@@ -633,19 +645,20 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey
             GROUP BY o.o_orderkey, o.o_orderstatus
         """,
-        "order_analytics": """
+        "order_analytics": f"""
             SELECT strftime(date_trunc('day', o_orderdate), '%Y-%m-%d') AS order_day,
                    o_orderstatus,
                    COUNT(*) AS order_count,
-                   ROUND(SUM(o_totalprice), 2) AS total_revenue,
-                   ROUND(AVG(o_totalprice), 2) AS avg_order_value
+                   CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+                       AS total_revenue,
+                   {_davg('o_totalprice')} AS avg_order_value
             FROM orders
             GROUP BY 1, 2
         """,
-        "priority_stats": """
+        "priority_stats": f"""
             SELECT o_orderpriority,
                    COUNT(*) AS order_count,
-                   ROUND(AVG(o_totalprice), 2) AS avg_price,
+                   {_davg('o_totalprice')} AS avg_price,
                    MIN(o_orderdate) AS first_order_date
             FROM orders
             WHERE o_orderstatus = 'F'
@@ -723,14 +736,16 @@ def oracle_sql() -> dict[str, str]:
         "order_rollup": """
             SELECT o_orderstatus, o_orderpriority,
                    COUNT(*) AS order_count,
-                   ROUND(SUM(o_totalprice), 2) AS total_revenue
+                   CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+                       AS total_revenue
             FROM orders
             GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         """,
         "order_cube": """
             SELECT o_orderstatus, o_orderpriority,
                    COUNT(*) AS order_count,
-                   ROUND(SUM(o_totalprice), 2) AS total_revenue
+                   CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+                       AS total_revenue
             FROM orders
             GROUP BY CUBE (o_orderstatus, o_orderpriority)
         """,
@@ -748,7 +763,8 @@ def oracle_sql() -> dict[str, str]:
         "stats_moments": """
             SELECT l_returnflag,
                    COUNT(*) AS n,
-                   ROUND(quantile_cont(l_extendedprice, 0.5), 2) AS median_price,
+                   quantile_cont(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 200
+                                      AS BIGINT), 0.5) / 200.0 AS median_price,
                    ROUND(quantile_cont(l_extendedprice, 0.95), 2) AS p95_price,
                    ROUND(stddev_samp(l_quantity), 4) AS qty_stddev,
                    ROUND(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr
@@ -789,22 +805,31 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id, val, name FROM latest WHERE rn = 1 AND op <> 'd'
         """,
-        "q1_pricing_summary": """
+        "q1_pricing_summary": f"""
             SELECT l_returnflag, l_linestatus,
-                   ROUND(SUM(l_quantity), 2) AS sum_qty,
-                   ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-                   ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-                   ROUND(AVG(l_quantity), 2) AS avg_qty,
-                   ROUND(AVG(l_extendedprice), 2) AS avg_price,
-                   ROUND(AVG(l_discount), 4) AS avg_disc,
+                   CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE)
+                       AS sum_qty,
+                   CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE)
+                       AS sum_base_price,
+                   CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                                  * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2)
+                        AS DOUBLE) AS sum_disc_price,
+                   CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                                  * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))
+                                  * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))), 2)
+                        AS DOUBLE) AS sum_charge,
+                   {_davg('l_quantity')} AS avg_qty,
+                   {_davg('l_extendedprice')} AS avg_price,
+                   {_davg('l_discount', 2, 4)} AS avg_disc,
                    COUNT(*) AS count_order
             FROM lineitem
             WHERE l_shipdate < TIMESTAMP '1998-09-01'
             GROUP BY l_returnflag, l_linestatus
         """,
         "q6_forecast_revenue": """
-            SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+            SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                                   * CAST(l_discount AS DECIMAL(4,2))), 2) AS DOUBLE)
+                       AS revenue
             FROM lineitem
             WHERE l_shipdate >= TIMESTAMP '1994-01-01'
               AND l_shipdate < TIMESTAMP '1995-01-01'
@@ -813,7 +838,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q3_shipping_priority": """
             SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
-                   ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+                   CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                                  * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(4,2)))), 2)
+                        AS DOUBLE) AS revenue
             FROM customer c
             JOIN orders o ON c.c_custkey = o.o_custkey
             JOIN lineitem l ON o.o_orderkey = l.l_orderkey
@@ -826,7 +853,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q5_local_supplier": """
             SELECT n.n_name,
-                   ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+                   CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                                  * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(4,2)))), 2)
+                        AS DOUBLE) AS revenue
             FROM region r
             JOIN nation n ON n.n_regionkey = r.r_regionkey
             JOIN customer c ON c.c_nationkey = n.n_nationkey
@@ -873,7 +902,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS window_start,
                    event_type,
                    COUNT(*) AS n_events,
-                   ROUND(SUM(value), 2) AS total_value
+                   CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+                       AS total_value
             FROM events
             GROUP BY 1, 2
         """,
@@ -888,25 +918,30 @@ def oracle_sql() -> dict[str, str]:
                             THEN 1 ELSE 0 END AS new_session
                 FROM events
             ), numbered AS (
-                SELECT *, SUM(new_session) OVER
+                -- CAST: DuckDB SUM(int) is HUGEINT, which pandas turns
+                -- into float64 ('1.0' vs Spark's long '1') — BIGINT keeps
+                -- both engines on int64
+                SELECT *, CAST(SUM(new_session) OVER
                           (PARTITION BY user_id ORDER BY ts_ms
-                           ROWS UNBOUNDED PRECEDING) AS session_idx
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
                 FROM flagged
             )
             SELECT user_id, session_idx,
                    COUNT(*) AS n_events,
                    MIN(ts_ms) AS start_ms,
                    MAX(ts_ms) AS end_ms,
-                   ROUND(SUM(value), 2) AS session_value
+                   CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+                       AS session_value
             FROM numbered
             GROUP BY user_id, session_idx
         """,
-        "mv_refresh": """
+        "mv_refresh": f"""
             SELECT strftime(date_trunc('day', o_orderdate), '%Y-%m-%d') AS order_day,
                    o_orderstatus,
                    COUNT(*) AS order_count,
-                   ROUND(SUM(o_totalprice), 2) AS total_revenue,
-                   ROUND(AVG(o_totalprice), 2) AS avg_order_value
+                   CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+                       AS total_revenue,
+                   {_davg('o_totalprice')} AS avg_order_value
             FROM orders
             GROUP BY 1, 2
         """,

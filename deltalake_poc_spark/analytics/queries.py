@@ -15,15 +15,18 @@ Scale notes (100 TB):
   ``groupBy().agg``, never RDDs.
 - Top-k (``orderBy().limit(k)``) plans TakeOrderedAndProject: per-
   partition heap + driver merge of k rows, no global sort.
-- Money aggregates are rounded to 2 decimals so results are stable
-  across summation orders (double addition is not associative; at
-  1000-executor parallelism partial-sum order is nondeterministic).
+- Money aggregates go through exact decimal addition (analytics/money.py)
+  so results are bit-identical across summation orders — double addition
+  is not associative, and at 1000-executor parallelism partial-sum order
+  is nondeterministic (r1 driver gate: 30/6332 groups flipped at 2dp).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from .money import dec_avg, dec_sum
 
 
 # ---------------------------------------------------------------------------
@@ -120,8 +123,10 @@ def order_analytics(orders: DataFrame) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("order_count"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_revenue"),
-            F.round(F.avg("o_totalprice"), 2).alias("avg_order_value"),
+            # exact decimal money aggregation (see analytics/money.py):
+            # ROUND(SUM(double)) flipped 30/6332 groups vs the oracle in r1
+            dec_sum("o_totalprice").alias("total_revenue"),
+            dec_avg("o_totalprice").alias("avg_order_value"),
         )
     )
 
@@ -137,7 +142,7 @@ def priority_stats(orders: DataFrame) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("order_count"),
-            F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+            dec_avg("o_totalprice").alias("avg_price"),
             F.min("o_orderdate").alias("first_order_date"),
         )
     )
@@ -196,9 +201,15 @@ def stats_moments(lineitem: DataFrame) -> DataFrame:
     Pearson correlation — all built-in JVM aggregates (percentile is
     exact here; swap to approx_percentile at 100 TB where a sketch
     with bounded memory is the right trade)."""
+    # median over DOUBLED integer cents: the 0.5-interpolation (a+b)/2
+    # then has an exact integer result regardless of which interpolation
+    # formula the engine uses — raw-double medians land on exact .xx45
+    # half-cent ties where Spark and DuckDB round different ways
+    half_cents = ("CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 200 "
+                  "AS BIGINT)")
     return lineitem.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 2).alias("median_price"),
+        (F.expr(f"percentile({half_cents}, 0.5)") / 200.0).alias("median_price"),
         F.round(F.expr("percentile(l_extendedprice, 0.95)"), 2).alias("p95_price"),
         F.round(F.stddev_samp("l_quantity"), 4).alias("qty_stddev"),
         F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("qty_price_corr"),
@@ -213,7 +224,7 @@ def order_rollup(orders: DataFrame) -> DataFrame:
         orders.rollup("o_orderstatus", "o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("order_count"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_revenue"),
+            dec_sum("o_totalprice").alias("total_revenue"),
         )
     )
 
@@ -244,7 +255,7 @@ def order_cube(orders: DataFrame) -> DataFrame:
         orders.cube("o_orderstatus", "o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("order_count"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_revenue"),
+            dec_sum("o_totalprice").alias("total_revenue"),
         )
     )
 

@@ -18,24 +18,39 @@ broadcast for the small sides at runtime.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from .money import as_dec, dec_avg, dec_sum
+
+# TPC-H money expressions in exact decimal (see analytics/money.py for
+# why: double summation is order-dependent and fails the exact-hash
+# oracle gate).  Precisions are tight so products stay exact:
+# price dec(12,2) * (1±x) dec(5,2) -> dec(18,4); * dec(5,2) -> dec(24,6).
+_ONE = F.lit(1).cast("decimal(3,2)")
+
+
+def _price() -> Column:
+    return as_dec("l_extendedprice", 2, 12)
+
+
+def _disc_price() -> Column:
+    return _price() * (_ONE - as_dec("l_discount", 2, 4))
 
 
 def q1_pricing_summary(lineitem: DataFrame, ship_before: str = "1998-09-01") -> DataFrame:
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    charge = disc_price * (1 + F.col("l_tax"))
+    charge = _disc_price() * (_ONE + as_dec("l_tax", 2, 4))
     return (
         lineitem.filter(F.col("l_shipdate") < ship_before)
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(charge), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            dec_sum("l_quantity", 2, 2, 12).alias("sum_qty"),
+            dec_sum("l_extendedprice", 2, 2, 12).alias("sum_base_price"),
+            F.round(F.sum(_disc_price()), 2).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).cast("double").alias("sum_charge"),
+            dec_avg("l_quantity", 2, 2, 12).alias("avg_qty"),
+            dec_avg("l_extendedprice", 2, 2, 12).alias("avg_price"),
+            dec_avg("l_discount", 2, 4, 4).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -51,15 +66,15 @@ def q6_forecast_revenue(lineitem: DataFrame) -> DataFrame:
             & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
             & (F.col("l_quantity") < 24)
         )
-        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
-             .alias("revenue"))
+        .agg(F.round(F.sum(_price() * as_dec("l_discount", 2, 4)), 2)
+             .cast("double").alias("revenue"))
     )
 
 
 def q3_shipping_priority(customer: DataFrame, orders: DataFrame,
                          lineitem: DataFrame, segment: str = "BUILDING",
                          cutoff: str = "1995-03-15", k: int = 10) -> DataFrame:
-    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    revenue = _disc_price()
     return (
         customer.filter(F.col("c_mktsegment") == segment)
         .join(orders, F.col("c_custkey") == F.col("o_custkey"))
@@ -67,7 +82,7 @@ def q3_shipping_priority(customer: DataFrame, orders: DataFrame,
         .join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
         .filter(F.col("l_shipdate") > cutoff)
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.round(F.sum(revenue), 2).alias("revenue"))
+        .agg(F.round(F.sum(revenue), 2).cast("double").alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
         .limit(k)
     )
@@ -79,7 +94,7 @@ def q5_local_supplier_volume(region: DataFrame, nation: DataFrame,
                              region_name: str = "ASIA") -> DataFrame:
     """Revenue by nation where customer and supplier share the nation.
     region/nation are broadcast (tiny); the fact joins carry the bulk."""
-    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    revenue = _disc_price()
     return (
         region.filter(F.col("r_name") == region_name)
         .join(nation, F.col("n_regionkey") == F.col("r_regionkey"))
@@ -92,5 +107,5 @@ def q5_local_supplier_volume(region: DataFrame, nation: DataFrame,
             & (F.col("s_nationkey") == F.col("c_nationkey")),
         )
         .groupBy("n_name")
-        .agg(F.round(F.sum(revenue), 2).alias("revenue"))
+        .agg(F.round(F.sum(revenue), 2).cast("double").alias("revenue"))
     )

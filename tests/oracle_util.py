@@ -37,7 +37,11 @@ def _canon_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NULL"
-        return f"{v:.6g}"
+        # Full precision (repr = shortest round-trip string): the driver's
+        # gate hashes exact values, so any float that differs in the last
+        # ulp must fail HERE, locally, not only in the driver run.
+        # (%.6g hid the r1 order_analytics/user_sessions failures.)
+        return repr(v)
     if isinstance(v, (pd.Timestamp, datetime.datetime)):
         return pd.Timestamp(v).isoformat()
     if isinstance(v, datetime.date):
