@@ -543,7 +543,9 @@ def _multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_chars") % 1920 + 16), (F.col("n_chars") % 1080 + 16)
         ).alias("payload"),
     )
-    return multimodal.resize_plan(multimodal.decode_media(media), max_side=512)
+    return multimodal.resize_plan(
+        multimodal.decode_media(media), max_side=512, keep_meta=True
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1185,5 +1187,26 @@ def oracle_sql() -> dict[str, str]:
                    strftime(date_trunc('day', ts), '%Y-%m-%d') AS event_day,
                    epoch_ms(ts) AS ts_ms
             FROM events
+        """,
+        # FAKEIMG payloads are a deterministic function of n_chars
+        # (16-byte header: magic + packed w/h), so the whole decode +
+        # resize plan is SQL-derivable.
+        "multimodal_decode": """
+            WITH dims AS (
+                SELECT doc_id AS media_id,
+                       CAST(n_chars % 1920 + 16 AS INTEGER) AS width,
+                       CAST(n_chars % 1080 + 16 AS INTEGER) AS height
+                FROM documents
+            )
+            SELECT media_id, width, height,
+                   CAST(16 AS BIGINT) AS n_bytes,
+                   'fake' AS format,
+                   CAST(ROUND(width * (CASE WHEN GREATEST(width, height) > 512
+                                            THEN 512.0 / GREATEST(width, height)
+                                            ELSE 1.0 END)) AS INTEGER) AS target_width,
+                   CAST(ROUND(height * (CASE WHEN GREATEST(width, height) > 512
+                                             THEN 512.0 / GREATEST(width, height)
+                                             ELSE 1.0 END)) AS INTEGER) AS target_height
+            FROM dims
         """,
     }

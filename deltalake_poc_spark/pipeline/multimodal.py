@@ -87,15 +87,24 @@ def decode_media(media: DataFrame) -> DataFrame:
     return spread(media).mapInPandas(decode_batches, DECODED_SCHEMA)
 
 
-def resize_plan(decoded: DataFrame, max_side: int = 512) -> DataFrame:
+def resize_plan(decoded: DataFrame, max_side: int = 512,
+                keep_meta: bool = False) -> DataFrame:
     """Compute target dimensions for a bounded-resize (the arithmetic
-    is declarative; the pixel work would live in the decode UDF)."""
+    is declarative; the pixel work would live in the decode UDF).
+    ``keep_meta`` passes n_bytes/format through so the full decode
+    output stays checkable downstream."""
     scale = F.when(
         F.greatest("width", "height") > max_side,
         max_side / F.greatest("width", "height"),
     ).otherwise(F.lit(1.0))
+    cols = ["media_id", "width", "height"]
+    if keep_meta:
+        cols += ["n_bytes", "format"]
     return decoded.select(
-        "media_id", "width", "height",
+        *cols,
+        # round at scale 0 is engine-portable: both Spark and DuckDB
+        # round the same IEEE double, and exact .5 ties go away from
+        # zero in both (the scale>0 pre-multiply hazard doesn't apply)
         F.round(F.col("width") * scale).cast("int").alias("target_width"),
         F.round(F.col("height") * scale).cast("int").alias("target_height"),
     )
