@@ -424,8 +424,10 @@ def _dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from deltalake_poc_spark.pipeline.dedup import ngram_jaccard_pairs
 
+    # max_df mirrors the oracle's dfc CTE: grams in >100 docs are
+    # boilerplate and would blow up the self-join quadratically at scale
     return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"),
-                               n=3, threshold=0.15)
+                               n=3, threshold=0.15, max_df=100)
 
 
 def _dedup_group_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1007,20 +1009,30 @@ def oracle_sql() -> dict[str, str]:
                                       FOR i IN range(len(t) - 2)]) AS gs
                 FROM toks
                 WHERE len(t) >= 3
+            ), raw_posting AS (
+                SELECT doc_id, unnest(gs) AS gram FROM grams
+            ), dfc AS (
+                -- hot-gram document-frequency cap (mirrors max_df=100)
+                SELECT gram FROM raw_posting GROUP BY gram
+                HAVING COUNT(*) <= 100
             ), posting AS (
-                SELECT doc_id, len(gs) AS n_grams, unnest(gs) AS gram FROM grams
+                SELECT p.doc_id, p.gram FROM raw_posting p
+                JOIN dfc USING (gram)
+            ), counts AS (
+                SELECT doc_id, COUNT(*) AS n_grams FROM posting GROUP BY doc_id
             ), pairs AS (
                 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                       a.n_grams AS na, b.n_grams AS nb,
                        COUNT(*) AS shared
                 FROM posting a JOIN posting b
                   ON a.gram = b.gram AND a.doc_id < b.doc_id
-                GROUP BY 1, 2, 3, 4
+                GROUP BY 1, 2
             )
             SELECT doc_a, doc_b,
-                   ROUND(shared / (na + nb - shared), 4) AS jaccard
+                   ROUND(shared / (ca.n_grams + cb.n_grams - shared), 4) AS jaccard
             FROM pairs
-            WHERE ROUND(shared / (na + nb - shared), 4) >= 0.15
+            JOIN counts ca ON ca.doc_id = doc_a
+            JOIN counts cb ON cb.doc_id = doc_b
+            WHERE ROUND(shared / (ca.n_grams + cb.n_grams - shared), 4) >= 0.15
         """,
         "dedup_group_assign": """
             WITH RECURSIVE toks AS (

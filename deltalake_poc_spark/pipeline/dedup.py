@@ -99,14 +99,19 @@ def dedup_exact(docs: DataFrame) -> DataFrame:
 
 
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
-                        threshold: float = 0.2) -> DataFrame:
+                        threshold: float = 0.2,
+                        max_df: int | None = None) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs sharing >=1 gram.
 
     Inverted-index join: |A ∩ B| from the gram-key join, |A ∪ B| =
     |A| + |B| - |A ∩ B|. The shuffle key is the gram, so hot grams are
-    the skew risk — at scale, drop grams with document-frequency above
-    a cap first (they contribute pairs quadratically but little
-    information).
+    the skew risk: one gram appearing in d documents contributes
+    O(d²) candidate pairs. ``max_df`` drops grams with document
+    frequency above the cap from BOTH the posting list and the per-doc
+    gram counts (i.e. Jaccard is computed over the sub-cap gram sets) —
+    boilerplate grams carry no dedup signal but dominate the join at
+    scale. At 100 TB this cap is what keeps the pair count linear-ish;
+    leave it None only on corpora known to be skew-free.
     """
     with_grams = doc_grams(docs, n)
     # slim posting list: the self-join shuffles only (doc_id, gram);
@@ -116,8 +121,22 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
     # join form degrades more gracefully under gram skew.)
     posting = with_grams.select(
         "doc_id", F.explode("grams").alias("gram"))
-    counts = with_grams.select(
-        "doc_id", F.size("grams").alias("n_grams"))
+    if max_df is not None:
+        # grams are distinct per doc, so count(*) per gram == document
+        # frequency. The hot-gram list is tiny by construction
+        # (≤ total_postings / max_df rows), so AQE turns the anti-join
+        # into a broadcast — no extra shuffle of the posting list.
+        hot = (
+            posting.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("gram")
+        )
+        posting = posting.join(hot, "gram", "left_anti")
+        counts = posting.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("n_grams"))
+    else:
+        counts = with_grams.select(
+            "doc_id", F.size("grams").alias("n_grams"))
     a = posting.alias("a")
     b = posting.alias("b")
     pairs = (

@@ -42,6 +42,31 @@ def test_ngram_jaccard(spark, docs):
     assert (0, 2) not in pairs
 
 
+def test_ngram_hot_gram_cap(spark):
+    """A ubiquitous gram must not blow up the candidate-pair count:
+    with max_df set, the boilerplate footer is excluded from both the
+    posting list and per-doc counts, so unrelated docs produce NO pair
+    and true near-dups still match on their informative grams."""
+    footer = "copyright acme corp all rights reserved"
+    rows = [(i, f"unique words number{i} alpha{i} beta{i} gamma{i} {footer}")
+            for i in range(40)]
+    # one real near-dup pair sharing informative grams
+    rows.append((100, f"the quick brown fox jumps over the lazy dog {footer}"))
+    rows.append((101, f"the quick brown fox jumps over the lazy dog {footer}"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = dedup.ngram_jaccard_pairs(docs, threshold=0.05, max_df=10)
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in capped.collect()}
+    # true dup survives (their informative grams are sub-cap) at full score
+    assert pairs.get((100, 101)) == 1.0
+    # boilerplate-only overlaps are gone: without the cap every one of
+    # the 40 unrelated docs pairs with every other via the footer
+    assert all({a, b} == {100, 101} for a, b in pairs)
+
+    uncapped = dedup.ngram_jaccard_pairs(docs, threshold=0.05)
+    assert uncapped.count() > 40 * 39 / 2  # quadratic blowup is real
+
+
 def test_minhash_lsh(spark, docs):
     pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"]
              for r in dedup.minhash_lsh_pairs(docs, threshold=0.5).collect()}
