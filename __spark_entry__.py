@@ -444,16 +444,32 @@ def _dedup_group_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidates, verified with exact Jaccard >= 0.3.
+
+    Oracle contract: because every candidate is re-scored with EXACT
+    Jaccard, the output equals the exact all-pairs result whenever LSH
+    banding recall is 1.0 at the threshold — with 32 bands x 2 rows the
+    miss probability at the corpus's weakest true pair (J=0.89) is
+    ~1e-18, and signatures are deterministic (fixed seeds). So the
+    DuckDB oracle is the exact all-pairs Jaccard query itself: any
+    recall miss fails the row-count gate, which is precisely the claim
+    worth checking about an LSH implementation."""
     from deltalake_poc_spark.pipeline.dedup import minhash_lsh_pairs
 
     return minhash_lsh_pairs(load_table(spark, sf_dir, "documents"),
-                             threshold=0.3)
+                             bands=32, threshold=0.3)
 
 
 def _simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs with a FULL recompute oracle: portable
+    polynomial token hashes make the 62-bit signature SQL-expressible,
+    and 16-bit pigeonhole blocking is exact (hamming<=3 implies a
+    shared chunk), so the output is precisely the all-pairs
+    hamming<=3 set — which the DuckDB oracle recomputes from text."""
     from deltalake_poc_spark.pipeline.dedup import simhash_pairs
 
-    return simhash_pairs(load_table(spark, sf_dir, "documents"), max_hamming=3)
+    return simhash_pairs(load_table(spark, sf_dir, "documents"),
+                         max_hamming=3, portable=True)
 
 
 def _text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -591,8 +607,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_groups": _dedup_exact_groups,           # exact dedup
         "ngram_jaccard": _ngram_jaccard,                     # n-gram Jaccard pairs
         "dedup_group_assign": _dedup_group_assign,           # connected components
-        "minhash_dedup": _minhash_dedup,                     # MinHash+LSH (rows-only)
-        "simhash_dedup": _simhash_dedup,                     # SimHash (rows-only)
+        "minhash_dedup": _minhash_dedup,                     # MinHash+LSH vs exact oracle
+        "simhash_dedup": _simhash_dedup,                     # SimHash, full SQL oracle
         "text_quality": _text_quality,                       # quality scoring
         "lang_id": _lang_id,                                 # language ID
         "doc_fingerprint": _doc_fingerprint,                 # fingerprinting
@@ -618,6 +634,42 @@ def _davg(col: str, scale: int = 2, nd: int = 2) -> str:
     n = f"COUNT({col})"
     return (f"(CAST(({2 * K} * {s} + {M} * {n}) // (2 * {M} * {n})"
             f" AS DOUBLE) / {K}.0)")
+
+
+def _simhash_oracle_sql(max_hamming: int = 3) -> str:
+    """Full SQL recompute of the portable SimHash pipeline (see
+    pipeline/dedup.py): two 31-bit polynomial rolling hashes per token
+    packed into 62 bits, majority vote per bit, all-pairs hamming."""
+    M = 2147483647  # PORTABLE_HASH_MOD
+
+    def fold(base: int) -> str:
+        return ("list_reduce(list_prepend(CAST(0 AS BIGINT), "
+                "list_transform(range(1, length(t)+1), "
+                "i -> CAST(ascii(substring(t, i, 1)) AS BIGINT))), "
+                f"(acc, x) -> (acc * {base} + x) % {M})")
+
+    token_hash = f"({fold(137)} * {1 << 31} + {fold(131)})"
+    bit_terms = " + ".join(
+        f"CASE WHEN 2 * len(list_filter(hs, h -> ((h >> {b}) & 1) = 1)) > n"
+        f" THEN CAST({1 << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        for b in range(62)
+    )
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, list_distinct(string_split(trim(text), ' ')) AS ts
+            FROM documents
+        ), hashed AS (
+            SELECT doc_id, list_transform(ts, t -> {token_hash}) AS hs,
+                   len(ts) AS n
+            FROM toks
+        ), sig AS (
+            SELECT doc_id, CAST({bit_terms} AS BIGINT) AS simhash FROM hashed
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1034,6 +1086,34 @@ def oracle_sql() -> dict[str, str]:
             JOIN counts cb ON cb.doc_id = doc_b
             WHERE ROUND(shared / (ca.n_grams + cb.n_grams - shared), 4) >= 0.15
         """,
+        # exact all-pairs Jaccard at the LSH threshold: candidates are
+        # re-scored exactly, so equality holds iff banding recall = 1.0
+        # (see _minhash_dedup docstring)
+        "minhash_dedup": """
+            WITH toks AS (
+                SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents
+            ), grams AS (
+                SELECT doc_id,
+                       list_distinct([t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+                                      FOR i IN range(len(t) - 2)]) AS gs
+                FROM toks
+                WHERE len(t) >= 3
+            ), posting AS (
+                SELECT doc_id, len(gs) AS n_grams, unnest(gs) AS gram FROM grams
+            ), pairs AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       a.n_grams AS na, b.n_grams AS nb,
+                       COUNT(*) AS shared
+                FROM posting a JOIN posting b
+                  ON a.gram = b.gram AND a.doc_id < b.doc_id
+                GROUP BY 1, 2, 3, 4
+            )
+            SELECT doc_a, doc_b,
+                   ROUND(shared / (na + nb - shared), 4) AS jaccard
+            FROM pairs
+            WHERE ROUND(shared / (na + nb - shared), 4) >= 0.3
+        """,
+        "simhash_dedup": _simhash_oracle_sql(max_hamming=3),
         "dedup_group_assign": """
             WITH RECURSIVE toks AS (
                 SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents

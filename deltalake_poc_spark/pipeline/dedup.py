@@ -237,15 +237,49 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 64, bands: int = 16,
 
 # ----------------------------------------------------------------- simhash
 
+# Mersenne prime 2^31-1: polynomial-hash modulus small enough that
+# acc*base+code never overflows a long, big enough for 31 usable bits.
+PORTABLE_HASH_MOD = 2147483647
 
-def simhash_signatures(docs: DataFrame, bits: int = 64) -> DataFrame:
+
+def portable_token_hash(tok, base: int):
+    """Polynomial rolling hash over code points, mod 2^31-1.
+
+    Unlike xxhash64 this is plain integer arithmetic, expressible
+    verbatim in any SQL engine (the DuckDB oracle recomputes it with
+    list_reduce), so signatures built from it are cross-engine
+    verifiable. Use xxhash64 in production (JVM intrinsic, better
+    mixing); use this where an independent engine must reproduce the
+    signature bit-for-bit."""
+    return F.aggregate(
+        F.split(tok, ""),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * base + F.ascii(c)) % PORTABLE_HASH_MOD,
+    )
+
+
+def simhash_signatures(docs: DataFrame, bits: int = 64,
+                       portable: bool = False) -> DataFrame:
     """64-bit SimHash over distinct tokens: bit b is set when the
     majority of token hashes have bit b set (equivalently, the sign of
     the ±1 sum). Computed ROW-LOCALLY with array higher-order functions
     — no explode, no shuffle (measured 2.5x faster than the
-    explode+groupBy formulation, bitwise-identical signatures)."""
+    explode+groupBy formulation, bitwise-identical signatures).
+
+    ``portable=True`` swaps xxhash64 for two 31-bit polynomial hashes
+    packed into a 62-bit value — SQL-recomputable, so the whole
+    signature (and any pair set derived from it) has an exact DuckDB
+    oracle."""
     toks = F.array_distinct(F.split(F.trim(F.col("text")), " "))
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    if portable:
+        bits = 62
+        hashes = F.transform(
+            toks,
+            lambda t: portable_token_hash(t, 137) * F.lit(1 << 31).cast("long")
+            + portable_token_hash(t, 131),
+        )
+    else:
+        hashes = F.transform(toks, lambda t: F.xxhash64(t))
 
     def _bit_set(b):
         return lambda h: F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1
@@ -266,12 +300,15 @@ def simhash_signatures(docs: DataFrame, bits: int = 64) -> DataFrame:
     )
 
 
-def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
+                  portable: bool = False) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= k, blocked on
     16-bit chunks (pigeonhole: distance <=3 means at least one of the
     4 chunks is identical -> join per chunk, union, verify with
-    bit_count(xor))."""
-    sigs = simhash_signatures(docs)
+    bit_count(xor)). The blocking is EXACT (not probabilistic), so the
+    output is precisely the all-pairs hamming<=k set — with
+    ``portable=True`` that set is recomputable in SQL end-to-end."""
+    sigs = simhash_signatures(docs, portable=portable)
     chunks = sigs.select(
         "doc_id", "simhash",
         F.posexplode(F.array(*[

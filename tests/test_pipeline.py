@@ -164,9 +164,9 @@ def test_ann_lsh_recall(spark):
     approx = [r["vec_id"] for r in
               similarity.ann_lsh_topk(emb, q, k=5, n_planes=6, n_tables=8,
                                       exclude_vec_id=0).collect()]
-    # multi-table LSH should recover most of the true top-5
+    # multi-table LSH recovers the true top-5 (deterministic seeds; measured 1.0)
     recall = len(set(exact) & set(approx)) / 5
-    assert recall >= 0.6, f"recall {recall}: exact={exact} approx={approx}"
+    assert recall >= 0.9, f"recall {recall}: exact={exact} approx={approx}"
     # and the query vector's own bucket always contains itself
     self_hit = similarity.ann_lsh_topk(emb, q, k=1, n_planes=6, n_tables=8)
     assert self_hit.collect()[0]["vec_id"] == 0
@@ -187,7 +187,7 @@ def test_ivf_topk_recall(spark):
               similarity.ivf_topk(assigned, centers, q, k=5, n_probe=3,
                                   exclude_vec_id=0).collect()]
     recall = len(set(exact) & set(approx)) / 5
-    assert recall >= 0.6, f"recall {recall}: exact={exact} approx={approx}"
+    assert recall >= 0.9, f"recall {recall}: exact={exact} approx={approx}"
 
 
 def test_text_analysis(spark, docs):
