@@ -25,6 +25,7 @@ Usage:
 
 from __future__ import annotations
 
+import datetime
 import json
 import os
 from collections.abc import Iterator, Sequence
@@ -39,12 +40,26 @@ from deltalake_poc_spark.tables.log import TableLog
 FORMAT_NAME = "versioned_table"
 
 
+# Hive partition-path values are strings; cast back to the declared
+# column type when emitting rows (mirrors the batch table reader's
+# _read_files cast) — without this an int-partitioned table yields
+# mistyped rows from the stream/batch datasource paths.
+_PARTITION_CASTS = {
+    "tinyint": int, "smallint": int, "int": int, "bigint": int,
+    "float": float, "double": float,
+    "boolean": lambda s: s.lower() == "true",
+    "date": datetime.date.fromisoformat,
+}
+
+
 class _FilePartition(InputPartition):
-    def __init__(self, abs_path: str, field_names: list[str],
+    def __init__(self, abs_path: str, fields: list[tuple[str, str]],
                  partition_values: dict[str, str],
                  constants: dict[str, object] | None = None):
         self.abs_path = abs_path
-        self.field_names = field_names
+        # [(name, simpleString type)] — the type drives partition-value
+        # casting in read()
+        self.fields = fields
         self.partition_values = partition_values
         # column -> fixed value (CDF stamps: _change_type for derived
         # commits, _commit_version/_commit_timestamp always)
@@ -54,7 +69,8 @@ class _FilePartition(InputPartition):
 class VersionedTableStreamReader(DataSourceStreamReader):
     def __init__(self, schema: StructType, options: dict):
         self.root = options["path"]
-        self.schema_fields = [f.name for f in schema.fields]
+        self.schema_fields = [(f.name, f.dataType.simpleString())
+                              for f in schema.fields]
         self.schema = schema
         self.ignore_changes = str(
             options.get("ignorechanges", "false")).lower() == "true"
@@ -101,15 +117,17 @@ class VersionedTableStreamReader(DataSourceStreamReader):
         (derived inserts for append commits, explicit change files for
         merge/update/delete, insert+delete pairs for overwrite/restore)
         — the streaming twin of VersionedTable.read_change_feed (S8)."""
-        import datetime
-
         log = self._log()
         parts: list[InputPartition] = []
         for c in log.commits(start["version"] + 1, end["version"]):
             stamps = {
                 "_commit_version": c.version,
-                "_commit_timestamp": datetime.datetime.utcfromtimestamp(
-                    c.timestamp / 1000.0),
+                # tz-aware UTC: a naive datetime would be reinterpreted
+                # in the session timezone (and utcfromtimestamp is
+                # deprecated in 3.12) — must match the batch CDF path's
+                # timestamp_millis semantics
+                "_commit_timestamp": datetime.datetime.fromtimestamp(
+                    c.timestamp / 1000.0, tz=datetime.timezone.utc),
             }
 
             def fp(path, change_type=None, pv=None):
@@ -148,17 +166,21 @@ class VersionedTableStreamReader(DataSourceStreamReader):
         cols = {}
         n = table.num_rows
         present = set(table.schema.names)
-        for name in partition.field_names:
+        for name, typ in partition.fields:
             if name in partition.constants:
                 cols[name] = [partition.constants[name]] * n
             elif name in present:
                 cols[name] = table.column(name).to_pylist()
             elif name in partition.partition_values:
-                cols[name] = [partition.partition_values[name]] * n
+                raw = partition.partition_values[name]
+                cast = _PARTITION_CASTS.get(typ)
+                val = cast(raw) if (cast and isinstance(raw, str)) else raw
+                cols[name] = [val] * n
             else:
                 cols[name] = [None] * n
+        order = [name for name, _ in partition.fields]
         for i in range(n):
-            yield tuple(cols[name][i] for name in partition.field_names)
+            yield tuple(cols[name][i] for name in order)
 
     def commit(self, end: dict) -> None:
         pass  # progress tracking lives in the query checkpoint
@@ -172,7 +194,8 @@ class VersionedTableBatchReader(DataSourceReader):
 
     def __init__(self, schema: StructType, options: dict):
         self.root = options["path"]
-        self.schema_fields = [f.name for f in schema.fields]
+        self.schema_fields = [(f.name, f.dataType.simpleString())
+                              for f in schema.fields]
         self.version = (int(options["versionasof"])
                         if "versionasof" in options else None)
         self.timestamp_ms = (int(options["timestampasof"])

@@ -275,7 +275,15 @@ class VersionedTable:
                     continue
                 entries.append(FileEntry(rel, n, stats, part_vals))
         shutil.rmtree(staging, ignore_errors=True)
-        shutil.rmtree(os.path.dirname(staging), ignore_errors=True)
+        # only remove the shared _staging parent if it is empty: a
+        # concurrent writer (write() retries on commit conflicts, so
+        # concurrency is supported) may still have its own staging dir
+        # in flight — rmtree of the parent would silently discard its
+        # files and make it commit an empty add list
+        try:
+            os.rmdir(os.path.dirname(staging))
+        except OSError:
+            pass
         return entries
 
     def _merged_schema_json(self, df: DataFrame) -> str:

@@ -137,3 +137,23 @@ def test_stream_partitioned_table(spark, tmp_path):
     out = _run(spark, root, str(tmp_path / "o"), str(tmp_path / "c"))
     got = sorted((r["id"], r["region"]) for r in out.collect())
     assert got == [(1, "eu"), (2, "us")]
+
+
+def test_stream_int_partition_values_typed(spark, tmp_path):
+    """Hive partition-path values are strings; the datasource must cast
+    them back to the DECLARED column type (an int-partitioned table
+    previously yielded mistyped rows)."""
+    register_stream_source(spark)
+    schema = spark.createDataFrame([], "id long, bucket int, v string").schema
+    root = str(tmp_path / "t")
+    t = VersionedTable.create(spark, root, schema, partition_by=["bucket"])
+    t.write(spark.createDataFrame([(1, 10, "a"), (2, 20, "b")], schema))
+
+    out = _run(spark, root, str(tmp_path / "out"), str(tmp_path / "ckpt"))
+    rows = sorted((r["id"], r["bucket"], r["v"]) for r in out.collect())
+    assert rows == [(1, 10, "a"), (2, 20, "b")]
+    assert dict(out.dtypes)["bucket"] == "int"
+
+    # batch path through the same datasource casts identically
+    batch = (spark.read.format("versioned_table").option("path", root).load())
+    assert sorted(r["bucket"] for r in batch.collect()) == [10, 20]

@@ -240,3 +240,25 @@ def test_merge_file_pruning(spark, table):
     assert c.metrics["numTargetFilesRemoved"] == 1
     assert table.read().filter("id = 5").collect()[0]["name"] == "FIVE"
     assert table.read().count() == 1000
+
+
+def test_materialize_preserves_concurrent_staging(spark, tmp_path):
+    """_materialize must clean up only its OWN staging dir: rmtree of
+    the shared _staging parent silently discarded a concurrent
+    writer's in-flight files (write() explicitly supports concurrent
+    appends via its retry loop)."""
+    import os
+
+    schema = spark.createDataFrame([], "id long, v string").schema
+    root = str(tmp_path / "t")
+    t = VersionedTable.create(spark, root, schema)
+    # simulate another writer's staging output in flight
+    other = t.log.new_data_file_dir()
+    os.makedirs(other)
+    marker = os.path.join(other, "part-in-flight.parquet")
+    with open(marker, "wb") as f:
+        f.write(b"placeholder")
+
+    t.write(spark.createDataFrame([(1, "a")], schema))
+    assert os.path.exists(marker), "concurrent staging dir was deleted"
+    assert sorted(r["id"] for r in t.read().collect()) == [1]
