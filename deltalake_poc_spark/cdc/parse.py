@@ -66,6 +66,12 @@ def parse_debezium(raw: DataFrame) -> DataFrame:
         F.timestamp_millis(F.col("_payload.ts_ms")).alias("event_timestamp"),
         F.col("_payload.source.lsn").alias("source_lsn"),
         F.col("_payload.source.txId").alias("source_txid"),
+        # transaction block (CDCEvent.transaction, shared/models.py:42-88);
+        # null for connectors without provide.transaction.metadata
+        F.col("_payload.transaction.id").alias("txn_id"),
+        F.col("_payload.transaction.total_order").alias("txn_total_order"),
+        F.col("_payload.transaction.data_collection_order")
+        .alias("txn_collection_order"),
         F.current_timestamp().alias("processed_at"),
     )
 

@@ -36,11 +36,20 @@ SOURCE_SCHEMA = StructType([
     StructField("xmin", LongType()),
 ])
 
+# Debezium transaction block (shared/models.py:42-88 CDCEvent.transaction;
+# emitted when the connector runs with provide.transaction.metadata)
+TRANSACTION_SCHEMA = StructType([
+    StructField("id", StringType()),
+    StructField("total_order", LongType()),
+    StructField("data_collection_order", LongType()),
+])
+
 # Typed part of the payload; before/after handled as raw JSON strings.
 PAYLOAD_TYPED_SCHEMA = StructType([
     StructField("op", StringType()),
     StructField("ts_ms", LongType()),
     StructField("source", SOURCE_SCHEMA),
+    StructField("transaction", TRANSACTION_SCHEMA),
 ])
 
 MESSAGE_TYPED_SCHEMA = StructType([StructField("payload", PAYLOAD_TYPED_SCHEMA)])
@@ -67,6 +76,11 @@ CDC_EVENTS_SCHEMA = StructType([
     StructField("event_timestamp", TimestampType()),
     StructField("source_lsn", LongType()),
     StructField("source_txid", LongType()),
+    # Debezium transaction block (null unless the connector provides
+    # transaction metadata) — envelope parity with CDCEvent.transaction
+    StructField("txn_id", StringType()),
+    StructField("txn_total_order", LongType()),
+    StructField("txn_collection_order", LongType()),
     StructField("processed_at", TimestampType()),
 ])
 

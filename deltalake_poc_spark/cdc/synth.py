@@ -25,11 +25,13 @@ def raw_kafka_frame(
     db: str = "sourcedb",
     schema: str = "public",
     topic_prefix: str = "cdc",
+    with_transaction: bool = False,
 ) -> DataFrame:
     """Wrap rows of ``df`` into raw Kafka-message shape (key/value/
     topic/partition/offset) carrying a Debezium envelope, exactly as
     the reference's connector emits them (shared/models.py:42-103,
-    docs/technical-docs.md:268-307)."""
+    docs/technical-docs.md:268-307). ``with_transaction`` adds the
+    transaction block a provide.transaction.metadata connector emits."""
     payload = F.struct(
         op.alias("op"),
         ts_ms.alias("ts_ms"),
@@ -47,6 +49,11 @@ def raw_kafka_frame(
         ).alias("source"),
         *( [after.alias("after")] if after is not None else [] ),
         *( [before.alias("before")] if before is not None else [] ),
+        *( [F.struct(
+                F.concat(F.lit("txn-"), lsn.cast("string")).alias("id"),
+                F.lit(1).cast("long").alias("total_order"),
+                F.lit(1).cast("long").alias("data_collection_order"),
+            ).alias("transaction")] if with_transaction else [] ),
     )
     key_json = F.to_json(F.struct(F.struct(key.alias("id")).alias("payload")))
     value_json = F.to_json(F.struct(payload.alias("payload")))

@@ -14,7 +14,7 @@ from deltalake_poc_spark.cdc import schema as S
 
 
 def _msg(op, id_, table="customers", lsn=1, ts_ms=1700000000000,
-         after=None, before=None):
+         after=None, before=None, transaction=None):
     payload = {
         "op": op, "ts_ms": ts_ms,
         "source": {
@@ -27,6 +27,8 @@ def _msg(op, id_, table="customers", lsn=1, ts_ms=1700000000000,
         payload["after"] = after
     if before is not None:
         payload["before"] = before
+    if transaction is not None:
+        payload["transaction"] = transaction
     return (
         json.dumps({"payload": {"id": id_}}),
         json.dumps({"payload": payload}),
@@ -65,6 +67,22 @@ def test_parse_envelope(spark):
     assert json.loads(upd["after_data"])["email"] == "new@x"
     assert json.loads(dele["before_data"])["id"] == 1
     assert dele["after_data"] is None
+    # no transaction block -> null txn columns
+    assert ins["txn_id"] is None and ins["txn_total_order"] is None
+
+
+def test_parse_transaction_block(spark):
+    """Debezium transaction metadata (CDCEvent.transaction,
+    shared/models.py:42-88) flows into the audit shape."""
+    msgs = [
+        _msg("c", 1, lsn=10, after=CUST,
+             transaction={"id": "txn-571", "total_order": 2,
+                          "data_collection_order": 1}),
+    ]
+    row = parse_debezium(_raw(spark, msgs)).collect()[0]
+    assert row["txn_id"] == "txn-571"
+    assert row["txn_total_order"] == 2
+    assert row["txn_collection_order"] == 1
 
 
 def test_apply_golden_lifecycle(spark, tmp_path):
