@@ -54,6 +54,150 @@ def jdbc_write(df: DataFrame, url: str, table: str, mode: str = "append",
     writer.mode(mode).save()
 
 
+def upsert_statements(columns: list[str], table: str,
+                      keys: tuple[str, ...] = ("id",),
+                      staging_table: str | None = None,
+                      dialect: str = "postgresql",
+                      schema: str = "public",
+                      synced_at_col: str | None = "__synced_at",
+                      cdc_op_col: str = "__cdc_operation",
+                      now_expr: str = "CURRENT_TIMESTAMP") -> dict[str, str]:
+    """Generate the staging->target upsert SQL the reference applies
+    per-row (database.py:161-196: INSERT … ON CONFLICT (id) DO UPDATE
+    SET col = EXCLUDED.col, __synced_at = CURRENT_TIMESTAMP) — but
+    SET-BASED: Spark lands the (already key-deduplicated) batch into a
+    staging table, then ONE statement merges it. Per-row ON CONFLICT
+    from executors funnels through individual connections and does not
+    scale; stage+merge ships the same semantics in one DB-side set
+    operation.
+
+    Returns {"upsert": …, "delete": …?, "drop_staging": …}:
+    - upsert: applies non-delete rows (all non-key columns updated on
+      conflict; the reference's update_set also lists the key, which
+      some engines reject and which is a no-op anyway)
+    - delete (only when ``cdc_op_col`` is in columns): removes rows
+      whose latest CDC event is a Debezium delete ('d'), matching the
+      reference's DELETE branch (database.py:140-146)
+    - drop_staging: cleanup
+
+    Dialects: postgresql (ON CONFLICT), mysql (ON DUPLICATE KEY),
+    merge (ANSI MERGE — SQL Server / Oracle / DB2).
+    """
+    if not set(keys) <= set(columns):
+        raise ValueError(f"keys {keys} not all in columns")
+    staging = staging_table or f"{table}__staging"
+    q = '"{}"'.format  # ANSI identifier quoting
+    tgt = f"{schema}.{q(table)}" if schema else q(table)
+    stg = f"{schema}.{q(staging)}" if schema else q(staging)
+    cols = ", ".join(q(c) for c in columns)
+    has_cdc_op = cdc_op_col in columns
+    not_delete = f" WHERE {q(cdc_op_col)} <> 'd'" if has_cdc_op else ""
+    synced = (f", {q(synced_at_col)} = {now_expr}"
+              if synced_at_col else "")
+    key_eq = " AND ".join(f"t.{q(k)} = s.{q(k)}" for k in keys)
+
+    # SET over non-key columns only: the reference's update_set lists
+    # every column (Postgres tolerates assigning the conflict key to
+    # itself), but engines with strict PK binding (e.g. DuckDB) reject
+    # it and the semantics are identical
+    upd_cols = [c for c in columns if c not in keys]
+
+    if dialect == "postgresql":
+        set_clause = ", ".join(f"{q(c)} = EXCLUDED.{q(c)}" for c in upd_cols)
+        upsert = (
+            f"INSERT INTO {tgt} ({cols}) SELECT {cols} FROM {stg}{not_delete} "
+            f"ON CONFLICT ({', '.join(q(k) for k in keys)}) "
+            f"DO UPDATE SET {set_clause}{synced}"
+        )
+        delete = (
+            f"DELETE FROM {tgt} t USING {stg} s "
+            f"WHERE {key_eq} AND s.{q(cdc_op_col)} = 'd'"
+        )
+    elif dialect == "mysql":
+        set_clause = ", ".join(f"{q(c)} = VALUES({q(c)})" for c in upd_cols)
+        synced_my = (f", {q(synced_at_col)} = {now_expr}"
+                     if synced_at_col else "")
+        upsert = (
+            f"INSERT INTO {tgt} ({cols}) SELECT {cols} FROM {stg}{not_delete} "
+            f"ON DUPLICATE KEY UPDATE {set_clause}{synced_my}"
+        )
+        delete = (
+            f"DELETE t FROM {tgt} t JOIN {stg} s ON {key_eq} "
+            f"WHERE s.{q(cdc_op_col)} = 'd'"
+        )
+    elif dialect == "merge":
+        set_clause = ", ".join(f"t.{q(c)} = s.{q(c)}" for c in upd_cols)
+        ins_vals = ", ".join(f"s.{q(c)}" for c in columns)
+        del_clause = (
+            f"WHEN MATCHED AND s.{q(cdc_op_col)} = 'd' THEN DELETE "
+            if has_cdc_op else ""
+        )
+        guard = f"AND s.{q(cdc_op_col)} <> 'd' " if has_cdc_op else ""
+        upsert = (
+            f"MERGE INTO {tgt} t USING {stg} s ON {key_eq} "
+            f"{del_clause}"
+            f"WHEN MATCHED {guard}THEN UPDATE SET {set_clause}{synced} "
+            f"WHEN NOT MATCHED {guard}THEN INSERT ({cols}) VALUES ({ins_vals})"
+        )
+        delete = None  # folded into the MERGE's WHEN MATCHED … DELETE
+    else:
+        raise ValueError(f"unknown dialect {dialect!r}")
+
+    out = {"upsert": upsert, "drop_staging": f"DROP TABLE IF EXISTS {stg}"}
+    if has_cdc_op and delete is not None:
+        out["delete"] = delete
+    return out
+
+
+def jdbc_execute(spark: SparkSession, url: str, statements: list[str],
+                 user: str | None = None, password: str | None = None) -> None:
+    """Run DDL/DML statements through the session JVM's JDBC driver
+    (driver-side, one connection, one transaction)."""
+    jvm = spark._jvm
+    props = jvm.java.util.Properties()
+    if user is not None:
+        props.setProperty("user", user)
+    if password is not None:
+        props.setProperty("password", password)
+    conn = jvm.java.sql.DriverManager.getConnection(url, props)
+    try:
+        conn.setAutoCommit(False)
+        st = conn.createStatement()
+        for s in statements:
+            st.execute(s)
+        conn.commit()
+    except Exception:
+        conn.rollback()
+        raise
+    finally:
+        conn.close()
+
+
+def jdbc_upsert(df: DataFrame, url: str, table: str,
+                keys: tuple[str, ...] = ("id",),
+                dialect: str = "postgresql", schema: str = "public",
+                user: str | None = None, password: str | None = None,
+                synced_at_col: str | None = "__synced_at") -> None:
+    """S12 upsert mirror, set-based: land ``df`` into a staging table
+    (parallel JDBC write; Spark creates it), then apply ONE
+    upsert/delete statement pair DB-side and drop the staging table.
+    ``df`` must hold at most one row per key (CDCApplier batches
+    already do — in-batch dedup keeps the latest event per key)."""
+    staging = f"{table}__staging"
+    stmts = upsert_statements(
+        [f.name for f in df.schema.fields], table, keys,
+        staging_table=staging, dialect=dialect, schema=schema,
+        synced_at_col=synced_at_col,
+    )
+    jdbc_write(df, url, f"{schema}.{staging}" if schema else staging,
+               mode="overwrite", user=user, password=password)
+    seq = [stmts["upsert"]]
+    if "delete" in stmts:
+        seq.append(stmts["delete"])
+    seq.append(stmts["drop_staging"])
+    jdbc_execute(df.sparkSession, url, seq, user=user, password=password)
+
+
 def read_raw_parquet(spark: SparkSession, table_root: str) -> DataFrame:
     """S16 parity: read a versioned table's data directory as bare
     parquet, IGNORING the transaction log — like the reference
