@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType, TimestampType
+from pyspark.sql.types import StructField, StructType, TimestampType
 
 from deltalake_poc_spark.cdc import schema as S
 from deltalake_poc_spark.tables import VersionedTable
@@ -174,12 +174,46 @@ class CDCApplier:
         finally:
             events.unpersist()
 
+    def rename_column(self, table: str, old: str, new: str):
+        """Column-mapping rename on a snapshot table (reference
+        README.md:149-162: metadata-only, no parquet rewrite): updates
+        the versioned table's schema AND the applier's typing schema so
+        subsequent batches (whose after_data now carries the new field
+        name, as Debezium emits post-rename) apply under the new name.
+        Old versions still time-travel with the old name."""
+        if old == self.key_col:
+            raise ValueError("cannot rename the merge key column")
+        commit = self.snapshot_table(table).rename_column(old, new)
+        if table in self.table_schemas:
+            sch = self.table_schemas[table]
+            self.table_schemas[table] = StructType([
+                StructField(new if f.name == old else f.name,
+                            f.dataType, f.nullable, f.metadata)
+                for f in sch.fields
+            ])
+        return commit
+
+    def drop_column(self, table: str, name: str):
+        """Column-mapping drop on a snapshot table: metadata-only; the
+        field leaves the logical schema, physical data stays until
+        files rewrite naturally. Future events' values for the column
+        are ignored (it is no longer in the typing schema)."""
+        if name == self.key_col:
+            raise ValueError("cannot drop the merge key column")
+        commit = self.snapshot_table(table).drop_column(name)
+        if table in self.table_schemas:
+            sch = self.table_schemas[table]
+            self.table_schemas[table] = StructType(
+                [f for f in sch.fields if f.name != name])
+        return commit
+
     def _maybe_evolve_schema(self, events: DataFrame, name: str) -> None:
         """Schema drift mid-stream (SURVEY.md §1.4 mode 3 / §7.6): new
         fields appearing in after_data extend the declared schema and
         the snapshot table (mergeSchema semantics — the reference's
-        spark.databricks.delta.schema.autoMerge.enabled=true). Dropped
-        columns keep their place (renames/drops are not destructive)."""
+        spark.databricks.delta.schema.autoMerge.enabled=true). Explicit
+        renames/drops go through rename_column/drop_column (column
+        mapping — metadata-only); implicit drift here is add-only."""
         from deltalake_poc_spark.cdc.infer import infer_table_schema
 
         current = self.table_schemas[name]

@@ -52,13 +52,24 @@ _PARTITION_CASTS = {
 }
 
 
+def _fields_of(schema: StructType) -> list[tuple[str, str, str]]:
+    """(logical, type, physical) triples; physical falls back to the
+    logical name when no column-mapping metadata is present."""
+    return [
+        (f.name, f.dataType.simpleString(),
+         (f.metadata or {}).get("physicalName", f.name))
+        for f in schema.fields
+    ]
+
+
 class _FilePartition(InputPartition):
-    def __init__(self, abs_path: str, fields: list[tuple[str, str]],
+    def __init__(self, abs_path: str, fields: list[tuple[str, str, str]],
                  partition_values: dict[str, str],
                  constants: dict[str, object] | None = None):
         self.abs_path = abs_path
-        # [(name, simpleString type)] — the type drives partition-value
-        # casting in read()
+        # [(logical name, simpleString type, physical name)] — the type
+        # drives partition-value casting, the physical name resolves
+        # column-mapping renames against the parquet columns
         self.fields = fields
         self.partition_values = partition_values
         # column -> fixed value (CDF stamps: _change_type for derived
@@ -69,8 +80,7 @@ class _FilePartition(InputPartition):
 class VersionedTableStreamReader(DataSourceStreamReader):
     def __init__(self, schema: StructType, options: dict):
         self.root = options["path"]
-        self.schema_fields = [(f.name, f.dataType.simpleString())
-                              for f in schema.fields]
+        self.schema_fields = _fields_of(schema)
         self.schema = schema
         self.ignore_changes = str(
             options.get("ignorechanges", "false")).lower() == "true"
@@ -166,11 +176,11 @@ class VersionedTableStreamReader(DataSourceStreamReader):
         cols = {}
         n = table.num_rows
         present = set(table.schema.names)
-        for name, typ in partition.fields:
+        for name, typ, phys in partition.fields:
             if name in partition.constants:
                 cols[name] = [partition.constants[name]] * n
-            elif name in present:
-                cols[name] = table.column(name).to_pylist()
+            elif phys in present:
+                cols[name] = table.column(phys).to_pylist()
             elif name in partition.partition_values:
                 raw = partition.partition_values[name]
                 cast = _PARTITION_CASTS.get(typ)
@@ -178,7 +188,7 @@ class VersionedTableStreamReader(DataSourceStreamReader):
                 cols[name] = [val] * n
             else:
                 cols[name] = [None] * n
-        order = [name for name, _ in partition.fields]
+        order = [name for name, _, _ in partition.fields]
         for i in range(n):
             yield tuple(cols[name][i] for name in order)
 
@@ -194,8 +204,7 @@ class VersionedTableBatchReader(DataSourceReader):
 
     def __init__(self, schema: StructType, options: dict):
         self.root = options["path"]
-        self.schema_fields = [(f.name, f.dataType.simpleString())
-                              for f in schema.fields]
+        self.schema_fields = _fields_of(schema)
         self.version = (int(options["versionasof"])
                         if "versionasof" in options else None)
         self.timestamp_ms = (int(options["timestampasof"])

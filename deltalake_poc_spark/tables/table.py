@@ -26,7 +26,7 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StructField, StructType
 
 from deltalake_poc_spark.tables.log import (
     Commit, ConcurrentWriteError, FileEntry, Snapshot, TableLog,
@@ -117,6 +117,30 @@ class VersionedTable:
     def properties(self) -> dict:
         return self.snapshot().properties
 
+    # ---------------------------------------------------------- column mapping
+
+    COLUMN_MAPPING_PROP = "columnMapping.mode"
+
+    @staticmethod
+    def _physical(f) -> str:
+        """Physical (on-disk) column name for a schema field — the
+        ``physicalName`` field-metadata entry, defaulting to the
+        logical name (Delta column mapping, reference README.md:149-162:
+        renames/drops change metadata only, never rewrite parquet)."""
+        return (f.metadata or {}).get("physicalName", f.name)
+
+    def column_mapping(self, snap: Snapshot | None = None) -> dict[str, str]:
+        """logical -> physical name map for a snapshot's schema."""
+        schema = self.schema(snap)
+        if schema is None:
+            return {}
+        return {f.name: self._physical(f) for f in schema.fields}
+
+    def _mapping_enabled(self, snap: Snapshot | None = None) -> bool:
+        snap = snap or (self.snapshot() if self.log.exists() else None)
+        return bool(snap) and str(
+            snap.properties.get(self.COLUMN_MAPPING_PROP, "")) == "name"
+
     def cdf_enabled(self, snap: Snapshot | None = None) -> bool:
         snap = snap or self.snapshot()
         return str(snap.properties.get(CDF_PROP, "false")).lower() == "true"
@@ -148,12 +172,15 @@ class VersionedTable:
             reader = reader.option("basePath", self.log.data_dir())
         df = reader.parquet(*paths)
         if schema is not None:
-            # align to declared schema: missing cols -> null, extra ignored
+            # align to declared schema: files store PHYSICAL names
+            # (column mapping), output carries logical; missing -> null,
+            # extra (e.g. dropped columns' data) ignored
             cols = []
             present = {f.name for f in df.schema.fields}
             for f in schema.fields:
-                if f.name in present:
-                    cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+                phys = self._physical(f)
+                if phys in present:
+                    cols.append(F.col(phys).cast(f.dataType).alias(f.name))
                 else:
                     cols.append(F.lit(None).cast(f.dataType).alias(f.name))
             df = df.select(*cols)
@@ -196,6 +223,17 @@ class VersionedTable:
                     f.endswith(".parquet") for f in os.listdir(cd)
                 ):
                     ch = self.spark.read.parquet(cd)
+                    if schema is not None:
+                        # change files carry physical names; realign to
+                        # the current logical schema (column mapping)
+                        present = set(ch.columns)
+                        cols = []
+                        for f in schema.fields:
+                            phys = self._physical(f)
+                            src = (F.col(phys) if phys in present
+                                   else F.lit(None))
+                            cols.append(src.cast(f.dataType).alias(f.name))
+                        ch = ch.select(*cols, "_change_type")
                     piece = (
                         ch.withColumn("_commit_version", F.lit(c.version))
                         .withColumn("_commit_timestamp",
@@ -238,7 +276,8 @@ class VersionedTable:
 
     def _materialize(self, df: DataFrame, stats_cols: list[str] | None = None,
                      sort_within_partitions_by: list[str] | None = None,
-                     partition_by: list[str] | None = None) -> list[FileEntry]:
+                     partition_by: list[str] | None = None,
+                     mapping: dict[str, str] | None = None) -> list[FileEntry]:
         """Write df's rows as new parquet files under data/ and return
         their FileEntries (with footer-derived min/max stats). With
         ``partition_by``, files land in Hive-style k=v directories under
@@ -246,6 +285,19 @@ class VersionedTable:
         import urllib.parse
 
         staging = self.log.new_data_file_dir()
+        # column mapping: data files store PHYSICAL names; stats are
+        # re-keyed back to logical below so pruning stays logical.
+        # Callers committing a NEW schema (write() with evolution) pass
+        # that schema's mapping — the snapshot's mapping lags one commit
+        if mapping is None:
+            mapping = self.column_mapping() if self.log.exists() else {}
+        nontrivial = {k: v for k, v in mapping.items() if k != v}
+        inv = {v: k for k, v in mapping.items()}
+        if nontrivial:
+            df = df.select(*[
+                F.col(c).alias(nontrivial.get(c, c)) for c in df.columns])
+            if stats_cols:
+                stats_cols = [nontrivial.get(c, c) for c in stats_cols]
         if sort_within_partitions_by:
             df = df.sortWithinPartitions(*sort_within_partitions_by)
         writer = df.write.mode("overwrite")
@@ -273,6 +325,8 @@ class VersionedTable:
                 if n == 0:
                     os.unlink(self.log.abs_path(rel))
                     continue
+                if inv:
+                    stats = {inv.get(c, c): v for c, v in stats.items()}
                 entries.append(FileEntry(rel, n, stats, part_vals))
         shutil.rmtree(staging, ignore_errors=True)
         # only remove the shared _staging parent if it is empty: a
@@ -293,8 +347,20 @@ class VersionedTable:
         if current is None:
             return df.schema.json()
         names = {f.name for f in current.fields}
-        merged = StructType(current.fields + [f for f in df.schema.fields
-                                              if f.name not in names])
+        new_fields = [f for f in df.schema.fields if f.name not in names]
+        if new_fields and self._mapping_enabled():
+            # fresh physical names for columns added under mapping: the
+            # logical name may collide with a renamed/dropped column's
+            # physical data still present in old files
+            stamped = []
+            for f in new_fields:
+                md = dict(f.metadata or {})
+                md.setdefault("physicalName",
+                              f"{f.name}_{uuid.uuid4().hex[:8]}")
+                stamped.append(StructField(f.name, f.dataType,
+                                           f.nullable, md))
+            new_fields = stamped
+        merged = StructType(current.fields + new_fields)
         return merged.json()
 
     def write(self, df: DataFrame, mode: str = "append",
@@ -310,7 +376,10 @@ class VersionedTable:
         snap = self.snapshot() if exists else None
         schema_json = self._merged_schema_json(df)
         pb = self.partition_columns(snap) if snap else []
-        entries = self._materialize(df, stats_cols, partition_by=pb or None)
+        committed = StructType.fromJson(json.loads(schema_json))
+        mapping = {f.name: self._physical(f) for f in committed.fields}
+        entries = self._materialize(df, stats_cols, partition_by=pb or None,
+                                    mapping=mapping)
         op = "APPEND" if (mode == "append" and exists) else (
             "OVERWRITE" if exists else "WRITE")
         os.makedirs(self.log.data_dir(), exist_ok=True)
@@ -350,6 +419,82 @@ class VersionedTable:
             operation="SET TBLPROPERTIES",
             operation_parameters={"properties": props},
             properties=merged,
+        )
+        self.log.write_commit(c)
+        return c
+
+    def _stamped_fields(self, schema: StructType) -> list[StructField]:
+        """Every field with an explicit physicalName (idempotent) — the
+        lazy 'enable column mapping' step: existing data files already
+        use the current logical names, so physical defaults to them."""
+        out = []
+        for f in schema.fields:
+            md = dict(f.metadata or {})
+            md.setdefault("physicalName", f.name)
+            out.append(StructField(f.name, f.dataType, f.nullable, md))
+        return out
+
+    def rename_column(self, old: str, new: str) -> Commit:
+        """ALTER TABLE RENAME COLUMN via column mapping (reference
+        README.md:149-162): a metadata-only commit — the logical name
+        changes, the physicalName keeps pointing at the existing
+        parquet columns, NO data files are rewritten. Time travel to
+        pre-rename versions resolves through those versions' own
+        schemas, so old logical names keep working there."""
+        snap = self.snapshot()
+        schema = self.schema(snap)
+        if schema is None:
+            raise ValueError("table has no declared schema")
+        names = [f.name for f in schema.fields]
+        if old not in names:
+            raise ValueError(f"no such column: {old}")
+        if new in names:
+            raise ValueError(f"column already exists: {new}")
+        if old in self.partition_columns(snap):
+            raise ValueError("cannot rename a partition column")
+        fields = []
+        for f in self._stamped_fields(schema):
+            if f.name == old:
+                f = StructField(new, f.dataType, f.nullable, f.metadata)
+            fields.append(f)
+        props = dict(snap.properties)
+        props[self.COLUMN_MAPPING_PROP] = "name"
+        c = Commit(
+            version=self.log.next_version(),
+            timestamp=self.log.monotonic_now_ms(),
+            operation="RENAME COLUMN",
+            operation_parameters={"oldName": old, "newName": new},
+            schema_json=StructType(fields).json(),
+            properties=props,
+        )
+        self.log.write_commit(c)
+        return c
+
+    def drop_column(self, name: str) -> Commit:
+        """ALTER TABLE DROP COLUMN via column mapping: metadata-only —
+        the field leaves the logical schema; its physical data stays in
+        the files (readers never select it) until files are naturally
+        rewritten. Time travel before the drop still sees it."""
+        snap = self.snapshot()
+        schema = self.schema(snap)
+        if schema is None:
+            raise ValueError("table has no declared schema")
+        if name not in [f.name for f in schema.fields]:
+            raise ValueError(f"no such column: {name}")
+        if name in self.partition_columns(snap):
+            raise ValueError("cannot drop a partition column")
+        fields = [f for f in self._stamped_fields(schema) if f.name != name]
+        if not fields:
+            raise ValueError("cannot drop the last column")
+        props = dict(snap.properties)
+        props[self.COLUMN_MAPPING_PROP] = "name"
+        c = Commit(
+            version=self.log.next_version(),
+            timestamp=self.log.monotonic_now_ms(),
+            operation="DROP COLUMN",
+            operation_parameters={"name": name},
+            schema_json=StructType(fields).json(),
+            properties=props,
         )
         self.log.write_commit(c)
         return c
@@ -486,6 +631,14 @@ class VersionedTable:
         return c
 
     def _write_changes(self, version: int, change_df: DataFrame) -> None:
+        # change files use PHYSICAL names too (like data files), so CDF
+        # reads across later renames realign via the same mapping
+        mapping = self.column_mapping() if self.log.exists() else {}
+        nontrivial = {k: v for k, v in mapping.items() if k != v}
+        if nontrivial:
+            change_df = change_df.select(*[
+                F.col(c).alias(nontrivial.get(c, c))
+                for c in change_df.columns])
         change_df.write.mode("overwrite").parquet(self.log.changes_dir(version))
         # drop spark's _SUCCESS marker noise; harmless either way
 
