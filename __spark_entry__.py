@@ -624,13 +624,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def _units(col: str, scale: int = 2) -> str:
+    """DuckDB mirror of money.units: floor(x*10^s + 0.5) as BIGINT —
+    the same IEEE double ops Spark runs, so the integers are equal by
+    construction."""
+    return f"CAST(FLOOR({col} * {10 ** scale} + 0.5) AS BIGINT)"
+
+
+def _dsum(col: str, scale: int = 2) -> str:
+    """DuckDB mirror of money.dec_sum: exact integer-units sum, scaled
+    back to a double at the end (BIGINT wrap: DuckDB SUM yields
+    HUGEINT, which pandas would turn into float64)."""
+    return (f"(CAST(SUM({_units(col, scale)}) AS BIGINT)"
+            f" / {10 ** scale}.0)")
+
+
 def _davg(col: str, scale: int = 2, nd: int = 2) -> str:
     """DuckDB mirror of money.dec_avg: half-up average of a positive
     measure at nd decimals via exact integer arithmetic (no
     round-on-double — Spark and DuckDB disagree on .xx5 quotients)."""
     K, M = 10 ** nd, 10 ** scale
-    s = (f"CAST(SUM(CAST(CAST({col} AS DECIMAL(18,{scale})) * {M} AS BIGINT))"
-         f" AS BIGINT)")
+    s = f"CAST(SUM({_units(col, scale)}) AS BIGINT)"
     n = f"COUNT({col})"
     return (f"(CAST(({2 * K} * {s} + {M} * {n}) // (2 * {M} * {n})"
             f" AS DOUBLE) / {K}.0)")
@@ -705,8 +719,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT strftime(date_trunc('day', o_orderdate), '%Y-%m-%d') AS order_day,
                    o_orderstatus,
                    COUNT(*) AS order_count,
-                   CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
-                       AS total_revenue,
+                   {_dsum('o_totalprice')} AS total_revenue,
                    {_davg('o_totalprice')} AS avg_order_value
             FROM orders
             GROUP BY 1, 2
@@ -789,19 +802,17 @@ def oracle_sql() -> dict[str, str]:
                        AS days_since_1992
             FROM orders
         """,
-        "order_rollup": """
+        "order_rollup": f"""
             SELECT o_orderstatus, o_orderpriority,
                    COUNT(*) AS order_count,
-                   CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
-                       AS total_revenue
+                   {_dsum('o_totalprice')} AS total_revenue
             FROM orders
             GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         """,
-        "order_cube": """
+        "order_cube": f"""
             SELECT o_orderstatus, o_orderpriority,
                    COUNT(*) AS order_count,
-                   CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
-                       AS total_revenue
+                   {_dsum('o_totalprice')} AS total_revenue
             FROM orders
             GROUP BY CUBE (o_orderstatus, o_orderpriority)
         """,
@@ -863,17 +874,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q1_pricing_summary": f"""
             SELECT l_returnflag, l_linestatus,
-                   CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE)
-                       AS sum_qty,
-                   CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE)
-                       AS sum_base_price,
-                   CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-                                  * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2)
-                        AS DOUBLE) AS sum_disc_price,
-                   CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-                                  * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))
-                                  * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))), 2)
-                        AS DOUBLE) AS sum_charge,
+                   {_dsum('l_quantity')} AS sum_qty,
+                   {_dsum('l_extendedprice')} AS sum_base_price,
+                   (CAST(SUM({_units('l_extendedprice')}
+                             * (100 - {_units('l_discount')})) AS BIGINT)
+                    / 10000.0) AS sum_disc_price,
+                   (CAST(SUM({_units('l_extendedprice')}
+                             * (100 - {_units('l_discount')})
+                             * (100 + {_units('l_tax')})) AS BIGINT)
+                    / 1000000.0) AS sum_charge,
                    {_davg('l_quantity')} AS avg_qty,
                    {_davg('l_extendedprice')} AS avg_price,
                    {_davg('l_discount', 2, 4)} AS avg_disc,
@@ -882,9 +891,9 @@ def oracle_sql() -> dict[str, str]:
             WHERE l_shipdate < TIMESTAMP '1998-09-01'
             GROUP BY l_returnflag, l_linestatus
         """,
-        "q6_forecast_revenue": """
-            SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-                                   * CAST(l_discount AS DECIMAL(4,2))), 2) AS DOUBLE)
+        "q6_forecast_revenue": f"""
+            SELECT (CAST(SUM({_units('l_extendedprice')}
+                             * {_units('l_discount')}) AS BIGINT) / 10000.0)
                        AS revenue
             FROM lineitem
             WHERE l_shipdate >= TIMESTAMP '1994-01-01'
@@ -892,11 +901,11 @@ def oracle_sql() -> dict[str, str]:
               AND l_discount >= 0.05 AND l_discount <= 0.07
               AND l_quantity < 24
         """,
-        "q3_shipping_priority": """
+        "q3_shipping_priority": f"""
             SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
-                   CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
-                                  * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(4,2)))), 2)
-                        AS DOUBLE) AS revenue
+                   (CAST(SUM({_units('l.l_extendedprice')}
+                             * (100 - {_units('l.l_discount')})) AS BIGINT)
+                    / 10000.0) AS revenue
             FROM customer c
             JOIN orders o ON c.c_custkey = o.o_custkey
             JOIN lineitem l ON o.o_orderkey = l.l_orderkey
@@ -907,11 +916,11 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY revenue DESC, o.o_orderkey ASC
             LIMIT 10
         """,
-        "q5_local_supplier": """
+        "q5_local_supplier": f"""
             SELECT n.n_name,
-                   CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
-                                  * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(4,2)))), 2)
-                        AS DOUBLE) AS revenue
+                   (CAST(SUM({_units('l.l_extendedprice')}
+                             * (100 - {_units('l.l_discount')})) AS BIGINT)
+                    / 10000.0) AS revenue
             FROM region r
             JOIN nation n ON n.n_regionkey = r.r_regionkey
             JOIN customer c ON c.c_nationkey = n.n_nationkey
@@ -954,16 +963,15 @@ def oracle_sql() -> dict[str, str]:
             FROM l ASOF LEFT JOIN r
               ON l.user_id = r.user_id AND l.ts_ms >= r.ts_ms
         """,
-        "event_windows": """
+        "event_windows": f"""
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS window_start,
                    event_type,
                    COUNT(*) AS n_events,
-                   CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
-                       AS total_value
+                   {_dsum('value')} AS total_value
             FROM events
             GROUP BY 1, 2
         """,
-        "user_sessions": """
+        "user_sessions": f"""
             WITH flagged AS (
                 SELECT user_id, epoch_ms(ts) AS ts_ms, value,
                        CASE WHEN epoch_ms(ts) - LAG(epoch_ms(ts)) OVER
@@ -986,8 +994,7 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_events,
                    MIN(ts_ms) AS start_ms,
                    MAX(ts_ms) AS end_ms,
-                   CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
-                       AS session_value
+                   {_dsum('value')} AS session_value
             FROM numbered
             GROUP BY user_id, session_idx
         """,
@@ -995,8 +1002,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT strftime(date_trunc('day', o_orderdate), '%Y-%m-%d') AS order_day,
                    o_orderstatus,
                    COUNT(*) AS order_count,
-                   CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
-                       AS total_revenue,
+                   {_dsum('o_totalprice')} AS total_revenue,
                    {_davg('o_totalprice')} AS avg_order_value
             FROM orders
             GROUP BY 1, 2

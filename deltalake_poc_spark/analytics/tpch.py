@@ -21,36 +21,32 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .money import as_dec, dec_avg, dec_sum
+from .money import dec_avg, dec_sum, units, units_sum
 
-# TPC-H money expressions in exact decimal (see analytics/money.py for
-# why: double summation is order-dependent and fails the exact-hash
-# oracle gate).  Precisions are tight so products stay exact:
-# price dec(12,2) * (1±x) dec(5,2) -> dec(18,4); * dec(5,2) -> dec(24,6).
-_ONE = F.lit(1).cast("decimal(3,2)")
-
-
-def _price() -> Column:
-    return as_dec("l_extendedprice", 2, 12)
+# TPC-H money expressions in exact integer cents (analytics/money.py:
+# double summation is order-dependent and fails the exact-hash oracle
+# gate; a decimal formulation was 3.4x slower than this on Q1).
+# price cents * (100 - discount cents) -> 10^-4 dollar units, exact
+# longs end to end; * (100 + tax cents) -> 10^-6 units.
 
 
-def _disc_price() -> Column:
-    return _price() * (_ONE - as_dec("l_discount", 2, 4))
+def _disc_price_e4() -> Column:
+    return units("l_extendedprice") * (100 - units("l_discount"))
 
 
 def q1_pricing_summary(lineitem: DataFrame, ship_before: str = "1998-09-01") -> DataFrame:
-    charge = _disc_price() * (_ONE + as_dec("l_tax", 2, 4))
+    charge_e6 = _disc_price_e4() * (100 + units("l_tax"))
     return (
         lineitem.filter(F.col("l_shipdate") < ship_before)
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            dec_sum("l_quantity", 2, 2, 12).alias("sum_qty"),
-            dec_sum("l_extendedprice", 2, 2, 12).alias("sum_base_price"),
-            F.round(F.sum(_disc_price()), 2).cast("double").alias("sum_disc_price"),
-            F.round(F.sum(charge), 2).cast("double").alias("sum_charge"),
-            dec_avg("l_quantity", 2, 2, 12).alias("avg_qty"),
-            dec_avg("l_extendedprice", 2, 2, 12).alias("avg_price"),
-            dec_avg("l_discount", 2, 4, 4).alias("avg_disc"),
+            dec_sum("l_quantity").alias("sum_qty"),
+            dec_sum("l_extendedprice").alias("sum_base_price"),
+            units_sum(_disc_price_e4(), 4).alias("sum_disc_price"),
+            units_sum(charge_e6, 6).alias("sum_charge"),
+            dec_avg("l_quantity").alias("avg_qty"),
+            dec_avg("l_extendedprice").alias("avg_price"),
+            dec_avg("l_discount", 2, 4).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -66,15 +62,15 @@ def q6_forecast_revenue(lineitem: DataFrame) -> DataFrame:
             & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
             & (F.col("l_quantity") < 24)
         )
-        .agg(F.round(F.sum(_price() * as_dec("l_discount", 2, 4)), 2)
-             .cast("double").alias("revenue"))
+        .agg(units_sum(units("l_extendedprice") * units("l_discount"), 4)
+             .alias("revenue"))
     )
 
 
 def q3_shipping_priority(customer: DataFrame, orders: DataFrame,
                          lineitem: DataFrame, segment: str = "BUILDING",
                          cutoff: str = "1995-03-15", k: int = 10) -> DataFrame:
-    revenue = _disc_price()
+    revenue = _disc_price_e4()
     return (
         customer.filter(F.col("c_mktsegment") == segment)
         .join(orders, F.col("c_custkey") == F.col("o_custkey"))
@@ -82,7 +78,7 @@ def q3_shipping_priority(customer: DataFrame, orders: DataFrame,
         .join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
         .filter(F.col("l_shipdate") > cutoff)
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.round(F.sum(revenue), 2).cast("double").alias("revenue"))
+        .agg(units_sum(revenue, 4).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
         .limit(k)
     )
@@ -94,7 +90,7 @@ def q5_local_supplier_volume(region: DataFrame, nation: DataFrame,
                              region_name: str = "ASIA") -> DataFrame:
     """Revenue by nation where customer and supplier share the nation.
     region/nation are broadcast (tiny); the fact joins carry the bulk."""
-    revenue = _disc_price()
+    revenue = _disc_price_e4()
     return (
         region.filter(F.col("r_name") == region_name)
         .join(nation, F.col("n_regionkey") == F.col("r_regionkey"))
@@ -107,5 +103,5 @@ def q5_local_supplier_volume(region: DataFrame, nation: DataFrame,
             & (F.col("s_nationkey") == F.col("c_nationkey")),
         )
         .groupBy("n_name")
-        .agg(F.round(F.sum(revenue), 2).cast("double").alias("revenue"))
+        .agg(units_sum(revenue, 4).alias("revenue"))
     )

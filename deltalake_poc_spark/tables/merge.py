@@ -166,15 +166,23 @@ class MergeBuilder:
             .when(ins_cond, F.lit("I"))
             .otherwise(F.lit("X"))  # source-only rows not inserted
         )
-        classified = joined.withColumn("__action", action)
+        from pyspark.sql import Observation
+
+        # metrics ride on the materialize pass via observe() — a
+        # separate groupBy-collect job was a full extra pass over the
+        # joined frame (r1: ~2s of the CDC pipeline's fixed cost)
+        obs = Observation()
+        classified = joined.withColumn("__action", action).observe(
+            obs,
+            *[
+                F.coalesce(
+                    F.sum(F.when(F.col("__action") == a, 1)), F.lit(0)
+                ).alias(a)
+                for a in ("U", "I", "D", "C")
+            ],
+        )
         classified = classified.persist()
         try:
-            counts = {
-                r["__action"]: r["n"]
-                for r in classified.groupBy("__action")
-                .agg(F.count(F.lit(1)).alias("n")).collect()
-            }
-
             t_cols = [F.col(f"t.{f.name}").alias(f.name) for f in schema.fields]
             result = classified.filter(F.col("__action").isin("C", "U", "I")).select(
                 *[
@@ -194,6 +202,10 @@ class MergeBuilder:
             entries = t._materialize(
                 result, stats_cols=None,
                 partition_by=t.partition_columns(snap) or None)
+            # observation is complete: the cache fill (first action —
+            # the change-file write or the materialize above) streamed
+            # every row through the observe node exactly once
+            counts = obs.get
             commit = Commit(
                 version=version,
                 timestamp=t.log.monotonic_now_ms(),
