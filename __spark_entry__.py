@@ -404,9 +404,9 @@ def _cdf_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     parsed = parse_debezium(raw).persist()  # both batches slice this
     try:
         applier.apply_batch(parsed.filter(F.col("source_lsn") % 2 == 0),
-                            tables=["cdf_demo"])
+                            tables=["cdf_demo"], cache=False)
         applier.apply_batch(parsed.filter(F.col("source_lsn") % 2 == 1),
-                            tables=["cdf_demo"])
+                            tables=["cdf_demo"], cache=False)
     finally:
         parsed.unpersist()
     cdf = applier.snapshot_table("cdf_demo").read_change_feed(0)

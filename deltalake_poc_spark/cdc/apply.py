@@ -132,7 +132,8 @@ class CDCApplier:
 
     def apply_batch(self, events: DataFrame,
                     tables: list[str] | None = None,
-                    batch_id: str | None = None) -> dict[str, dict]:
+                    batch_id: str | None = None,
+                    cache: bool = True) -> dict[str, dict]:
         """Apply one batch of parsed CDC events (CDC_EVENTS_SCHEMA shape):
         append all to the audit table, then MERGE per-table snapshots.
         Returns per-table merge metrics.
@@ -146,7 +147,13 @@ class CDCApplier:
         This closes the reference's replay-duplicates gap on the audit
         path (its audit table is plain append; T3 in SURVEY.md §2.9).
         """
-        events = events.persist()
+        # cache=False: callers slicing one parsed+persisted frame into
+        # multiple batches pass it to avoid re-serializing every slice
+        # into its own cache copy (the events frame is read 2+ times
+        # below: audit append, then each table's merge)
+        own_persist = cache
+        if own_persist:
+            events = events.persist()
         try:
             skip_audit = (batch_id is not None
                           and str(batch_id) in self.applied_batch_ids())
@@ -172,7 +179,8 @@ class CDCApplier:
                 metrics[t] = self._apply_table(events, t)
             return metrics
         finally:
-            events.unpersist()
+            if own_persist:
+                events.unpersist()
 
     def rename_column(self, table: str, old: str, new: str):
         """Column-mapping rename on a snapshot table (reference
