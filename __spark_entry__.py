@@ -692,7 +692,9 @@ def oracle_sql() -> dict[str, str]:
         "customer_order_summary": """
             SELECT c.c_custkey, c.c_name,
                    COUNT(o.o_orderkey) AS order_count,
-                   ROUND(COALESCE(SUM(o.o_totalprice), 0.0), 2) AS lifetime_value
+                   (COALESCE(CAST(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5)
+                                           AS BIGINT)) AS BIGINT), 0)
+                    / 100.0) AS lifetime_value
             FROM customer c
             LEFT JOIN orders o ON c.c_custkey = o.o_custkey
             GROUP BY c.c_custkey, c.c_name
@@ -827,16 +829,37 @@ def oracle_sql() -> dict[str, str]:
                              ORDER BY o_totalprice DESC, o_orderkey ASC)
             ) WHERE price_rank <= 100
         """,
+        # stddev/corr from exact integer sums with the identical double
+        # formula Spark evaluates (bit-identical, no rounding needed);
+        # built-in stddev_samp/corr sum doubles in engine-specific order
         "stats_moments": """
-            SELECT l_returnflag,
-                   COUNT(*) AS n,
-                   quantile_cont(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 200
-                                      AS BIGINT), 0.5) / 200.0 AS median_price,
-                   ROUND(quantile_cont(l_extendedprice, 0.95), 2) AS p95_price,
-                   ROUND(stddev_samp(l_quantity), 4) AS qty_stddev,
-                   ROUND(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr
-            FROM lineitem
-            GROUP BY l_returnflag
+            WITH u AS (
+                SELECT l_returnflag,
+                       l_extendedprice,
+                       CAST(FLOOR(l_quantity * 1 + 0.5) AS BIGINT) AS q,
+                       CAST(FLOOR(l_extendedprice * 1 + 0.5) AS BIGINT) AS p
+                FROM lineitem
+            ), s AS (
+                SELECT l_returnflag,
+                       COUNT(*) AS n,
+                       quantile_cont(CAST(FLOOR(l_extendedprice * 200 + 0.5)
+                                          AS BIGINT), 0.5) / 200.0 AS median_price,
+                       ROUND(quantile_cont(l_extendedprice, 0.95), 2) AS p95_price,
+                       CAST(COUNT(*) AS DOUBLE) AS nd,
+                       CAST(CAST(SUM(q) AS BIGINT) AS DOUBLE) AS sq,
+                       CAST(CAST(SUM(q * q) AS BIGINT) AS DOUBLE) AS sq2,
+                       CAST(CAST(SUM(p) AS BIGINT) AS DOUBLE) AS sp,
+                       CAST(CAST(SUM(p * p) AS BIGINT) AS DOUBLE) AS sp2,
+                       CAST(CAST(SUM(q * p) AS BIGINT) AS DOUBLE) AS sqp
+                FROM u
+                GROUP BY l_returnflag
+            )
+            SELECT l_returnflag, n, median_price, p95_price,
+                   sqrt((nd * sq2 - sq * sq) / (nd * (nd - 1.0))) AS qty_stddev,
+                   ((nd * sqp - sq * sp)
+                    / (sqrt(nd * sq2 - sq * sq) * sqrt(nd * sp2 - sp * sp)))
+                       AS qty_price_corr
+            FROM s
         """,
         "top_value_events": """
             SELECT event_id, event_type, ROUND(value, 4) AS value

@@ -46,16 +46,19 @@ def customer_order_summary(customer: DataFrame, orders: DataFrame) -> DataFrame:
     rewrite, and at 100 TB it shrinks both the join input and the
     shuffle from |orders| to |customers|.
     """
+    from .money import units
+
     per_cust = orders.groupBy("o_custkey").agg(
         F.count("o_orderkey").alias("__cnt"),
-        F.sum("o_totalprice").alias("__sum"),
+        # integer cents: exact, summation-order independent (money.py)
+        F.sum(units("o_totalprice")).alias("__cents"),
     )
     return customer.join(
         per_cust, customer.c_custkey == per_cust.o_custkey, "left"
     ).select(
         "c_custkey", "c_name",
         F.coalesce(F.col("__cnt"), F.lit(0)).alias("order_count"),
-        F.round(F.coalesce(F.col("__sum"), F.lit(0.0)), 2).alias("lifetime_value"),
+        (F.coalesce(F.col("__cents"), F.lit(0)) / 100.0).alias("lifetime_value"),
     )
 
 
@@ -198,21 +201,39 @@ def change_type_counts(events: DataFrame) -> DataFrame:
 def stats_moments(lineitem: DataFrame) -> DataFrame:
     """Statistical aggregates the reference lacks but a real analytics
     engine needs: exact interpolated percentiles, sample stddev,
-    Pearson correlation — all built-in JVM aggregates (percentile is
-    exact here; swap to approx_percentile at 100 TB where a sketch
-    with bounded memory is the right trade)."""
+    Pearson correlation (swap percentile for approx_percentile at
+    100 TB where a sketch with bounded memory is the right trade).
+
+    Determinism: built-in stddev/corr sum doubles (summation-order
+    dependent — fails exact cross-engine comparison), so both moments
+    are computed from EXACT integer sums (quantity in whole units,
+    price snapped to whole dollars, keeping Σx² within long range at
+    any SF) with the closed-form expressions evaluated in double — the
+    identical IEEE expression on identical integers is bit-identical
+    in every engine, so no output rounding is needed at all."""
+    from .money import units
+
     # median over DOUBLED integer cents: the 0.5-interpolation (a+b)/2
     # then has an exact integer result regardless of which interpolation
     # formula the engine uses — raw-double medians land on exact .xx45
     # half-cent ties where Spark and DuckDB round different ways
-    half_cents = ("CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 200 "
-                  "AS BIGINT)")
+    q = units("l_quantity", 0)
+    p = units("l_extendedprice", 0)
+    n = F.count(F.lit(1)).cast("double")
+    sq = F.sum(q).cast("double")
+    sq2 = F.sum(q * q).cast("double")
+    sp = F.sum(p).cast("double")
+    sp2 = F.sum(p * p).cast("double")
+    sqp = F.sum(q * p).cast("double")
+    half_cents = "CAST(FLOOR(l_extendedprice * 200 + 0.5) AS BIGINT)"
     return lineitem.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
         (F.expr(f"percentile({half_cents}, 0.5)") / 200.0).alias("median_price"),
         F.round(F.expr("percentile(l_extendedprice, 0.95)"), 2).alias("p95_price"),
-        F.round(F.stddev_samp("l_quantity"), 4).alias("qty_stddev"),
-        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("qty_price_corr"),
+        F.sqrt((n * sq2 - sq * sq) / (n * (n - F.lit(1.0)))).alias("qty_stddev"),
+        ((n * sqp - sq * sp)
+         / (F.sqrt(n * sq2 - sq * sq) * F.sqrt(n * sp2 - sp * sp))
+         ).alias("qty_price_corr"),
     )
 
 
