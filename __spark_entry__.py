@@ -550,6 +550,20 @@ def _embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    threshold=0.4, block_col="label")
 
 
+def _corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling / domain mixing: per-source
+    keep rates selected purely by a Lehmer key hash — reproducible
+    across runs, partitionings, and engines (the oracle recomputes the
+    selection with the same integer arithmetic)."""
+    from deltalake_poc_spark.pipeline.sample import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs, rates={"src0": 0.5, "src1": 0.25}, strata_col="source",
+        default_rate=0.1,
+    ).select("doc_id", "source", "lang", "n_chars")
+
+
 def _multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from deltalake_poc_spark.pipeline import multimodal
 
@@ -620,7 +634,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _ann_lsh_topk,                       # LSH ANN (rows-only)
         "ivf_topk": _ivf_topk,                               # IVF ANN (rows-only)
         "embedding_neardup": _embedding_neardup,             # cosine near-dup pairs
-        "multimodal_decode": _multimodal_decode,             # binary decode (rows-only)
+        "multimodal_decode": _multimodal_decode,             # binary decode + resize
+        "corpus_sample": _corpus_sample,                     # deterministic sampling
     }
 
 
@@ -1329,5 +1344,26 @@ def oracle_sql() -> dict[str, str]:
                                              THEN 512.0 / GREATEST(width, height)
                                              ELSE 1.0 END)) AS INTEGER) AS target_height
             FROM dims
+        """,
+        # same quadratic mix as pipeline/sample.py key_bucket — exact
+        # integer arithmetic, so both engines select the identical rows
+        "corpus_sample": f"""
+            WITH r AS (
+                SELECT doc_id, source, lang, n_chars,
+                       doc_id % {2**31 - 1} AS h0
+                FROM documents
+            ), r1 AS (
+                SELECT *, (h0*h0 + 48271*h0 + 11) % {2**31 - 1} AS h1 FROM r
+            ), h AS (
+                SELECT doc_id, source, lang, n_chars,
+                       (h1*h1 + 48271*h1 + 17) % {2**31 - 1} AS bucket
+                FROM r1
+            )
+            SELECT doc_id, source, lang, n_chars FROM h
+            WHERE bucket < CASE source
+                               WHEN 'src0' THEN {int(0.5 * (2**31 - 1))}
+                               WHEN 'src1' THEN {int(0.25 * (2**31 - 1))}
+                               ELSE {int(0.1 * (2**31 - 1))}
+                           END
         """,
     }

@@ -1,0 +1,70 @@
+"""Deterministic corpus sampling / domain mixing.
+
+A 100 TB training-data pipeline needs REPRODUCIBLE sampling: re-running
+the job (or re-sharding the cluster) must select the same documents.
+Random sampling (``df.sample``) is seed-and-partitioning dependent;
+instead we hash the stable key with a Lehmer-style integer mix and keep
+rows whose bucket falls under the rate — row-local, no shuffle, no
+state, and the SAME rows come back from any engine that can do integer
+arithmetic (the DuckDB oracle recomputes the selection exactly).
+
+The mix is two QUADRATIC rounds mod the Mersenne prime 2^31-1 (h ->
+h^2 + a*h + c): squares of reduced values stay inside a 64-bit long
+(no ANSI overflow). Quadratic matters — an affine (Lehmer-style) mix
+makes the sample a rotated interval of the key space, so two salts
+give systematically disjoint (not independent) selections; with the
+quadratic rounds, salted samples overlap at the expected p^2 rate
+(train/validation splits behave independently).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+LEHMER_MOD = 2147483647  # 2^31 - 1
+
+
+def key_bucket(key: Column | str, salt: int = 0) -> Column:
+    """Deterministic bucket in [0, 2^31-1) from an integer key.
+    Oracle mirror (plain SQL, M = 2147483647)::
+
+        WITH h1 AS ((key + salt) % M)            -- reduce
+        h2 = (h1*h1 + 48271*h1 + 11) % M         -- quadratic round
+        bucket = (h2*h2 + 48271*h2 + 17) % M     -- quadratic round
+    """
+    k = key if isinstance(key, Column) else F.col(key)
+    M = LEHMER_MOD
+    h = (k + F.lit(salt)) % M
+    h = (h * h + F.lit(48271) * h + F.lit(11)) % M
+    h = (h * h + F.lit(48271) * h + F.lit(17)) % M
+    return h
+
+
+def deterministic_sample(df: DataFrame, rate: float,
+                         key_col: str = "doc_id",
+                         salt: int = 0) -> DataFrame:
+    """Keep ~rate of rows, selected purely by key hash — reproducible
+    across runs, partitionings, and engines."""
+    threshold = int(rate * LEHMER_MOD)
+    return df.filter(key_bucket(key_col, salt) < threshold)
+
+
+def stratified_sample(df: DataFrame, rates: dict[str, float],
+                      strata_col: str, key_col: str = "doc_id",
+                      default_rate: float = 0.0,
+                      salt: int = 0) -> DataFrame:
+    """Domain mixing: per-stratum keep rates (e.g. up-weight curated
+    sources, down-weight crawl) with the same deterministic selection.
+    ``rates`` is a literal map (strata are few — sources, languages);
+    each stratum's threshold compiles to a CASE branch, so the filter
+    stays row-local and fully pushed down."""
+    threshold = None
+    for value, rate in sorted(rates.items()):
+        cond = F.col(strata_col) == value
+        lit = F.lit(int(rate * LEHMER_MOD))
+        threshold = (F.when(cond, lit) if threshold is None
+                     else threshold.when(cond, lit))
+    default = F.lit(int(default_rate * LEHMER_MOD))
+    threshold = default if threshold is None else threshold.otherwise(default)
+    return df.filter(key_bucket(key_col, salt) < threshold)

@@ -251,3 +251,28 @@ def test_multimodal_plumbing(spark):
         multimodal.MEDIA_SCHEMA)
     with pytest.raises(Exception, match="NotImplementedError|FAKEIMG|decoding"):
         multimodal.decode_media(bad).collect()
+
+
+def test_deterministic_sample(spark):
+    from deltalake_poc_spark.pipeline.sample import (
+        deterministic_sample, stratified_sample,
+    )
+
+    df = spark.range(0, 10_000).withColumnRenamed("id", "doc_id") \
+        .withColumn("src", (F.col("doc_id") % 2 == 0).cast("string"))
+    s1 = {r["doc_id"] for r in deterministic_sample(df, 0.2).collect()}
+    s2 = {r["doc_id"] for r in deterministic_sample(df, 0.2).collect()}
+    assert s1 == s2                      # reproducible
+    assert 0.17 < len(s1) / 10_000 < 0.23  # rate is honored
+    # a larger rate strictly extends the sample (nested thresholds)
+    s3 = {r["doc_id"] for r in deterministic_sample(df, 0.4).collect()}
+    assert s1 < s3
+    # different salt -> a different (roughly independent) selection
+    s4 = {r["doc_id"] for r in deterministic_sample(df, 0.2, salt=7).collect()}
+    assert s4 != s1 and 0.1 < len(s1 & s4) / len(s1) < 0.35
+
+    strat = stratified_sample(df, {"true": 0.5, "false": 0.1}, "src")
+    frac = {r["src"]: r["n"] for r in
+            strat.groupBy("src").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert 0.44 < frac["true"] / 5000 < 0.56
+    assert 0.06 < frac["false"] / 5000 < 0.14
