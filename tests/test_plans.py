@@ -63,3 +63,31 @@ def test_no_python_udfs_in_core_queries(spark):
 def test_multimodal_uses_arrow(spark):
     plan = plan_of(spark, "multimodal_decode")
     assert "MapInPandas" in plan or "mapInPandas" in plan
+
+
+def test_ngram_hot_gram_cap_broadcasts(spark):
+    """The df-cap filter must be a broadcast ANTI join (the hot-gram
+    list is tiny by construction) — a shuffled anti join would add a
+    full shuffle of the posting list."""
+    plan = plan_of(spark, "ngram_jaccard")
+    assert re.search(r"BroadcastHashJoin.*LeftAnti|LeftAnti.*Broadcast",
+                     plan.replace("\n", " ")), plan[:800]
+
+
+def test_corpus_sample_pushes_to_scan(spark):
+    """The sampling filter is row-local integer arithmetic: no
+    shuffle, no Exchange, no Python — one scan + filter."""
+    plan = plan_of(spark, "corpus_sample")
+    assert "Exchange" not in plan, plan[:600]
+    assert "EvalPython" not in plan
+
+
+def test_money_aggregates_partial_and_jvm(spark):
+    """The integer-cents money path keeps map-side combine (partial_sum
+    over the FLOOR cents expressions) and stays JVM-side — the decimal
+    formulation lost 3.4x on q1 to per-row BigDecimal."""
+    plan = plan_of(spark, "q1_pricing_summary")
+    assert re.search(r"partial_sum\(FLOOR", plan), plan[:800]
+    assert "EvalPython" not in plan
+    # no decimal arithmetic anywhere in the aggregate
+    assert "Decimal" not in plan, plan[:800]
