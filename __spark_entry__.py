@@ -550,6 +550,15 @@ def _embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    threshold=0.4, block_col="label")
 
 
+def _bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token budgeting: whitespace words + BPE-ish pre-token pieces +
+    estimated subword count (the regex is restricted to constructs
+    with identical Java-regex/RE2 semantics, so DuckDB runs it too)."""
+    from deltalake_poc_spark.pipeline.text import bpe_token_stats
+
+    return bpe_token_stats(load_table(spark, sf_dir, "documents"))
+
+
 def _corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sampling / domain mixing: per-source
     keep rates selected purely by a Lehmer key hash — reproducible
@@ -636,6 +645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": _embedding_neardup,             # cosine near-dup pairs
         "multimodal_decode": _multimodal_decode,             # binary decode + resize
         "corpus_sample": _corpus_sample,                     # deterministic sampling
+        "bpe_token_stats": _bpe_token_stats,                 # token budgeting
     }
 
 
@@ -1344,6 +1354,27 @@ def oracle_sql() -> dict[str, str]:
                                              THEN 512.0 / GREATEST(width, height)
                                              ELSE 1.0 END)) AS INTEGER) AS target_height
             FROM dims
+        """,
+        # BPE-ish piece counting with the same regex (Java/RE2-common
+        # subset); ceil-div for est_subwords is exact integer arithmetic
+        "bpe_token_stats": """
+            WITH p AS (
+                SELECT doc_id,
+                       len(string_split(trim(text), ' ')) AS n_words,
+                       regexp_extract_all(text,
+                           '''(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')
+                           AS pieces
+                FROM documents
+            )
+            SELECT doc_id, n_words,
+                   len(pieces) AS n_pieces,
+                   CAST(COALESCE(list_sum(list_transform(pieces,
+                                                         x -> length(x))), 0)
+                        AS BIGINT) AS n_piece_chars,
+                   CAST(FLOOR((CAST(COALESCE(list_sum(list_transform(pieces,
+                                    x -> length(x))), 0) AS BIGINT) + 3) / 4)
+                        AS BIGINT) AS est_subwords
+            FROM p
         """,
         # same quadratic mix as pipeline/sample.py key_bucket — exact
         # integer arithmetic, so both engines select the identical rows

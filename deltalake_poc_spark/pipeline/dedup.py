@@ -471,3 +471,44 @@ def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.9,
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+# ------------------------------------------------------- streaming dedup
+
+
+def streaming_dedup_exact(docs_stream: DataFrame, table_root: str,
+                          checkpoint_dir: str,
+                          available_now: bool = False):
+    """Incremental exact dedup of a document STREAM: each micro-batch
+    keeps its first document per normalized-text hash, then an
+    insert-only MERGE admits only hashes the snapshot table has never
+    seen. The table accumulates the deduped corpus; replayed batches
+    re-converge (idempotent), and earliest-arrival wins across
+    batches — the streaming twin of ``dedup_exact``.
+
+    Scale shape: the per-batch window partitions on text_hash (one
+    shuffle of the batch, not the corpus) and the MERGE's file-stats
+    pruning touches only files whose hash range overlaps the batch.
+    """
+    from pyspark.sql import Window
+
+    from deltalake_poc_spark.tables import VersionedTable
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+        hashed = batch_df.withColumn("text_hash", F.md5(norm))
+        w = Window.partitionBy("text_hash").orderBy("doc_id")
+        firsts = (hashed.withColumn("__rn", F.row_number().over(w))
+                  .filter(F.col("__rn") == 1).drop("__rn"))
+        table = VersionedTable.create(
+            spark, table_root, firsts.schema, if_not_exists=True)
+        (table.merge(firsts, on="text_hash")
+         .when_not_matched_insert_all().execute())
+
+    writer = (docs_stream.writeStream.foreachBatch(process)
+              .option("checkpointLocation", checkpoint_dir)
+              .queryName("dedup-exact"))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -38,6 +38,39 @@ def token_counts(docs: DataFrame) -> DataFrame:
     )
 
 
+# BPE-ish pre-tokenization pattern (the GPT-2 style split, restricted
+# to constructs whose semantics are identical in Java regex and RE2 so
+# the DuckDB oracle can run the same pattern): contractions, letter
+# runs, digit runs, single non-space-non-alnum symbols.
+BPE_SPLIT_PATTERN = r"'(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_token_stats(docs: DataFrame,
+                    chars_per_piece: float = 4.0) -> DataFrame:
+    """Token-count estimation the way a training pipeline budgets
+    documents: whitespace words, BPE-ish pre-token pieces (regex
+    above), and an estimated subword count (pieces-aware chars/4
+    heuristic). Row-local; the regex runs JVM-side via
+    regexp_extract_all (no Python)."""
+    toks = tokens_col()
+    pieces = F.regexp_extract_all(F.col("text"), F.lit(BPE_SPLIT_PATTERN),
+                                  F.lit(0))
+    n_pieces = F.size(pieces)
+    piece_chars = F.aggregate(
+        F.transform(pieces, lambda p: F.length(p)),
+        F.lit(0), lambda acc, x: acc + x)
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_words"),
+        n_pieces.cast("long").alias("n_pieces"),
+        piece_chars.cast("long").alias("n_piece_chars"),
+        # ceil-div in integers: deterministic, no float rounding
+        F.floor((piece_chars + F.lit(int(chars_per_piece) - 1))
+                / F.lit(int(chars_per_piece))).cast("long")
+        .alias("est_subwords"),
+    )
+
+
 def quality_scores(docs: DataFrame) -> DataFrame:
     """Quality heuristics: length, mean token length, stopword ratio,
     alpha ratio — the standard cheap pre-filters for training corpora."""

@@ -276,3 +276,51 @@ def test_deterministic_sample(spark):
             strat.groupBy("src").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert 0.44 < frac["true"] / 5000 < 0.56
     assert 0.06 < frac["false"] / 5000 < 0.14
+
+
+def test_bpe_token_stats(spark):
+    rows = [
+        (0, "don't stop"),              # contraction splits: don,'t,stop
+        (1, "abc123!?x"),               # letter/digit runs + symbols
+        (2, ""),                        # empty
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in text.bpe_token_stats(docs).collect()}
+    assert out[0]["n_pieces"] == 3 and out[0]["n_words"] == 2
+    # abc | 123 | ! | ? | x
+    assert out[1]["n_pieces"] == 5
+    assert out[1]["n_piece_chars"] == 9
+    assert out[1]["est_subwords"] == 3   # ceil(9/4)
+    assert out[2]["n_pieces"] == 0 and out[2]["est_subwords"] == 0
+
+
+def test_streaming_dedup_exact(spark, tmp_path):
+    """Stream two micro-batches with intra- and cross-batch duplicate
+    texts; the snapshot table ends deduped with earliest arrival kept."""
+    import json
+    import os
+
+    from deltalake_poc_spark.pipeline.dedup import streaming_dedup_exact
+    from deltalake_poc_spark.tables import VersionedTable
+
+    src = tmp_path / "in"
+    os.makedirs(src)
+    b1 = [{"doc_id": 1, "text": "alpha beta"},
+          {"doc_id": 2, "text": "Alpha  Beta"},   # dup of 1 (normalized)
+          {"doc_id": 3, "text": "gamma"}]
+    b2 = [{"doc_id": 4, "text": "alpha beta"},    # dup across batches
+          {"doc_id": 5, "text": "delta"}]
+    (src / "b1.json").write_text("\n".join(json.dumps(r) for r in b1))
+    (src / "b2.json").write_text("\n".join(json.dumps(r) for r in b2))
+
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", "1").json(str(src)))
+    q = streaming_dedup_exact(stream, str(tmp_path / "t"),
+                              str(tmp_path / "ckpt"), available_now=True)
+    q.awaitTermination(120)
+
+    rows = VersionedTable.for_path(spark, str(tmp_path / "t")).read().collect()
+    by_id = sorted(r["doc_id"] for r in rows)
+    # one row per distinct normalized text; ids 1/3 from b1, 5 from b2
+    # (file order within availableNow is lexicographic: b1 then b2)
+    assert by_id == [1, 3, 5]
