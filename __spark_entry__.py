@@ -550,6 +550,33 @@ def _embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    threshold=0.4, block_col="label")
 
 
+def _corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone composition — the shape of a real training-data prep
+    job: quality filter -> exact dedup (keep earliest) -> deterministic
+    50% sample -> per-source document/token budget. Every stage is
+    deterministic, so the oracle replays the whole pipeline in SQL."""
+    from deltalake_poc_spark.pipeline.dedup import exact_duplicates
+    from deltalake_poc_spark.pipeline.sample import LEHMER_MOD, key_bucket
+    from deltalake_poc_spark.pipeline.text import bpe_token_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), " ")
+    alpha = (F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z]", ""))
+             / F.length("text"))
+    quality = docs.filter((F.size(toks) >= 30) & (alpha >= 0.8))
+    keepers = exact_duplicates(quality).select(
+        F.col("keep_doc_id").alias("doc_id"))
+    kept = quality.join(keepers, "doc_id", "left_semi")
+    sampled = kept.filter(key_bucket("doc_id") < int(0.5 * LEHMER_MOD))
+    stats = bpe_token_stats(sampled)
+    return (
+        sampled.select("doc_id", "source").join(stats, "doc_id")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("est_subwords").alias("total_subwords"))
+    )
+
+
 def _bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token budgeting: whitespace words + BPE-ish pre-token pieces +
     estimated subword count (the regex is restricted to constructs
@@ -646,6 +673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": _multimodal_decode,             # binary decode + resize
         "corpus_sample": _corpus_sample,                     # deterministic sampling
         "bpe_token_stats": _bpe_token_stats,                 # token budgeting
+        "corpus_pipeline": _corpus_pipeline,                 # filter+dedup+sample+budget
     }
 
 
@@ -1375,6 +1403,42 @@ def oracle_sql() -> dict[str, str]:
                                     x -> length(x))), 0) AS BIGINT) + 3) / 4)
                         AS BIGINT) AS est_subwords
             FROM p
+        """,
+        # full pipeline replay: every stage is deterministic (integer
+        # filters, md5 dedup keys, quadratic sample hash, exact integer
+        # token sums), so the SQL reproduces the Spark result exactly
+        "corpus_pipeline": f"""
+            WITH q AS (
+                SELECT doc_id, source, text FROM documents
+                WHERE len(string_split(trim(text), ' ')) >= 30
+                  AND length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                      / length(text) >= 0.8
+            ), k AS (
+                SELECT MIN(doc_id) AS doc_id FROM q
+                GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+            ), kept AS (
+                SELECT q.* FROM q JOIN k USING (doc_id)
+            ), r AS (
+                SELECT *, doc_id % {2**31 - 1} AS h0 FROM kept
+            ), r1 AS (
+                SELECT *, (h0*h0 + 48271*h0 + 11) % {2**31 - 1} AS h1 FROM r
+            ), s AS (
+                SELECT doc_id, source, text FROM r1
+                WHERE (h1*h1 + 48271*h1 + 17) % {2**31 - 1}
+                      < {int(0.5 * (2**31 - 1))}
+            ), p AS (
+                SELECT source,
+                       CAST(COALESCE(list_sum(list_transform(
+                                regexp_extract_all(text,
+                                    '''(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'),
+                                x -> length(x))), 0) AS BIGINT) AS piece_chars
+                FROM s
+            )
+            SELECT source, COUNT(*) AS n_docs,
+                   CAST(SUM(CAST(FLOOR((piece_chars + 3) / 4) AS BIGINT))
+                        AS BIGINT) AS total_subwords
+            FROM p
+            GROUP BY source
         """,
         # same quadratic mix as pipeline/sample.py key_bucket — exact
         # integer arithmetic, so both engines select the identical rows
