@@ -68,6 +68,80 @@ def lsh_bucket_expr(vec_col, planes: np.ndarray):
     return bucket
 
 
+def left_fold_dot(xs, cs) -> float:
+    """Python twin of the Spark/SQL left-fold dot product: acc starts
+    at 0.0 and adds one product per element in order — the exact IEEE
+    op sequence of ``F.aggregate(zip_with(...))`` and of the generated
+    ``0.0 + e[1]*c1 + e[2]*c2 + ...`` SQL chain, so signs/buckets are
+    bit-identical across Python, Spark, and DuckDB (np.dot pairwise
+    summation is NOT — it folds in a different order)."""
+    acc = 0.0
+    for x, c in zip(xs, cs):
+        acc = acc + float(x) * float(c)
+    return acc
+
+
+def left_fold_sqdist(xs, cs) -> float:
+    """Left-fold squared euclidean distance (same contract as
+    :func:`left_fold_dot`)."""
+    acc = 0.0
+    for x, c in zip(xs, cs):
+        d = float(x) - float(c)
+        acc = acc + d * d
+    return acc
+
+
+def sqdist_expr(vec_col, center):
+    """Squared distance between an array column and a literal center:
+    per-element (x-c)^2 into an array, then an ordered left fold —
+    matches the generated SQL chain bit-for-bit."""
+    return F.aggregate(
+        F.zip_with(vec_col,
+                   F.array(*[F.lit(float(c)) for c in center]),
+                   lambda x, y: (x.cast("double") - y)
+                                * (x.cast("double") - y)),
+        F.lit(0.0), lambda acc, x: acc + x)
+
+
+def pivot_centers(dim: int, n_clusters: int = 16, seed: int = 7) -> list[list[float]]:
+    """Deterministic coarse-quantizer pivots (seeded gaussian).
+
+    The gate-checked IVF variant uses these instead of fitted k-means
+    centers: the driver's ``oracle_sql()`` is a static string built
+    with no SparkSession, so fitted centers cannot reach it
+    order-independently — literal seeded pivots make the *entire*
+    assign -> probe -> exact-rescore path SQL-recomputable. K-means
+    fitting itself (not SQL-expressible) stays covered by the recall
+    pytest over :func:`ivf_build`.
+    """
+    rs = np.random.RandomState(seed)
+    return [[float(v) for v in row] for row in rs.normal(size=(n_clusters, dim))]
+
+
+def pivot_assign(emb: DataFrame, centers: list[list[float]],
+                 vec_col: str = "embedding") -> DataFrame:
+    """Assign each vector to its nearest pivot (ties -> lowest cluster
+    id, via first-match array_position). Pure column expressions; at
+    100 TB ``__cluster`` becomes the table's partition key."""
+    dists = F.array(*[sqdist_expr(F.col(vec_col), c) for c in centers])
+    return emb.withColumn(
+        "__cluster", F.array_position(dists, F.array_min(dists)) - 1)
+
+
+def pivot_ivf_topk(emb: DataFrame, centers: list[list[float]],
+                   query_vec: list[float], k: int = 10, n_probe: int = 4,
+                   exclude_vec_id: int | None = None) -> DataFrame:
+    """IVF probe over the deterministic pivot quantizer: pick the
+    n_probe pivots nearest the query (left-fold distance, ties by
+    cluster id), scan only those clusters, exact cosine on the
+    candidates."""
+    dists = [left_fold_sqdist(query_vec, c) for c in centers]
+    probe = sorted(range(len(centers)), key=lambda i: (dists[i], i))[:n_probe]
+    assigned = pivot_assign(emb, centers)
+    candidates = assigned.filter(F.col("__cluster").isin(probe)).drop("__cluster")
+    return cosine_topk(candidates, query_vec, k, exclude_vec_id)
+
+
 def ivf_build(emb: DataFrame, n_clusters: int = 16, seed: int = 42):
     """IVF (inverted-file) index: k-means partition of the vector space
     via Spark MLlib. Returns (assignments DataFrame with a __cluster
@@ -111,12 +185,13 @@ def ann_lsh_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
     """
     dim = len(query_vec)
     hp = hyperplanes(dim, n_planes, n_tables, seed)
-    qv = np.array(query_vec)
+    # Query buckets via the same left-fold dot as the column
+    # expression (and the DuckDB oracle) — bit-identical signs.
     q_buckets = []
     for t in range(n_tables):
         bits = 0
         for p_idx in range(n_planes):
-            if float(np.dot(hp[t, p_idx], qv)) > 0:
+            if left_fold_dot(query_vec, hp[t, p_idx]) > 0:
                 bits += 2 ** p_idx
         q_buckets.append(bits)
 
