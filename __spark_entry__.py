@@ -1166,7 +1166,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS window_start,
                    event_type,
                    COUNT(*) AS n_events,
-                   {_dsum('value')} AS total_value
+                   {_dsum('value', 4)} AS total_value
             FROM events
             GROUP BY 1, 2
         """,
@@ -1193,7 +1193,7 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_events,
                    MIN(ts_ms) AS start_ms,
                    MAX(ts_ms) AS end_ms,
-                   {_dsum('value')} AS session_value
+                   {_dsum('value', 4)} AS session_value
             FROM numbered
             GROUP BY user_id, session_idx
         """,

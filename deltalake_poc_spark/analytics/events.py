@@ -24,9 +24,12 @@ def event_windows(events: DataFrame, duration: str = "1 hour") -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            # value snaps to integer cents (identical IEEE ops in every
-            # engine), sums exactly — order-independent by construction
-            dec_sum("value").alias("total_value"),
+            # value snaps to integer 1e-4 units (identical IEEE ops in
+            # every engine), sums exactly — order-independent by
+            # construction. scale=4 matches the precision
+            # top_value_events assumes for the same measure; cents
+            # would silently quantize finer-precision inputs.
+            dec_sum("value", scale=4).alias("total_value"),
         )
         .select(
             F.date_format("w.start", "yyyy-MM-dd HH:mm").alias("window_start"),
@@ -99,6 +102,6 @@ def user_sessions(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
             F.min("ts_ms").alias("start_ms"),
             F.max("ts_ms").alias("end_ms"),
-            dec_sum("value").alias("session_value"),
+            dec_sum("value", scale=4).alias("session_value"),
         )
     )

@@ -115,7 +115,10 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
     """
     with_grams = doc_grams(docs, n)
     # slim posting list: the self-join shuffles only (doc_id, gram);
-    # per-doc gram counts re-attach afterwards via broadcast (tiny).
+    # per-doc gram counts re-attach afterwards. No broadcast hint:
+    # `counts` has one row per DOCUMENT, so at corpus scale a forced
+    # broadcast is an OOM — AQE picks broadcast when the side is
+    # actually small and falls back to a shuffle join when it isn't.
     # (A groupBy-gram + in-array pair-generation variant was measured
     # at parity on time but builds O(df²) structs per hot gram — the
     # join form degrades more gracefully under gram skew.)
@@ -147,10 +150,10 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
             F.col("b.doc_id").alias("doc_b"),
         )
         .agg(F.count(F.lit(1)).alias("shared"))
-        .join(F.broadcast(counts.withColumnRenamed("doc_id", "doc_a")
-                          .withColumnRenamed("n_grams", "na")), "doc_a")
-        .join(F.broadcast(counts.withColumnRenamed("doc_id", "doc_b")
-                          .withColumnRenamed("n_grams", "nb")), "doc_b")
+        .join(counts.withColumnRenamed("doc_id", "doc_a")
+              .withColumnRenamed("n_grams", "na"), "doc_a")
+        .join(counts.withColumnRenamed("doc_id", "doc_b")
+              .withColumnRenamed("n_grams", "nb"), "doc_b")
     )
     jac = F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))
     return (

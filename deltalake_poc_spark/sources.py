@@ -85,8 +85,12 @@ def upsert_statements(columns: list[str], table: str,
     """
     if not set(keys) <= set(columns):
         raise ValueError(f"keys {keys} not all in columns")
+    if dialect not in ("postgresql", "mysql", "merge"):
+        raise ValueError(f"unknown dialect {dialect!r}")
     staging = staging_table or f"{table}__staging"
-    q = '"{}"'.format  # ANSI identifier quoting
+    # ANSI double-quoted identifiers — except MySQL, where stock servers
+    # only accept backticks (ANSI_QUOTES is off by default)
+    q = "`{}`".format if dialect == "mysql" else '"{}"'.format
     tgt = f"{schema}.{q(table)}" if schema else q(table)
     stg = f"{schema}.{q(staging)}" if schema else q(staging)
     cols = ", ".join(q(c) for c in columns)
@@ -114,11 +118,16 @@ def upsert_statements(columns: list[str], table: str,
             f"WHERE {key_eq} AND s.{q(cdc_op_col)} = 'd'"
         )
     elif dialect == "mysql":
-        set_clause = ", ".join(f"{q(c)} = VALUES({q(c)})" for c in upd_cols)
+        # VALUES(col) is deprecated since MySQL 8.0.20; the documented
+        # replacement for INSERT … SELECT is a derived-table alias
+        # whose columns are referenced in the UPDATE clause
+        set_clause = ", ".join(f"{q(c)} = new.{q(c)}" for c in upd_cols)
         synced_my = (f", {q(synced_at_col)} = {now_expr}"
                      if synced_at_col else "")
         upsert = (
-            f"INSERT INTO {tgt} ({cols}) SELECT {cols} FROM {stg}{not_delete} "
+            f"INSERT INTO {tgt} ({cols}) "
+            f"SELECT {cols} FROM "
+            f"(SELECT {cols} FROM {stg}{not_delete}) AS new "
             f"ON DUPLICATE KEY UPDATE {set_clause}{synced_my}"
         )
         delete = (

@@ -26,6 +26,7 @@ Usage:
 from __future__ import annotations
 
 import datetime
+import decimal
 import json
 import os
 from collections.abc import Iterator, Sequence
@@ -44,12 +45,26 @@ FORMAT_NAME = "versioned_table"
 # column type when emitting rows (mirrors the batch table reader's
 # _read_files cast) — without this an int-partitioned table yields
 # mistyped rows from the stream/batch datasource paths.
+# fromisoformat handles Spark's partition-path timestamp format
+# ("yyyy-MM-dd HH:mm:ss[.ffffff]" — any single date/time separator is
+# accepted); naive datetimes round-trip through the session timezone
+# exactly as Spark wrote them.
 _PARTITION_CASTS = {
     "tinyint": int, "smallint": int, "int": int, "bigint": int,
     "float": float, "double": float,
     "boolean": lambda s: s.lower() == "true",
     "date": datetime.date.fromisoformat,
+    "timestamp": datetime.datetime.fromisoformat,
+    "timestamp_ntz": datetime.datetime.fromisoformat,
+    "decimal": decimal.Decimal,
 }
+
+
+def _cast_partition_value(raw: str, typ: str):
+    """decimal's simpleString carries precision/scale — normalize the
+    lookup key; unknown types fall through as strings."""
+    cast = _PARTITION_CASTS.get("decimal" if typ.startswith("decimal") else typ)
+    return cast(raw) if cast else raw
 
 
 def _fields_of(schema: StructType) -> list[tuple[str, str, str]]:
@@ -183,8 +198,8 @@ class VersionedTableStreamReader(DataSourceStreamReader):
                 cols[name] = table.column(phys).to_pylist()
             elif name in partition.partition_values:
                 raw = partition.partition_values[name]
-                cast = _PARTITION_CASTS.get(typ)
-                val = cast(raw) if (cast and isinstance(raw, str)) else raw
+                val = (_cast_partition_value(raw, typ)
+                       if isinstance(raw, str) else raw)
                 cols[name] = [val] * n
             else:
                 cols[name] = [None] * n

@@ -74,6 +74,24 @@ def test_ngram_hot_gram_cap_broadcasts(spark):
                      plan.replace("\n", " ")), plan[:800]
 
 
+def test_ngram_counts_join_not_forced_broadcast(spark):
+    """The per-doc gram-counts frame grows with the corpus (one row per
+    document): its re-attach joins must NOT carry a broadcast hint —
+    at 100 TB a forced broadcast is an OOM, not an optimization. With
+    auto-broadcast disabled every join must degrade to a shuffle join
+    (a hint would broadcast regardless of the threshold); under the
+    default threshold AQE/the planner is still free to broadcast the
+    genuinely-small sides (see test_ngram_hot_gram_cap_broadcasts)."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = plan_of(spark, "ngram_jaccard")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "BroadcastHashJoin" not in plan, plan[:800]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:800]
+
+
 def test_corpus_sample_pushes_to_scan(spark):
     """The sampling filter is row-local integer arithmetic: no
     shuffle, no Exchange, no Python — one scan + filter."""
@@ -89,5 +107,8 @@ def test_money_aggregates_partial_and_jvm(spark):
     plan = plan_of(spark, "q1_pricing_summary")
     assert re.search(r"partial_sum\(FLOOR", plan), plan[:800]
     assert "EvalPython" not in plan
-    # no decimal arithmetic anywhere in the aggregate
-    assert "Decimal" not in plan, plan[:800]
+    # no per-ROW decimal arithmetic: every partial aggregate stays on
+    # FLOOR-cents longs (dec_avg's final quotient divides as decimal,
+    # but that runs once per group after aggregation)
+    for m in re.finditer(r"partial_\w+\([^\n]*", plan):
+        assert "ecimal" not in m.group(0), m.group(0)[:300]

@@ -64,9 +64,15 @@ def test_upsert_statements_merge_and_mysql():
     assert "WHEN MATCHED AND s.\"__cdc_operation\" = 'd' THEN DELETE" in m
     assert "WHEN NOT MATCHED AND s.\"__cdc_operation\" <> 'd' THEN INSERT" in m
 
+    # mysql: backtick identifiers only (ANSI_QUOTES off on stock
+    # servers) and the 8.0.20+ derived-table alias instead of VALUES()
     my = upsert_statements(cols, "t", keys=("id",), dialect="mysql")
     assert "ON DUPLICATE KEY UPDATE" in my["upsert"]
-    assert '"name" = VALUES("name")' in my["upsert"]
+    assert "`name` = new.`name`" in my["upsert"]
+    assert '"' not in my["upsert"] and '"' not in my["delete"]
+    assert '"' not in my["drop_staging"]
+    assert "AS new" in my["upsert"]
+    assert "DELETE t FROM public.`t` t JOIN public.`t__staging` s" in my["delete"]
 
     import pytest
     with pytest.raises(ValueError):

@@ -157,3 +157,32 @@ def test_stream_int_partition_values_typed(spark, tmp_path):
     # batch path through the same datasource casts identically
     batch = (spark.read.format("versioned_table").option("path", root).load())
     assert sorted(r["bucket"] for r in batch.collect()) == [10, 20]
+
+
+def test_stream_timestamp_decimal_partition_values_typed(spark, tmp_path):
+    """Timestamp- and decimal-partitioned tables must also round-trip
+    typed partition values through the datasource paths (the int fix
+    alone left these yielding strings)."""
+    import datetime as dt
+    from decimal import Decimal
+
+    register_stream_source(spark)
+    schema = spark.createDataFrame(
+        [], "id long, ts timestamp, amt decimal(10,2), v string").schema
+    root = str(tmp_path / "t")
+    t = VersionedTable.create(spark, root, schema, partition_by=["ts", "amt"])
+    ts1 = dt.datetime(2024, 1, 2, 3, 4, 5)
+    ts2 = dt.datetime(2024, 6, 7, 8, 9, 10, 123456)
+    t.write(spark.createDataFrame(
+        [(1, ts1, Decimal("10.50"), "a"), (2, ts2, Decimal("99.99"), "b")],
+        schema))
+
+    out = _run(spark, root, str(tmp_path / "out"), str(tmp_path / "ckpt"))
+    types = dict(out.dtypes)
+    assert types["ts"] == "timestamp" and types["amt"] == "decimal(10,2)"
+    rows = sorted((r["id"], r["ts"], r["amt"]) for r in out.collect())
+    assert rows == [(1, ts1, Decimal("10.50")), (2, ts2, Decimal("99.99"))]
+
+    batch = spark.read.format("versioned_table").option("path", root).load()
+    assert sorted((r["ts"], r["amt"]) for r in batch.collect()) == [
+        (ts1, Decimal("10.50")), (ts2, Decimal("99.99"))]
