@@ -697,6 +697,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def bench_extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Production-config twins of gate queries that pay a deliberate
+    oracle tax, timed separately by bench.py so the tax stays visible:
+
+    - minhash_dedup_prod: 16 bands x 4 rows (the production s-curve for
+      threshold 0.5) — the gate runs 32x2 to pin banding recall at 1.0
+      for its exact all-pairs oracle;
+    - simhash_dedup_prod: xxhash64 signatures (JVM intrinsic, one hash
+      per token) — the gate runs two polynomial-hash passes per token
+      so DuckDB can recompute signatures bit-for-bit;
+    - ivf_kmeans_topk: the MLlib k-means IVF production fitting path —
+      the gate variant uses seeded literal pivots so assignment is
+      SQL-recomputable (k-means fitting is not).
+
+    ngram_jaccard has NO twin: its r2 slowdown is the max_df hot-gram
+    cap itself, which is production behavior (the cap bounds the
+    quadratic blow-up of boilerplate grams at scale), not oracle tax.
+    """
+    def _minhash_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from deltalake_poc_spark.pipeline.dedup import minhash_lsh_pairs
+
+        return minhash_lsh_pairs(load_table(spark, sf_dir, "documents"),
+                                 bands=16, threshold=0.3)
+
+    def _simhash_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from deltalake_poc_spark.pipeline.dedup import simhash_pairs
+
+        return simhash_pairs(load_table(spark, sf_dir, "documents"),
+                             max_hamming=3, portable=False)
+
+    def _ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from deltalake_poc_spark.pipeline.similarity import ivf_build, ivf_topk
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        q = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+        assigned, centers = ivf_build(emb, n_clusters=16)
+        return ivf_topk(assigned, centers, q, k=10, n_probe=4,
+                        exclude_vec_id=0)
+
+    return {
+        "minhash_dedup_prod": _minhash_prod,
+        "simhash_dedup_prod": _simhash_prod,
+        "ivf_kmeans_topk": _ivf_kmeans,
+    }
+
+
 def _units(col: str, scale: int = 2) -> str:
     """DuckDB mirror of money.units: floor(x*10^s + 0.5) as BIGINT —
     the same IEEE double ops Spark runs, so the integers are equal by

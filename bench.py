@@ -44,6 +44,17 @@ def main() -> None:
         df.write.mode("overwrite").format("noop").save()
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    # production-config twins of gate queries that pay a deliberate
+    # oracle tax (32-band minhash, portable simhash, literal-pivot
+    # IVF) — timed separately, excluded from the headline total so
+    # cross-round totals stay comparable
+    twin_timings: dict[str, float] = {}
+    for name, fn in entrymod.bench_extra_queries().items():
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.write.mode("overwrite").format("noop").save()
+        twin_timings[name] = round(time.perf_counter() - t0, 3)
+
     # single-node comparison point: the same queries' oracle SQL in
     # DuckDB at the same scale (the reference publishes no numbers, so
     # the DuckDB-oracle runtime is the effective baseline; BASELINE.md)
@@ -72,6 +83,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "production_twins": twin_timings,
         "oracle_duckdb_sec": oracle_timings,
         "oracle_total_sec": round(sum(oracle_timings.values()), 3),
         # these entries are full WRITE pipelines (ingest + merge + table

@@ -61,8 +61,11 @@ def parse_debezium(raw: DataFrame) -> DataFrame:
         F.concat_ws(
             ".", F.col("_payload.source.schema"), F.col("_payload.source.table")
         ).alias("table_name"),
-        F.get_json_object(value_str, "$.payload.before").alias("before_data"),
-        F.get_json_object(value_str, "$.payload.after").alias("after_data"),
+        # raw JSON subtrees from the SAME from_json pass (string-typed
+        # fields capture the re-serialized object; a get_json_object
+        # here would re-parse the whole message text per column)
+        F.col("_payload.before").alias("before_data"),
+        F.col("_payload.after").alias("after_data"),
         F.timestamp_millis(F.col("_payload.ts_ms")).alias("event_timestamp"),
         F.col("_payload.source.lsn").alias("source_lsn"),
         F.col("_payload.source.txId").alias("source_txid"),

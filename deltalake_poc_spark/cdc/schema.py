@@ -44,10 +44,16 @@ TRANSACTION_SCHEMA = StructType([
     StructField("data_collection_order", LongType()),
 ])
 
-# Typed part of the payload; before/after handled as raw JSON strings.
+# Typed part of the payload. before/after are declared STRING: Spark's
+# JSON parser hands back the raw subtree re-serialized as compact JSON
+# when an object token meets a string field — one parse of the message
+# yields both the typed envelope AND the schema-agnostic row payloads
+# (two extra get_json_object calls would each re-parse the full text).
 PAYLOAD_TYPED_SCHEMA = StructType([
     StructField("op", StringType()),
     StructField("ts_ms", LongType()),
+    StructField("before", StringType()),
+    StructField("after", StringType()),
     StructField("source", SOURCE_SCHEMA),
     StructField("transaction", TRANSACTION_SCHEMA),
 ])

@@ -181,7 +181,15 @@ class MergeBuilder:
                 for a in ("U", "I", "D", "C")
             ],
         )
-        classified = classified.persist()
+        # persist only when the CDF path will stream the frame twice
+        # (change-file write + materialize); in the single-consumer
+        # case the cache fill is pure overhead AND freezes the join's
+        # partitioning (cached plans skip AQE output coalescing unless
+        # canChangeCachedPlanOutputPartitioning is on), which turned a
+        # 172-row merge output into 32 near-empty files
+        cache_classified = t.cdf_enabled(snap)
+        if cache_classified:
+            classified = classified.persist()
         try:
             t_cols = [F.col(f"t.{f.name}").alias(f.name) for f in schema.fields]
             result = classified.filter(F.col("__action").isin("C", "U", "I")).select(
@@ -231,7 +239,8 @@ class MergeBuilder:
             t.log.write_commit(commit)
             return commit
         finally:
-            classified.unpersist()
+            if cache_classified:
+                classified.unpersist()
 
     def _change_rows(self, classified, schema, aligned, t_cols):
         """CDF rows for this merge: insert / delete / update_pre+postimage."""

@@ -303,7 +303,27 @@ class VersionedTable:
         writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
-        writer.parquet(staging)
+        # Size-targeted output files: AQE's parallelismFirst default
+        # refuses to coalesce below defaultParallelism, so a 172-row
+        # MERGE output lands as 32 near-empty files — each one a footer
+        # stats read now and a scan task forever after. Scoped to the
+        # staging write: shuffle-derived frames (merge sources, MV
+        # aggregations) coalesce to the 64MB advisory target; frames
+        # without a live shuffle (plain appends of scan-partitioned
+        # data) keep their scan parallelism.
+        pf_key = "spark.sql.adaptive.coalescePartitions.parallelismFirst"
+        try:
+            old_pf = self.spark.conf.get(pf_key)
+        except Exception:
+            old_pf = None
+        try:
+            self.spark.conf.set(pf_key, "false")
+            writer.parquet(staging)
+        finally:
+            if old_pf is None:
+                self.spark.conf.unset(pf_key)
+            else:
+                self.spark.conf.set(pf_key, old_pf)
         entries: list[FileEntry] = []
         os.makedirs(self.log.data_dir(), exist_ok=True)
         for dirpath, _dirs, files in os.walk(staging):
