@@ -345,7 +345,12 @@ def connected_components(pairs: DataFrame, max_iterations: int = 20,
     Two regimes, picked by edge count:
     - up to ``driver_threshold`` edges: union-find on the driver (dup
       pair sets are usually far smaller than the corpus; one collect
-      of the PAIRS — never the docs — beats multi-round job overhead)
+      of the PAIRS — never the docs — beats multi-round job overhead).
+      The collect is an Arrow/pandas transfer of two LONG columns:
+      16 bytes/edge + the two numpy arrays ≈ ~50 MB at the default
+      1M-edge ceiling (vs ~100 bytes/edge as Row objects), far inside
+      the 8 GB driver budget; the union-find dict peaks at
+      O(distinct members) boxed ints, bounded by 2x edges.
     - larger: distributed min-label propagation — each round one join
       + one min-aggregation; O(diameter) rounds (dup clusters are
       near-cliques, so usually 2-3); driver only sees the converged
@@ -358,7 +363,7 @@ def connected_components(pairs: DataFrame, max_iterations: int = 20,
     n_edges = pairs.limit(driver_threshold + 1).count()
     if n_edges <= driver_threshold:
         try:
-            edge_rows = pairs.select("doc_a", "doc_b").collect()
+            pdf = pairs.select("doc_a", "doc_b").toPandas()
         finally:
             pairs.unpersist()
         parent: dict = {}
@@ -371,15 +376,14 @@ def connected_components(pairs: DataFrame, max_iterations: int = 20,
                 parent[x], x = root, parent[x]
             return root
 
-        for r in edge_rows:
-            a, b = find(r["doc_a"]), find(r["doc_b"])
+        col_a = pdf["doc_a"].to_numpy()
+        col_b = pdf["doc_b"].to_numpy()
+        for a0, b0 in zip(col_a.tolist(), col_b.tolist()):
+            a, b = find(a0), find(b0)
             if a != b:
                 lo, hi = (a, b) if a < b else (b, a)
                 parent[hi] = lo
-        members = set()
-        for r in edge_rows:
-            members.add(r["doc_a"])
-            members.add(r["doc_b"])
+        members = set(col_a.tolist()) | set(col_b.tolist())
         data = [(m, find(m)) for m in sorted(members)]
         return spark.createDataFrame(data, "doc_id long, group_id long")
     edges = (

@@ -166,10 +166,17 @@ def scrub_pii(docs: DataFrame, replacement: str = "<PII>") -> DataFrame:
     return out
 
 
-def tf_idf(docs: DataFrame, min_df: int = 1) -> DataFrame:
+def tf_idf(docs: DataFrame, min_df: int = 1,
+           rounded: bool = True) -> DataFrame:
     """Corpus TF-IDF: (doc_id, token, tf, df, tfidf) with the smooth
     idf = ln((N+1)/(df+1)) + 1. Two shuffles (token counts per doc;
-    document frequency per token joined back on the token key)."""
+    document frequency per token joined back on the token key).
+
+    Cross-engine note: ln() is the one transcendental in the oracle
+    surface; JVM and DuckDB may differ by <=1 ulp, which only matters
+    if a value sits within ~1 ulp of a 4dp rounding boundary.
+    ``rounded=False`` exposes the raw product as ``tfidf_raw`` so the
+    margin invariant is testable (test_tf_idf_ln_agreement_pinned)."""
     toks = tokens_col()
     posting = (
         docs.select("doc_id", F.explode(toks).alias("token"))
@@ -181,11 +188,12 @@ def tf_idf(docs: DataFrame, min_df: int = 1) -> DataFrame:
            .filter(F.col("df") >= min_df))
     n_docs = docs.select("doc_id").distinct().count()
     idf = F.log((F.lit(float(n_docs) + 1.0)) / (F.col("df") + 1.0)) + 1.0
-    return (
-        tf.join(df_, "token")
-        .select("doc_id", "token", "tf", "df",
-                F.round(F.col("tf") * idf, 4).alias("tfidf"))
-    )
+    out = tf.join(df_, "token")
+    if not rounded:
+        return out.select("doc_id", "token", "tf", "df",
+                          (F.col("tf") * idf).alias("tfidf_raw"))
+    return out.select("doc_id", "token", "tf", "df",
+                      F.round(F.col("tf") * idf, 4).alias("tfidf"))
 
 
 def chunk_documents(docs: DataFrame, chunk_tokens: int = 64,

@@ -33,3 +33,34 @@ def test_query_vs_oracle(spark, name):
         assert df.count() >= 0  # rows-only check (non-SQL-expressible op)
         return
     compare_to_oracle(df, ORACLES[name], SF_DIR)
+
+
+@pytest.mark.parametrize("sf", ["sf0.001", "sf0.01", "sf0.1"])
+def test_tf_idf_ln_agreement_pinned(spark, sf):
+    """tf_idf is the one gate query whose hash depends on cross-engine
+    transcendental agreement: ROUND(tf*(ln((n+1)/(df+1))+1), 4) only
+    matches DuckDB if a <=1-ulp ln() difference cannot flip the 4dp
+    rounding. This pins BOTH halves of that claim at every SF:
+    (1) the oracle comparison itself, (2) the margin invariant that no
+    unrounded value sits within 1e-8 of a .xxxx5 rounding boundary —
+    the property that makes (1) robust rather than lucky."""
+    sf_dir = f"/root/testdata/{sf}"
+    df = QUERIES["tf_idf"](spark, sf_dir)
+    compare_to_oracle(df, ORACLES["tf_idf"], sf_dir)
+
+    from pyspark.sql import functions as F
+
+    # recompute unrounded and measure distance to the nearest rounding
+    # boundary: frac(x*10^4) should stay away from 0.5 by >> 1 ulp of
+    # the product (~1e-12 at these magnitudes)
+    from deltalake_poc_spark.analytics.io import load_table
+    from deltalake_poc_spark.pipeline.text import tf_idf
+
+    unrounded = tf_idf(load_table(spark, sf_dir, "documents"),
+                       rounded=False)
+    scaled = unrounded.select(
+        (F.col("tfidf_raw") * 10_000).alias("s"))
+    near = scaled.select(
+        F.abs(F.col("s") - F.floor("s") - 0.5).alias("margin")
+    ).agg(F.min("margin").alias("m")).collect()[0]["m"]
+    assert near > 1e-8, f"tfidf value within {near} of a 4dp boundary"

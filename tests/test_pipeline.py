@@ -125,6 +125,31 @@ def test_connected_components_and_groups(spark):
     assert g[2] == 2 and g[4] == 4
 
 
+def test_connected_components_regime_boundary(spark):
+    """Both union-find regimes (driver collect vs distributed min-label
+    propagation) must agree exactly at the threshold boundary: the same
+    edge set one edge under and one edge over ``driver_threshold``
+    yields identical components."""
+    # 3 chains of 4 nodes + one isolated pair = 11 edges
+    edges = [(i, i + 1) for i in range(0, 3)] \
+        + [(i, i + 1) for i in range(10, 13)] \
+        + [(i, i + 1) for i in range(20, 23)] \
+        + [(30, 31), (31, 30)]  # duplicate-ish edge keeps count at 11
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    expect = {**{i: 0 for i in range(4)},
+              **{i: 10 for i in range(10, 14)},
+              **{i: 20 for i in range(20, 24)},
+              30: 30, 31: 30}
+    driver = {r["doc_id"]: r["group_id"] for r in
+              dedup.connected_components(
+                  pairs, driver_threshold=len(edges)).collect()}
+    dist = {r["doc_id"]: r["group_id"] for r in
+            dedup.connected_components(
+                pairs, driver_threshold=len(edges) - 1).collect()}
+    assert driver == expect
+    assert dist == expect
+
+
 def test_embedding_neardup(spark):
     rows = [
         (0, [1.0, 0.0, 0.0, 0.0], 0),
