@@ -19,7 +19,7 @@ keys, which is what keeps these tractable at 100 TB.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -126,15 +126,25 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
         "doc_id", F.explode("grams").alias("gram"))
     if max_df is not None:
         # grams are distinct per doc, so count(*) per gram == document
-        # frequency. The hot-gram list is tiny by construction
-        # (≤ total_postings / max_df rows), so AQE turns the anti-join
-        # into a broadcast — no extra shuffle of the posting list.
-        hot = (
-            posting.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") > max_df)
-            .select("gram")
+        # frequency. Window-count over gram instead of a groupBy +
+        # anti-join: the window's hash(gram) exchange is EXACTLY the
+        # distribution the self-join needs, so both join sides AND the
+        # per-doc recount all reuse ONE shuffle of ONE tokenization
+        # pass (ReusedExchange; plan-pinned in test_plans.py). The
+        # anti-join form tokenized the corpus up to 4x. Hot-gram window
+        # partitions are df<=corpus-doc-count rows of 16 bytes — no
+        # skew hazard at 100 TB (the quadratic blow-up the cap
+        # prevents happens in the join, not here).
+        w = Window.partitionBy("gram")
+        posting = (
+            # explicit isNotNull (ngrams never yield nulls) so the
+            # counts branch's exchange is canonical-identical to the
+            # join sides' — AQE then reuses one materialized shuffle
+            posting.filter(F.col("gram").isNotNull())
+            .withColumn("__df", F.count(F.lit(1)).over(w))
+            .filter(F.col("__df") <= max_df)
+            .drop("__df")
         )
-        posting = posting.join(hot, "gram", "left_anti")
         counts = posting.groupBy("doc_id").agg(
             F.count(F.lit(1)).alias("n_grams"))
     else:

@@ -65,13 +65,20 @@ def test_multimodal_uses_arrow(spark):
     assert "MapInPandas" in plan or "mapInPandas" in plan
 
 
-def test_ngram_hot_gram_cap_broadcasts(spark):
-    """The df-cap filter must be a broadcast ANTI join (the hot-gram
-    list is tiny by construction) — a shuffled anti join would add a
-    full shuffle of the posting list."""
-    plan = plan_of(spark, "ngram_jaccard")
-    assert re.search(r"BroadcastHashJoin.*LeftAnti|LeftAnti.*Broadcast",
-                     plan.replace("\n", " ")), plan[:800]
+def test_ngram_hot_gram_cap_is_window_over_shared_shuffle(spark):
+    """The df cap is a window count over the gram shuffle — the SAME
+    hash(gram) distribution the self-join needs, so the join sides and
+    the per-doc recount reuse one materialized shuffle stage of one
+    tokenization pass (the earlier groupBy + anti-join formulation
+    tokenized the corpus up to 4x). Executing under AQE must show
+    runtime stage reuse."""
+    df = entrymod.queries()["ngram_jaccard"](spark, SF_DIR)
+    df.collect()
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted")
+    plan = df._jdf.queryExecution().explainString(jmode)
+    assert "Window" in plan and "LeftAnti" not in plan, plan[:800]
+    assert "Reused" in plan, plan[:800]  # shared shuffle actually reused
 
 
 def test_ngram_counts_join_not_forced_broadcast(spark):
