@@ -36,6 +36,13 @@ def main() -> None:
     qs = entrymod.queries()
     # warmup: JVM + parquet footer caches
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+    # warmup: Python/Arrow worker pool — the session's FIRST mapInPandas
+    # pays ~6s of worker spawn + pandas import across cores, a one-time
+    # session cost that would otherwise be charged to whichever query
+    # touches Python first (multimodal_decode since the ANN queries
+    # moved to pure SQL)
+    spark.range(0, int(cpus), 1, int(cpus)).mapInPandas(
+        lambda it: it, "id long").write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name, fn in qs.items():

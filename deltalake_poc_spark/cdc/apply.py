@@ -267,13 +267,18 @@ class CDCApplier:
 
         # Latest event per key: source_lsn then kafka offset (fixes the
         # reference's duplicate-keys-in-batch hazard, SURVEY.md §7.3).
-        w = Window.partitionBy("__key").orderBy(
-            F.desc_nulls_last("source_lsn"), F.desc("offset")
-        )
+        # max_by over a (lsn, offset) ordering struct instead of a
+        # row_number window: the hash aggregate combines MAP-SIDE, so
+        # the shuffle carries one partial row per (key, task) instead
+        # of the whole batch, and there is no per-key sort. Struct
+        # comparison is lexicographic with NULL smallest, which is
+        # exactly desc_nulls_last(lsn) desc(offset) under max.
         latest = (
-            keyed.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn")
+            keyed.groupBy("__key")
+            .agg(F.max_by(
+                F.struct(*[c for c in keyed.columns if c != "__key"]),
+                F.struct("source_lsn", "offset")).alias("__r"))
+            .select("__key", "__r.*")
         )
 
         # Re-type the JSON payload per the declared table schema (P9);
