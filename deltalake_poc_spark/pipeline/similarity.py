@@ -195,14 +195,32 @@ def ann_lsh_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
                 bits += 2 ** p_idx
         q_buckets.append(bits)
 
+    # Bucket EQUALITY needs only the per-plane match booleans, not the
+    # bucket integers: a table matches iff every plane's sign equals
+    # the query's bit. As an AND-chain, codegen short-circuits at the
+    # first mismatching plane — expected ~2 of 8 projections evaluated
+    # per table instead of all 8 (~4x less dot-product work per row).
+    # Arithmetic per evaluated plane is IDENTICAL to lsh_bucket_expr,
+    # so the candidate set (and the SQL oracle contract) is unchanged.
     cand_cond = None
-    base = emb
     for t in range(n_tables):
-        col_name = f"__bucket_{t}"
-        base = base.withColumn(col_name,
-                               lsh_bucket_expr(F.col("embedding"), hp[t]))
-        this = F.col(col_name) == q_buckets[t]
-        cand_cond = this if cand_cond is None else (cand_cond | this)
-    candidates = base.filter(cand_cond).drop(
-        *[f"__bucket_{t}" for t in range(n_tables)])
+        table_cond = None
+        for p_idx in range(n_planes):
+            proj = F.aggregate(
+                F.zip_with(
+                    F.col("embedding"),
+                    F.array(*[F.lit(float(c)) for c in hp[t, p_idx]]),
+                    lambda x, y: x.cast("double") * y,
+                ),
+                F.lit(0.0), lambda acc, x: acc + x,
+            )
+            # null-safe sign: a null projection contributes bit 0,
+            # exactly like lsh_bucket_expr's when/otherwise
+            pos = F.coalesce(proj > 0, F.lit(False))
+            bit = (q_buckets[t] >> p_idx) & 1
+            this = pos if bit else ~pos
+            table_cond = this if table_cond is None else (table_cond & this)
+        cand_cond = (table_cond if cand_cond is None
+                     else (cand_cond | table_cond))
+    candidates = emb.filter(cand_cond)
     return cosine_topk(candidates, query_vec, k, exclude_vec_id)
