@@ -148,15 +148,69 @@ def _add_action(root: str, dest: str, entry: FileEntry,
     }}
 
 
+def _write_checkpoint(log_dir: str, version: int,
+                      protocol: tuple[int, int], metadata: dict,
+                      active: list[dict]) -> None:
+    """Classic-checkpoint parquet + ``_last_checkpoint`` at ``version``:
+    full table state (protocol + metaData + every active add), typed
+    with explicit map<string,string> columns the way delta-spark writes
+    them — readers then replay from here instead of the JSON prefix.
+    At 1M files that is the difference between opening one parquet and
+    parsing a million JSON action lines."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    str_map = pa.map_(pa.string(), pa.string())
+    schema = pa.schema([
+        ("protocol", pa.struct([("minReaderVersion", pa.int32()),
+                                ("minWriterVersion", pa.int32())])),
+        ("metaData", pa.struct([
+            ("id", pa.string()),
+            ("format", pa.struct([("provider", pa.string()),
+                                  ("options", str_map)])),
+            ("schemaString", pa.string()),
+            ("partitionColumns", pa.list_(pa.string())),
+            ("configuration", str_map),
+            ("createdTime", pa.int64()),
+        ])),
+        ("add", pa.struct([
+            ("path", pa.string()),
+            ("partitionValues", str_map),
+            ("size", pa.int64()),
+            ("modificationTime", pa.int64()),
+            ("dataChange", pa.bool_()),
+            ("stats", pa.string()),
+        ])),
+    ])
+    rows = [
+        {"protocol": {"minReaderVersion": protocol[0],
+                      "minWriterVersion": protocol[1]},
+         "metaData": None, "add": None},
+        {"protocol": None, "metaData": metadata, "add": None},
+    ]
+    for ad in active:
+        rows.append({"protocol": None, "metaData": None, "add": ad})
+    pq.write_table(pa.Table.from_pylist(rows, schema=schema),
+                   os.path.join(log_dir, f"{version:020d}.checkpoint.parquet"))
+    tmp = os.path.join(log_dir, f"_last_checkpoint.tmp.{uuid.uuid4().hex}")
+    with open(tmp, "w") as fh:
+        json.dump({"version": version, "size": len(rows)}, fh)
+    os.replace(tmp, os.path.join(log_dir, "_last_checkpoint"))
+
+
 def export_standard_delta(table: VersionedTable, dest: str,
-                          link: bool = True) -> int:
+                          link: bool = True,
+                          checkpoint: bool = False) -> int:
     """Export ``table`` to ``dest`` as a standard Delta table,
     replaying every commit. Returns the exported latest version.
 
     ``link=True`` hard-links data files (zero-copy; falls back to copy
-    across filesystems). The export is deterministic given the source
-    log except for ``metaData.id``, which is freshly generated per the
-    protocol's table-identity semantics.
+    across filesystems). ``checkpoint=True`` additionally writes a
+    classic checkpoint parquet + ``_last_checkpoint`` at the final
+    version so clients replay one parquet instead of the whole JSON
+    log. The export is deterministic given the source log except for
+    ``metaData.id``, which is freshly generated per the protocol's
+    table-identity semantics.
     """
     log = table.log
     versions = [c.version for c in log.commits()]
@@ -175,6 +229,9 @@ def export_standard_delta(table: VersionedTable, dest: str,
     cur_props: dict | None = None
     cur_partition_cols: list[str] = []
     emitted_protocol: tuple[int, int] = (0, 0)
+    # snapshot state for the optional final checkpoint
+    last_metadata: dict | None = None
+    active: dict[str, dict] = {}  # path -> add-action body
 
     for v in versions:
         c: Commit = log.read_commit(v)
@@ -212,14 +269,15 @@ def export_standard_delta(table: VersionedTable, dest: str,
             else:
                 schema_string = _delta_schema_string(
                     cur_schema_json, False, ids)
-            actions.append({"metaData": {
+            last_metadata = {
                 "id": table_id,
                 "format": {"provider": "parquet", "options": {}},
                 "schemaString": schema_string,
                 "partitionColumns": cur_partition_cols,
                 "configuration": conf,
                 "createdTime": created_ms,
-            }})
+            }
+            actions.append({"metaData": last_metadata})
 
         # physical-name map for stats keys under this commit's schema
         mapping: dict[str, str] = {}
@@ -229,9 +287,12 @@ def export_standard_delta(table: VersionedTable, dest: str,
                     "physicalName", f["name"])
 
         for entry in c.add:
-            actions.append(_add_action(log.root, dest, entry, mapping,
-                                       data_change, link))
+            act = _add_action(log.root, dest, entry, mapping,
+                              data_change, link)
+            active[entry.path] = act["add"]
+            actions.append(act)
         for rel in c.remove:
+            active.pop(rel, None)
             actions.append({"remove": {
                 "path": rel,
                 "deletionTimestamp": c.timestamp,
@@ -276,4 +337,8 @@ def export_standard_delta(table: VersionedTable, dest: str,
             fh.write("\n".join(lines) + "\n")
         os.replace(tmp, target)
 
+    if checkpoint:
+        assert last_metadata is not None  # commit 0 always carries one
+        _write_checkpoint(log_dir, versions[-1], emitted_protocol,
+                          last_metadata, list(active.values()))
     return versions[-1]

@@ -184,6 +184,40 @@ def test_stats_and_properties_shape(spark, tmp_path):
     assert "enableChangeDataFeed" not in conf  # renamed, not duplicated
 
 
+def test_checkpoint_written_and_replayed(spark, tmp_path):
+    """checkpoint=True: classic checkpoint parquet + _last_checkpoint
+    at the final version; the reader must produce the same snapshot
+    from the checkpoint alone (JSON prefix deleted) as from the full
+    log, proving the checkpoint carries complete state."""
+    t, schema = _mk(spark, str(tmp_path / "src"))
+    (t.merge(spark.createDataFrame([(2, "B", 22.0), (4, "d", 40.0)], schema),
+             on="id")
+     .when_matched_update_all().when_not_matched_insert_all().execute())
+    t.delete("id = 1")
+
+    dest = str(tmp_path / "out")
+    export_standard_delta(t, dest, checkpoint=True)
+    log_dir = os.path.join(dest, "_delta_log")
+    last = t.version()
+    assert os.path.exists(
+        os.path.join(log_dir, f"{last:020d}.checkpoint.parquet"))
+    ck = json.load(open(os.path.join(log_dir, "_last_checkpoint")))
+    assert ck["version"] == last
+
+    full = _rows(DeltaLakeReader(spark, dest).read())
+    # drop every JSON commit at or before the checkpoint: replay must
+    # come entirely from the checkpoint parquet
+    for v in range(last + 1):
+        os.remove(os.path.join(log_dir, f"{v:020d}.json"))
+    from_ck = DeltaLakeReader(spark, dest)
+    assert from_ck.latest_version() == last
+    assert _rows(from_ck.read()) == full == _rows(t.read())
+    # partitionValues/configuration survive the map<string,string>
+    # typing round-trip
+    snap = from_ck.snapshot()
+    assert snap.configuration.get("delta.enableChangeDataFeed") == "true"
+
+
 def test_hardlink_zero_copy_and_existing_dest_refused(spark, tmp_path):
     t, _ = _mk(spark, str(tmp_path / "src"), cdf=False)
     dest = str(tmp_path / "out")
