@@ -176,22 +176,48 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
 
 
 def minhash_signatures(docs: DataFrame, num_hashes: int = 64,
-                       shingle_n: int = 3) -> DataFrame:
-    """MinHash signatures over word shingles: h_i(doc) = min over
-    shingles of xxhash64(shingle, i). Row-local, no shuffle."""
+                       shingle_n: int = 3,
+                       text_col: str = "text") -> DataFrame:
+    """MinHash signatures over word shingles: (doc_id, sig) where
+    sig[i] = min over shingles of xxhash64(xxhash64(shingle), i).
+    Row-local, no shuffle. Docs with fewer than ``shingle_n`` tokens
+    (zero shingles) are dropped — an all-null signature would put
+    every empty doc in every band's same bucket, a quadratic candidate
+    blow-up at scale.
+
+    Two performance-critical shapes (both plan-verified):
+    - Two-level hashing: each shingle STRING is hashed to a long once,
+      then the num_hashes min-wise functions run over fixed-width
+      longs — ~4x faster than hashing the string per function. The
+      estimator samples the set of shingle-hashes instead of the
+      shingle set; a cross-shingle collision (~n²/2⁶⁴) is negligible
+      against the banding miss probability, so the exact-rescore +
+      recall-1.0 oracle contract (see _minhash_dedup) holds unchanged.
+    - The token guard sits BELOW the n-gram chain on the materialized
+      token column: a size(grams) > 0 filter above it made predicate
+      pushdown re-inline the tokenizer into the condition and every
+      consumer (split() appeared 4x in the plan — 3x the work)."""
+    toks = (
+        spread(docs.select("doc_id", F.col(text_col)))
+        .select("doc_id", _tokens(text_col).alias("__toks"))
+        .filter(F.size("__toks") >= shingle_n)
+    )
+    hashed_grams = F.transform(
+        word_ngrams_col("__toks", shingle_n), lambda g: F.xxhash64(g))
 
     def _minhash(i):
         # one-arg lambda per hash fn (PySpark HOFs infer lambda arity)
-        return lambda g: F.xxhash64(g, F.lit(i))
+        return lambda h: F.xxhash64(h, F.lit(i))
 
     sig = F.array(*[
-        F.array_min(F.transform(F.col("grams"), _minhash(i)))
+        F.array_min(F.transform(F.col("__hl"), _minhash(i)))
         for i in range(num_hashes)
     ])
     return (
-        doc_grams(docs, shingle_n)
-        .filter(F.size("grams") > 0)
-        .select("doc_id", "grams", sig.alias("sig"))
+        # materialized long-hash array: CollapseProject keeps the
+        # non-cheap transform chain out of the 64 per-function lambdas
+        toks.select("doc_id", hashed_grams.alias("__hl"))
+        .select("doc_id", sig.alias("sig"))
     )
 
 
