@@ -320,21 +320,49 @@ def simhash_signatures(docs: DataFrame, bits: int = 64,
     else:
         hashes = F.transform(toks, lambda t: F.xxhash64(t))
 
-    def _bit_set(b):
-        return lambda h: F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1
+    # ONE aggregate pass accumulating all per-bit counts (the previous
+    # per-bit F.size(F.filter(...)) formulation scanned the token-hash
+    # array ``bits`` times per row — ~8x the CPU and a much larger
+    # codegen unit, i.e. slower cold too). Bit tests use mod against
+    # literal powers of two (dynamic shifts aren't column-exprs):
+    # valid for non-negative values, so signed 64-bit hashes split
+    # into low-62-bits + two literal-mask tests for bits 62/63.
+    low = F.lit((1 << 62) - 1)
+    pw = F.array(*[F.lit(1 << b).cast("long") for b in range(min(bits, 62))])
 
-    sig = None
-    for b in range(bits):
-        nset = F.size(F.filter(F.col("__h"), _bit_set(b)))
-        term = F.when(
-            nset * 2 > F.col("__n"),
-            F.lit((1 << b) if b < 63 else -(1 << 63)).cast("long"),
-        ).otherwise(F.lit(0).cast("long"))
-        sig = term if sig is None else (sig + term)
+    def _bits_of(h):
+        lo = h.bitwiseAND(low)
+        arr = F.transform(pw, lambda p: F.when((lo % (p + p)) >= p, 1)
+                          .otherwise(0))
+        if bits >= 63:
+            arr = F.concat(arr, F.array(
+                F.when(h.bitwiseAND(F.lit(1 << 62)) != 0, 1).otherwise(0)))
+        if bits == 64:
+            arr = F.concat(arr, F.array(F.when(h < 0, 1).otherwise(0)))
+        return arr
+
+    counts = F.aggregate(
+        F.col("__h"), F.array_repeat(F.lit(0), bits),
+        lambda acc, h: F.zip_with(acc, _bits_of(h), lambda a, x: a + x))
+    majority = F.transform(
+        F.col("__c"),
+        lambda c: F.when(c * 2 > F.col("__n"), F.lit(1).cast("long"))
+        .otherwise(F.lit(0).cast("long")))
+    # Horner over bits high->low stays under 2^62 for the first 62
+    # bits (ANSI-safe); bits 62/63 are added as literal terms, bit 63
+    # as -(2^63) exactly like the two's-complement value it is
+    horner_bits = F.reverse(F.slice(F.col("__m"), 1, min(bits, 62)))
+    sig = F.aggregate(horner_bits, F.lit(0).cast("long"),
+                      lambda acc, x: acc * 2 + x)
+    if bits >= 63:
+        sig = sig + F.col("__m")[62] * F.lit(1 << 62).cast("long")
+    if bits == 64:
+        sig = sig + F.col("__m")[63] * F.lit(-(1 << 63)).cast("long")
     return (
         spread(docs.select("doc_id", "text"))
         .select("doc_id", hashes.alias("__h"))
-        .withColumn("__n", F.size("__h"))
+        .select("doc_id", F.size("__h").alias("__n"), counts.alias("__c"))
+        .select("doc_id", "__n", majority.alias("__m"))
         .select("doc_id", sig.alias("simhash"))
     )
 
