@@ -101,6 +101,74 @@ def test_simhash(spark, docs):
     assert (5, 6) in near_pairs and near_pairs[(5, 6)] <= 10
 
 
+def test_signature_formulations_are_bit_exact(spark):
+    """The optimized signature paths (one-pass SimHash bit counting,
+    two-level MinHash hashing) must stay bit-exact with the
+    definitional per-bit / per-function formulations — edge cases
+    included (empty text, fewer tokens than the shingle width, unicode,
+    signed xxhash64 values exercising bits 62/63)."""
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, ""),
+        (2, "one"),
+        (3, "two tokens"),
+        (4, "héllo wörld ünïcode tökens here and more of them"),
+        (5, " ".join(f"w{i}" for i in range(200))),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # SimHash reference: per-bit filter/size scan (the pre-r3 shape)
+    for portable in (True, False):
+        bits = 62 if portable else 64
+        toks = F.array_distinct(F.split(F.trim(F.col("text")), " "))
+        if portable:
+            hashes = F.transform(
+                toks,
+                lambda t: dedup.portable_token_hash(t, 137)
+                * F.lit(1 << 31).cast("long")
+                + dedup.portable_token_hash(t, 131))
+        else:
+            hashes = F.transform(toks, lambda t: F.xxhash64(t))
+
+        def _bit_set(b):
+            return lambda h: F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1
+
+        sig = None
+        for b in range(bits):
+            nset = F.size(F.filter(F.col("__h"), _bit_set(b)))
+            term = F.when(
+                nset * 2 > F.col("__n"),
+                F.lit((1 << b) if b < 63 else -(1 << 63)).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+            sig = term if sig is None else (sig + term)
+        ref = {r["doc_id"]: r["simhash"] for r in
+               docs.select("doc_id", hashes.alias("__h"))
+               .withColumn("__n", F.size("__h"))
+               .select("doc_id", sig.alias("simhash")).collect()}
+        got = {r["doc_id"]: r["simhash"] for r in
+               dedup.simhash_signatures(docs, portable=portable).collect()}
+        assert got == ref, f"portable={portable}"
+
+    # MinHash reference: per-function string hashing over the same
+    # two-level domain (xxhash64 of the shingle string)
+    def _mh(i):
+        # one-arg closure per fn: a default-arg lambda would be read
+        # as a two-arg (element, index) HOF lambda by PySpark
+        return lambda g: F.xxhash64(F.xxhash64(g), F.lit(i))
+
+    grams = dedup.doc_grams(docs, 3).filter(F.size("grams") > 0)
+    ref_sig = F.array(*[
+        F.array_min(F.transform("grams", _mh(i))) for i in range(64)
+    ])
+    ref = {r["doc_id"]: list(r["sig"]) for r in
+           grams.select("doc_id", ref_sig.alias("sig")).collect()}
+    got = {r["doc_id"]: list(r["sig"]) for r in
+           dedup.minhash_signatures(docs, 64, 3).collect()}
+    assert got == ref
+    # docs with zero shingles are dropped, never all-null-signatured
+    assert set(got) == {0, 4, 5}
+
+
 def test_connected_components_and_groups(spark):
     # components: {1,2,3,7} (chain 1-2, 2-3, 3-7), {5,9}; 4 isolated
     pairs = spark.createDataFrame(
