@@ -312,12 +312,27 @@ def simhash_signatures(docs: DataFrame, bits: int = 64,
     toks = F.array_distinct(F.split(F.trim(F.col("text")), " "))
     if portable:
         bits = 62
+        # BOTH polynomial hashes from ONE fold over the token's chars
+        # (a 2-slot accumulator) — portable_token_hash twice would
+        # split + fold the character array twice (~35% slower). Same
+        # arithmetic per slot, so values and the SQL oracle that
+        # recomputes them are unchanged.
+        mod = PORTABLE_HASH_MOD
+
+        def _pair(t):
+            return F.aggregate(
+                F.split(t, ""),
+                F.array(F.lit(0).cast("long"), F.lit(0).cast("long")),
+                lambda acc, c: F.array(
+                    (acc[0] * 137 + F.ascii(c)) % mod,
+                    (acc[1] * 131 + F.ascii(c)) % mod))
+
+        head = [F.transform(toks, _pair).alias("__hp")]
         hashes = F.transform(
-            toks,
-            lambda t: portable_token_hash(t, 137) * F.lit(1 << 31).cast("long")
-            + portable_token_hash(t, 131),
-        )
+            F.col("__hp"),
+            lambda p: p[0] * F.lit(1 << 31).cast("long") + p[1])
     else:
+        head = []
         hashes = F.transform(toks, lambda t: F.xxhash64(t))
 
     # ONE aggregate pass accumulating all per-bit counts (the previous
@@ -358,9 +373,11 @@ def simhash_signatures(docs: DataFrame, bits: int = 64,
         sig = sig + F.col("__m")[62] * F.lit(1 << 62).cast("long")
     if bits == 64:
         sig = sig + F.col("__m")[63] * F.lit(-(1 << 63)).cast("long")
+    base = spread(docs.select("doc_id", "text"))
+    if head:
+        base = base.select("doc_id", *head)
     return (
-        spread(docs.select("doc_id", "text"))
-        .select("doc_id", hashes.alias("__h"))
+        base.select("doc_id", hashes.alias("__h"))
         .select("doc_id", F.size("__h").alias("__n"), counts.alias("__c"))
         .select("doc_id", "__n", majority.alias("__m"))
         .select("doc_id", sig.alias("simhash"))
