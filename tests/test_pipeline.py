@@ -264,6 +264,34 @@ def test_ann_lsh_recall(spark):
     self_hit = similarity.ann_lsh_topk(emb, q, k=1, n_planes=6, n_tables=8)
     assert self_hit.collect()[0]["vec_id"] == 0
 
+    # the short-circuit AND-chain match inside ann_lsh_topk must agree
+    # with bucket-integer equality from lsh_bucket_expr (the
+    # index-build path a bucket-partitioned layout would use at scale)
+    hp = similarity.hyperplanes(16, 6, 8, 42)
+    with_buckets = emb.select(
+        "vec_id", *[similarity.lsh_bucket_expr(F.col("embedding"),
+                                               hp[t]).alias(f"b{t}")
+                    for t in range(8)])
+    q_buckets = []
+    for t in range(8):
+        bits = 0
+        for p_idx in range(6):
+            if similarity.left_fold_dot(q, hp[t, p_idx]) > 0:
+                bits += 2 ** p_idx
+        q_buckets.append(bits)
+    cond = None
+    for t in range(8):
+        this = F.col(f"b{t}") == q_buckets[t]
+        cond = this if cond is None else (cond | this)
+    by_bucket = {r["vec_id"] for r in
+                 with_buckets.filter(cond).select("vec_id").collect()}
+    # candidate set reachable through the public API: everything the
+    # top-k over ALL candidates can return (k >= corpus size)
+    by_match = {r["vec_id"] for r in
+                similarity.ann_lsh_topk(emb, q, k=500, n_planes=6,
+                                        n_tables=8).collect()}
+    assert by_match == by_bucket
+
 
 def test_ivf_topk_recall(spark):
     rs = np.random.RandomState(11)
