@@ -121,10 +121,14 @@ def _transfer(src: str, dst: str, link: bool) -> None:
 
 def _add_action(root: str, dest: str, entry: FileEntry,
                 mapping: dict[str, str], data_change: bool,
-                link: bool) -> dict:
+                link: bool, transfer: bool = True) -> dict:
+    """``transfer=False`` builds the action body without touching the
+    destination (incremental sync replaying already-exported commits
+    for state only); a source file vacuumed since then yields a
+    size-less placeholder, valid only if a later commit removes it."""
     src = os.path.join(root, entry.path)
-    _transfer(src, os.path.join(dest, entry.path), link)
-    st = os.stat(src)
+    if transfer:
+        _transfer(src, os.path.join(dest, entry.path), link)
     pvals = {k: (None if v == _HIVE_NULL else v)
              for k, v in (entry.partition or {}).items()}
     # file-skipping stats; keyed by PHYSICAL name (what the parquet
@@ -138,11 +142,16 @@ def _add_action(root: str, dest: str, entry: FileEntry,
                       for c, mm in (entry.stats or {}).items()
                       if mm and mm[1] is not None},
     }
+    if not transfer and not os.path.exists(src):
+        size, mtime = None, 0
+    else:
+        st = os.stat(src)
+        size, mtime = st.st_size, int(st.st_mtime * 1000)
     return {"add": {
         "path": entry.path,
         "partitionValues": pvals,
-        "size": st.st_size,
-        "modificationTime": int(st.st_mtime * 1000),
+        "size": size,
+        "modificationTime": mtime,
         "dataChange": data_change,
         "stats": json.dumps(stats),
     }}
@@ -200,7 +209,8 @@ def _write_checkpoint(log_dir: str, version: int,
 
 def export_standard_delta(table: VersionedTable, dest: str,
                           link: bool = True,
-                          checkpoint: bool = False) -> int:
+                          checkpoint: bool = False,
+                          incremental: bool = False) -> int:
     """Export ``table`` to ``dest`` as a standard Delta table,
     replaying every commit. Returns the exported latest version.
 
@@ -208,20 +218,53 @@ def export_standard_delta(table: VersionedTable, dest: str,
     across filesystems). ``checkpoint=True`` additionally writes a
     classic checkpoint parquet + ``_last_checkpoint`` at the final
     version so clients replay one parquet instead of the whole JSON
-    log. The export is deterministic given the source log except for
-    ``metaData.id``, which is freshly generated per the protocol's
-    table-identity semantics.
+    log. ``incremental=True`` SYNCS an existing export: versions the
+    destination already has are replayed for state only (no writes —
+    the replay is deterministic, so trackers land exactly where the
+    original export left them, and ``metaData.id`` is taken from the
+    destination log to keep table identity stable), then only the new
+    source commits are emitted. This keeps a live standard-Delta
+    mirror of a table that keeps committing (e.g. under CDC apply) at
+    per-sync cost proportional to the NEW commits' files. The export
+    is deterministic given the source log except for the freshly
+    generated first-export ``metaData.id``.
     """
     log = table.log
     versions = [c.version for c in log.commits()]
     if not versions:
         raise FileNotFoundError(f"not a versioned table: {log.root}")
     log_dir = os.path.join(dest, "_delta_log")
+    exported = -1
+    table_id: str | None = None
     if os.path.isdir(log_dir) and os.listdir(log_dir):
-        raise FileExistsError(f"destination already has a Delta log: {dest}")
+        if not incremental:
+            raise FileExistsError(
+                f"destination already has a Delta log: {dest}")
+        done = sorted(int(n[:-5]) for n in os.listdir(log_dir)
+                      if n.endswith(".json") and n[:-5].isdigit())
+        if not done:
+            raise FileExistsError(
+                f"destination log has no JSON commits to sync from: {dest}")
+        exported = done[-1]
+        if exported > versions[-1]:
+            raise ValueError(
+                f"destination (v{exported}) is ahead of the source "
+                f"(v{versions[-1]}): not the same table?")
+        for v in done:  # first metaData action carries the table id
+            with open(os.path.join(log_dir, f"{v:020d}.json")) as fh:
+                for line in fh:
+                    a = json.loads(line)
+                    if "metaData" in a:
+                        table_id = a["metaData"]["id"]
+                        break
+            if table_id:
+                break
+        if table_id is None:
+            raise ValueError(f"no metaData action in destination log: {dest}")
     os.makedirs(log_dir, exist_ok=True)
 
-    table_id = str(uuid.uuid4())
+    if table_id is None:
+        table_id = str(uuid.uuid4())
     ids = _ColumnIds()
     created_ms: int | None = None
     # trackers for change detection across commits
@@ -235,6 +278,7 @@ def export_standard_delta(table: VersionedTable, dest: str,
 
     for v in versions:
         c: Commit = log.read_commit(v)
+        live = v > exported  # dry replay of already-synced versions
         if created_ms is None:
             created_ms = c.timestamp
         actions: list[dict] = []
@@ -288,7 +332,7 @@ def export_standard_delta(table: VersionedTable, dest: str,
 
         for entry in c.add:
             act = _add_action(log.root, dest, entry, mapping,
-                              data_change, link)
+                              data_change, link, transfer=live)
             active[entry.path] = act["add"]
             actions.append(act)
         for rel in c.remove:
@@ -303,7 +347,7 @@ def export_standard_delta(table: VersionedTable, dest: str,
         # them as the commit's complete change set, matching how they
         # were written: _write_changes emits the full set per commit)
         changes_dir = log.changes_dir(v)
-        if os.path.isdir(changes_dir):
+        if live and os.path.isdir(changes_dir):
             for name in sorted(os.listdir(changes_dir)):
                 if not name.endswith(".parquet"):
                     continue
@@ -329,16 +373,22 @@ def export_standard_delta(table: VersionedTable, dest: str,
                                  for k, v in (c.metrics or {}).items()},
             "engineInfo": "deltalake-poc-spark",
         }}
-        lines = [json.dumps(commit_info)]
-        lines += [json.dumps(a) for a in actions]
-        target = os.path.join(log_dir, f"{v:020d}.json")
-        tmp = target + f".tmp.{uuid.uuid4().hex}"
-        with open(tmp, "w") as fh:
-            fh.write("\n".join(lines) + "\n")
-        os.replace(tmp, target)
+        if live:
+            lines = [json.dumps(commit_info)]
+            lines += [json.dumps(a) for a in actions]
+            target = os.path.join(log_dir, f"{v:020d}.json")
+            tmp = target + f".tmp.{uuid.uuid4().hex}"
+            with open(tmp, "w") as fh:
+                fh.write("\n".join(lines) + "\n")
+            os.replace(tmp, target)
 
     if checkpoint:
         assert last_metadata is not None  # commit 0 always carries one
+        gone = [a["path"] for a in active.values() if a["size"] is None]
+        if gone:
+            raise FileNotFoundError(
+                "cannot checkpoint: active files missing from the source "
+                f"(vacuumed?): {gone[:3]}")
         _write_checkpoint(log_dir, versions[-1], emitted_protocol,
-                          last_metadata, list(active.values()))
+                         last_metadata, list(active.values()))
     return versions[-1]

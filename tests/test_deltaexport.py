@@ -218,6 +218,66 @@ def test_checkpoint_written_and_replayed(spark, tmp_path):
     assert snap.configuration.get("delta.enableChangeDataFeed") == "true"
 
 
+def test_incremental_sync_matches_full_export(spark, tmp_path):
+    """export -> source advances (merge + delete) -> incremental sync:
+    the mirror must equal a fresh full export at every version (same
+    table id, same snapshots, same CDF), with only the NEW commit
+    files written by the sync."""
+    t, schema = _mk(spark, str(tmp_path / "src"))
+    dest = str(tmp_path / "mirror")
+    export_standard_delta(t, dest)
+    v_first = t.version()
+
+    (t.merge(spark.createDataFrame([(2, "B", 22.0), (4, "d", 40.0)], schema),
+             on="id")
+     .when_matched_update_all().when_not_matched_insert_all().execute())
+    t.delete("id = 3")
+
+    # plain re-export refuses; incremental syncs the two new commits
+    with pytest.raises(FileExistsError):
+        export_standard_delta(t, dest)
+    before = set(os.listdir(os.path.join(dest, "_delta_log")))
+    assert export_standard_delta(t, dest, incremental=True,
+                                 checkpoint=True) == t.version()
+    added = set(os.listdir(os.path.join(dest, "_delta_log"))) - before
+    assert {f"{v:020d}.json" for v in range(v_first + 1, t.version() + 1)} \
+        <= added
+    assert f"{v_first:020d}.json" not in added  # old commits untouched
+
+    full = str(tmp_path / "full")
+    export_standard_delta(t, full)
+    rm, rf = DeltaLakeReader(spark, dest), DeltaLakeReader(spark, full)
+    for v in range(t.version() + 1):
+        assert _rows(rm.read(version=v)) == _rows(rf.read(version=v)), v
+    # table identity is stable across syncs
+    meta_ids = set()
+    for v in rm.versions():
+        for a in rm._commit_actions(v):
+            if "metaData" in a:
+                meta_ids.add(a["metaData"]["id"])
+    assert len(meta_ids) == 1
+    # CDF equal too (merge + delete change files came over in the sync)
+    def chg(r):
+        return sorted((x["_commit_version"], x["_change_type"], x["id"])
+                      for x in r.read_change_feed(0).select(
+                          "_commit_version", "_change_type", "id").collect())
+    assert chg(rm) == chg(rf)
+    # idempotent: syncing again writes nothing
+    snap_files = set(os.listdir(os.path.join(dest, "_delta_log")))
+    export_standard_delta(t, dest, incremental=True)
+    assert set(os.listdir(os.path.join(dest, "_delta_log"))) == snap_files
+
+
+def test_incremental_sync_refuses_ahead_destination(spark, tmp_path):
+    t, _ = _mk(spark, str(tmp_path / "a"), cdf=False)
+    t2, _ = _mk(spark, str(tmp_path / "b"), cdf=False)
+    t2.delete("id = 1")  # b is at a later version than a
+    dest = str(tmp_path / "mirror")
+    export_standard_delta(t2, dest)
+    with pytest.raises(ValueError, match="ahead of the source"):
+        export_standard_delta(t, dest, incremental=True)
+
+
 def test_hardlink_zero_copy_and_existing_dest_refused(spark, tmp_path):
     t, _ = _mk(spark, str(tmp_path / "src"), cdf=False)
     dest = str(tmp_path / "out")
