@@ -19,7 +19,9 @@ reference's two scale bugs fixed:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+import os
+
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructField, StructType, TimestampType
 
@@ -42,13 +44,21 @@ class CDCApplier:
         evolve_schema: bool = False,
         auto_compact_every: int = 0,
         target_file_rows: int = 1_000_000,
+        standard_mirror_path: str | None = None,
     ):
         """``auto_compact_every``: run OPTIMIZE on a snapshot table every
         N merge commits (0 = off). Micro-batch MERGEs produce small
         rewritten files each trigger — the reference hits the same
         small-file problem and schedules OPTIMIZE/VACUUM manually
         (spark_delta_handler.py:282-289, SURVEY.md §4); here compaction
-        is a built-in policy of the apply loop."""
+        is a built-in policy of the apply loop.
+
+        ``standard_mirror_path``: after each batch, incrementally sync
+        every touched snapshot table to ``<path>/<table>`` as a
+        STANDARD Delta table (tables/deltaexport.py) — the reference
+        stack's delta-rs/delta-spark consumers can then follow the CDC
+        output live without this engine. Metadata-only per sync (new
+        commits' files hard-link; no data rewrite)."""
         self.spark = spark
         self.base_path = base_path
         self.table_schemas = dict(table_schemas or S.TABLE_SCHEMAS)
@@ -58,6 +68,7 @@ class CDCApplier:
         self.evolve_schema = evolve_schema
         self.auto_compact_every = auto_compact_every
         self.target_file_rows = target_file_rows
+        self.standard_mirror_path = standard_mirror_path
         self._tables: dict[str, VersionedTable] = {}
         self._merges_since_compact: dict[str, int] = {}
 
@@ -177,6 +188,17 @@ class CDCApplier:
             metrics = {}
             for t in sorted(tables):
                 metrics[t] = self._apply_table(events, t)
+            if self.standard_mirror_path:
+                from deltalake_poc_spark.tables.deltaexport import (
+                    export_standard_delta,
+                )
+
+                for t in sorted(tables):
+                    export_standard_delta(
+                        self.snapshot_table(t),
+                        os.path.join(self.standard_mirror_path, t),
+                        incremental=os.path.isdir(os.path.join(
+                            self.standard_mirror_path, t, "_delta_log")))
             return metrics
         finally:
             if own_persist:

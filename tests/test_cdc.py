@@ -228,3 +228,42 @@ def test_synth_roundtrip(spark):
     one = parsed.filter("offset = 100").collect()[0]
     assert json.loads(one["before_data"])["id"] == 0
     assert one["after_data"] is None
+
+
+def test_standard_mirror_follows_cdc(spark, tmp_path):
+    """standard_mirror_path: every apply_batch incrementally publishes
+    the touched snapshot tables as STANDARD Delta tables; a standard
+    log replayer must see exactly the engine's snapshot (and its CDF)
+    after each batch."""
+    from deltalake_poc_spark.tables.deltareader import DeltaLakeReader
+
+    mirror = str(tmp_path / "mirror")
+    applier = CDCApplier(spark, str(tmp_path / "cdc"),
+                         standard_mirror_path=mirror)
+    b1 = [
+        _msg("c", 1, lsn=10, after=CUST),
+        _msg("c", 2, lsn=11, after={**CUST, "id": 2, "email": "b@x"}),
+    ]
+    applier.apply_batch(parse_debezium(_raw(spark, b1)), tables=["customers"])
+    r = DeltaLakeReader(spark, f"{mirror}/customers")
+    assert r.latest_version() == applier.snapshot_table("customers").version()
+    assert {x["id"] for x in r.read().select("id").collect()} == {1, 2}
+
+    b2 = [
+        _msg("d", 1, lsn=20, before=CUST),
+        _msg("u", 2, lsn=21, after={**CUST, "id": 2, "email": "b2@x"}),
+    ]
+    applier.apply_batch(parse_debezium(_raw(spark, b2)), tables=["customers"])
+    r = DeltaLakeReader(spark, f"{mirror}/customers")
+    eng = applier.snapshot_table("customers")
+    assert r.latest_version() == eng.version()
+    got = {x["id"]: x["email"] for x in r.read().select("id", "email").collect()}
+    assert got == {2: "b2@x"}
+    # CDF follows too (CDF on by default for snapshot tables)
+    types = sorted((x["_commit_version"], x["_change_type"]) for x in
+                   r.read_change_feed(0).select(
+                       "_commit_version", "_change_type").collect())
+    ref = sorted((x["_commit_version"], x["_change_type"]) for x in
+                 eng.read_change_feed(0).select(
+                     "_commit_version", "_change_type").collect())
+    assert types == ref
