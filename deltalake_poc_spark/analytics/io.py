@@ -34,14 +34,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _load_events(spark: SparkSession, path: str) -> DataFrame:
-    """events.parquet stores ``ts`` as parquet TIMESTAMP(NANOS), which
-    Spark cannot read natively. Read it as long nanos
-    (``spark.sql.legacy.parquet.nanosAsLong`` — a dynamic SQLConf) and
-    truncate to a µs TimestampType column; downstream queries expose
-    ms-epoch values, which truncate identically in Spark and DuckDB.
+    """Normalize ``events.ts`` to session-TZ ``TimestampType``.
+
+    The driver has shipped this column under two physical types across
+    rounds: parquet TIMESTAMP(NANOS) — unreadable natively, so read as
+    long nanos via ``spark.sql.legacy.parquet.nanosAsLong`` and truncate
+    to µs — and plain µs TIMESTAMP without UTC adjustment, which a
+    vanilla Spark 4 session infers as TIMESTAMP_NTZ
+    (``spark.sql.parquet.inferTimestampNTZ.enabled`` defaults true) and
+    which breaks ``unix_millis``. Both converge to TimestampType here;
+    with the session pinned to UTC the NTZ→LTZ cast preserves values,
+    matching the DuckDB oracle's naive-timestamp reading.
     """
     from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType
+    from pyspark.sql.types import LongType, TimestampNTZType
 
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -51,6 +57,8 @@ def _load_events(spark: SparkSession, path: str) -> DataFrame:
     ts_field = next((f for f in df.schema.fields if f.name == "ts"), None)
     if ts_field is not None and isinstance(ts_field.dataType, LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_field is not None and isinstance(ts_field.dataType, TimestampNTZType):
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
