@@ -574,6 +574,24 @@ def _top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_tokens(load_table(spark, sf_dir, "documents"), k=10)
 
 
+def _repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deltalake_poc_spark.pipeline.text import repetition_signals
+
+    return repetition_signals(load_table(spark, sf_dir, "documents"))
+
+
+def _decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic benchmark = every 23rd doc_id; candidates = the rest.
+    5-grams (13-gram production sweeps find zero overlap in this
+    small-vocabulary synthetic corpus)."""
+    from deltalake_poc_spark.pipeline.dedup import contamination_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 23 == 0)
+    cands = docs.filter(F.col("doc_id") % 23 != 0)
+    return contamination_counts(cands, bench, n=5)
+
+
 def _doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from deltalake_poc_spark.pipeline.text import chunk_documents
 
@@ -773,6 +791,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "intersect_keys": _intersect_keys,                   # INTERSECT
         "string_funcs": _string_funcs,                       # string surface
         "date_parts": _date_parts,                           # date extraction
+        "repetition_signals": _repetition_signals,           # Gopher repetition stats
+        "decontaminate": _decontaminate,                     # benchmark n-gram overlap
     }
 
 
@@ -1131,6 +1151,64 @@ def oracle_sql() -> dict[str, str]:
                                   CAST(o_orderdate AS DATE)) AS INT)
                        AS days_since_1992
             FROM orders
+        """,
+        # relational twin of the engine's row-local sorted-run fold:
+        # unnest ALL grams (multiplicities kept), group per (doc, gram),
+        # then per-doc totals / distinct / max multiplicity
+        "repetition_signals": """
+            WITH toks AS (
+                SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents
+            ), bu AS (
+                SELECT doc_id, unnest([t[i+1] || ' ' || t[i+2]
+                                       FOR i IN range(len(t) - 1)]) AS gram
+                FROM toks WHERE len(t) >= 2
+            ), bc AS (
+                SELECT doc_id, gram, COUNT(*) AS c FROM bu GROUP BY 1, 2
+            ), bprof AS (
+                SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n2,
+                       CAST(COUNT(*) AS BIGINT) AS nd2,
+                       CAST(MAX(c) AS BIGINT) AS top2
+                FROM bc GROUP BY 1
+            ), tu AS (
+                SELECT doc_id, unnest([t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+                                       FOR i IN range(len(t) - 2)]) AS gram
+                FROM toks WHERE len(t) >= 3
+            ), tc AS (
+                SELECT doc_id, gram, COUNT(*) AS c FROM tu GROUP BY 1, 2
+            ), tprof AS (
+                SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n3,
+                       CAST(COUNT(*) AS BIGINT) AS nd3,
+                       CAST(MAX(c) AS BIGINT) AS top3
+                FROM tc GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   COALESCE(n2, 0) AS n_bigrams,
+                   COALESCE(nd2, 0) AS n_distinct_bigrams,
+                   COALESCE(top2, 0) AS top_bigram_count,
+                   COALESCE(n3, 0) AS n_trigrams,
+                   COALESCE(nd3, 0) AS n_distinct_trigrams,
+                   COALESCE(top3, 0) AS top_trigram_count
+            FROM documents d
+            LEFT JOIN bprof USING (doc_id)
+            LEFT JOIN tprof USING (doc_id)
+        """,
+        "decontaminate": """
+            WITH toks AS (
+                SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents
+            ), g AS (
+                SELECT doc_id,
+                       list_distinct([t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+                                      || ' ' || t[i+4] || ' ' || t[i+5]
+                                      FOR i IN range(len(t) - 4)]) AS gs
+                FROM toks WHERE len(t) >= 5
+            ), bench AS (
+                SELECT DISTINCT unnest(gs) AS gram FROM g WHERE doc_id % 23 = 0
+            ), cand AS (
+                SELECT doc_id, unnest(gs) AS gram FROM g WHERE doc_id % 23 <> 0
+            )
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_overlap_grams
+            FROM cand JOIN bench USING (gram)
+            GROUP BY 1
         """,
         "order_rollup": f"""
             SELECT o_orderstatus, o_orderpriority,

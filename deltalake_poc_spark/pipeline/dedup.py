@@ -525,6 +525,40 @@ def dedup_groups(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     )
 
 
+# ------------------------------------------------------ decontamination
+
+
+def contamination_counts(candidates: DataFrame, benchmark: DataFrame,
+                         n: int = 5) -> DataFrame:
+    """Benchmark decontamination: for each candidate training document,
+    count how many of its distinct word n-grams also appear anywhere in
+    the benchmark/eval set. Docs with n_overlap_grams above a policy
+    threshold get dropped before training (the standard 13-gram
+    decontamination sweep; n is configurable because synthetic corpora
+    need shorter grams to exhibit overlap).
+
+    Scale shape: the benchmark side collapses to a DISTINCT gram set
+    (eval suites are tiny next to a 100 TB corpus — typically fits in a
+    broadcast, but no hint is forced; AQE decides from measured size).
+    The candidate side shuffles (doc_id, gram) postings on the gram
+    key — the same inverted-index join as ngram_jaccard_pairs, linear
+    in corpus size, never all-pairs."""
+    bench_grams = (
+        doc_grams(benchmark, n)
+        .select(F.explode("grams").alias("gram"))
+        .distinct()
+    )
+    posting = (
+        doc_grams(candidates, n)
+        .select("doc_id", F.explode("grams").alias("gram"))
+    )
+    return (
+        posting.join(bench_grams, "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_overlap_grams"))
+    )
+
+
 # ------------------------------------------------------- embedding cosine
 
 

@@ -224,6 +224,81 @@ def chunk_documents(docs: DataFrame, chunk_tokens: int = 64,
     )
 
 
+def all_ngrams_col(tokens_col, n: int):
+    """ALL word n-grams (multiplicities kept — unlike
+    dedup.word_ngrams_col, which distincts for set-Jaccard). Docs
+    shorter than n tokens yield an empty array."""
+    t = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(t) - n),
+        lambda i: F.concat_ws(" ", F.slice(t, i.cast("int") + 1, n)),
+    )
+    return F.when(F.size(t) >= n, grams).otherwise(
+        F.array().cast("array<string>"))
+
+
+def _gram_profile(tokens_col, n: int):
+    """struct(n, nd, top): total grams, distinct grams, and max
+    multiplicity of any single gram — computed ROW-LOCALLY with one
+    sort + one fold over the doc's gram array. The relational
+    formulation (explode -> groupBy(doc, gram) -> max) shuffles every
+    gram in the corpus twice; this shuffles nothing, which is the
+    difference between a metadata job and a corpus-sized job at 100 TB.
+    Duplicates are adjacent after array_sort, so one pass tracking
+    (prev, current run, best run, total, distinct) suffices."""
+    grams = F.array_sort(all_ngrams_col(tokens_col, n))
+    zero = F.lit(0).cast("long")
+    init = F.struct(
+        F.lit("").alias("prev"), zero.alias("run"), zero.alias("best"),
+        zero.alias("n"), zero.alias("nd"),
+    )
+
+    def step(acc, x):
+        run = (F.when(x == acc["prev"], acc["run"] + 1)
+               .otherwise(F.lit(1).cast("long")))
+        return F.struct(
+            x.alias("prev"), run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+            (acc["n"] + 1).alias("n"),
+            (acc["nd"] + F.when(x == acc["prev"], F.lit(0))
+             .otherwise(F.lit(1))).alias("nd"),
+        )
+
+    return F.aggregate(
+        grams, init, step,
+        lambda a: F.struct(a["n"].alias("n"), a["nd"].alias("nd"),
+                           a["best"].alias("top")))
+
+
+def repetition_signals(docs: DataFrame) -> DataFrame:
+    """Gopher-style repetition quality signals, all-integer outputs
+    (integer columns hash identically across engines; consumers derive
+    the published ratios — e.g. top_bigram_count/n_bigrams is the
+    'fraction of n-grams in the most common n-gram' filter). Row-local:
+    scales linearly with corpus size, zero shuffles."""
+    with_toks = docs.select("doc_id", tokens_col().alias("__toks"))
+    b = _gram_profile("__toks", 2)
+    t = _gram_profile("__toks", 3)
+    # explode of a 1-element array = a Generate barrier: higher-order
+    # folds are interpreted (no codegen, no common-subexpression
+    # elimination), so extracting 6 fields straight off the two fold
+    # expressions would re-run each sort+fold per field. Behind the
+    # barrier each profile is computed exactly once per row.
+    prof = with_toks.select(
+        "doc_id",
+        F.explode(F.array(F.struct(b.alias("b"), t.alias("t")))).alias("__p"),
+    )
+    return prof.select(
+        "doc_id",
+        F.col("__p.b.n").alias("n_bigrams"),
+        F.col("__p.b.nd").alias("n_distinct_bigrams"),
+        F.col("__p.b.top").alias("top_bigram_count"),
+        F.col("__p.t.n").alias("n_trigrams"),
+        F.col("__p.t.nd").alias("n_distinct_trigrams"),
+        F.col("__p.t.top").alias("top_trigram_count"),
+    )
+
+
 def top_tokens(docs: DataFrame, k: int = 10) -> DataFrame:
     """Corpus-level token frequency top-k (the classic map-side-combine
     aggregation: explode -> partial count -> final count -> TakeOrdered)."""

@@ -445,3 +445,45 @@ def test_streaming_dedup_exact(spark, tmp_path):
     # one row per distinct normalized text; ids 1/3 from b1, 5 from b2
     # (file order within availableNow is lexicographic: b1 then b2)
     assert by_id == [1, 3, 5]
+
+
+def test_repetition_signals(spark):
+    rows = [
+        (0, "a b a b a"),     # bigrams: ab ba ab ba -> n=4 nd=2 top=2
+                              # trigrams: aba bab aba -> n=3 nd=2 top=2
+        (1, "x y z"),         # bigrams: xy yz -> n=2 nd=2 top=1; tri n=1
+        (2, "solo"),          # too short for any gram
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in
+           text.repetition_signals(docs).collect()}
+    assert got[0]["n_bigrams"] == 4
+    assert got[0]["n_distinct_bigrams"] == 2
+    assert got[0]["top_bigram_count"] == 2
+    assert got[0]["n_trigrams"] == 3
+    assert got[0]["n_distinct_trigrams"] == 2
+    assert got[0]["top_trigram_count"] == 2
+    assert got[1]["n_bigrams"] == 2
+    assert got[1]["top_bigram_count"] == 1
+    assert got[1]["n_trigrams"] == 1
+    assert got[2]["n_bigrams"] == 0
+    assert got[2]["top_trigram_count"] == 0
+
+
+def test_contamination_counts(spark):
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string")
+    cands = spark.createDataFrame(
+        [
+            # shares the 2 distinct 5-grams that span positions 1-6
+            (0, "alpha beta gamma delta epsilon zeta eta"),
+            # shares exactly 1 (the first 5 tokens)
+            (1, "alpha beta gamma delta epsilon other words here"),
+            (2, "unrelated text with no overlap at all"),
+            (3, "tiny"),
+        ],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["n_overlap_grams"] for r in
+           dedup.contamination_counts(cands, bench, n=5).collect()}
+    assert got == {0: 2, 1: 1}
