@@ -43,6 +43,30 @@ def main() -> None:
     # moved to pure SQL)
     spark.range(0, int(cpus), 1, int(cpus)).mapInPandas(
         lambda it: it, "id long").write.format("noop").mode("overwrite").save()
+    # warmup: MERGE/CDF/commit machinery — first execution of the merge
+    # plan pays one-time JIT + whole-stage codegen (~8s observed), a
+    # session cost that otherwise lands on whichever write pipeline
+    # runs first (cdc_pipeline). A 100-row micro-merge JITs the same
+    # code paths; the timed entries then measure the engine, not HotSpot
+    import tempfile
+
+    from pyspark.sql import functions as F  # noqa: N812
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from deltalake_poc_spark.tables import VersionedTable
+
+    wroot = tempfile.mkdtemp(prefix="bench_warm_")
+    wt = VersionedTable.create(
+        spark, wroot, StructType([StructField("id", LongType()),
+                                  StructField("v", LongType())]),
+        properties={"enableChangeDataFeed": "true"})
+    wt.write(spark.range(100).select(F.col("id"), F.col("id").alias("v")),
+             "append")
+    (wt.merge(spark.range(50, 150).select(F.col("id"),
+                                          (F.col("id") * 2).alias("v")),
+              on="id")
+     .when_matched_update_all().when_not_matched_insert_all().execute())
+    wt.read_change_feed(0).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name, fn in qs.items():

@@ -166,21 +166,7 @@ class MergeBuilder:
             .when(ins_cond, F.lit("I"))
             .otherwise(F.lit("X"))  # source-only rows not inserted
         )
-        from pyspark.sql import Observation
-
-        # metrics ride on the materialize pass via observe() — a
-        # separate groupBy-collect job was a full extra pass over the
-        # joined frame (r1: ~2s of the CDC pipeline's fixed cost)
-        obs = Observation()
-        classified = joined.withColumn("__action", action).observe(
-            obs,
-            *[
-                F.coalesce(
-                    F.sum(F.when(F.col("__action") == a, 1)), F.lit(0)
-                ).alias(a)
-                for a in ("U", "I", "D", "C")
-            ],
-        )
+        classified = joined.withColumn("__action", action)
         # persist only when the CDF path will stream the frame twice
         # (change-file write + materialize); in the single-consumer
         # case the cache fill is pure overhead AND freezes the join's
@@ -188,8 +174,32 @@ class MergeBuilder:
         # canChangeCachedPlanOutputPartitioning is on), which turned a
         # 172-row merge output into 32 near-empty files
         cache_classified = t.cdf_enabled(snap)
+        obs = None
         if cache_classified:
             classified = classified.persist()
+        else:
+            from pyspark.sql import Observation
+
+            # metrics ride on the materialize pass via observe() — a
+            # separate groupBy-collect job was a full extra pass over
+            # the joined frame (r1: ~2s of the CDC pipeline's fixed
+            # cost). Only safe when exactly ONE action consumes the
+            # observed plan: an Observation whose node is executed by
+            # a second action (the CDF persist pattern: change-file
+            # write + materialize) leaks one ExecutionListenerBus per
+            # merge on the listener bus — unbounded growth at one
+            # merge per micro-batch. On the cached path the counts
+            # come from a cheap agg over the filled cache instead.
+            obs = Observation()
+            classified = classified.observe(
+                obs,
+                *[
+                    F.coalesce(
+                        F.sum(F.when(F.col("__action") == a, 1)), F.lit(0)
+                    ).alias(a)
+                    for a in ("U", "I", "D", "C")
+                ],
+            )
         try:
             t_cols = [F.col(f"t.{f.name}").alias(f.name) for f in schema.fields]
             result = classified.filter(F.col("__action").isin("C", "U", "I")).select(
@@ -210,10 +220,18 @@ class MergeBuilder:
             entries = t._materialize(
                 result, stats_cols=None,
                 partition_by=t.partition_columns(snap) or None)
-            # observation is complete: the cache fill (first action —
-            # the change-file write or the materialize above) streamed
-            # every row through the observe node exactly once
-            counts = obs.get
+            if obs is not None:
+                # single-action path: the materialize streamed every
+                # row through the observe node exactly once
+                counts = obs.get
+            else:
+                # cached path: the cache is filled; one tiny agg job
+                # (cache scan + partial count), no join recompute
+                counts = {
+                    r["__action"]: r["cnt"]
+                    for r in classified.groupBy("__action")
+                    .agg(F.count(F.lit(1)).alias("cnt")).collect()
+                }
             commit = Commit(
                 version=version,
                 timestamp=t.log.monotonic_now_ms(),
