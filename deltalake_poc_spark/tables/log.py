@@ -103,6 +103,13 @@ class ConcurrentWriteError(RuntimeError):
     pass
 
 
+class CommitConflictError(ConcurrentWriteError):
+    """A concurrent commit is semantically incompatible with this one
+    (delete-delete overlap, metadata change, table-level rewrite):
+    automatic rebase would be unsafe — the caller must re-plan from the
+    fresh snapshot."""
+
+
 @dataclass
 class Snapshot:
     """Replayed table state as of a version."""
@@ -302,6 +309,65 @@ class TableLog:
                 self.write_checkpoint(self.snapshot(commit.version))
             except Exception:
                 pass  # checkpoints are an optimization, never a failure
+
+    def write_commit_with_rebase(self, commit: Commit,
+                                 read_version: int | None,
+                                 table_level: bool = False,
+                                 max_retries: int = 20) -> Commit:
+        """Optimistic concurrency (Delta's write-serializable protocol):
+        publish ``commit``; if another writer won the version race,
+        decide between REBASE (re-issue the identical commit at the next
+        version) and CONFLICT (raise — the caller's plan is stale).
+
+        ``read_version`` is the snapshot version the operation was
+        planned against (None = the table did not exist yet).
+        ``table_level`` marks operations whose read-set is the whole
+        table (overwrite, restore): they never rebase.
+
+        Rebase is safe iff every intervening commit left our read-set
+        intact: same schema, same properties, and no file we saw has
+        been removed (checked whenever our commit removes files — a
+        remove-bearing operation read the whole snapshot to plan its
+        rewrite). Concurrent blind APPENDS therefore never conflict
+        with appends, MERGE, DELETE, or OPTIMIZE — the standard
+        write-serializable anomaly (our rewrite does not see rows
+        appended after our snapshot) is accepted, exactly as Delta's
+        default isolation accepts it."""
+        for _ in range(max_retries):
+            try:
+                self.write_commit(commit)
+                return commit
+            except ConcurrentWriteError:
+                latest = self.latest_version()
+                if read_version is None:
+                    raise CommitConflictError(
+                        f"{self.root}: table was created concurrently")
+                if table_level:
+                    raise CommitConflictError(
+                        f"{self.root}: {commit.operation} planned at "
+                        f"v{read_version} but table is at v{latest}; "
+                        "table-level operations never rebase")
+                base = self.snapshot(read_version)
+                now = self.snapshot(latest)
+                if now.properties != base.properties:
+                    raise CommitConflictError(
+                        f"{self.root}: table properties changed "
+                        f"concurrently (v{read_version} -> v{latest})")
+                if now.schema_json != base.schema_json:
+                    raise CommitConflictError(
+                        f"{self.root}: schema changed concurrently "
+                        f"(v{read_version} -> v{latest})")
+                if commit.remove:
+                    gone = set(base.file_paths) - set(now.file_paths)
+                    if gone:
+                        raise CommitConflictError(
+                            f"{self.root}: {len(gone)} file(s) this "
+                            f"{commit.operation} read were removed by a "
+                            "concurrent commit")
+                commit.version = latest + 1
+                commit.timestamp = self.monotonic_now_ms()
+        raise ConcurrentWriteError(
+            f"{self.root}: lost the commit race {max_retries} times")
 
     def monotonic_now_ms(self) -> int:
         """Commit timestamp, forced nondecreasing across versions so

@@ -210,6 +210,11 @@ class MergeBuilder:
                     for a, tc, f in zip(aligned, t_cols, schema.fields)
                 ]
             )
+            from deltalake_poc_spark.tables.constraints import enforce
+
+            # CHECK/NOT NULL guards ride the materialize pass (no extra
+            # job); post-image rows that violate fail the merge
+            result = enforce(result, snap.properties, schema)
 
             version = t.log.next_version()
             if t.cdf_enabled(snap):
@@ -254,8 +259,7 @@ class MergeBuilder:
                     "numTargetFilesAdded": len(entries),
                 },
             )
-            t.log.write_commit(commit)
-            return commit
+            return t._publish(commit, snap)
         finally:
             if cache_classified:
                 classified.unpersist()

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import uuid
 
@@ -383,6 +384,23 @@ class VersionedTable:
         merged = StructType(current.fields + new_fields)
         return merged.json()
 
+    def _publish(self, c: Commit, snap: Snapshot | None,
+                 table_level: bool = False) -> Commit:
+        """Publish a commit under optimistic concurrency
+        (TableLog.write_commit_with_rebase). If the commit rebased to a
+        later version, CDF change files staged for the planned version
+        move to the committed one (they are written before the commit,
+        keyed by version directory)."""
+        planned = c.version
+        committed = self.log.write_commit_with_rebase(
+            c, read_version=snap.version if snap is not None else None,
+            table_level=table_level)
+        if committed.version != planned:
+            staged = self.log.changes_dir(planned)
+            if os.path.isdir(staged):
+                os.rename(staged, self.log.changes_dir(committed.version))
+        return committed
+
     def write(self, df: DataFrame, mode: str = "append",
               stats_cols: list[str] | None = None,
               extra_params: dict | None = None) -> Commit:
@@ -398,35 +416,34 @@ class VersionedTable:
         pb = self.partition_columns(snap) if snap else []
         committed = StructType.fromJson(json.loads(schema_json))
         mapping = {f.name: self._physical(f) for f in committed.fields}
+        if snap is not None:
+            from deltalake_poc_spark.tables.constraints import enforce
+
+            df = enforce(df, snap.properties, self.schema(snap))
         entries = self._materialize(df, stats_cols, partition_by=pb or None,
                                     mapping=mapping)
         op = "APPEND" if (mode == "append" and exists) else (
             "OVERWRITE" if exists else "WRITE")
         os.makedirs(self.log.data_dir(), exist_ok=True)
-        # appends are blind (no read-set): on a concurrent commit, retry
-        # at the next version — the same conflict rule Delta applies.
-        # overwrite/merge/delete abort instead (their read-set is stale).
-        attempts = 5 if op == "APPEND" else 1
-        last_err: Exception | None = None
-        for _ in range(attempts):
-            commit = Commit(
-                version=self.log.next_version(),
-                timestamp=self.log.monotonic_now_ms(),
-                operation=op,
-                operation_parameters={"mode": mode, **(extra_params or {})},
-                add=entries,
-                remove=snap.file_paths if (mode == "overwrite" and snap) else [],
-                schema_json=schema_json,
-                properties=None if exists else {},
-                metrics={"numOutputRows": sum(e.num_records for e in entries),
-                         "numFiles": len(entries)},
-            )
-            try:
-                self.log.write_commit(commit)
-                return commit
-            except ConcurrentWriteError as e:
-                last_err = e
-        raise last_err
+        commit = Commit(
+            version=self.log.next_version(),
+            timestamp=self.log.monotonic_now_ms(),
+            operation=op,
+            operation_parameters={"mode": mode, **(extra_params or {})},
+            add=entries,
+            remove=snap.file_paths if (mode == "overwrite" and snap) else [],
+            schema_json=schema_json,
+            properties=None if exists else {},
+            metrics={"numOutputRows": sum(e.num_records for e in entries),
+                     "numFiles": len(entries)},
+        )
+        # appends are blind (no read-set): they rebase freely past
+        # concurrent commits — unless schema/properties moved under us,
+        # in which case our merged schema_json is stale and re-issuing
+        # it would clobber the other writer's evolution (the conflict
+        # check in write_commit_with_rebase catches exactly that).
+        # overwrite replaces the table it READ: never rebases.
+        return self._publish(commit, snap, table_level=(op == "OVERWRITE"))
 
     def set_properties(self, props: dict) -> Commit:
         """M8 — ALTER TABLE SET TBLPROPERTIES (create-delta-tables.py:119-137)."""
@@ -440,8 +457,57 @@ class VersionedTable:
             operation_parameters={"properties": props},
             properties=merged,
         )
-        self.log.write_commit(c)
-        return c
+        return self._publish(c, snap)
+
+    def add_constraint(self, name: str, expr: str) -> Commit:
+        """ALTER TABLE ADD CONSTRAINT (Delta parity): store a CHECK
+        constraint and enforce it on every subsequent write/MERGE/
+        UPDATE. Existing rows must already satisfy it (validated here
+        with one early-terminating probe, like Delta's full-scan
+        check). Constraint expressions reference LOGICAL column names;
+        renaming a constrained column is rejected."""
+        from deltalake_poc_spark.tables.constraints import (
+            CONSTRAINT_PREFIX, constraints_of,
+        )
+
+        snap = self.snapshot()
+        if name in constraints_of(snap.properties):
+            raise ValueError(f"constraint {name} already exists")
+        bad = (self.read()
+               .filter(F.expr(expr).cast("boolean").eqNullSafe(F.lit(False)))
+               .limit(1).collect())
+        if bad:
+            raise ValueError(
+                f"cannot add constraint {name}: existing row violates "
+                f"{expr!r}: {bad[0].asDict()}")
+        merged = dict(snap.properties)
+        merged[f"{CONSTRAINT_PREFIX}{name}"] = expr
+        c = Commit(
+            version=self.log.next_version(),
+            timestamp=self.log.monotonic_now_ms(),
+            operation="ADD CONSTRAINT",
+            operation_parameters={"name": name, "expr": expr},
+            properties=merged,
+        )
+        return self._publish(c, snap)
+
+    def drop_constraint(self, name: str) -> Commit:
+        """ALTER TABLE DROP CONSTRAINT."""
+        from deltalake_poc_spark.tables.constraints import CONSTRAINT_PREFIX
+
+        snap = self.snapshot()
+        key = f"{CONSTRAINT_PREFIX}{name}"
+        if key not in snap.properties:
+            raise ValueError(f"no such constraint: {name}")
+        remaining = {k: v for k, v in snap.properties.items() if k != key}
+        c = Commit(
+            version=self.log.next_version(),
+            timestamp=self.log.monotonic_now_ms(),
+            operation="DROP CONSTRAINT",
+            operation_parameters={"name": name},
+            properties=remaining,
+        )
+        return self._publish(c, snap)
 
     def _stamped_fields(self, schema: StructType) -> list[StructField]:
         """Every field with an explicit physicalName (idempotent) — the
@@ -472,6 +538,14 @@ class VersionedTable:
             raise ValueError(f"column already exists: {new}")
         if old in self.partition_columns(snap):
             raise ValueError("cannot rename a partition column")
+        from deltalake_poc_spark.tables.constraints import constraints_of
+
+        referenced = [n for n, e in constraints_of(snap.properties).items()
+                      if re.search(rf"\b{re.escape(old)}\b", e)]
+        if referenced:
+            raise ValueError(
+                f"cannot rename column {old}: referenced by "
+                f"constraint(s) {referenced}; drop them first")
         fields = []
         for f in self._stamped_fields(schema):
             if f.name == old:
@@ -487,8 +561,7 @@ class VersionedTable:
             schema_json=StructType(fields).json(),
             properties=props,
         )
-        self.log.write_commit(c)
-        return c
+        return self._publish(c, snap)
 
     def drop_column(self, name: str) -> Commit:
         """ALTER TABLE DROP COLUMN via column mapping: metadata-only —
@@ -516,8 +589,7 @@ class VersionedTable:
             schema_json=StructType(fields).json(),
             properties=props,
         )
-        self.log.write_commit(c)
-        return c
+        return self._publish(c, snap)
 
     # ----------------------------------------------------- merge and delete
 
@@ -575,8 +647,7 @@ class VersionedTable:
                      "numRemovedFiles": len(rel_touched),
                      "numAddedFiles": len(entries)},
         )
-        self.log.write_commit(c)
-        return c
+        return self._publish(c, snap)
 
     def update(self, set_exprs: dict, predicate=None) -> Commit:
         """UPDATE (M2 analogue — the reference expresses conditional
@@ -604,6 +675,9 @@ class VersionedTable:
             else:
                 cols.append(F.col(f.name))
         updated = touched_df.select(*cols)
+        from deltalake_poc_spark.tables.constraints import enforce
+
+        updated = enforce(updated, snap.properties, schema)
         version = self.log.next_version()
         if self.cdf_enabled(snap):
             pre = touched_df.filter(pred).withColumn("_change_type",
@@ -623,8 +697,7 @@ class VersionedTable:
             metrics={"numAddedFiles": len(entries),
                      "numRemovedFiles": len(rel_touched)},
         )
-        self.log.write_commit(c)
-        return c
+        return self._publish(c, snap)
 
     def _read_files_with_filename(self, snap: Snapshot) -> DataFrame:
         df = self._read_files(snap.file_paths, snap)
@@ -725,8 +798,7 @@ class VersionedTable:
             metrics={"numRemovedFiles": len(files),
                      "numAddedFiles": len(entries)},
         )
-        self.log.write_commit(c)
-        return c
+        return self._publish(c, snap)
 
     def vacuum(self, retention_hours: float = 168.0) -> list[str]:
         """M4 — VACUUM (delta_handler.py:275-285; default 168h retention
@@ -793,5 +865,4 @@ class VersionedTable:
             schema_json=target.schema_json,
             metrics={"restoredVersion": version},
         )
-        self.log.write_commit(c)
-        return c
+        return self._publish(c, current, table_level=True)

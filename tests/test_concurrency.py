@@ -1,0 +1,235 @@
+"""Optimistic concurrency: commit rebase vs conflict detection.
+
+The commit log publishes with an atomic fail-if-exists rename
+(tables/log.py write_commit); write_commit_with_rebase layers Delta's
+write-serializable protocol on top: blind appends rebase past
+concurrent commits, remove-bearing operations rebase past pure
+appends, and anything whose read-set went stale (delete-delete
+overlap, schema/property change, table-level rewrite) raises
+CommitConflictError instead of publishing a wrong table state.
+
+Races are simulated deterministically: plan an operation, let another
+writer commit first, then publish the planned commit.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from deltalake_poc_spark.tables import VersionedTable
+from deltalake_poc_spark.tables.log import (
+    Commit, CommitConflictError, TableLog,
+)
+
+SCHEMA = StructType([
+    StructField("id", LongType()),
+    StructField("v", StringType()),
+])
+
+
+def rows_df(spark, *ids):
+    return spark.createDataFrame([(i, f"v{i}") for i in ids], SCHEMA)
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    t = VersionedTable.create(spark, str(tmp_path / "t"), SCHEMA)
+    t.write(rows_df(spark, 1, 2, 3), "append")
+    return t
+
+
+def _steal_version(t: VersionedTable, spark, *ids):
+    """Another writer wins the next version with a blind append."""
+    VersionedTable.for_path(spark, t.log.root).write(
+        rows_df(spark, *ids), "append")
+
+
+def test_append_rebases_past_concurrent_append(spark, table):
+    # plan an append at version N, let a rival take N, publish ours
+    snap = table.snapshot()
+    planned = Commit(
+        version=table.log.next_version(),
+        timestamp=table.log.monotonic_now_ms(),
+        operation="APPEND",
+        add=table._materialize(rows_df(spark, 10)),
+        schema_json=snap.schema_json,
+    )
+    _steal_version(table, spark, 20)
+    committed = table._publish(planned, snap)
+    assert committed.version == table.log.latest_version()
+    got = sorted(r["id"] for r in table.read().collect())
+    assert got == [1, 2, 3, 10, 20]  # both appends landed
+
+
+def test_delete_rebases_past_concurrent_append(spark, table):
+    # DELETE planned against v1; a blind append wins v2; the delete
+    # publishes at v3 (write-serializable: the appended rows are not
+    # re-examined — they did not exist in the delete's snapshot)
+    snap = table.snapshot()
+    files = snap.file_paths
+    keep = table._plain_read(files, SCHEMA).filter("id <> 2")
+    planned = Commit(
+        version=table.log.next_version(),
+        timestamp=table.log.monotonic_now_ms(),
+        operation="DELETE",
+        add=table._materialize(keep),
+        remove=files,
+    )
+    _steal_version(table, spark, 30)
+    committed = table._publish(planned, snap)
+    assert committed.version == table.log.latest_version()
+    got = sorted(r["id"] for r in table.read().collect())
+    assert got == [1, 3, 30]
+
+
+def test_delete_delete_conflict(spark, table):
+    snap = table.snapshot()
+    files = snap.file_paths
+    keep = table._plain_read(files, SCHEMA).filter("id <> 2")
+    planned = Commit(
+        version=table.log.next_version(),
+        timestamp=table.log.monotonic_now_ms(),
+        operation="DELETE",
+        add=table._materialize(keep),
+        remove=files,
+    )
+    # rival DELETE rewrites (removes) the same files first
+    VersionedTable.for_path(spark, table.log.root).delete("id = 3")
+    with pytest.raises(CommitConflictError, match="removed by a concurrent"):
+        table._publish(planned, snap)
+
+
+def test_schema_change_conflicts_stale_append(spark, table):
+    # rival evolves the schema; our planned append carries the OLD
+    # merged schema — rebasing would clobber the new column
+    snap = table.snapshot()
+    planned = Commit(
+        version=table.log.next_version(),
+        timestamp=table.log.monotonic_now_ms(),
+        operation="APPEND",
+        add=table._materialize(rows_df(spark, 11)),
+        schema_json=snap.schema_json,
+    )
+    rival = VersionedTable.for_path(spark, table.log.root)
+    evolved = spark.createDataFrame([(40, "v40", "extra")], StructType([
+        StructField("id", LongType()),
+        StructField("v", StringType()),
+        StructField("score", StringType()),
+    ]))
+    rival.write(evolved, "append")
+    with pytest.raises(CommitConflictError, match="schema changed"):
+        table._publish(planned, snap)
+
+
+def test_overwrite_never_rebases(spark, table):
+    snap = table.snapshot()
+    planned = Commit(
+        version=table.log.next_version(),
+        timestamp=table.log.monotonic_now_ms(),
+        operation="OVERWRITE",
+        add=table._materialize(rows_df(spark, 99)),
+        remove=snap.file_paths,
+        schema_json=snap.schema_json,
+    )
+    _steal_version(table, spark, 50)
+    with pytest.raises(CommitConflictError, match="never rebase"):
+        table._publish(planned, snap, table_level=True)
+
+
+def test_property_change_conflicts(spark, table):
+    snap = table.snapshot()
+    planned = Commit(
+        version=table.log.next_version(),
+        timestamp=table.log.monotonic_now_ms(),
+        operation="APPEND",
+        add=table._materialize(rows_df(spark, 12)),
+        schema_json=snap.schema_json,
+    )
+    VersionedTable.for_path(spark, table.log.root).set_properties(
+        {"enableChangeDataFeed": "true"})
+    with pytest.raises(CommitConflictError, match="properties changed"):
+        table._publish(planned, snap)
+
+
+def test_create_race_conflicts(spark, tmp_path, table):
+    # planned against a non-existent table; rival creates it first
+    planned = Commit(
+        version=0,
+        timestamp=0,
+        operation="WRITE",
+        add=[],
+        schema_json=SCHEMA.json(),
+        properties={},
+    )
+    with pytest.raises(CommitConflictError, match="created concurrently"):
+        table._publish(planned, None)
+
+
+def test_merge_rebases_and_moves_cdf_changes(spark, tmp_path):
+    """End-to-end through the MERGE builder: a rival blind append lands
+    between merge planning and publish; the merge commit rebases and
+    its CDF change files follow to the committed version directory."""
+    t = VersionedTable.create(spark, str(tmp_path / "m"), SCHEMA,
+                              properties={"enableChangeDataFeed": "true"})
+    t.write(rows_df(spark, 1, 2), "append")
+
+    orig_publish = VersionedTable._publish
+
+    def racing_publish(self, c, snap, table_level=False):
+        if c.operation == "MERGE" and not getattr(self, "_raced", False):
+            self._raced = True
+            _steal_version(self, spark, 70)
+        return orig_publish(self, c, snap, table_level)
+
+    src = spark.createDataFrame([(2, "v2x"), (4, "v4")], SCHEMA)
+    try:
+        VersionedTable._publish = racing_publish
+        commit = (t.merge(src, on="id")
+                  .when_matched_update_all()
+                  .when_not_matched_insert_all()
+                  .execute())
+    finally:
+        VersionedTable._publish = orig_publish
+
+    assert commit.version == t.log.latest_version()
+    got = {r["id"]: r["v"] for r in t.read().collect()}
+    assert got == {1: "v1", 2: "v2x", 4: "v4", 70: "v70"}
+    # CDF files moved to the committed version's directory
+    assert os.path.isdir(t.log.changes_dir(commit.version))
+    cdf = t.read_change_feed(commit.version)
+    types = sorted(r["_change_type"] for r in cdf.collect())
+    assert types == ["insert", "update_postimage", "update_preimage"]
+
+
+def test_rebase_exhaustion(spark, table):
+    snap = table.snapshot()
+    planned = Commit(
+        version=table.log.next_version(),
+        timestamp=table.log.monotonic_now_ms(),
+        operation="APPEND",
+        add=table._materialize(rows_df(spark, 13)),
+        schema_json=snap.schema_json,
+    )
+    log = TableLog(table.log.root)
+    real_write = log.write_commit
+    calls = {"n": 0}
+
+    def always_taken(commit):
+        # a rival takes every version we aim at
+        calls["n"] += 1
+        real_write(Commit(version=commit.version,
+                          timestamp=commit.timestamp,
+                          operation="APPEND", add=[],
+                          schema_json=snap.schema_json))
+        real_write(commit)  # now collides
+
+    log.write_commit = always_taken
+    from deltalake_poc_spark.tables.log import ConcurrentWriteError
+    with pytest.raises(ConcurrentWriteError, match="lost the commit race"):
+        log.write_commit_with_rebase(planned, read_version=snap.version,
+                                     max_retries=3)
+    assert calls["n"] == 3
