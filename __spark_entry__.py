@@ -592,6 +592,18 @@ def _decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_counts(cands, bench, n=5)
 
 
+def _winnow_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-level winnowing (MOSS) verbatim-span candidates: 5-gram
+    hashes, window 4 — any shared run of >= 8 consecutive tokens is
+    guaranteed a shared fingerprint. Portable polynomial hash so the
+    oracle recomputes every fingerprint from raw text in SQL."""
+    from deltalake_poc_spark.pipeline.dedup import winnow_pairs
+
+    return winnow_pairs(load_table(spark, sf_dir, "documents"),
+                        n=5, window=4, min_shared=1, max_df=100,
+                        portable=True)
+
+
 def _doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from deltalake_poc_spark.pipeline.text import chunk_documents
 
@@ -793,6 +805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_parts": _date_parts,                           # date extraction
         "repetition_signals": _repetition_signals,           # Gopher repetition stats
         "decontaminate": _decontaminate,                     # benchmark n-gram overlap
+        "winnow_dedup": _winnow_dedup,                       # MOSS winnowing spans
     }
 
 
@@ -835,10 +848,18 @@ def bench_extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         return ivf_topk(assigned, centers, q, k=10, n_probe=4,
                         exclude_vec_id=0)
 
+    def _winnow_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from deltalake_poc_spark.pipeline.dedup import winnow_pairs
+
+        return winnow_pairs(load_table(spark, sf_dir, "documents"),
+                            n=5, window=4, min_shared=1, max_df=100,
+                            portable=False)
+
     return {
         "minhash_dedup_prod": _minhash_prod,
         "simhash_dedup_prod": _simhash_prod,
         "ivf_kmeans_topk": _ivf_kmeans,
+        "winnow_dedup_prod": _winnow_prod,
     }
 
 
@@ -1191,6 +1212,64 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             LEFT JOIN bprof USING (doc_id)
             LEFT JOIN tprof USING (doc_id)
+        """,
+        # full SQL recompute of token-level winnowing (MOSS): ordered
+        # 5-gram polynomial hashes -> window-4 minima -> distinct
+        # fingerprints -> capped inverted-index join (mirrors
+        # winnow_pairs; base 139 mod 2^31-1 matches gram_hash)
+        "winnow_dedup": """
+            WITH toks AS (
+                SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents
+            ), grams AS (
+                SELECT doc_id,
+                       CASE WHEN len(t) >= 5 THEN
+                           [t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' '
+                            || t[i+4] || ' ' || t[i+5]
+                            FOR i IN range(len(t) - 4)]
+                       ELSE [] END AS gs
+                FROM toks
+            ), hashed AS (
+                SELECT doc_id,
+                       list_transform(gs, g ->
+                           list_reduce(
+                               list_prepend(CAST(0 AS BIGINT),
+                                   list_transform(range(1, length(g) + 1),
+                                       i -> CAST(ascii(substring(g, i, 1))
+                                                 AS BIGINT))),
+                               (acc, x) -> (acc * 139 + x) % 2147483647)
+                       ) AS hs
+                FROM grams
+            ), winnowed AS (
+                SELECT doc_id,
+                       list_distinct(
+                           CASE WHEN len(hs) >= 4 THEN
+                               [list_min(hs[j : j + 3])
+                                FOR j IN range(1, len(hs) - 2)]
+                           ELSE hs END) AS fps
+                FROM hashed
+            ), raw_posting AS (
+                SELECT doc_id, unnest(fps) AS fp FROM winnowed
+            ), ok AS (
+                SELECT fp FROM raw_posting GROUP BY fp
+                HAVING COUNT(*) <= 100
+            ), posting AS (
+                SELECT p.doc_id, p.fp FROM raw_posting p JOIN ok USING (fp)
+            ), counts AS (
+                SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fps
+                FROM posting GROUP BY doc_id
+            ), pairs AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       CAST(COUNT(*) AS BIGINT) AS n_shared
+                FROM posting a JOIN posting b
+                  ON a.fp = b.fp AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b, n_shared,
+                   ca.n_fps AS na, cb.n_fps AS nb
+            FROM pairs
+            JOIN counts ca ON ca.doc_id = doc_a
+            JOIN counts cb ON cb.doc_id = doc_b
+            WHERE n_shared >= 1
         """,
         "decontaminate": """
             WITH toks AS (

@@ -172,6 +172,120 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
     )
 
 
+# --------------------------------------------------------------- winnowing
+
+
+def winnow_fingerprints(docs: DataFrame, n: int = 4, window: int = 4,
+                        portable: bool = False) -> DataFrame:
+    """Winnowing fingerprints at token granularity (Schleimer,
+    Wilkerson, Aiken, 'Winnowing: Local Algorithms for Document
+    Fingerprinting', SIGMOD 2003 — the MOSS algorithm, applied to word
+    n-grams as corpus-dedup pipelines do): hash every CONSECUTIVE
+    word n-gram (multiplicities and order kept, unlike the distinct
+    gram sets of ngram_jaccard), slide a window of ``window``
+    consecutive gram hashes, keep each window's minimum. Guarantee:
+    any shared run of >= n + window - 1 consecutive tokens yields at
+    least one shared fingerprint — verbatim-SPAN detection, which
+    bag-of-grams similarity can't give, at ~1/window the posting-list
+    size of full n-gram indexing.
+
+    Row-local until the caller joins on fingerprints: O(tokens) gram
+    hashes and O(tokens*window) window minima per doc, all inside
+    array higher-order functions — zero shuffles here.
+
+    ``portable=True`` swaps xxhash64 for the 31-bit polynomial hash
+    (base 139) over the gram's characters, making every fingerprint
+    SQL-recomputable for the DuckDB oracle — same contract as
+    simhash_signatures(portable).
+
+    Ties inside a window break toward the minimum VALUE (both engines
+    agree by construction); the paper's rightmost-position tie rule
+    only reduces fingerprint density, not correctness.
+
+    Returns (doc_id, fps: array<long> DISTINCT fingerprints, n_fps).
+    """
+    # explode-of-1-element-array = Generate barriers between stages:
+    # CollapseProject would otherwise inline the tokenization into
+    # every gram build and the hash array into every window slice —
+    # re-running them hundreds of times per row (observed: the
+    # char-level prototype went from minutes-hang to seconds once
+    # barriered)
+    base = docs.select("doc_id", F.explode(F.array(
+        _tokens("text"))).alias("__t"))
+    t = F.col("__t")
+    grams = F.when(F.size(t) >= n, F.transform(
+        F.sequence(F.lit(0), F.size(t) - n),
+        lambda i: F.concat_ws(" ", F.slice(t, i.cast("int") + 1, n)),
+    )).otherwise(F.array().cast("array<string>"))
+    if portable:
+        mod = PORTABLE_HASH_MOD
+
+        def gram_hash(g):
+            return F.aggregate(
+                F.split(g, ""),
+                F.lit(0).cast("long"),
+                lambda acc, c: (acc * 139 + F.ascii(c)) % mod,
+            )
+    else:
+        def gram_hash(g):
+            return F.xxhash64(g)
+
+    hashed = base.select(
+        "doc_id",
+        F.explode(F.array(
+            F.transform(grams, gram_hash))).alias("__h"),
+    )
+    n_windows = F.size(F.col("__h")) - window + 1
+    mins = F.when(
+        n_windows >= 1,
+        F.transform(F.sequence(F.lit(1), n_windows),
+                    lambda j: F.array_min(
+                        F.slice(F.col("__h"), j.cast("int"), window))),
+    ).otherwise(F.col("__h"))  # fewer grams than a window: keep all
+    minned = hashed.select(
+        "doc_id", F.explode(F.array(F.array_distinct(mins))).alias("fps"))
+    return minned.select("doc_id", "fps",
+                         F.size("fps").cast("long").alias("n_fps"))
+
+
+def winnow_pairs(docs: DataFrame, n: int = 4, window: int = 4,
+                 min_shared: int = 2, max_df: int | None = 100,
+                 portable: bool = False) -> DataFrame:
+    """Verbatim-span near-dup candidates via shared winnowing
+    fingerprints — the same slim inverted-index join as
+    ngram_jaccard_pairs (shuffle key = fingerprint; ``max_df`` caps
+    hot fingerprints exactly like hot grams). All-integer output
+    (doc_a, doc_b, n_shared, na, nb) hashes identically across
+    engines; consumers derive containment as n_shared/least(na, nb)."""
+    with_fps = winnow_fingerprints(docs, n, window, portable=portable)
+    posting = with_fps.select("doc_id", F.explode("fps").alias("fp"))
+    if max_df is not None:
+        w = Window.partitionBy("fp")
+        posting = (
+            posting.filter(F.col("fp").isNotNull())
+            .withColumn("__df", F.count(F.lit(1)).over(w))
+            .filter(F.col("__df") <= max_df)
+            .drop("__df")
+        )
+        counts = posting.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("n_fps"))
+    else:
+        counts = with_fps.select("doc_id", "n_fps")
+    a, b = posting.alias("a"), posting.alias("b")
+    return (
+        a.join(b, (F.col("a.fp") == F.col("b.fp"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"),
+                 F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+        .join(counts.select(F.col("doc_id").alias("doc_a"),
+                            F.col("n_fps").cast("long").alias("na")), "doc_a")
+        .join(counts.select(F.col("doc_id").alias("doc_b"),
+                            F.col("n_fps").cast("long").alias("nb")), "doc_b")
+    )
+
+
 # ------------------------------------------------------------- minhash lsh
 
 

@@ -487,3 +487,35 @@ def test_contamination_counts(spark):
     got = {r["doc_id"]: r["n_overlap_grams"] for r in
            dedup.contamination_counts(cands, bench, n=5).collect()}
     assert got == {0: 2, 1: 1}
+
+
+def test_winnow_guarantee_and_pairs(spark):
+    """Winnowing guarantee: a shared run of >= n + window - 1 tokens
+    must produce a shared fingerprint; disjoint docs produce none."""
+    shared_run = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    rows = [
+        (0, f"{shared_run} one two three four five"),
+        (1, f"nine eight seven {shared_run}"),          # shares the run
+        (2, "completely different words with no common spans at all x y"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for portable in (True, False):
+        pairs = {(r["doc_a"], r["doc_b"]): r["n_shared"]
+                 for r in dedup.winnow_pairs(
+                     docs, n=5, window=4, min_shared=1,
+                     portable=portable).collect()}
+        assert (0, 1) in pairs and pairs[(0, 1)] >= 1, portable
+        assert all(2 not in k for k in pairs), portable
+
+
+def test_winnow_fingerprints_shape(spark):
+    docs = spark.createDataFrame(
+        [(0, "a b c d e f g h i j"), (1, "short doc")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           dedup.winnow_fingerprints(docs, n=5, window=4,
+                                     portable=True).collect()}
+    # doc 0: 6 grams -> 3 windows -> <= 3 distinct fps
+    assert 1 <= got[0]["n_fps"] <= 3
+    # doc 1: fewer tokens than n -> zero grams -> zero fps
+    assert got[1]["n_fps"] == 0
