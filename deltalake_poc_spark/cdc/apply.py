@@ -71,6 +71,9 @@ class CDCApplier:
         self.standard_mirror_path = standard_mirror_path
         self._tables: dict[str, VersionedTable] = {}
         self._merges_since_compact: dict[str, int] = {}
+        # incremental applied-batch-id scan state (see applied_batch_ids)
+        self._applied_ids: set[str] = set()
+        self._applied_scanned_to: int = -1
 
     # ------------------------------------------------------------- tables
 
@@ -133,13 +136,24 @@ class CDCApplier:
 
     def applied_batch_ids(self) -> set[str]:
         """Batch ids already appended to the audit table (from commit
-        operationParameters) — the foreachBatch idempotence marker."""
+        operationParameters) — the foreachBatch idempotence marker.
+
+        Incremental: commits are immutable once published, so only the
+        log tail SINCE the last scan is read. Without this, a
+        streaming job calling apply_batch per trigger re-reads the
+        whole commit history every batch — O(N²) metadata reads over
+        the job's lifetime (N = one commit per micro-batch)."""
         audit = self.audit_table()
-        return {
-            c.operation_parameters["batchId"]
-            for c in audit.log.commits()
-            if "batchId" in c.operation_parameters
-        }
+        if not audit.log.exists():
+            return set(self._applied_ids)
+        latest = audit.log.latest_version()
+        for c in audit.log.commits(start=self._applied_scanned_to + 1,
+                                   end=latest):
+            bid = c.operation_parameters.get("batchId")
+            if bid is not None:
+                self._applied_ids.add(bid)
+        self._applied_scanned_to = latest
+        return set(self._applied_ids)
 
     def apply_batch(self, events: DataFrame,
                     tables: list[str] | None = None,
