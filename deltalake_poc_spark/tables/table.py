@@ -800,6 +800,43 @@ class VersionedTable:
         )
         return self._publish(c, snap)
 
+    def clone(self, new_root: str, version: int | None = None,
+              timestamp_ms: int | None = None) -> "VersionedTable":
+        """Zero-copy CLONE (Delta's shallow/cheap clone, done one
+        better: hard links instead of absolute-path references, so the
+        clone is self-contained and survives the source's deletion).
+        The chosen snapshot's data files hard-link into the new root
+        under the same relative paths — no data movement, O(files)
+        metadata work — and a single v0 commit carries the schema,
+        properties, partition layout, and per-file stats. Writes to
+        either table diverge independently; VACUUM unlinks only its
+        own directory entries (the shared inode lives until the last
+        link is gone). CDF history does not carry over (the clone's
+        change feed starts at its own v0), matching Delta clones."""
+        snap = self.snapshot(version, timestamp_ms)
+        new_log = TableLog(new_root)
+        if new_log.exists():
+            raise FileExistsError(f"table already exists at {new_root}")
+        os.makedirs(new_log.data_dir(), exist_ok=True)
+        for fe in snap.files:
+            src = self.log.abs_path(fe.path)
+            dst = new_log.abs_path(fe.path)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            os.link(src, dst)
+        new_log.write_commit(Commit(
+            version=0,
+            timestamp=new_log.monotonic_now_ms(),
+            operation="CLONE",
+            operation_parameters={"source": self.log.root,
+                                  "sourceVersion": snap.version},
+            add=list(snap.files),
+            schema_json=snap.schema_json,
+            properties=dict(snap.properties),
+            metrics={"numCopiedFiles": 0,
+                     "numLinkedFiles": len(snap.files)},
+        ))
+        return VersionedTable(self.spark, new_root)
+
     def vacuum(self, retention_hours: float = 168.0) -> list[str]:
         """M4 — VACUUM (delta_handler.py:275-285; default 168h retention
         shared/config.py:109). Physically deletes data files that are

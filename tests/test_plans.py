@@ -119,3 +119,52 @@ def test_money_aggregates_partial_and_jvm(spark):
     # but that runs once per group after aggregation)
     for m in re.finditer(r"partial_\w+\([^\n]*", plan):
         assert "ecimal" not in m.group(0), m.group(0)[:300]
+
+
+def test_winnow_cap_reuses_shuffle_no_python(spark):
+    """winnow_pairs mirrors the ngram shapes: the fingerprint df-cap is
+    a window count over the SAME hash(fp) shuffle the self-join uses
+    (runtime stage reuse under AQE), everything stays JVM-side, and no
+    join side carries a forced broadcast (fingerprint postings grow
+    with the corpus)."""
+    df = entrymod.queries()["winnow_dedup"](spark, SF_DIR)
+    df.collect()
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted")
+    plan = df._jdf.queryExecution().explainString(jmode)
+    assert "EvalPython" not in plan, plan[:800]
+    assert "Window" in plan and "Reused" in plan, plan[:800]
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = plan_of(spark, "winnow_dedup")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "BroadcastHashJoin" not in plan, plan[:800]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:800]
+
+
+def test_decontaminate_no_forced_broadcast_no_python(spark):
+    """The benchmark gram set is usually tiny (AQE may broadcast it),
+    but nothing may FORCE a broadcast — an eval suite can itself be
+    large. With auto-broadcast off the join must degrade to a shuffle
+    join, and the whole pipeline stays JVM-side."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = plan_of(spark, "decontaminate")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "EvalPython" not in plan, plan[:800]
+    assert "BroadcastHashJoin" not in plan, plan[:800]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:800]
+
+
+def test_repetition_signals_single_stage_row_local(spark):
+    """repetition_signals must plan ZERO exchanges: it is a pure
+    row-local map (sort+fold per row) — any shuffle here means the
+    relational formulation snuck back in."""
+    plan = plan_of(spark, "repetition_signals")
+    assert "Exchange" not in plan, plan[:800]
+    assert "EvalPython" not in plan, plan[:800]

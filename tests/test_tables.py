@@ -262,3 +262,36 @@ def test_materialize_preserves_concurrent_staging(spark, tmp_path):
     t.write(spark.createDataFrame([(1, "a")], schema))
     assert os.path.exists(marker), "concurrent staging dir was deleted"
     assert sorted(r["id"] for r in t.read().collect()) == [1]
+
+
+def test_clone_zero_copy(spark, tmp_path):
+    """Shallow CLONE: hard-linked data, independent divergence, and
+    survival of source vacuum/drop (self-contained inodes)."""
+    import os
+
+    t = VersionedTable.create(spark, str(tmp_path / "src"), SCHEMA)
+    t.write(make_df(spark, [(1, "a", "a@x"), (2, "b", "b@x")]), "append")
+    t.write(make_df(spark, [(3, "c", "c@x")]), "append")
+    v1 = t.version()
+    t.write(make_df(spark, [(4, "d", "d@x")]), "append")
+
+    # clone at the older version: sees 3 rows, not 4
+    c = t.clone(str(tmp_path / "clone"), version=v1)
+    assert sorted(r["id"] for r in c.read().collect()) == [1, 2, 3]
+    # data files are hard links (same inode), not copies
+    src_file = t.log.abs_path(t.snapshot(v1).files[0].path)
+    assert os.stat(src_file).st_nlink >= 2
+
+    # divergence: writes to the clone don't touch the source
+    c.write(make_df(spark, [(9, "z", "z@x")]), "append")
+    assert sorted(r["id"] for r in c.read().collect()) == [1, 2, 3, 9]
+    assert sorted(r["id"] for r in t.read().collect()) == [1, 2, 3, 4]
+
+    # the clone's history starts at its own v0 with CLONE provenance
+    h0 = c.log.read_commit(0)
+    assert h0.operation == "CLONE"
+    assert h0.operation_parameters["sourceVersion"] == v1
+
+    # source deletion leaves the clone fully readable (hard links)
+    t.drop()
+    assert sorted(r["id"] for r in c.read().collect()) == [1, 2, 3, 9]
