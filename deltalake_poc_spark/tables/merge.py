@@ -40,25 +40,34 @@ from pyspark.sql import functions as F
 from deltalake_poc_spark.tables.log import Commit
 
 
-def change_detection_condition(columns: list[str], key: str = "id") -> str:
+def change_detection_condition(columns: list[str],
+                               key: str | list[str] = "id") -> str:
     """M2 — the reference's update-only-when-changed MERGE condition
     (spark_delta_handler.py:218-236 builds a per-column !=-with-null
     OR chain as SQL text). Null-safe form: update when NOT every
     non-key column is <=> equal. Prevents no-op updates from
     rewriting files (MERGE write amplification, SURVEY.md §4)."""
-    comparisons = [f"t.{c} <=> s.{c}" for c in columns if c != key]
+    keys = {key} if isinstance(key, str) else set(key)
+    comparisons = [f"t.{c} <=> s.{c}" for c in columns if c not in keys]
     if not comparisons:
         return "true"
     return "NOT (" + " AND ".join(comparisons) + ")"
 
 
 class MergeBuilder:
-    def __init__(self, table, source: DataFrame, on: str):
-        """``on`` is the equi-join key column name (the reference always
-        merges on ``id``: predicate "target.id = source.id")."""
+    def __init__(self, table, source: DataFrame, on: str | list[str]):
+        """``on`` is the equi-join key: one column name (the reference
+        always merges on ``id``: predicate "target.id = source.id") or
+        a list of columns for composite keys (predicate is the
+        conjunction of per-column equalities). Merge key values must be
+        non-null — the null-key guard upstream (P5) is part of the CDC
+        contract."""
         self.table = table
         self.source = source
-        self.key = on
+        self.keys: list[str] = [on] if isinstance(on, str) else list(on)
+        if not self.keys:
+            raise ValueError("merge needs at least one key column")
+        self.key = self.keys[0]  # back-compat for single-key callers
         self._update_all = False
         self._update_cond: Column | None = None
         self._delete = False
@@ -91,23 +100,36 @@ class MergeBuilder:
 
     def _touched_files(self, snap) -> list[str]:
         """Prune candidate files with per-file [min,max] key stats.
-        Returns relative paths of files that may contain source keys."""
+        Returns relative paths of files that may contain source keys.
+        Composite keys prune on the conjunction of per-column ranges —
+        a file is a candidate only if EVERY stats-bearing key column's
+        range admits the source tuple (files missing stats for any key
+        column are always rewritten candidates)."""
         entries = snap.files
-        with_stats = [e for e in entries if self.key in e.stats]
-        without = [e for e in entries if self.key not in e.stats]
+        with_stats = [e for e in entries
+                      if all(k in e.stats for k in self.keys)]
+        without = [e for e in entries
+                   if not all(k in e.stats for k in self.keys)]
         if not with_stats:
             return [e.path for e in entries]
+        cols = ["__path"]
+        for i in range(len(self.keys)):
+            cols += [f"__kmin{i}", f"__kmax{i}"]
         ranges = self.table.spark.createDataFrame(
-            [(e.path, e.stats[self.key][0], e.stats[self.key][1])
+            [tuple([e.path] + [b for k in self.keys
+                               for b in (e.stats[k][0], e.stats[k][1])])
              for e in with_stats],
-            ["__path", "__kmin", "__kmax"],
+            cols,
         )
-        src_keys = self.source.select(F.col(self.key).alias("__k")).distinct()
+        src_keys = self.source.select(
+            *[F.col(k).alias(f"__k{i}")
+              for i, k in enumerate(self.keys)]).distinct()
+        cond = F.lit(True)
+        for i in range(len(self.keys)):
+            cond = cond & (F.col(f"__k{i}") >= F.col(f"__kmin{i}")) \
+                & (F.col(f"__k{i}") <= F.col(f"__kmax{i}"))
         hit = (
-            src_keys.join(
-                F.broadcast(ranges),
-                (F.col("__k") >= F.col("__kmin")) & (F.col("__k") <= F.col("__kmax")),
-            )
+            src_keys.join(F.broadcast(ranges), cond)
             .select("__path").distinct().collect()
         )
         return [r["__path"] for r in hit] + [e.path for e in without]
@@ -118,15 +140,16 @@ class MergeBuilder:
         schema = t.schema(snap)
         if schema is None:
             raise ValueError("merge target has no schema")
-        key = self.key
+        keys = self.keys
 
         if self._validate_unique:
-            dup = (self.source.groupBy(key).agg(F.count(F.lit(1)).alias("c"))
+            dup = (self.source.groupBy(*keys).agg(F.count(F.lit(1)).alias("c"))
                    .filter(F.col("c") > 1).limit(1).collect())
             if dup:
+                vals = {k: dup[0][k] for k in keys}
                 raise ValueError(
-                    f"MERGE source has duplicate keys (e.g. {key}="
-                    f"{dup[0][key]}); dedup first (cdc.apply does this)"
+                    f"MERGE source has duplicate keys (e.g. {vals});"
+                    " dedup first (cdc.apply does this)"
                 )
 
         rel_touched = self._touched_files(snap) if snap.files else []
@@ -142,13 +165,20 @@ class MergeBuilder:
             for f in schema.fields
         ]
 
-        joined = target.alias("t").join(
-            src.alias("s"), F.col(f"t.{key}") == F.col(f"s.{key}"), "full_outer"
-        )
+        jc = F.lit(True)
+        for k in keys:
+            jc = jc & (F.col(f"t.{k}") == F.col(f"s.{k}"))
+        joined = target.alias("t").join(src.alias("s"), jc, "full_outer")
 
-        matched = F.col(f"t.{key}").isNotNull() & F.col(f"s.{key}").isNotNull()
-        t_only = F.col(f"t.{key}").isNotNull() & F.col(f"s.{key}").isNull()
-        s_only = F.col(f"t.{key}").isNull() & F.col(f"s.{key}").isNotNull()
+        def _present(side):
+            c = F.lit(True)
+            for k in keys:
+                c = c & F.col(f"{side}.{k}").isNotNull()
+            return c
+
+        matched = _present("t") & _present("s")
+        t_only = _present("t") & ~_present("s")
+        s_only = ~_present("t") & _present("s")
 
         true_ = F.lit(True)
         del_cond = matched & (self._delete_cond if self._delete_cond is not None
@@ -242,7 +272,8 @@ class MergeBuilder:
                 timestamp=t.log.monotonic_now_ms(),
                 operation="MERGE",
                 operation_parameters={
-                    "predicate": f"t.{key} = s.{key}",
+                    "predicate": " AND ".join(
+                        f"t.{k} = s.{k}" for k in keys),
                     "matchedUpdateAll": self._update_all,
                     "matchedDelete": self._delete,
                     "notMatchedInsertAll": self._insert_all,

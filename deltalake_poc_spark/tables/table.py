@@ -593,7 +593,7 @@ class VersionedTable:
 
     # ----------------------------------------------------- merge and delete
 
-    def merge(self, source: DataFrame, on: str):
+    def merge(self, source: DataFrame, on: str | list[str]):
         """MERGE builder (J4/M1; reference: DeltaTable.merge
         spark_streaming.py:345-359, SQL MERGE spark_delta_handler.py:218-236)."""
         from deltalake_poc_spark.tables.merge import MergeBuilder

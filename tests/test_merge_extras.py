@@ -91,3 +91,48 @@ def test_merge_matches_model(spark, tmp_path_factory, batches):
                 model[k] = v
     got = {r["id"]: r["v"] for r in t.read().collect()}
     assert got == model
+
+
+def test_merge_composite_key(spark, tmp_path):
+    """Composite merge keys: join/classify/prune on the conjunction of
+    key columns; rows agreeing on one key column but not the other are
+    NOT matches."""
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    schema = StructType([
+        StructField("region", StringType()),
+        StructField("sku", LongType()),
+        StructField("qty", LongType()),
+    ])
+    t = VersionedTable.create(spark, str(tmp_path / "ck"), schema)
+    t.write(spark.createDataFrame(
+        [("eu", 1, 10), ("eu", 2, 20), ("us", 1, 30)], schema), "append")
+
+    src = spark.createDataFrame(
+        [("eu", 1, 11),   # matches (eu,1) -> update
+         ("us", 2, 40),   # sku 2 exists only in eu -> insert
+         ("ap", 9, 50)],  # new region -> insert
+        schema)
+    commit = (t.merge(src, on=["region", "sku"])
+              .when_matched_update_all()
+              .when_not_matched_insert_all()
+              .execute())
+    assert commit.metrics["numTargetRowsUpdated"] == 1
+    assert commit.metrics["numTargetRowsInserted"] == 2
+    got = {(r["region"], r["sku"]): r["qty"] for r in t.read().collect()}
+    assert got == {("eu", 1): 11, ("eu", 2): 20, ("us", 1): 30,
+                   ("us", 2): 40, ("ap", 9): 50}
+    assert "t.region = s.region AND t.sku = s.sku" in \
+        commit.operation_parameters["predicate"]
+
+    # duplicate composite keys in the source raise; distinct tuples
+    # sharing one column do not
+    dup = spark.createDataFrame([("eu", 1, 1), ("eu", 1, 2)], schema)
+    with pytest.raises(ValueError, match="duplicate keys"):
+        t.merge(dup, on=["region", "sku"]).when_matched_update_all().execute()
+    ok = spark.createDataFrame([("eu", 3, 1), ("us", 3, 2)], schema)
+    (t.merge(ok, on=["region", "sku"])
+     .when_matched_update_all().when_not_matched_insert_all().execute())
+    assert t.read().count() == 7
