@@ -26,6 +26,10 @@ def main() -> None:
 
     from deltalake_poc_spark.session import EngineConfig, get_spark
 
+    # one JVM runs ~60 queries back-to-back; at the 8g default, major
+    # GC pauses land randomly on whichever query is executing (observed:
+    # a 0.4s groupBy measured at 12s). More heap = fewer, cheaper majors
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "24g")
     spark = get_spark(EngineConfig(
         app_name="bench", master=f"local[{cpus}]",
         shuffle_partitions=int(os.environ.get("SPARK_SHUFFLE_PARTITIONS", cpus)),
