@@ -233,6 +233,14 @@ def export_standard_delta(table: VersionedTable, dest: str,
     versions = [c.version for c in log.commits()]
     if not versions:
         raise FileNotFoundError(f"not a versioned table: {log.root}")
+    if table.snapshot().dvs:
+        # standard Delta encodes DVs as roaring bitmaps in its own
+        # sidecar format; replaying our (file,pos) parquet DVs would
+        # produce a table that resurrects deleted rows for Delta
+        # clients. Materialize first.
+        raise NotImplementedError(
+            f"{log.root} has active deletion vectors; run "
+            "purge_deletion_vectors() before export_standard_delta")
     log_dir = os.path.join(dest, "_delta_log")
     exported = -1
     table_id: str | None = None

@@ -70,9 +70,12 @@ class Commit:
     schema_json: str | None = None
     properties: dict | None = None
     metrics: dict = field(default_factory=dict)
+    # deletion-vector updates: data-file rel path -> DV dir rel path
+    # (the DV holds (file, pos) rows marking deleted row positions)
+    dv_updates: dict = field(default_factory=dict)
 
     def to_json(self) -> dict:
-        return {
+        d = {
             "version": self.version,
             "timestamp": self.timestamp,
             "operation": self.operation,
@@ -83,6 +86,9 @@ class Commit:
             "properties": self.properties,
             "metrics": self.metrics,
         }
+        if self.dv_updates:
+            d["dvUpdates"] = self.dv_updates
+        return d
 
     @staticmethod
     def from_json(d: dict) -> "Commit":
@@ -96,6 +102,7 @@ class Commit:
             schema_json=d.get("schema"),
             properties=d.get("properties"),
             metrics=d.get("metrics", {}),
+            dv_updates=d.get("dvUpdates", {}),
         )
 
 
@@ -119,6 +126,8 @@ class Snapshot:
     files: list[FileEntry]
     schema_json: str | None
     properties: dict
+    # active deletion vectors: data-file rel path -> DV dir rel path
+    dvs: dict = field(default_factory=dict)
 
     @property
     def file_paths(self) -> list[str]:
@@ -220,6 +229,7 @@ class TableLog:
                 "files": [f.to_json() for f in snap.files],
                 "schema": snap.schema_json,
                 "properties": snap.properties,
+                "dvs": snap.dvs,
             }, fh)
         os.replace(tmp, p)
 
@@ -228,7 +238,8 @@ class TableLog:
             d = json.load(fh)
         return Snapshot(d["version"], d["timestamp"],
                         [FileEntry.from_json(x) for x in d["files"]],
-                        d.get("schema"), d.get("properties", {}))
+                        d.get("schema"), d.get("properties", {}),
+                        d.get("dvs", {}))
 
     def snapshot(self, version: int | None = None,
                  timestamp_ms: int | None = None) -> Snapshot:
@@ -257,10 +268,12 @@ class TableLog:
         if ckpt_v is not None:
             base = self._read_checkpoint(ckpt_v)
             active = {f.path: f for f in base.files}
+            dvs = dict(base.dvs)
             schema_json, properties, ts = base.schema_json, dict(base.properties), base.timestamp
             start = ckpt_v + 1
         else:
             active = {}
+            dvs = {}
             schema_json, properties, ts = None, {}, 0
             start = 0
         for v in versions:
@@ -270,13 +283,21 @@ class TableLog:
             ts = c.timestamp
             for r in c.remove:
                 active.pop(r, None)
+                dvs.pop(r, None)  # file gone -> its DV is gone
             for a in c.add:
                 active[a.path] = a
+                dvs.pop(a.path, None)  # fresh file content, no DV
+            for fp, dv in c.dv_updates.items():
+                if dv is None:  # explicit clear (RESTORE)
+                    dvs.pop(fp, None)
+                else:
+                    dvs[fp] = dv
             if c.schema_json:
                 schema_json = c.schema_json
             if c.properties is not None:
                 properties = dict(c.properties)
-        return Snapshot(version, ts, list(active.values()), schema_json, properties)
+        return Snapshot(version, ts, list(active.values()), schema_json,
+                        properties, dvs)
 
     # -- log writing ----------------------------------------------------------
 

@@ -153,8 +153,8 @@ class MergeBuilder:
                 )
 
         rel_touched = self._touched_files(snap) if snap.files else []
-        target = t._plain_read(rel_touched, schema) if rel_touched else \
-            t.spark.createDataFrame([], schema)
+        target = t._plain_read(rel_touched, schema, dvs=snap.dvs) \
+            if rel_touched else t.spark.createDataFrame([], schema)
 
         src = self.source
         # align source to target schema (missing cols -> null)

@@ -35,6 +35,8 @@ from deltalake_poc_spark.tables.log import (
 from deltalake_poc_spark.tables.stats import collect_file_stats
 
 CDF_PROP = "enableChangeDataFeed"
+DV_PROP = "enableDeletionVectors"
+DV_DIR = "_dv"
 CDF_COLS = ("_change_type", "_commit_version", "_commit_timestamp")
 
 
@@ -159,12 +161,28 @@ class VersionedTable:
         snap = self.snapshot(version, timestamp_ms)
         return self._read_files(snap.file_paths, snap)
 
-    def _read_files(self, rel_paths: list[str], snap: Snapshot) -> DataFrame:
+    def _read_files(self, rel_paths: list[str], snap: Snapshot,
+                    with_position: bool = False) -> DataFrame:
+        """Distributed scan of the given files, deletion-vector
+        filtered and schema-aligned. ``with_position=True`` keeps
+        ``__file``/``__pos`` columns (absolute file URI + row index)
+        for callers that address rows by position (DV delete).
+
+        DV filtering is a LEFT ANTI join on (file, row position)
+        against the active DV rows of exactly the requested files —
+        the DV side is tiny relative to the data (a few deleted
+        positions per file; tables where DVs grow large should purge),
+        so AQE plans a broadcast anti-join: the scan stays one pass,
+        no table-sized shuffle."""
         schema = self.schema(snap)
         if not rel_paths:
             if schema is None:
                 raise ValueError("empty table with no declared schema")
-            return self.spark.createDataFrame([], schema)
+            df = self.spark.createDataFrame([], schema)
+            if with_position:
+                df = (df.withColumn("__file", F.lit(None).cast("string"))
+                        .withColumn("__pos", F.lit(None).cast("long")))
+            return df
         paths = [self.log.abs_path(p) for p in rel_paths]
         reader = self.spark.read.option("mergeSchema", "true")
         if self.partition_columns(snap):
@@ -172,6 +190,11 @@ class VersionedTable:
             # names; basePath lets Spark recover (and prune on) them
             reader = reader.option("basePath", self.log.data_dir())
         df = reader.parquet(*paths)
+        dvs = ({p: snap.dvs[p] for p in rel_paths if p in snap.dvs}
+               if snap.dvs else {})
+        if dvs or with_position:
+            df = (df.withColumn("__file", F.col("_metadata.file_path"))
+                    .withColumn("__pos", F.col("_metadata.row_index")))
         if schema is not None:
             # align to declared schema: files store PHYSICAL names
             # (column mapping), output carries logical; missing -> null,
@@ -184,8 +207,28 @@ class VersionedTable:
                     cols.append(F.col(phys).cast(f.dataType).alias(f.name))
                 else:
                     cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+            if dvs or with_position:
+                cols += [F.col("__file"), F.col("__pos")]
             df = df.select(*cols)
+        if dvs:
+            dv_df = (self.spark.read.parquet(
+                        *sorted({self.log.abs_path(d) for d in dvs.values()}))
+                     .filter(F.col("file").isin(list(dvs)))
+                     .select(self._abs_uri(F.col("file")).alias("__dvf"),
+                             F.col("pos").alias("__dvp")))
+            df = df.join(dv_df,
+                         (F.col("__file") == F.col("__dvf"))
+                         & (F.col("__pos") == F.col("__dvp")),
+                         "left_anti")
+        if not with_position and dvs:
+            df = df.drop("__file", "__pos")
         return df
+
+    def _abs_uri(self, rel_col):
+        """rel path column -> the absolute file URI _metadata.file_path
+        emits (``file:`` + absolute path, single slash)."""
+        return F.concat(F.lit("file:"), F.lit(self.log.root), F.lit("/"),
+                        rel_col)
 
     def read_change_feed(self, starting_version: int = 0,
                          ending_version: int | None = None) -> DataFrame:
@@ -252,9 +295,11 @@ class VersionedTable:
                         .withColumn("_commit_timestamp", F.timestamp_millis(F.lit(0))))
         return self._union(pieces)
 
-    def _plain_read(self, rel_paths: list[str], schema: StructType | None) -> DataFrame:
+    def _plain_read(self, rel_paths: list[str], schema: StructType | None,
+                    dvs: dict | None = None) -> DataFrame:
         props = self.snapshot().properties if self.log.exists() else {}
-        snap = Snapshot(0, 0, [], schema.json() if schema else None, props)
+        snap = Snapshot(0, 0, [], schema.json() if schema else None, props,
+                        dvs or {})
         return self._read_files(rel_paths, snap)
 
     def _stamp(self, df: DataFrame, change_type: str, c: Commit) -> DataFrame:
@@ -613,6 +658,8 @@ class VersionedTable:
         snap = self.snapshot()
         if not snap.files:
             return self._noop_commit("DELETE", {"predicate": str(predicate)})
+        if str(snap.properties.get(DV_PROP, "false")).lower() == "true":
+            return self._delete_dv(pred, str(predicate), snap)
         df = self._read_files_with_filename(snap)
         touched_rows = df.filter(pred)
         touched = [
@@ -623,7 +670,7 @@ class VersionedTable:
             return self._noop_commit("DELETE", {"predicate": str(predicate)})
         rel_touched = [self._rel_of(p) for p in touched]
         schema = self.schema(snap)
-        touched_df = self._plain_read(rel_touched, schema)
+        touched_df = self._plain_read(rel_touched, schema, dvs=snap.dvs)
         # SQL DELETE semantics: remove rows where pred IS TRUE; keep false/null
         keep = touched_df.filter(~F.coalesce(pred, F.lit(False)))
         version = self.log.next_version()
@@ -649,6 +696,95 @@ class VersionedTable:
         )
         return self._publish(c, snap)
 
+    def _delete_dv(self, pred, pred_str: str, snap: Snapshot) -> Commit:
+        """DELETE via deletion vectors (Delta parity:
+        delta.enableDeletionVectors): record the (file, row position)
+        of every matching row in a sidecar parquet under ``_dv/v=N``
+        instead of rewriting data files — deleting 1 row from a 1 GB
+        file costs one tiny sidecar write, not a 1 GB rewrite. Readers
+        anti-join the DV rows during the scan (broadcast-sized until
+        purged); OPTIMIZE and purge_deletion_vectors() materialize.
+
+        Each DV commit CONSOLIDATES: the new sidecar carries the fresh
+        positions plus all prior active DV rows, and every DV'd file
+        re-maps to it — one active DV dir at a time, no fragment chain
+        for readers to union."""
+        df = self._read_files(snap.file_paths, snap, with_position=True)
+        matches = df.filter(F.coalesce(pred, F.lit(False)))
+        version = self.log.next_version()
+        if self.cdf_enabled(snap):
+            self._write_changes(
+                version,
+                matches.drop("__file", "__pos").withColumn(
+                    "_change_type", F.lit("delete")))
+        prefix_len = len("file:" + self.log.root + "/")
+        new_rows = matches.select(
+            F.substring(F.col("__file"), prefix_len + 1, 1 << 30)
+            .alias("file"),
+            F.col("__pos").cast("long").alias("pos"),
+        )
+        prior_dirs = sorted(set(snap.dvs.values()))
+        n_prior = 0
+        if prior_dirs:
+            prior = (self.spark.read.parquet(
+                        *[self.log.abs_path(d) for d in prior_dirs])
+                     .filter(F.col("file").isin(list(snap.dvs)))
+                     .select("file", F.col("pos").cast("long").alias("pos")))
+            new_rows = new_rows.unionByName(prior)
+        dv_rel = f"{DV_DIR}/v={version}"
+        out_dir = self.log.abs_path(dv_rel)
+        new_rows.distinct().coalesce(1).write.mode("overwrite").parquet(out_dir)
+        written = self.spark.read.parquet(out_dir)
+        dv_files = [r["file"] for r in written.select("file").distinct().collect()]
+        if not dv_files:
+            shutil.rmtree(out_dir, ignore_errors=True)
+            return self._noop_commit("DELETE", {"predicate": pred_str})
+        n_total = written.count()
+        if prior_dirs:
+            n_prior = (self.spark.read.parquet(
+                          *[self.log.abs_path(d) for d in prior_dirs])
+                       .filter(F.col("file").isin(list(snap.dvs)))
+                       .distinct().count())
+        c = Commit(
+            version=version,
+            timestamp=self.log.monotonic_now_ms(),
+            operation="DELETE",
+            operation_parameters={"predicate": pred_str,
+                                  "deletionVectors": True},
+            dv_updates={f: dv_rel for f in dv_files},
+            metrics={"numDeletedRows": n_total - n_prior,
+                     "numRemovedFiles": 0, "numAddedFiles": 0,
+                     "numDeletionVectorRows": n_total},
+        )
+        return self._publish(c, snap)
+
+    def purge_deletion_vectors(self, target_file_rows: int = 1_000_000) -> Commit:
+        """REORG TABLE ... APPLY (PURGE) parity: rewrite every DV'd
+        file without its deleted rows and drop the vectors. Run when
+        DVs grow past broadcast size or before deltaexport (standard
+        Delta's DV encoding is a different binary format)."""
+        snap = self.snapshot()
+        if not snap.dvs:
+            return self._noop_commit("PURGE", {})
+        rels = sorted(snap.dvs)
+        live = self._read_files(rels, snap)
+        total = sum(e.num_records for e in snap.files if e.path in snap.dvs)
+        nparts = max(1, (total + target_file_rows - 1) // target_file_rows)
+        entries = self._materialize(
+            live.repartition(nparts),
+            partition_by=self.partition_columns(snap) or None)
+        c = Commit(
+            version=self.log.next_version(),
+            timestamp=self.log.monotonic_now_ms(),
+            operation="PURGE",
+            operation_parameters={"purgedFiles": len(rels)},
+            add=entries,
+            remove=rels,
+            metrics={"numRemovedFiles": len(rels),
+                     "numAddedFiles": len(entries)},
+        )
+        return self._publish(c, snap)
+
     def update(self, set_exprs: dict, predicate=None) -> Commit:
         """UPDATE (M2 analogue — the reference expresses conditional
         update through MERGE; provided for API completeness)."""
@@ -664,7 +800,7 @@ class VersionedTable:
             return self._noop_commit("UPDATE", {})
         rel_touched = [self._rel_of(p) for p in touched]
         schema = self.schema(snap)
-        touched_df = self._plain_read(rel_touched, schema)
+        touched_df = self._plain_read(rel_touched, schema, dvs=snap.dvs)
         cols = []
         for f in schema.fields:
             if f.name in set_exprs:
@@ -700,8 +836,8 @@ class VersionedTable:
         return self._publish(c, snap)
 
     def _read_files_with_filename(self, snap: Snapshot) -> DataFrame:
-        df = self._read_files(snap.file_paths, snap)
-        return df.withColumn("__file", F.input_file_name())
+        return self._read_files(snap.file_paths, snap,
+                                with_position=True).drop("__pos")
 
     def _rel_of(self, abs_uri: str) -> str:
         p = abs_uri
@@ -823,6 +959,15 @@ class VersionedTable:
             dst = new_log.abs_path(fe.path)
             os.makedirs(os.path.dirname(dst), exist_ok=True)
             os.link(src, dst)
+        for dv_rel in sorted(set(snap.dvs.values())):
+            src_dir = self.log.abs_path(dv_rel)
+            for dirpath, _dirs, files in os.walk(src_dir):
+                for name in files:
+                    sp = os.path.join(dirpath, name)
+                    rel = os.path.relpath(sp, self.log.root)
+                    dp = new_log.abs_path(rel)
+                    os.makedirs(os.path.dirname(dp), exist_ok=True)
+                    os.link(sp, dp)
         new_log.write_commit(Commit(
             version=0,
             timestamp=new_log.monotonic_now_ms(),
@@ -832,6 +977,7 @@ class VersionedTable:
             add=list(snap.files),
             schema_json=snap.schema_json,
             properties=dict(snap.properties),
+            dv_updates=dict(snap.dvs),
             metrics={"numCopiedFiles": 0,
                      "numLinkedFiles": len(snap.files)},
         ))
@@ -872,6 +1018,18 @@ class VersionedTable:
                     if ts is not None and ts <= cutoff:
                         os.unlink(abs_p)
                         deleted.append(rel)
+        dv_root = os.path.join(self.log.root, DV_DIR)
+        if os.path.isdir(dv_root):
+            referenced = set(snap.dvs.values())
+            for name in os.listdir(dv_root):
+                if not name.startswith("v="):
+                    continue
+                rel = f"{DV_DIR}/{name}"
+                ts = commit_ts.get(int(name[2:]))
+                if rel not in referenced and ts is not None and ts <= cutoff:
+                    shutil.rmtree(os.path.join(dv_root, name),
+                                  ignore_errors=True)
+                    deleted.append(rel)
         changes_root = os.path.join(self.log.root, TableLog.CHANGES_DIR)
         if os.path.isdir(changes_root):
             for name in os.listdir(changes_root):
@@ -892,6 +1050,12 @@ class VersionedTable:
         current = self.snapshot()
         cur_paths = set(current.file_paths)
         tgt_paths = set(target.file_paths)
+        # restore DVs too: files kept across the restore revert to the
+        # target version's vector (or an explicit clear if it had none)
+        dv_updates: dict = dict(target.dvs)
+        for p_ in cur_paths & tgt_paths:
+            if p_ in current.dvs and p_ not in target.dvs:
+                dv_updates[p_] = None
         c = Commit(
             version=self.log.next_version(),
             timestamp=self.log.monotonic_now_ms(),
@@ -900,6 +1064,7 @@ class VersionedTable:
             add=[f for f in target.files if f.path not in cur_paths],
             remove=[p for p in current.file_paths if p not in tgt_paths],
             schema_json=target.schema_json,
+            dv_updates=dv_updates,
             metrics={"restoredVersion": version},
         )
         return self._publish(c, current, table_level=True)

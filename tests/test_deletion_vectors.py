@@ -1,0 +1,155 @@
+"""Deletion vectors: DELETE without rewriting data files.
+
+With delta.enableDeletionVectors-style property set, DELETE records
+(file, row position) sidecar rows under _dv/v=N and the read path
+anti-joins them during the scan — deleting 1 row from a large file
+costs a tiny sidecar write instead of a full rewrite. Every other
+operation must see through the vectors: merge/update rewrites must
+not resurrect deleted rows, OPTIMIZE and purge materialize, RESTORE
+reverts to the target version's vectors, clone carries them, and
+standard-Delta export refuses until purged.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from deltalake_poc_spark.tables import VersionedTable
+
+SCHEMA = StructType([
+    StructField("id", LongType()),
+    StructField("v", StringType()),
+])
+
+
+def df_of(spark, *ids):
+    return spark.createDataFrame([(i, f"v{i}") for i in ids], SCHEMA)
+
+
+@pytest.fixture()
+def dvt(spark, tmp_path):
+    t = VersionedTable.create(
+        spark, str(tmp_path / "dv"), SCHEMA,
+        properties={"enableDeletionVectors": "true"})
+    t.write(df_of(spark, 1, 2, 3, 4, 5), "append")
+    return t
+
+
+def ids_of(t):
+    return sorted(r["id"] for r in t.read().collect())
+
+
+def test_dv_delete_no_rewrite(spark, dvt):
+    files_before = set(dvt.snapshot().file_paths)
+    c = dvt.delete("id = 3")
+    assert c.operation_parameters["deletionVectors"] is True
+    assert c.metrics["numDeletedRows"] == 1
+    assert c.metrics["numRemovedFiles"] == 0 and not c.add
+    # data files untouched; row hidden by the vector
+    assert set(dvt.snapshot().file_paths) == files_before
+    assert ids_of(dvt) == [1, 2, 4, 5]
+    assert dvt.snapshot().dvs  # vector is active
+    # time travel before the delete still sees the row
+    assert sorted(r["id"] for r in t_read(dvt, c.version - 1)) == [1, 2, 3, 4, 5]
+
+
+def t_read(t, version):
+    return t.read(version=version).collect()
+
+
+def test_dv_deletes_consolidate(spark, dvt):
+    dvt.delete("id = 1")
+    c2 = dvt.delete("id = 2")
+    assert ids_of(dvt) == [3, 4, 5]
+    # consolidation: one active DV dir, counting only the new row
+    assert len(set(dvt.snapshot().dvs.values())) == 1
+    assert c2.metrics["numDeletedRows"] == 1
+    # delete of an already-deleted row is a no-op commit
+    c3 = dvt.delete("id = 1")
+    assert ids_of(dvt) == [3, 4, 5]
+    assert c3.metrics.get("numDeletedRows", 0) == 0
+
+
+def test_merge_does_not_resurrect_dv_rows(spark, dvt):
+    dvt.delete("id = 2")
+    src = df_of(spark, 4).withColumn("v", F.lit("v4x"))
+    (dvt.merge(src, on="id")
+     .when_matched_update_all().when_not_matched_insert_all().execute())
+    got = {r["id"]: r["v"] for r in dvt.read().collect()}
+    assert got == {1: "v1", 3: "v3", 4: "v4x", 5: "v5"}  # no id=2
+
+
+def test_update_respects_dvs(spark, dvt):
+    dvt.delete("id = 5")
+    dvt.update({"v": "concat(v, '!')"}, "id >= 4")
+    got = {r["id"]: r["v"] for r in dvt.read().collect()}
+    assert got == {1: "v1", 2: "v2", 3: "v3", 4: "v4!"}
+
+
+def test_optimize_and_purge_materialize(spark, dvt):
+    dvt.delete("id in (1, 2)")
+    assert dvt.snapshot().dvs
+    c = dvt.purge_deletion_vectors()
+    assert c.operation == "PURGE"
+    assert not dvt.snapshot().dvs
+    assert ids_of(dvt) == [3, 4, 5]
+    # second purge is a no-op
+    assert dvt.purge_deletion_vectors().operation == "PURGE"
+
+    dvt.delete("id = 4")
+    dvt.optimize(target_file_rows=10)
+    assert not dvt.snapshot().dvs  # compaction materialized the vector
+    assert ids_of(dvt) == [3, 5]
+
+
+def test_restore_reverts_vectors(spark, dvt):
+    v_before = dvt.version()
+    dvt.delete("id = 3")
+    dvt.restore(v_before)
+    assert ids_of(dvt) == [1, 2, 3, 4, 5]
+    assert not dvt.snapshot().dvs
+
+
+def test_dv_cdf_emits_delete_rows(spark, tmp_path):
+    t = VersionedTable.create(
+        spark, str(tmp_path / "dvc"), SCHEMA,
+        properties={"enableDeletionVectors": "true",
+                    "enableChangeDataFeed": "true"})
+    t.write(df_of(spark, 1, 2, 3), "append")
+    c = t.delete("id = 2")
+    cdf = t.read_change_feed(c.version)
+    rows = [(r["id"], r["_change_type"]) for r in cdf.collect()]
+    assert rows == [(2, "delete")]
+
+
+def test_clone_carries_vectors(spark, dvt, tmp_path):
+    dvt.delete("id = 1")
+    c = dvt.clone(str(tmp_path / "dvclone"))
+    assert sorted(r["id"] for r in c.read().collect()) == [2, 3, 4, 5]
+    dvt.drop()
+    assert sorted(r["id"] for r in c.read().collect()) == [2, 3, 4, 5]
+
+
+def test_export_refuses_active_vectors(spark, dvt, tmp_path):
+    from deltalake_poc_spark.tables.deltaexport import export_standard_delta
+
+    dvt.delete("id = 1")
+    with pytest.raises(NotImplementedError, match="purge_deletion_vectors"):
+        export_standard_delta(dvt, str(tmp_path / "exp"))
+    dvt.purge_deletion_vectors()
+    export_standard_delta(dvt, str(tmp_path / "exp"))  # now fine
+
+
+def test_vacuum_cleans_orphaned_dv_dirs(spark, dvt):
+    dvt.delete("id = 1")
+    dvt.delete("id = 2")  # consolidates; v-of-first-delete dir orphaned
+    dv_root = os.path.join(dvt.log.root, "_dv")
+    assert len(os.listdir(dv_root)) == 2
+    deleted = dvt.vacuum(retention_hours=0)
+    assert any(d.startswith("_dv/") for d in deleted)
+    assert len(os.listdir(dv_root)) == 1  # active DV dir survives
+    assert ids_of(dvt) == [3, 4, 5]
