@@ -378,13 +378,23 @@ class TableLog:
                     raise CommitConflictError(
                         f"{self.root}: schema changed concurrently "
                         f"(v{read_version} -> v{latest})")
-                if commit.remove:
+                if commit.remove or commit.dv_updates:
+                    # a remove- or DV-bearing commit read the snapshot
+                    # to plan row-level effects: any concurrent commit
+                    # that removed files OR changed deletion vectors
+                    # invalidates that read-set (two DV deletes each
+                    # consolidate ALL active vectors — rebasing the
+                    # loser would silently revert the winner's rows)
                     gone = set(base.file_paths) - set(now.file_paths)
                     if gone:
                         raise CommitConflictError(
                             f"{self.root}: {len(gone)} file(s) this "
                             f"{commit.operation} read were removed by a "
                             "concurrent commit")
+                    if now.dvs != base.dvs:
+                        raise CommitConflictError(
+                            f"{self.root}: deletion vectors changed "
+                            f"concurrently (v{read_version} -> v{latest})")
                 commit.version = latest + 1
                 commit.timestamp = self.monotonic_now_ms()
         raise ConcurrentWriteError(

@@ -233,3 +233,39 @@ def test_rebase_exhaustion(spark, table):
         log.write_commit_with_rebase(planned, read_version=snap.version,
                                      max_retries=3)
     assert calls["n"] == 3
+
+
+def test_concurrent_dv_deletes_conflict(spark, tmp_path):
+    """Two concurrent DV deletes may NOT both rebase: each consolidates
+    ALL active vectors, so the loser's sidecar (built from the stale
+    snapshot) would silently revert the winner's deleted rows."""
+    t = VersionedTable.create(
+        spark, str(tmp_path / "dvocc"), SCHEMA,
+        properties={"enableDeletionVectors": "true"})
+    t.write(rows_df(spark, 1, 2, 3, 4), "append")
+    snap = t.snapshot()
+
+    orig_publish = VersionedTable._publish
+    raced = {"done": False}
+
+    def racing_publish(self, c, s, table_level=False):
+        if c.dv_updates and not raced["done"]:
+            raced["done"] = True
+            # rival DV delete lands first (its own publish passes the
+            # raced flag, so it does not re-trigger the injection)
+            VersionedTable.for_path(spark, t.log.root).delete("id = 4")
+        return orig_publish(self, c, s, table_level)
+
+    try:
+        VersionedTable._publish = racing_publish
+        with pytest.raises(CommitConflictError,
+                           match="deletion vectors changed"):
+            t.delete("id = 1")
+    finally:
+        VersionedTable._publish = orig_publish
+    # the rival's delete took effect; ours aborted cleanly
+    assert sorted(r["id"] for r in t.read().collect()) == [1, 2, 3]
+    # a retry planned against the fresh snapshot succeeds
+    t2 = VersionedTable.for_path(spark, t.log.root)
+    t2.delete("id = 1")
+    assert sorted(r["id"] for r in t2.read().collect()) == [2, 3]
