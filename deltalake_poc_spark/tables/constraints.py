@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 CONSTRAINT_PREFIX = "constraint."
+GENERATED_KEY = "generationExpression"
 
 
 def constraints_of(properties: dict) -> dict[str, str]:
@@ -33,6 +34,30 @@ def constraints_of(properties: dict) -> dict[str, str]:
         for k, v in (properties or {}).items()
         if k.startswith(CONSTRAINT_PREFIX)
     }
+
+
+def generated_of(schema: StructType | None) -> dict[str, str]:
+    """column -> generation expression (Delta generated columns: the
+    expression lives in the field metadata, key generationExpression)."""
+    if schema is None:
+        return {}
+    return {
+        f.name: (f.metadata or {})[GENERATED_KEY]
+        for f in schema.fields
+        if GENERATED_KEY in (f.metadata or {})
+    }
+
+
+def apply_generated(df: DataFrame, schema: StructType | None) -> DataFrame:
+    """Compute generated columns ABSENT from the incoming frame (Delta
+    semantics: omitted -> computed from the expression over the row's
+    other columns; supplied -> kept, but validated by the equality
+    guard enforce() weaves into the write plan)."""
+    typed = {f.name: f.dataType for f in (schema.fields if schema else [])}
+    for name, expr in generated_of(schema).items():
+        if name not in df.columns:
+            df = df.withColumn(name, F.expr(expr).cast(typed[name]))
+    return df
 
 
 def _violations(properties: dict, schema: StructType | None) -> list[tuple[str, Column]]:
@@ -46,6 +71,13 @@ def _violations(properties: dict, schema: StructType | None) -> list[tuple[str, 
         if not f.nullable:
             out.append((f"NOT NULL constraint on column {f.name}",
                         F.col(f.name).isNull()))
+    typed = {f.name: f.dataType for f in (schema.fields if schema else [])}
+    for name, expr in generated_of(schema).items():
+        # a SUPPLIED value must equal what the expression generates
+        out.append((
+            f"generated column {name} ({expr})",
+            ~F.col(name).eqNullSafe(F.expr(expr).cast(typed[name])),
+        ))
     return out
 
 

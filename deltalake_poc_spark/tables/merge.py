@@ -156,7 +156,12 @@ class MergeBuilder:
         target = t._plain_read(rel_touched, schema, dvs=snap.dvs) \
             if rel_touched else t.spark.createDataFrame([], schema)
 
-        src = self.source
+        from deltalake_poc_spark.tables.constraints import apply_generated
+
+        # generated columns absent from the source compute here (over
+        # source columns, pre-join — Delta computes them for MERGE
+        # inserts the same way)
+        src = apply_generated(self.source, schema)
         # align source to target schema (missing cols -> null)
         src_cols = {f.name for f in src.schema.fields}
         aligned = [

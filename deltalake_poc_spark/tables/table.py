@@ -461,9 +461,12 @@ class VersionedTable:
         pb = self.partition_columns(snap) if snap else []
         committed = StructType.fromJson(json.loads(schema_json))
         mapping = {f.name: self._physical(f) for f in committed.fields}
-        if snap is not None:
-            from deltalake_poc_spark.tables.constraints import enforce
+        from deltalake_poc_spark.tables.constraints import (
+            apply_generated, enforce,
+        )
 
+        df = apply_generated(df, committed)
+        if snap is not None:
             df = enforce(df, snap.properties, self.schema(snap))
         entries = self._materialize(df, stats_cols, partition_by=pb or None,
                                     mapping=mapping)
@@ -982,6 +985,34 @@ class VersionedTable:
                      "numLinkedFiles": len(snap.files)},
         ))
         return VersionedTable(self.spark, new_root)
+
+    def detail(self) -> dict:
+        """DESCRIBE DETAIL parity: one metadata-only dict of table
+        facts (format, location, version, file/byte counts, partition
+        columns, properties, active deletion vectors, constraints)."""
+        from deltalake_poc_spark.tables.constraints import constraints_of
+
+        snap = self.snapshot()
+        size = 0
+        for e in snap.files:
+            try:
+                size += os.path.getsize(self.log.abs_path(e.path))
+            except OSError:
+                pass
+        return {
+            "format": "parquet+jsonlog",
+            "location": self.log.root,
+            "version": snap.version,
+            "numFiles": len(snap.files),
+            "sizeInBytes": size,
+            "numRecords": sum(e.num_records for e in snap.files),
+            "partitionColumns": self.partition_columns(snap),
+            "properties": dict(snap.properties),
+            "numDeletionVectors": len(snap.dvs),
+            "constraints": constraints_of(snap.properties),
+            "createdAt": self.log.read_commit(0).timestamp,
+            "lastModified": snap.timestamp,
+        }
 
     def vacuum(self, retention_hours: float = 168.0) -> list[str]:
         """M4 — VACUUM (delta_handler.py:275-285; default 168h retention

@@ -105,3 +105,50 @@ def test_constraint_survives_in_history(spark, table):
     # time travel to before the constraint sees no property
     before = table.snapshot(c.version - 1)
     assert "constraint.qty_positive" not in before.properties
+
+
+def test_generated_columns(spark, tmp_path):
+    """Delta generated columns: expression in field metadata; omitted
+    values compute on write/merge-insert, supplied values must match."""
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    schema = StructType([
+        StructField("id", LongType()),
+        StructField("name", StringType()),
+        StructField("name_upper", StringType(),
+                    metadata={"generationExpression": "upper(name)"}),
+    ])
+    t = VersionedTable.create(spark, str(tmp_path / "gen"), schema)
+
+    # omitted -> computed
+    t.write(spark.createDataFrame([(1, "ada")], "id long, name string"),
+            "append")
+    got = {r["id"]: r["name_upper"] for r in t.read().collect()}
+    assert got == {1: "ADA"}
+
+    # supplied + correct -> kept
+    t.write(spark.createDataFrame([(2, "bob", "BOB")], schema), "append")
+    # supplied + WRONG -> write fails
+    with pytest.raises(Exception, match="generated column name_upper"):
+        t.write(spark.createDataFrame([(3, "cat", "DOG")], schema), "append")
+    assert t.read().count() == 2
+
+    # merge-insert computes it too
+    src = spark.createDataFrame([(4, "eve")], "id long, name string")
+    (t.merge(src, on="id")
+     .when_matched_update_all().when_not_matched_insert_all().execute())
+    got = {r["id"]: r["name_upper"] for r in t.read().collect()}
+    assert got == {1: "ADA", 2: "BOB", 4: "EVE"}
+
+
+def test_describe_detail(spark, table):
+    table.add_constraint("qty_positive", "qty > 0")
+    d = table.detail()
+    assert d["numFiles"] >= 1 and d["sizeInBytes"] > 0
+    assert d["numRecords"] == 2
+    assert d["version"] == table.version()
+    assert d["constraints"] == {"qty_positive": "qty > 0"}
+    assert d["numDeletionVectors"] == 0
+    assert d["partitionColumns"] == []
