@@ -153,3 +153,34 @@ def test_vacuum_cleans_orphaned_dv_dirs(spark, dvt):
     assert any(d.startswith("_dv/") for d in deleted)
     assert len(os.listdir(dv_root)) == 1  # active DV dir survives
     assert ids_of(dvt) == [3, 4, 5]
+
+
+def test_dv_on_partitioned_table(spark, tmp_path):
+    """DV positions must survive the Hive-layout read path (basePath +
+    partition-dir recovery uses a different scan configuration)."""
+    schema = StructType([
+        StructField("id", LongType()),
+        StructField("region", StringType()),
+        StructField("v", StringType()),
+    ])
+    t = VersionedTable.create(
+        spark, str(tmp_path / "dvp"), schema,
+        properties={"enableDeletionVectors": "true"},
+        partition_by=["region"])
+    t.write(spark.createDataFrame(
+        [(1, "eu", "a"), (2, "eu", "b"), (3, "us", "c"), (4, "us", "d")],
+        schema), "append")
+    files_before = set(t.snapshot().file_paths)
+    c = t.delete("id in (2, 3)")
+    assert c.metrics["numDeletedRows"] == 2
+    assert set(t.snapshot().file_paths) == files_before  # no rewrite
+    got = {(r["id"], r["region"]) for r in t.read().collect()}
+    assert got == {(1, "eu"), (4, "us")}
+    # partition pruning still sees through the vector
+    eu = t.read().filter("region = 'eu'").collect()
+    assert [(r["id"], r["v"]) for r in eu] == [(1, "a")]
+    # purge materializes per-partition
+    t.purge_deletion_vectors()
+    assert not t.snapshot().dvs
+    got = {(r["id"], r["region"]) for r in t.read().collect()}
+    assert got == {(1, "eu"), (4, "us")}
