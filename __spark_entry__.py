@@ -592,6 +592,51 @@ def _decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_counts(cands, bench, n=5)
 
 
+def _dv_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion-vector lifecycle end-to-end on driver data: append the
+    events table into a DV-enabled versioned table, run two DV deletes
+    (sidecar-only — zero data-file rewrites, verified by the snapshot
+    keeping its original files), purge (REORG APPLY PURGE), and
+    aggregate the survivors. The oracle replays the surviving-row set
+    as plain SQL predicates over the same parquet."""
+    import tempfile
+
+    from pyspark.sql.types import (
+        DoubleType, LongType, StringType, StructField, StructType,
+    )
+
+    from deltalake_poc_spark.analytics.money import dec_sum
+    from deltalake_poc_spark.tables import VersionedTable
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_id").alias("id"),
+        F.col("event_type").alias("etype"),
+        F.col("value").alias("val"),
+    )
+    schema = StructType([
+        StructField("id", LongType()),
+        StructField("etype", StringType()),
+        StructField("val", DoubleType()),
+    ])
+    t = VersionedTable.create(
+        spark, tempfile.mkdtemp(prefix="dv_pipeline_"), schema,
+        properties={"enableDeletionVectors": "true"})
+    t.write(ev, "append")
+    files_v1 = set(t.snapshot().file_paths)
+    t.delete("id % 7 = 0")
+    t.delete("etype = 'click' AND id % 3 = 0")  # consolidates with the first
+    # both deletes were sidecar-only: same data files, vectors active
+    assert set(t.snapshot().file_paths) == files_v1
+    assert t.snapshot().dvs
+    t.purge_deletion_vectors()
+    assert not t.snapshot().dvs
+    return (
+        t.read().groupBy("etype")
+        .agg(F.count(F.lit(1)).alias("cnt"),
+             dec_sum("val", scale=4).alias("sum_val"))
+    )
+
+
 def _winnow_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-level winnowing (MOSS) verbatim-span candidates: 5-gram
     hashes, window 4 — any shared run of >= 8 consecutive tokens is
@@ -806,6 +851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_signals": _repetition_signals,           # Gopher repetition stats
         "decontaminate": _decontaminate,                     # benchmark n-gram overlap
         "winnow_dedup": _winnow_dedup,                       # MOSS winnowing spans
+        "dv_pipeline": _dv_pipeline,                         # deletion vectors e2e
     }
 
 
@@ -1212,6 +1258,15 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             LEFT JOIN bprof USING (doc_id)
             LEFT JOIN tprof USING (doc_id)
+        """,
+        "dv_pipeline": f"""
+            SELECT event_type AS etype,
+                   COUNT(*) AS cnt,
+                   {_dsum('value', 4)} AS sum_val
+            FROM events
+            WHERE NOT (event_id % 7 = 0)
+              AND NOT (event_type = 'click' AND event_id % 3 = 0)
+            GROUP BY event_type
         """,
         # full SQL recompute of token-level winnowing (MOSS): ordered
         # 5-gram polynomial hashes -> window-4 minima -> distinct

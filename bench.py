@@ -125,7 +125,7 @@ def main() -> None:
         # writes + read-back); their oracles are pure SELECTs checking
         # the semantic output, not equivalent workloads
         "write_pipelines": ["cdc_pipeline", "cdf_changes", "mv_refresh",
-                            "time_travel_diff"],
+                            "time_travel_diff", "dv_pipeline"],
         "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
     }))
     spark.stop()
