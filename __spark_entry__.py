@@ -901,11 +901,22 @@ def bench_extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
                             n=5, window=4, min_shared=1, max_df=100,
                             portable=False)
 
+    def _ngram_nocap(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # isolates the hot-gram cap's cost (the one production behavior
+        # that keeps ngram_jaccard above its r1 time): same query, cap
+        # off. NOT a production config at scale — boilerplate grams
+        # would blow up the self-join quadratically.
+        from deltalake_poc_spark.pipeline.dedup import ngram_jaccard_pairs
+
+        return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"),
+                                   threshold=0.15, max_df=None)
+
     return {
         "minhash_dedup_prod": _minhash_prod,
         "simhash_dedup_prod": _simhash_prod,
         "ivf_kmeans_topk": _ivf_kmeans,
         "winnow_dedup_prod": _winnow_prod,
+        "ngram_jaccard_nocap": _ngram_nocap,
     }
 
 

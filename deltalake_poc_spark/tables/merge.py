@@ -75,6 +75,7 @@ class MergeBuilder:
         self._insert_all = False
         self._insert_cond: Column | None = None
         self._validate_unique = True
+        self._evolve = False
 
     def when_matched_update_all(self, condition: str | Column | None = None):
         self._update_all = True
@@ -89,6 +90,14 @@ class MergeBuilder:
     def when_not_matched_insert_all(self, condition: str | Column | None = None):
         self._insert_all = True
         self._insert_cond = F.expr(condition) if isinstance(condition, str) else condition
+        return self
+
+    def with_schema_evolution(self):
+        """Delta's schema.autoMerge for MERGE: source columns absent
+        from the target extend the target schema in this commit
+        (stamped with fresh physical names under column mapping);
+        pre-existing rows read the new columns as null."""
+        self._evolve = True
         return self
 
     def without_source_validation(self):
@@ -152,16 +161,30 @@ class MergeBuilder:
                     " dedup first (cdc.apply does this)"
                 )
 
-        rel_touched = self._touched_files(snap) if snap.files else []
-        target = t._plain_read(rel_touched, schema, dvs=snap.dvs) \
-            if rel_touched else t.spark.createDataFrame([], schema)
-
         from deltalake_poc_spark.tables.constraints import apply_generated
 
         # generated columns absent from the source compute here (over
         # source columns, pre-join — Delta computes them for MERGE
         # inserts the same way)
         src = apply_generated(self.source, schema)
+
+        evolved_json = None
+        if self._evolve:
+            import json as _json
+
+            from pyspark.sql.types import StructType
+
+            evolved_json = t._merged_schema_json(src)
+            evolved = StructType.fromJson(_json.loads(evolved_json))
+            if len(evolved.fields) != len(schema.fields):
+                schema = evolved  # target + new source columns
+            else:
+                evolved_json = None  # nothing new: plain merge commit
+
+        rel_touched = self._touched_files(snap) if snap.files else []
+        target = t._plain_read(rel_touched, schema, dvs=snap.dvs) \
+            if rel_touched else t.spark.createDataFrame([], schema)
+
         # align source to target schema (missing cols -> null)
         src_cols = {f.name for f in src.schema.fields}
         aligned = [
@@ -259,7 +282,9 @@ class MergeBuilder:
 
             entries = t._materialize(
                 result, stats_cols=None,
-                partition_by=t.partition_columns(snap) or None)
+                partition_by=t.partition_columns(snap) or None,
+                mapping=({f.name: t._physical(f) for f in schema.fields}
+                         if evolved_json else None))
             if obs is not None:
                 # single-action path: the materialize streamed every
                 # row through the observe node exactly once
@@ -285,6 +310,7 @@ class MergeBuilder:
                 },
                 add=entries,
                 remove=rel_touched,
+                schema_json=evolved_json,
                 metrics={
                     "numTargetRowsUpdated": counts.get("U", 0),
                     "numTargetRowsInserted": counts.get("I", 0),

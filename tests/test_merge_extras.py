@@ -136,3 +136,36 @@ def test_merge_composite_key(spark, tmp_path):
     (t.merge(ok, on=["region", "sku"])
      .when_matched_update_all().when_not_matched_insert_all().execute())
     assert t.read().count() == 7
+
+
+def test_merge_schema_evolution(spark, tmp_path):
+    """with_schema_evolution(): new source columns extend the target
+    schema in the merge commit; pre-existing rows read them as null;
+    without the flag new source columns are dropped (current default)."""
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    schema = StructType([
+        StructField("id", LongType()),
+        StructField("v", StringType()),
+    ])
+    t = VersionedTable.create(spark, str(tmp_path / "ev"), schema)
+    t.write(spark.createDataFrame([(1, "a"), (2, "b")], schema), "append")
+
+    src = spark.createDataFrame([(2, "b2", "fresh"), (3, "c", "new")],
+                                "id long, v string, note string")
+    # default: extra source column ignored
+    (t.merge(src, on="id")
+     .when_matched_update_all().when_not_matched_insert_all().execute())
+    assert "note" not in [f.name for f in t.schema().fields]
+
+    # evolved: column lands in the schema; old rows read null
+    c = (t.merge(src, on="id").with_schema_evolution()
+         .when_matched_update_all().when_not_matched_insert_all().execute())
+    assert c.schema_json is not None
+    got = {r["id"]: (r["v"], r["note"]) for r in t.read().collect()}
+    assert got == {1: ("a", None), 2: ("b2", "fresh"), 3: ("c", "new")}
+    # time travel before the evolving merge has no such column
+    old_schema = t.schema(t.snapshot(c.version - 1))
+    assert "note" not in [f.name for f in old_schema.fields]
