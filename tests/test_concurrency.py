@@ -269,3 +269,27 @@ def test_concurrent_dv_deletes_conflict(spark, tmp_path):
     t2 = VersionedTable.for_path(spark, t.log.root)
     t2.delete("id = 1")
     assert sorted(r["id"] for r in t2.read().collect()) == [2, 3]
+
+
+def test_threaded_appends_all_land(spark, tmp_path):
+    """Real concurrency (not simulated): N threads blind-append through
+    independent table handles at once; the rebase protocol must land
+    every commit exactly once with no lost updates."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    t = VersionedTable.create(spark, str(tmp_path / "thr"), SCHEMA)
+
+    def worker(base):
+        h = VersionedTable(spark, str(tmp_path / "thr"))
+        for j in range(3):
+            h.write(rows_df(spark, base + j), "append")
+        return base
+
+    with ThreadPoolExecutor(max_workers=6) as ex:
+        list(ex.map(worker, [100, 200, 300, 400, 500, 600]))
+
+    got = sorted(r["id"] for r in t.read().collect())
+    assert got == sorted(b + j for b in (100, 200, 300, 400, 500, 600)
+                         for j in range(3))
+    # 1 create + 18 appends, every version distinct and contiguous
+    assert t.version() == 18
