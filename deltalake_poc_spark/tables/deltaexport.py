@@ -353,8 +353,8 @@ def export_standard_delta(table: VersionedTable, dest: str,
 
         # change-data files -> cdc actions (standard readers then take
         # them as the commit's complete change set, matching how they
-        # were written: _write_changes emits the full set per commit)
-        changes_dir = log.changes_dir(v)
+        # were written: _stage_changes emits the full set per commit)
+        changes_dir = log.commit_changes_dir(c)
         if live and os.path.isdir(changes_dir):
             for name in sorted(os.listdir(changes_dir)):
                 if not name.endswith(".parquet"):

@@ -73,6 +73,12 @@ class Commit:
     # deletion-vector updates: data-file rel path -> DV dir rel path
     # (the DV holds (file, pos) rows marking deleted row positions)
     dv_updates: dict = field(default_factory=dict)
+    # rel path of this commit's CDF change-file directory. Staged under
+    # a unique name BEFORE the commit and recorded here, so a version's
+    # change files are owned exclusively by the commit that won it —
+    # two writers racing for one version can never clobber each other's
+    # staged changes (the loser's dir is simply never referenced).
+    change_dir: str | None = None
 
     def to_json(self) -> dict:
         d = {
@@ -88,6 +94,8 @@ class Commit:
         }
         if self.dv_updates:
             d["dvUpdates"] = self.dv_updates
+        if self.change_dir:
+            d["changeDir"] = self.change_dir
         return d
 
     @staticmethod
@@ -103,6 +111,7 @@ class Commit:
             properties=d.get("properties"),
             metrics=d.get("metrics", {}),
             dv_updates=d.get("dvUpdates", {}),
+            change_dir=d.get("changeDir"),
         )
 
 
@@ -160,6 +169,14 @@ class TableLog:
 
     def changes_dir(self, version: int) -> str:
         return os.path.join(self.root, self.CHANGES_DIR, f"v={version}")
+
+    def commit_changes_dir(self, c: Commit) -> str:
+        """Absolute path of a commit's CDF change-file directory: the
+        unique dir recorded in the commit itself, falling back to the
+        legacy version-keyed layout for logs written before changeDir."""
+        if c.change_dir:
+            return self.abs_path(c.change_dir)
+        return self.changes_dir(c.version)
 
     def abs_path(self, rel: str) -> str:
         return os.path.join(self.root, rel)
@@ -354,6 +371,19 @@ class TableLog:
         write-serializable anomaly (our rewrite does not see rows
         appended after our snapshot) is accepted, exactly as Delta's
         default isolation accepts it."""
+        # Plan the first publish at read_version + 1 (what Delta
+        # attempts: readVersion + 1), IGNORING whatever version the
+        # caller planned. Callers compute versions via next_version()
+        # — a fresh log listing taken after their snapshot and after
+        # multi-second Spark jobs — so a rival committing in that
+        # window would make the planned version rival+1 and the first
+        # write_commit would succeed WITHOUT any conflict check
+        # (delete-delete lost updates, stale DV consolidation
+        # resurrecting the rival's deleted rows). Anchoring to the
+        # snapshot version forces every intervening commit through the
+        # conflict/rebase path below.
+        if read_version is not None and commit.version != read_version + 1:
+            commit.version = read_version + 1
         for _ in range(max_retries):
             try:
                 self.write_commit(commit)

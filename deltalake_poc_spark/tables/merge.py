@@ -274,11 +274,11 @@ class MergeBuilder:
             # job); post-image rows that violate fail the merge
             result = enforce(result, snap.properties, schema)
 
-            version = t.log.next_version()
+            staged_changes = None
             if t.cdf_enabled(snap):
                 changes = self._change_rows(classified, schema, aligned, t_cols)
                 if changes is not None:
-                    t._write_changes(version, changes)
+                    staged_changes = t._stage_changes(changes)
 
             entries = t._materialize(
                 result, stats_cols=None,
@@ -298,7 +298,7 @@ class MergeBuilder:
                     .agg(F.count(F.lit(1)).alias("cnt")).collect()
                 }
             commit = Commit(
-                version=version,
+                version=snap.version + 1,
                 timestamp=t.log.monotonic_now_ms(),
                 operation="MERGE",
                 operation_parameters={
@@ -320,8 +320,11 @@ class MergeBuilder:
                     "numTargetFilesRemoved": len(rel_touched),
                     "numTargetFilesAdded": len(entries),
                 },
+                change_dir=staged_changes,
             )
-            return t._publish(commit, snap)
+            return t._publish(
+                commit, snap,
+                cleanup_on_fail=(staged_changes,) if staged_changes else ())
         finally:
             if cache_classified:
                 classified.unpersist()

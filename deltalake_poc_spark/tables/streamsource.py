@@ -176,12 +176,12 @@ class VersionedTableStreamReader(DataSourceStreamReader):
                 for r in c.remove:
                     parts.append(fp(r, "delete"))
             elif c.operation in ("MERGE", "DELETE", "UPDATE"):
-                cd = log.changes_dir(c.version)
+                cd = log.commit_changes_dir(c)
+                cd_rel = os.path.relpath(cd, self.root)
                 if os.path.isdir(cd):
                     for name in sorted(os.listdir(cd)):
                         if name.endswith(".parquet"):
-                            parts.append(fp(os.path.join(
-                                TableLog.CHANGES_DIR, f"v={c.version}", name)))
+                            parts.append(fp(os.path.join(cd_rel, name)))
         return parts
 
     def read(self, partition: _FilePartition) -> Iterator[tuple]:

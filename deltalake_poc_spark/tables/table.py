@@ -211,24 +211,25 @@ class VersionedTable:
                 cols += [F.col("__file"), F.col("__pos")]
             df = df.select(*cols)
         if dvs:
+            # anti-join on (file BASENAME, pos): basenames are
+            # uuid-unique within a table, and unlike the full
+            # _metadata.file_path URI they carry no URL-encodable
+            # characters — matching on a reconstructed absolute URI
+            # breaks silently for table roots with spaces etc.
             dv_df = (self.spark.read.parquet(
                         *sorted({self.log.abs_path(d) for d in dvs.values()}))
                      .filter(F.col("file").isin(list(dvs)))
-                     .select(self._abs_uri(F.col("file")).alias("__dvf"),
+                     .select(F.element_at(F.split(F.col("file"), "/"), -1)
+                             .alias("__dvf"),
                              F.col("pos").alias("__dvp")))
             df = df.join(dv_df,
-                         (F.col("__file") == F.col("__dvf"))
+                         (F.element_at(F.split(F.col("__file"), "/"), -1)
+                          == F.col("__dvf"))
                          & (F.col("__pos") == F.col("__dvp")),
                          "left_anti")
         if not with_position and dvs:
             df = df.drop("__file", "__pos")
         return df
-
-    def _abs_uri(self, rel_col):
-        """rel path column -> the absolute file URI _metadata.file_path
-        emits (``file:`` + absolute path, single slash)."""
-        return F.concat(F.lit("file:"), F.lit(self.log.root), F.lit("/"),
-                        rel_col)
 
     def read_change_feed(self, starting_version: int = 0,
                          ending_version: int | None = None) -> DataFrame:
@@ -262,7 +263,7 @@ class VersionedTable:
                         self._plain_read(list(c.remove), schema), "delete", c))
                 piece = self._union(parts)
             elif c.operation in ("MERGE", "DELETE", "UPDATE"):
-                cd = self.log.changes_dir(c.version)
+                cd = self.log.commit_changes_dir(c)
                 if os.path.isdir(cd) and any(
                     f.endswith(".parquet") for f in os.listdir(cd)
                 ):
@@ -430,21 +431,24 @@ class VersionedTable:
         return merged.json()
 
     def _publish(self, c: Commit, snap: Snapshot | None,
-                 table_level: bool = False) -> Commit:
+                 table_level: bool = False,
+                 cleanup_on_fail: tuple[str, ...] = ()) -> Commit:
         """Publish a commit under optimistic concurrency
-        (TableLog.write_commit_with_rebase). If the commit rebased to a
-        later version, CDF change files staged for the planned version
-        move to the committed one (they are written before the commit,
-        keyed by version directory)."""
-        planned = c.version
-        committed = self.log.write_commit_with_rebase(
-            c, read_version=snap.version if snap is not None else None,
-            table_level=table_level)
-        if committed.version != planned:
-            staged = self.log.changes_dir(planned)
-            if os.path.isdir(staged):
-                os.rename(staged, self.log.changes_dir(committed.version))
-        return committed
+        (TableLog.write_commit_with_rebase). CDF change files and DV
+        sidecars are staged in unique directories recorded IN the
+        commit (c.change_dir / c.dv_updates), so rebase needs no file
+        moves and racing writers can never clobber each other's staged
+        output. ``cleanup_on_fail`` lists rel dirs this operation
+        staged — removed if the commit loses a conflict so aborted
+        writers leave no orphans."""
+        try:
+            return self.log.write_commit_with_rebase(
+                c, read_version=snap.version if snap is not None else None,
+                table_level=table_level)
+        except ConcurrentWriteError:
+            for rel in cleanup_on_fail:
+                shutil.rmtree(self.log.abs_path(rel), ignore_errors=True)
+            raise
 
     def write(self, df: DataFrame, mode: str = "append",
               stats_cols: list[str] | None = None,
@@ -537,7 +541,12 @@ class VersionedTable:
             operation_parameters={"name": name, "expr": expr},
             properties=merged,
         )
-        return self._publish(c, snap)
+        # table_level: the validation probe read EVERY row, so the
+        # read-set is the whole table — a concurrent blind append
+        # could contain violating rows, and rebasing past it would
+        # publish an already-violated constraint (Delta conflicts
+        # metadata changes with all concurrent commits)
+        return self._publish(c, snap, table_level=True)
 
     def drop_constraint(self, name: str) -> Commit:
         """ALTER TABLE DROP CONSTRAINT."""
@@ -676,18 +685,18 @@ class VersionedTable:
         touched_df = self._plain_read(rel_touched, schema, dvs=snap.dvs)
         # SQL DELETE semantics: remove rows where pred IS TRUE; keep false/null
         keep = touched_df.filter(~F.coalesce(pred, F.lit(False)))
-        version = self.log.next_version()
+        staged_changes = None
         if self.cdf_enabled(snap):
             deleted = touched_df.filter(pred)
-            self._write_changes(version, deleted.withColumn("_change_type",
-                                                            F.lit("delete")))
+            staged_changes = self._stage_changes(
+                deleted.withColumn("_change_type", F.lit("delete")))
         entries = self._materialize(
             keep, partition_by=self.partition_columns(snap) or None)
         touched_set = set(rel_touched)
         n_before = sum(e.num_records for e in snap.files if e.path in touched_set)
         n_after = sum(e.num_records for e in entries)
         c = Commit(
-            version=version,
+            version=snap.version + 1,
             timestamp=self.log.monotonic_now_ms(),
             operation="DELETE",
             operation_parameters={"predicate": str(predicate)},
@@ -696,8 +705,11 @@ class VersionedTable:
             metrics={"numDeletedRows": n_before - n_after,
                      "numRemovedFiles": len(rel_touched),
                      "numAddedFiles": len(entries)},
+            change_dir=staged_changes,
         )
-        return self._publish(c, snap)
+        return self._publish(
+            c, snap,
+            cleanup_on_fail=(staged_changes,) if staged_changes else ())
 
     def _delete_dv(self, pred, pred_str: str, snap: Snapshot) -> Commit:
         """DELETE via deletion vectors (Delta parity:
@@ -714,18 +726,28 @@ class VersionedTable:
         for readers to union."""
         df = self._read_files(snap.file_paths, snap, with_position=True)
         matches = df.filter(F.coalesce(pred, F.lit(False)))
-        version = self.log.next_version()
+        staged_changes = None
         if self.cdf_enabled(snap):
-            self._write_changes(
-                version,
+            staged_changes = self._stage_changes(
                 matches.drop("__file", "__pos").withColumn(
                     "_change_type", F.lit("delete")))
-        prefix_len = len("file:" + self.log.root + "/")
-        new_rows = matches.select(
-            F.substring(F.col("__file"), prefix_len + 1, 1 << 30)
-            .alias("file"),
-            F.col("__pos").cast("long").alias("pos"),
-        )
+        # map scanned file URIs back to log-relative paths by BASENAME
+        # (uuid-unique within the table) joined against the snapshot's
+        # file list — _metadata.file_path is URL-encoded, so any
+        # prefix/substring arithmetic on the raw URI silently
+        # mismatches for roots containing spaces etc., turning DV
+        # deletes into no-ops. The basename of a data file never
+        # contains encodable characters (hex uuid + '.parquet').
+        base_map = self.spark.createDataFrame(
+            [(p.rsplit("/", 1)[-1], p) for p in snap.file_paths],
+            "__bname string, file string")
+        new_rows = (
+            matches.select(
+                F.element_at(F.split(F.col("__file"), "/"), -1)
+                .alias("__bname"),
+                F.col("__pos").cast("long").alias("pos"))
+            .join(F.broadcast(base_map), "__bname")
+            .select("file", "pos"))
         prior_dirs = sorted(set(snap.dvs.values()))
         n_prior = 0
         if prior_dirs:
@@ -734,13 +756,20 @@ class VersionedTable:
                      .filter(F.col("file").isin(list(snap.dvs)))
                      .select("file", F.col("pos").cast("long").alias("pos")))
             new_rows = new_rows.unionByName(prior)
-        dv_rel = f"{DV_DIR}/v={version}"
+        # unique sidecar dir (not v=<planned>): two racing DV deletes
+        # would otherwise overwrite each other's sidecar at the same
+        # contested path — and the loser's overwrite would corrupt the
+        # data the WINNER's published commit references
+        dv_rel = f"{DV_DIR}/{uuid.uuid4().hex}"
         out_dir = self.log.abs_path(dv_rel)
         new_rows.distinct().coalesce(1).write.mode("overwrite").parquet(out_dir)
         written = self.spark.read.parquet(out_dir)
         dv_files = [r["file"] for r in written.select("file").distinct().collect()]
         if not dv_files:
             shutil.rmtree(out_dir, ignore_errors=True)
+            if staged_changes:
+                shutil.rmtree(self.log.abs_path(staged_changes),
+                              ignore_errors=True)
             return self._noop_commit("DELETE", {"predicate": pred_str})
         n_total = written.count()
         if prior_dirs:
@@ -749,7 +778,7 @@ class VersionedTable:
                        .filter(F.col("file").isin(list(snap.dvs)))
                        .distinct().count())
         c = Commit(
-            version=version,
+            version=snap.version + 1,
             timestamp=self.log.monotonic_now_ms(),
             operation="DELETE",
             operation_parameters={"predicate": pred_str,
@@ -758,8 +787,10 @@ class VersionedTable:
             metrics={"numDeletedRows": n_total - n_prior,
                      "numRemovedFiles": 0, "numAddedFiles": 0,
                      "numDeletionVectorRows": n_total},
+            change_dir=staged_changes,
         )
-        return self._publish(c, snap)
+        cleanup = (dv_rel,) + ((staged_changes,) if staged_changes else ())
+        return self._publish(c, snap, cleanup_on_fail=cleanup)
 
     def purge_deletion_vectors(self, target_file_rows: int = 1_000_000) -> Commit:
         """REORG TABLE ... APPLY (PURGE) parity: rewrite every DV'd
@@ -817,17 +848,17 @@ class VersionedTable:
         from deltalake_poc_spark.tables.constraints import enforce
 
         updated = enforce(updated, snap.properties, schema)
-        version = self.log.next_version()
+        staged_changes = None
         if self.cdf_enabled(snap):
             pre = touched_df.filter(pred).withColumn("_change_type",
                                                      F.lit("update_preimage"))
             post = updated.filter(pred).withColumn("_change_type",
                                                    F.lit("update_postimage"))
-            self._write_changes(version, pre.unionByName(post))
+            staged_changes = self._stage_changes(pre.unionByName(post))
         entries = self._materialize(
             updated, partition_by=self.partition_columns(snap) or None)
         c = Commit(
-            version=version,
+            version=snap.version + 1,
             timestamp=self.log.monotonic_now_ms(),
             operation="UPDATE",
             operation_parameters={"predicate": str(predicate)},
@@ -835,34 +866,56 @@ class VersionedTable:
             remove=rel_touched,
             metrics={"numAddedFiles": len(entries),
                      "numRemovedFiles": len(rel_touched)},
+            change_dir=staged_changes,
         )
-        return self._publish(c, snap)
+        return self._publish(
+            c, snap,
+            cleanup_on_fail=(staged_changes,) if staged_changes else ())
 
     def _read_files_with_filename(self, snap: Snapshot) -> DataFrame:
         return self._read_files(snap.file_paths, snap,
                                 with_position=True).drop("__pos")
 
     def _rel_of(self, abs_uri: str) -> str:
+        import urllib.parse
+
         p = abs_uri
         if p.startswith("file:"):
             p = p[len("file:"):]
             while p.startswith("//"):
                 p = p[1:]
+            # _metadata.file_path is a URI: percent-decode so roots
+            # with spaces etc. still resolve to real relative paths
+            # (unquote, not unquote_plus — '+' is literal in paths)
+            p = urllib.parse.unquote(p)
         root = os.path.abspath(self.log.root)
         return os.path.relpath(os.path.abspath(p), root)
 
     def _noop_commit(self, op: str, params: dict) -> Commit:
-        c = Commit(
-            version=self.log.next_version(),
-            timestamp=self.log.monotonic_now_ms(),
-            operation=op,
-            operation_parameters=params,
-            metrics={"numDeletedRows": 0},
-        )
-        self.log.write_commit(c)
-        return c
+        # no data effects, so losing a version race just replans
+        for _ in range(20):
+            c = Commit(
+                version=self.log.next_version(),
+                timestamp=self.log.monotonic_now_ms(),
+                operation=op,
+                operation_parameters=params,
+                metrics={"numDeletedRows": 0},
+            )
+            try:
+                self.log.write_commit(c)
+                return c
+            except ConcurrentWriteError:
+                continue
+        raise ConcurrentWriteError(
+            f"{self.log.root}: lost the no-op commit race 20 times")
 
-    def _write_changes(self, version: int, change_df: DataFrame) -> None:
+    def _stage_changes(self, change_df: DataFrame) -> str:
+        """Write CDF change files into a UNIQUE staging dir under
+        _changes/ and return its rel path — the caller records it in
+        the commit (Commit.change_dir). Unique naming (not v=<planned>)
+        is load-bearing for OCC: two writers racing for one version
+        would otherwise mode('overwrite') the same contested directory
+        and the winner's committed change files could be the loser's."""
         # change files use PHYSICAL names too (like data files), so CDF
         # reads across later renames realign via the same mapping
         mapping = self.column_mapping() if self.log.exists() else {}
@@ -871,8 +924,9 @@ class VersionedTable:
             change_df = change_df.select(*[
                 F.col(c).alias(nontrivial.get(c, c))
                 for c in change_df.columns])
-        change_df.write.mode("overwrite").parquet(self.log.changes_dir(version))
-        # drop spark's _SUCCESS marker noise; harmless either way
+        rel = f"{TableLog.CHANGES_DIR}/{uuid.uuid4().hex}"
+        change_df.write.mode("overwrite").parquet(self.log.abs_path(rel))
+        return rel
 
     # ----------------------------------------------------------- maintenance
 
@@ -956,34 +1010,59 @@ class VersionedTable:
         new_log = TableLog(new_root)
         if new_log.exists():
             raise FileExistsError(f"table already exists at {new_root}")
-        os.makedirs(new_log.data_dir(), exist_ok=True)
-        for fe in snap.files:
-            src = self.log.abs_path(fe.path)
-            dst = new_log.abs_path(fe.path)
-            os.makedirs(os.path.dirname(dst), exist_ok=True)
-            os.link(src, dst)
-        for dv_rel in sorted(set(snap.dvs.values())):
-            src_dir = self.log.abs_path(dv_rel)
-            for dirpath, _dirs, files in os.walk(src_dir):
-                for name in files:
-                    sp = os.path.join(dirpath, name)
-                    rel = os.path.relpath(sp, self.log.root)
-                    dp = new_log.abs_path(rel)
-                    os.makedirs(os.path.dirname(dp), exist_ok=True)
-                    os.link(sp, dp)
-        new_log.write_commit(Commit(
-            version=0,
-            timestamp=new_log.monotonic_now_ms(),
-            operation="CLONE",
-            operation_parameters={"source": self.log.root,
-                                  "sourceVersion": snap.version},
-            add=list(snap.files),
-            schema_json=snap.schema_json,
-            properties=dict(snap.properties),
-            dv_updates=dict(snap.dvs),
-            metrics={"numCopiedFiles": 0,
-                     "numLinkedFiles": len(snap.files)},
-        ))
+        linked = copied = 0
+
+        def _link_or_copy(src: str, dst: str) -> None:
+            # hard link when possible; EXDEV/EPERM (cross-filesystem
+            # destination, link-restricted mount) degrade to a copy
+            # instead of failing the clone partway through
+            nonlocal linked, copied
+            try:
+                os.link(src, dst)
+                linked += 1
+            except OSError:
+                shutil.copy2(src, dst)
+                copied += 1
+
+        created_root = not os.path.isdir(new_root)
+        try:
+            os.makedirs(new_log.data_dir(), exist_ok=True)
+            for fe in snap.files:
+                src = self.log.abs_path(fe.path)
+                dst = new_log.abs_path(fe.path)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                _link_or_copy(src, dst)
+            for dv_rel in sorted(set(snap.dvs.values())):
+                src_dir = self.log.abs_path(dv_rel)
+                for dirpath, _dirs, files in os.walk(src_dir):
+                    for name in files:
+                        sp = os.path.join(dirpath, name)
+                        rel = os.path.relpath(sp, self.log.root)
+                        dp = new_log.abs_path(rel)
+                        os.makedirs(os.path.dirname(dp), exist_ok=True)
+                        _link_or_copy(sp, dp)
+            new_log.write_commit(Commit(
+                version=0,
+                timestamp=new_log.monotonic_now_ms(),
+                operation="CLONE",
+                operation_parameters={"source": self.log.root,
+                                      "sourceVersion": snap.version},
+                add=list(snap.files),
+                schema_json=snap.schema_json,
+                properties=dict(snap.properties),
+                dv_updates=dict(snap.dvs),
+                metrics={"numCopiedFiles": copied,
+                         "numLinkedFiles": linked},
+            ))
+        except BaseException:
+            # never leave a half-built table (files but no v0 commit)
+            if created_root:
+                shutil.rmtree(new_root, ignore_errors=True)
+            else:
+                for sub in (TableLog.DATA_DIR, DV_DIR, TableLog.LOG_DIR):
+                    shutil.rmtree(os.path.join(new_root, sub),
+                                  ignore_errors=True)
+            raise
         return VersionedTable(self.spark, new_root)
 
     def detail(self) -> dict:
@@ -1027,13 +1106,48 @@ class VersionedTable:
         active = set(snap.file_paths)
         removed_at: dict[str, int] = {}
         commit_ts: dict[int, int] = {}
+        # replay DV references so uuid-named sidecar dirs age from the
+        # commit that last dropped them out of the active set (every
+        # DV commit consolidates, so prior dirs fall out at the next
+        # DV commit / purge / restore)
+        dv_active: dict[str, str] = {}  # data file -> dv dir
+        dv_removed_at: dict[str, int] = {}  # dv dir -> ts it went inactive
+        dv_seen: set[str] = set()
+        ever_added: set[str] = set()  # data files any commit referenced
+        change_dir_version: dict[str, int] = {}  # change dir rel -> version
         for c in self.log.commits():
             commit_ts[c.version] = c.timestamp
             for r in c.remove:
                 removed_at[r] = c.timestamp
+                dv_active.pop(r, None)
             for a in c.add:  # re-added (e.g. RESTORE) -> no longer removed
                 removed_at.pop(a.path, None)
+                dv_active.pop(a.path, None)
+                ever_added.add(a.path)
+            for fp, dv in c.dv_updates.items():
+                if dv is None:
+                    dv_active.pop(fp, None)
+                else:
+                    dv_active[fp] = dv
+                    dv_seen.add(dv)
+            live_dirs = set(dv_active.values())
+            for d in dv_seen - live_dirs:
+                dv_removed_at.setdefault(d, c.timestamp)
+            for d in live_dirs:
+                dv_removed_at.pop(d, None)  # re-referenced (RESTORE)
+            if c.change_dir:
+                change_dir_version[c.change_dir] = c.version
         cutoff = int(_time.time() * 1000) - int(retention_hours * 3600 * 1000)
+
+        def _orphan_expired(path: str) -> bool:
+            # staged by a writer that lost its commit race and crashed
+            # before cleanup: never referenced by any commit — age it
+            # by filesystem mtime so an in-flight writer's fresh
+            # staging is never swept
+            try:
+                return int(os.path.getmtime(path) * 1000) <= cutoff
+            except OSError:
+                return False
         deleted = []
         data_dir = self.log.data_dir()
         if os.path.isdir(data_dir):
@@ -1049,30 +1163,53 @@ class VersionedTable:
                     if ts is not None and ts <= cutoff:
                         os.unlink(abs_p)
                         deleted.append(rel)
+                    elif ts is None and rel not in ever_added \
+                            and _orphan_expired(abs_p):
+                        # materialized by a writer whose commit lost a
+                        # conflict: referenced by no commit, aged by
+                        # mtime (an in-flight writer's fresh files
+                        # always survive)
+                        os.unlink(abs_p)
+                        deleted.append(rel)
         dv_root = os.path.join(self.log.root, DV_DIR)
         if os.path.isdir(dv_root):
             referenced = set(snap.dvs.values())
             for name in os.listdir(dv_root):
-                if not name.startswith("v="):
-                    continue
                 rel = f"{DV_DIR}/{name}"
-                ts = commit_ts.get(int(name[2:]))
-                if rel not in referenced and ts is not None and ts <= cutoff:
+                if rel in referenced:
+                    continue
+                if rel in dv_seen:
+                    ts = dv_removed_at.get(rel)
+                    expired = ts is not None and ts <= cutoff
+                elif name.startswith("v="):  # legacy version-keyed dir
+                    ts = commit_ts.get(int(name[2:]))
+                    expired = ts is not None and ts <= cutoff
+                else:  # orphaned staging from an aborted writer
+                    expired = _orphan_expired(os.path.join(dv_root, name))
+                if expired:
                     shutil.rmtree(os.path.join(dv_root, name),
                                   ignore_errors=True)
                     deleted.append(rel)
         changes_root = os.path.join(self.log.root, TableLog.CHANGES_DIR)
         if os.path.isdir(changes_root):
             for name in os.listdir(changes_root):
-                if not name.startswith("v="):
+                rel = f"{TableLog.CHANGES_DIR}/{name}"
+                if name.startswith("v="):  # legacy version-keyed dir
+                    v = int(name[2:])
+                elif rel in change_dir_version:
+                    v = change_dir_version[rel]
+                else:  # orphaned staging from an aborted writer
+                    if _orphan_expired(os.path.join(changes_root, name)):
+                        shutil.rmtree(os.path.join(changes_root, name),
+                                      ignore_errors=True)
+                        deleted.append(rel)
                     continue
-                v = int(name[2:])
                 ts = commit_ts.get(v)
                 # keep the current version's changes regardless
                 if ts is not None and ts <= cutoff and v < snap.version:
                     shutil.rmtree(os.path.join(changes_root, name),
                                   ignore_errors=True)
-                    deleted.append(f"{TableLog.CHANGES_DIR}/{name}")
+                    deleted.append(rel)
         return deleted
 
     def restore(self, version: int) -> Commit:

@@ -179,11 +179,11 @@ def test_merge_rebases_and_moves_cdf_changes(spark, tmp_path):
 
     orig_publish = VersionedTable._publish
 
-    def racing_publish(self, c, snap, table_level=False):
+    def racing_publish(self, c, snap, table_level=False, **kw):
         if c.operation == "MERGE" and not getattr(self, "_raced", False):
             self._raced = True
             _steal_version(self, spark, 70)
-        return orig_publish(self, c, snap, table_level)
+        return orig_publish(self, c, snap, table_level, **kw)
 
     src = spark.createDataFrame([(2, "v2x"), (4, "v4")], SCHEMA)
     try:
@@ -198,11 +198,98 @@ def test_merge_rebases_and_moves_cdf_changes(spark, tmp_path):
     assert commit.version == t.log.latest_version()
     got = {r["id"]: r["v"] for r in t.read().collect()}
     assert got == {1: "v1", 2: "v2x", 4: "v4", 70: "v70"}
-    # CDF files moved to the committed version's directory
-    assert os.path.isdir(t.log.changes_dir(commit.version))
+    # CDF files live in the unique dir the commit itself records —
+    # rebase needs no renames and racers can't clobber each other
+    assert commit.change_dir is not None
+    assert os.path.isdir(t.log.commit_changes_dir(commit))
     cdf = t.read_change_feed(commit.version)
     types = sorted(r["_change_type"] for r in cdf.collect())
     assert types == ["insert", "update_postimage", "update_preimage"]
+
+
+def test_stale_plan_after_rival_commit_still_conflicts(spark, table):
+    """The version-planning race: a rival commits BETWEEN our snapshot
+    and our version planning, so next_version() hands us rival+1 and
+    the first write_commit would succeed with NO conflict checks.
+    write_commit_with_rebase must anchor the first attempt at
+    read_version+1 so the intervening commit is always examined."""
+    snap = table.snapshot()
+    files = snap.file_paths
+    keep = table._plain_read(files, SCHEMA).filter("id <> 2")
+    add = table._materialize(keep)
+    # rival DELETE rewrites the same files FIRST — before we plan our
+    # commit version, so our planned version does not collide
+    VersionedTable.for_path(spark, table.log.root).delete("id = 3")
+    planned = Commit(
+        version=table.log.next_version(),  # = rival + 1: no collision
+        timestamp=table.log.monotonic_now_ms(),
+        operation="DELETE",
+        add=add,
+        remove=files,
+    )
+    with pytest.raises(CommitConflictError, match="removed by a concurrent"):
+        table._publish(planned, snap)
+    # the rival's delete survived untouched (no lost update)
+    got = sorted(r["id"] for r in table.read().collect())
+    assert got == [1, 2]
+
+
+def test_stale_constraint_conflicts_with_concurrent_append(spark, table):
+    """ADD CONSTRAINT validated against a snapshot must not publish
+    past a concurrent append that may violate it (its read-set is the
+    whole table): table-level, never rebases."""
+    orig_publish = VersionedTable._publish
+    raced = {"done": False}
+
+    def racing_publish(self, c, snap, table_level=False, **kw):
+        if c.operation == "ADD CONSTRAINT" and not raced["done"]:
+            raced["done"] = True
+            # rival blind-appends a row VIOLATING the pending constraint
+            VersionedTable.for_path(spark, table.log.root).write(
+                rows_df(spark, -5), "append")
+        return orig_publish(self, c, snap, table_level, **kw)
+
+    try:
+        VersionedTable._publish = racing_publish
+        with pytest.raises(CommitConflictError, match="never rebase"):
+            table.add_constraint("pos_id", "id > 0")
+    finally:
+        VersionedTable._publish = orig_publish
+    assert "pos_id" not in str(table.properties())
+
+
+def test_aborted_cdf_writer_leaves_no_staged_changes(spark, tmp_path):
+    """A CDF-writing op that loses its conflict check must remove the
+    change files it staged (no orphan dirs, no phantom CDF rows)."""
+    t = VersionedTable.create(spark, str(tmp_path / "ab"), SCHEMA,
+                              properties={"enableChangeDataFeed": "true"})
+    t.write(rows_df(spark, 1, 2, 3), "append")
+
+    orig_publish = VersionedTable._publish
+    raced = {"done": False}
+
+    def racing_publish(self, c, snap, table_level=False, **kw):
+        if c.operation == "DELETE" and not raced["done"]:
+            raced["done"] = True
+            VersionedTable.for_path(spark, t.log.root).delete("id = 3")
+        return orig_publish(self, c, snap, table_level, **kw)
+
+    try:
+        VersionedTable._publish = racing_publish
+        with pytest.raises(CommitConflictError):
+            t.delete("id = 1")
+    finally:
+        VersionedTable._publish = orig_publish
+    changes_root = os.path.join(t.log.root, TableLog.CHANGES_DIR)
+    staged = ([d for d in os.listdir(changes_root)]
+              if os.path.isdir(changes_root) else [])
+    # only the rival's committed change dir remains
+    rival = t.log.read_commit(t.log.latest_version())
+    assert rival.change_dir is not None
+    assert staged == [os.path.basename(rival.change_dir)]
+    # CDF replay sees exactly the rival's delete
+    cdf = t.read_change_feed(rival.version)
+    assert [r["id"] for r in cdf.collect()] == [3]
 
 
 def test_rebase_exhaustion(spark, table):
@@ -248,13 +335,13 @@ def test_concurrent_dv_deletes_conflict(spark, tmp_path):
     orig_publish = VersionedTable._publish
     raced = {"done": False}
 
-    def racing_publish(self, c, s, table_level=False):
+    def racing_publish(self, c, s, table_level=False, **kw):
         if c.dv_updates and not raced["done"]:
             raced["done"] = True
             # rival DV delete lands first (its own publish passes the
             # raced flag, so it does not re-trigger the injection)
             VersionedTable.for_path(spark, t.log.root).delete("id = 4")
-        return orig_publish(self, c, s, table_level)
+        return orig_publish(self, c, s, table_level, **kw)
 
     try:
         VersionedTable._publish = racing_publish
