@@ -555,7 +555,12 @@ def connected_components(pairs: DataFrame, max_iterations: int = 20,
     """
     spark = pairs.sparkSession
     pairs = pairs.persist()  # edge-count probe + collect/iteration reuse
-    n_edges = pairs.limit(driver_threshold + 1).count()
+    # Full count, not limit(threshold+1).count(): a limited count can
+    # short-circuit before the cache is populated, forcing the expensive
+    # pairs plan (e.g. the ngram self-join) to run AGAIN for toPandas().
+    # Either regime materializes every pair anyway, so the full count is
+    # the same work and leaves the persist actually hit.
+    n_edges = pairs.count()
     if n_edges <= driver_threshold:
         try:
             pdf = pairs.select("doc_a", "doc_b").toPandas()
