@@ -442,6 +442,156 @@ def _delta_oracle_filesets(root: str) -> tuple[str, str, str, str]:
     return lit(v0_active), lit(active), lit(v0_adds), lit(cdc)
 
 
+_DV_FIXTURE_SPEC = {
+    # (file name, id range): three immutable data files; DVs delete by
+    # arithmetic rules so the oracle can recompute row visibility from
+    # first principles (id == file_start + row_index by construction)
+    "f0": ("dvpart-000.parquet", 0, 20),
+    "f1": ("dvpart-001.parquet", 20, 40),
+    "f2": ("dvpart-002.parquet", 40, 60),
+}
+
+
+def _dv_fixture_root() -> str:
+    """Build (once, atomically) a STANDARD-protocol Delta table whose
+    history exercises deletion vectors end-to-end:
+
+    - v0: two data files (ids 0..39), no DVs;
+    - v1: DV-delete ids where id%7==0 — one on-disk ``u``-storage .bin
+      holding BOTH files' vectors at different offsets (the packed
+      layout delta-spark writes);
+    - v2: grow both DVs to also delete id%5==0 (inline ``i`` storage),
+      and add a third file (ids 40..59) BORN with a DV (id%2==1).
+
+    Data files are written with pyarrow (no Spark needed — oracle_sql()
+    also builds the fixture) and ids are written in order, so the row
+    index of id within its file is ``id - file_start``: the DuckDB
+    oracle recomputes visibility purely from the id rules, independent
+    of every byte of the reader/bitmap code it is checking.
+    """
+    import json
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from deltalake_poc_spark.tables import roaring
+
+    root = os.path.join(tempfile.gettempdir(), "spark_graft_dvfix_v1")
+    marker = os.path.join(root, "_delta_log", f"{2:020d}.json")
+    if os.path.exists(marker):
+        return root
+    build = tempfile.mkdtemp(prefix="dvfix_build_")
+    for name, lo, hi in _DV_FIXTURE_SPEC.values():
+        ids = list(range(lo, hi))
+        pq.write_table(
+            pa.table({"id": pa.array(ids, pa.int64()),
+                      "val": [f"v{i:03d}" for i in ids]}),
+            os.path.join(build, name))
+    schema_str = json.dumps({"type": "struct", "fields": [
+        {"name": "id", "type": "long", "nullable": True, "metadata": {}},
+        {"name": "val", "type": "string", "nullable": True, "metadata": {}},
+    ]})
+
+    def commit(v: int, actions: list[dict]) -> None:
+        log = os.path.join(build, "_delta_log")
+        os.makedirs(log, exist_ok=True)
+        with open(os.path.join(log, f"{v:020d}.json"), "w") as fh:
+            for a in actions:
+                fh.write(json.dumps(a) + "\n")
+
+    def add(name: str, dv: dict | None = None) -> dict:
+        a = {"path": name, "partitionValues": {}, "size": 1,
+             "modificationTime": 1700000000000, "dataChange": True}
+        if dv:
+            a["deletionVector"] = dv
+        return {"add": a}
+
+    def remove(name: str, dv: dict | None = None) -> dict:
+        a = {"path": name, "deletionTimestamp": 1700000000000,
+             "dataChange": True}
+        if dv:
+            a["deletionVector"] = dv
+        return {"remove": a}
+
+    f0, f1, f2 = (_DV_FIXTURE_SPEC[k][0] for k in ("f0", "f1", "f2"))
+    pos = {k: lambda rule, lo=lo, hi=hi: [i - lo for i in range(lo, hi)
+                                          if rule(i)]
+           for k, (_n, lo, hi) in _DV_FIXTURE_SPEC.items()}
+    commit(0, [
+        {"commitInfo": {"timestamp": 1700000000000, "operation": "WRITE"}},
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["deletionVectors"],
+                      "writerFeatures": ["deletionVectors"]}},
+        {"metaData": {"id": "dv-fixture", "format":
+                      {"provider": "parquet", "options": {}},
+                      "schemaString": schema_str, "partitionColumns": [],
+                      "configuration": {},
+                      "createdTime": 1700000000000}},
+        add(f0), add(f1),
+    ])
+    # v1: one packed .bin holds both vectors (distinct offsets)
+    dv0_v1, dv1_v1 = roaring.write_dv_file(
+        build, [pos["f0"](lambda i: i % 7 == 0),
+                pos["f1"](lambda i: i % 7 == 0)])
+    commit(1, [
+        {"commitInfo": {"timestamp": 1700000001000, "operation": "DELETE"}},
+        add(f0, dv0_v1), remove(f0),
+        add(f1, dv1_v1), remove(f1),
+    ])
+    # v2: grown inline DVs + a new file born with a DV
+    dv0_v2 = roaring.inline_descriptor(
+        pos["f0"](lambda i: i % 7 == 0 or i % 5 == 0))
+    dv1_v2 = roaring.inline_descriptor(
+        pos["f1"](lambda i: i % 7 == 0 or i % 5 == 0))
+    dv2 = roaring.inline_descriptor(pos["f2"](lambda i: i % 2 == 1))
+    commit(2, [
+        {"commitInfo": {"timestamp": 1700000002000, "operation": "DELETE"}},
+        add(f0, dv0_v2), remove(f0, dv0_v1),
+        add(f1, dv1_v2), remove(f1, dv1_v1),
+        add(f2, dv2),
+    ])
+    try:
+        os.rename(build, root)
+    except OSError:
+        shutil.rmtree(build, ignore_errors=True)  # lost a concurrent race
+        if not os.path.exists(marker):
+            raise
+    return root
+
+
+def _delta_dv_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standard-protocol deletion-vector interop: snapshot read, time
+    travel, and DV-aware CDF over a readerVersion-3 table whose DVs
+    live in both storage formats (packed ``u`` .bin and inline ``i``).
+    The fixture is deterministic and sf-independent; the oracle
+    recomputes every section from the id arithmetic that generated the
+    DVs — no shared replay or bitmap code (cf. reference
+    deltalake/customers/_delta_log protocol fixtures)."""
+    from deltalake_poc_spark.tables import DeltaLakeReader
+
+    r = DeltaLakeReader(spark, _dv_fixture_root())
+
+    def proj(df: DataFrame, section: str, op) -> DataFrame:
+        return df.select(
+            F.lit(section).alias("section"),
+            F.col("id").cast("bigint").alias("id"),
+            F.col("val").alias("val"),
+            op.alias("op"),
+        )
+
+    latest = proj(r.read(), "latest", F.lit("r"))
+    v1 = proj(r.read(version=1), "v1", F.lit("r"))
+    cdf = proj(
+        r.read_change_feed(1).withColumn(
+            "opx", F.concat_ws("@", F.col("_change_type"),
+                               F.col("_commit_version").cast("string"))),
+        "cdf", F.col("opx"))
+    return latest.unionByName(v1).unionByName(cdf).orderBy(
+        "section", "id", "op")
+
+
 def _cdf_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S8 — change-data-feed correctness: apply CDC in two batches to a
     CDF-enabled table, then count change-feed rows by _change_type.
@@ -783,10 +933,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     exactly the first 50 keys of this dict at the time). Round-4
     rotation: repetition_signals / decontaminate / winnow_dedup /
     dv_pipeline — never yet driver-checked (green on the local oracle
-    sweep only) — enter the window; priority_stats / event_stats /
-    inventory_status / top_value_events (driver-green in r1+r2+r3)
-    rotate to positions 51+. Every registered query, in or out of the
-    window, is still oracle-checked by tests/test_entry_oracle.py and
+    sweep only) — enter the window, as does the new delta_dv_read
+    (standard-protocol deletion-vector interop); priority_stats /
+    event_stats / inventory_status / top_value_events /
+    suppliers_with_lineitems (driver-green in r1+r2+r3) rotate to
+    positions 51+. Every registered query, in or out of the window, is
+    still oracle-checked by tests/test_entry_oracle.py and
     timed+oracled by bench.py.
     """
     return {
@@ -796,12 +948,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_analytics": _order_analytics,                 # A1 F9
         "analytics_summary": _analytics_summary,             # A8 A9 U1
         "delta_read": _delta_read,                           # Delta-protocol interop
+        "delta_dv_read": _delta_dv_read,                     # standard deletion vectors
         "order_rollup": _order_rollup,                       # ROLLUP subtotals
         "order_cube": _order_cube,                           # CUBE subtotals
         "price_ranks": _price_ranks,                         # rank/ntile windows
         "stats_moments": _stats_moments,                     # percentile/stddev/corr
         "version_diff_keys": _version_diff_keys,             # U3 P6
-        "suppliers_with_lineitems": _suppliers_with_lineitems,  # semi join
         "customer_order_lists": _customer_order_lists,       # array_agg
         "scalar_showcase": _scalar_showcase,                 # F2-F10
         "cdc_pipeline": _cdc_pipeline,                       # S14 P1-P9 J4 J5 M1 M3
@@ -845,6 +997,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (multi-round driver-green; still oracle-checked by pytest + bench)
         "priority_stats": _priority_stats,                   # A5 P8
         "event_stats": _event_stats,                         # A7
+        "suppliers_with_lineitems": _suppliers_with_lineitems,  # semi join
         "top_value_events": _top_value_events,               # O1 O4
         "inventory_status": _inventory_status,               # F8
         "customers_without_orders": _customers_without_orders,  # anti join
@@ -1094,6 +1247,15 @@ def oracle_sql() -> dict[str, str]:
     # what faithful interop requires.)
     _dr_v0, _dr_latest, _dr_v0_adds, _dr_cdc = _delta_oracle_filesets(
         os.path.join(_REF_DELTA, "customers"))
+    # delta_dv_read: the oracle recomputes deletion-vector visibility
+    # from the id arithmetic that generated the fixture's DVs (id ==
+    # file_start + row_index by construction) — independent of the
+    # reader, the roaring codec, and the log replay it checks.
+    _dv_root = _dv_fixture_root()
+    _dv_base = "[" + ", ".join(
+        f"'{os.path.join(_dv_root, _DV_FIXTURE_SPEC[k][0])}'"
+        for k in ("f0", "f1")) + "]"
+    _dv_f2 = f"'{os.path.join(_dv_root, _DV_FIXTURE_SPEC['f2'][0])}'"
     return {
         "ann_lsh_topk": _ann_lsh_oracle(),
         "ivf_topk": _ivf_oracle(),
@@ -1180,6 +1342,25 @@ def oracle_sql() -> dict[str, str]:
                    epoch_ms(CAST(updated_at AS TIMESTAMP)) AS updated_ms
             FROM read_parquet({_dr_cdc})
             ORDER BY section, id, op
+        """,
+        "delta_dv_read": f"""
+            WITH base AS (SELECT id, val FROM read_parquet({_dv_base})),
+                 f2 AS (SELECT id, val FROM read_parquet({_dv_f2}))
+            SELECT * FROM (
+                SELECT 'latest' AS section, id, val, 'r' AS op
+                FROM base WHERE id % 7 <> 0 AND id % 5 <> 0
+                UNION ALL
+                SELECT 'latest', id, val, 'r' FROM f2 WHERE id % 2 = 0
+                UNION ALL
+                SELECT 'v1', id, val, 'r' FROM base WHERE id % 7 <> 0
+                UNION ALL
+                SELECT 'cdf', id, val, 'delete@1' FROM base WHERE id % 7 = 0
+                UNION ALL
+                SELECT 'cdf', id, val, 'delete@2'
+                FROM base WHERE id % 5 = 0 AND id % 7 <> 0
+                UNION ALL
+                SELECT 'cdf', id, val, 'insert@2' FROM f2 WHERE id % 2 = 0
+            ) ORDER BY section, id, op
         """,
         "change_type_counts": """
             SELECT event_type, COUNT(*) AS cnt FROM events GROUP BY event_type

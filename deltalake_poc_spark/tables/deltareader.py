@@ -20,25 +20,37 @@ Scope and scale notes:
 - Supported: reader version 1 (basic) and 2 (column mapping by name or
   id). Reader version 3 tables are readable iff their reader features
   are a subset of {columnMapping, timestampNtz, vacuumProtocolCheck,
-  v2Checkpoint-absent}; deletion vectors raise (they change row
-  visibility and silently-wrong reads are worse than a clear error).
+  deletionVectors, v2Checkpoint-absent}.
+- Deletion vectors (readerVersion 3 tables, increasingly delta-spark's
+  default for DELETE/UPDATE/MERGE): the ``deletionVector`` field of
+  add actions is decoded driver-side (``tables/roaring.py`` — Z85 +
+  portable RoaringBitmapArray + CRC-checked sidecar layout, all from
+  the public protocol spec) and applied distributed as a broadcast
+  anti-join of ``_metadata.row_index`` against the deleted positions —
+  the same mechanism the engine's own private-log DVs use
+  (tables/table.py:_read_files). The DV side is metadata-sized
+  (deleted positions per file, bounded by purge/OPTIMIZE policy), so
+  the data scan stays one distributed pass.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import urllib.parse
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
+from . import roaring
+
 LOG_DIR = "_delta_log"
 
 # reader-version-3 table features this replayer actually implements
 _SUPPORTED_READER_FEATURES = {"columnMapping", "timestampNtz",
-                              "vacuumProtocolCheck"}
+                              "vacuumProtocolCheck", "deletionVectors"}
 
 
 @dataclass
@@ -51,6 +63,8 @@ class DeltaSnapshot:
     reader_features: set[str]
     # path -> partitionValues (string map, per the protocol)
     files: dict[str, dict[str, str]] = field(default_factory=dict)
+    # path -> deletionVector descriptor dict (only files that have one)
+    dvs: dict[str, dict] = field(default_factory=dict)
 
     @property
     def column_mapping_mode(self) -> str:
@@ -160,7 +174,24 @@ class DeltaLakeReader:
         conf: dict[str, str] = {}
         min_reader = 1
         reader_features: set[str] = set()
-        files: dict[str, dict[str, str]] = {}
+        # Action reconciliation is keyed by (path, DV uniqueId), NOT by
+        # path alone (PROTOCOL.md "Action Reconciliation"): a DV update
+        # commits remove(path, oldDV) + add(path, newDV) atomically, and
+        # the remove must only tombstone the OLD incarnation even when
+        # it follows the add within the same commit file.
+        entries: dict[tuple[str, str | None], tuple[dict, dict | None]] = {}
+
+        def _norm_dv(dv: dict | None) -> dict | None:
+            # checkpoint parquet rows materialize an absent descriptor
+            # as a struct of all-None fields — treat that as no DV
+            return dv if dv and dv.get("storageType") else None
+
+        def _dv_uid(dv: dict | None) -> str | None:
+            if not dv:
+                return None
+            return (f"{dv['storageType']}{dv['pathOrInlineDv']}"
+                    f"@{dv.get('offset') or 0}")
+
         for a in actions:
             if "metaData" in a:
                 md = a["metaData"]
@@ -173,12 +204,22 @@ class DeltaLakeReader:
                 reader_features = set(p.get("readerFeatures") or [])
             elif "add" in a:
                 ad = a["add"]
-                if ad.get("deletionVector"):
-                    raise NotImplementedError(
-                        "deletion vectors not supported by this reader")
-                files[ad["path"]] = dict(ad.get("partitionValues") or {})
+                dv = _norm_dv(ad.get("deletionVector"))
+                entries[(ad["path"], _dv_uid(dv))] = (
+                    dict(ad.get("partitionValues") or {}), dv)
             elif "remove" in a:
-                files.pop(a["remove"]["path"], None)
+                rm = a["remove"]
+                entries.pop(
+                    (rm["path"], _dv_uid(_norm_dv(rm.get("deletionVector")))),
+                    None)
+        files: dict[str, dict[str, str]] = {}
+        dvs: dict[str, dict] = {}
+        for (path, _uid), (pvals, dv) in entries.items():
+            files[path] = pvals
+            if dv:
+                dvs[path] = dv
+            else:
+                dvs.pop(path, None)
         if schema is None:
             raise ValueError(f"Delta log has no metaData action: {self.root}")
         unsupported = reader_features - _SUPPORTED_READER_FEATURES
@@ -187,7 +228,7 @@ class DeltaLakeReader:
                 f"unsupported Delta reader requirement: version {min_reader}, "
                 f"features {sorted(unsupported)}")
         return DeltaSnapshot(target, schema, part_cols, conf,
-                             min_reader, reader_features, files)
+                             min_reader, reader_features, files, dvs)
 
     def history(self) -> list[dict]:
         """commitInfo per version, newest first (M6 parity for foreign
@@ -220,25 +261,65 @@ class DeltaLakeReader:
              timestamp_ms: int | None = None) -> DataFrame:
         """Snapshot read (optionally time-traveled): distributed parquet
         scan of the active file set; partition values come from the log
-        and are attached as typed literal columns per partition group."""
+        and are attached as typed literal columns per partition group;
+        files carrying a deletion vector have their deleted row indexes
+        anti-joined out."""
         snap = self.snapshot(version, timestamp_ms)
-        return self._read_files(snap, snap.files)
+        return self._read_files(snap, snap.files,
+                                drop_positions=self._dv_positions(snap.dvs))
+
+    def _dv_positions(self, dvs: dict[str, dict]) -> dict[str, list[int]]:
+        """Decode each file's DV descriptor to its deleted row indexes
+        (driver-side metadata work, like every Delta client)."""
+        return {path: roaring.read_descriptor(self.root, d)
+                for path, d in dvs.items()}
+
+    def _data_path(self, rel: str, subdir: str = "") -> str:
+        """Log ``path`` fields are URL-encoded per the protocol."""
+        return os.path.join(self.root, subdir, urllib.parse.unquote(rel))
+
+    @staticmethod
+    def _basename_col(col):
+        return F.element_at(F.split(col, "/"), -1)
+
+    def _positions_df(self, positions: dict[str, list[int]]) -> DataFrame:
+        """(file basename, row index) pairs for the join side of DV
+        filtering. Basenames are unique within a table (uuid-named part
+        files) and, unlike full ``_metadata.file_path`` URIs, carry no
+        URL-encodable characters. The pair count is the deleted-row
+        count of the touched files — metadata-sized, so AQE broadcasts
+        it and the data scan stays a single pass."""
+        rows = [(os.path.basename(urllib.parse.unquote(p)), int(i))
+                for p, idxs in positions.items() for i in idxs]
+        return self.spark.createDataFrame(
+            rows, "__dvf string, __dvp long")
 
     def _read_files(self, snap: DeltaSnapshot,
                     files: dict[str, dict[str, str]],
-                    subdir: str = "") -> DataFrame:
+                    subdir: str = "",
+                    drop_positions: dict[str, list[int]] | None = None,
+                    keep_positions: dict[str, list[int]] | None = None,
+                    ) -> DataFrame:
+        """``drop_positions``: per-file row indexes to EXCLUDE (deletion
+        vectors). ``keep_positions``: per-file row indexes to KEEP
+        (CDF replay of a DV delta). Both keyed by log-relative path."""
         fields = self._physical_fields(snap)
         types = {f_.name: f_.dataType for f_ in snap.schema.fields}
         if not files:
             return self.spark.createDataFrame([], snap.schema)
+        drop_positions = {p: v for p, v in (drop_positions or {}).items()
+                          if p in files and v}
+        keep_positions = ({p: v for p, v in keep_positions.items()
+                           if p in files}
+                          if keep_positions is not None else None)
+        with_pos = bool(drop_positions) or keep_positions is not None
         # group by partition values: each group is one distributed scan
         # with its literal partition columns; groups then union (at
         # scale the group count is the partition count, not file count)
         groups: dict[tuple, list[str]] = {}
         for path, pvals in files.items():
             key = tuple(pvals.get(c) for c in snap.partition_columns)
-            groups.setdefault(key, []).append(
-                os.path.join(self.root, subdir, path))
+            groups.setdefault(key, []).append(self._data_path(path, subdir))
         parts = []
         for key, paths in sorted(groups.items()):
             df = self.spark.read.parquet(*paths)
@@ -252,10 +333,26 @@ class DeltaLakeReader:
                     cols.append(F.col(phys).cast(types[logical]).alias(logical))
                 else:
                     cols.append(F.lit(None).cast(types[logical]).alias(logical))
+            if with_pos:
+                cols.append(self._basename_col(
+                    F.col("_metadata.file_path")).alias("__dvfile"))
+                cols.append(F.col("_metadata.row_index").alias("__dvpos"))
             parts.append(df.select(*cols))
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
+        if with_pos:
+            if keep_positions is not None:
+                pairs = self._positions_df(keep_positions)
+                out = out.join(
+                    pairs, (F.col("__dvfile") == F.col("__dvf"))
+                    & (F.col("__dvpos") == F.col("__dvp")), "left_semi")
+            if drop_positions:
+                pairs = self._positions_df(drop_positions)
+                out = out.join(
+                    pairs, (F.col("__dvfile") == F.col("__dvf"))
+                    & (F.col("__dvpos") == F.col("__dvp")), "left_anti")
+            out = out.drop("__dvfile", "__dvpos")
         return out
 
     # ------------------------------------------------------------------ CDF
@@ -263,11 +360,23 @@ class DeltaLakeReader:
     def read_change_feed(self, starting_version: int = 0,
                          ending_version: int | None = None) -> DataFrame:
         """Delta CDF semantics: commits carrying ``cdc`` actions emit
-        exactly those files (they already contain _change_type);
-        otherwise adds with dataChange are inserts and removes with
-        dataChange are full-file deletes (the removed file's rows)."""
+        exactly those files (they already contain _change_type).
+        Otherwise the change set is derived from add/remove actions,
+        deletion-vector aware:
+
+        - a dataChange add of a NEW file emits its live rows (minus its
+          DV, if born with one) as inserts;
+        - a dataChange add that RE-adds a path active in the previous
+          snapshot is a DV update (the data file itself is immutable):
+          rows at ``new DV minus old DV`` positions are deletes, rows at
+          ``old DV minus new DV`` are re-inserts (restores);
+        - a dataChange remove of a path NOT re-added in the same commit
+          emits the file's surviving rows (minus its old DV) as deletes;
+          removes of re-added paths are part of the DV update above.
+        """
         end = self.latest_version() if ending_version is None else ending_version
         frames = []
+        prev_snap: DeltaSnapshot | None = None
         for v in range(starting_version, end + 1):
             if not os.path.exists(self._commit_file(v)):
                 continue
@@ -281,7 +390,7 @@ class DeltaLakeReader:
                 # cdc parquet carries _change_type alongside the data
                 # columns, so read it directly (not via _read_files,
                 # which projects exactly the declared schema)
-                paths = [os.path.join(self.root, p) for p in cdc_files]
+                paths = [self._data_path(p) for p in cdc_files]
                 raw = self.spark.read.parquet(*paths)
                 phys = dict(self._physical_fields(snap_v))
                 cols = [F.col(phys[f_.name]).cast(f_.dataType).alias(f_.name)
@@ -289,8 +398,13 @@ class DeltaLakeReader:
                         if phys[f_.name] in raw.columns]
                 df = raw.select(*cols, F.col("_change_type"))
             else:
-                adds = {a["add"]["path"]: dict(a["add"].get("partitionValues")
-                                               or {})
+                if prev_snap is None and v > 0:
+                    prev_snap = self.snapshot(v - 1)
+                prev_files = prev_snap.files if prev_snap else {}
+                prev_dvs = prev_snap.dvs if prev_snap else {}
+                adds = {a["add"]["path"]:
+                        (dict(a["add"].get("partitionValues") or {}),
+                         a["add"].get("deletionVector"))
                         for a in actions
                         if "add" in a and a["add"].get("dataChange", True)}
                 rems = {a["remove"]["path"]:
@@ -298,18 +412,59 @@ class DeltaLakeReader:
                         for a in actions
                         if "remove" in a
                         and a["remove"].get("dataChange", True)}
+                new_files: dict[str, dict[str, str]] = {}
+                new_file_dvs: dict[str, dict] = {}
+                del_rows: dict[str, list[int]] = {}   # DV-update deletes
+                ins_rows: dict[str, list[int]] = {}   # DV-update restores
+                upd_pvals: dict[str, dict[str, str]] = {}
+                for path, (pvals, dv) in adds.items():
+                    if path in prev_files:
+                        old = set(roaring.read_descriptor(self.root,
+                                                          prev_dvs[path])
+                                  if path in prev_dvs else [])
+                        new = set(roaring.read_descriptor(self.root, dv)
+                                  if dv else [])
+                        if new - old:
+                            del_rows[path] = sorted(new - old)
+                        if old - new:
+                            ins_rows[path] = sorted(old - new)
+                        upd_pvals[path] = pvals
+                    else:
+                        new_files[path] = pvals
+                        if dv:
+                            new_file_dvs[path] = dv
+                full_rems = {p: pv for p, pv in rems.items() if p not in adds}
                 subs = []
-                if adds:
-                    subs.append(self._read_files(snap_v, adds).withColumn(
-                        "_change_type", F.lit("insert")))
-                if rems:
-                    subs.append(self._read_files(snap_v, rems).withColumn(
-                        "_change_type", F.lit("delete")))
+                if new_files:
+                    subs.append(self._read_files(
+                        snap_v, new_files,
+                        drop_positions=self._dv_positions(new_file_dvs),
+                    ).withColumn("_change_type", F.lit("insert")))
+                if del_rows:
+                    subs.append(self._read_files(
+                        snap_v, {p: upd_pvals[p] for p in del_rows},
+                        keep_positions=del_rows,
+                    ).withColumn("_change_type", F.lit("delete")))
+                if ins_rows:
+                    subs.append(self._read_files(
+                        snap_v, {p: upd_pvals[p] for p in ins_rows},
+                        keep_positions=ins_rows,
+                    ).withColumn("_change_type", F.lit("insert")))
+                if full_rems:
+                    subs.append(self._read_files(
+                        snap_v, full_rems,
+                        drop_positions={
+                            p: roaring.read_descriptor(self.root,
+                                                       prev_dvs[p])
+                            for p in full_rems if p in prev_dvs},
+                    ).withColumn("_change_type", F.lit("delete")))
                 if not subs:
+                    prev_snap = snap_v
                     continue
                 df = subs[0]
                 for s in subs[1:]:
                     df = df.unionByName(s)
+            prev_snap = snap_v
             frames.append(
                 df.withColumn("_commit_version", F.lit(v).cast("long"))
                 .withColumn("_commit_timestamp",

@@ -231,20 +231,179 @@ def test_checkpoint_replay(spark, tmp_path):
     assert r.read(version=1).count() == 3  # 2 from checkpoint add + 1 delta
 
 
-def test_deletion_vectors_refused(spark, tmp_path):
+def test_roaring_roundtrip():
+    """Portable RoaringBitmapArray (de)serialization round-trips for
+    every container regime: array (<=4096/chunk), bitmap (>4096), and
+    64-bit multi-key sets."""
+    import random
+
+    from deltalake_poc_spark.tables import roaring
+
+    rng = random.Random(7)
+    cases = [
+        [],
+        [0],
+        [5, 7, 9],
+        list(range(10_000)),                              # bitmap container
+        sorted(rng.sample(range(1 << 20), 5000)),
+        sorted(rng.sample(range(1 << 40), 300)),          # multi-key 64-bit
+        [0, 1 << 32, (1 << 32) + 1, (3 << 32) + 17],
+    ]
+    for c in cases:
+        assert roaring.deserialize_roaring_array(
+            roaring.serialize_roaring_array(c)) == sorted(c)
+
+
+def test_roaring_run_container_decode():
+    """delta-spark may serialize RUN containers (cookie 12347); the
+    writer here never emits them, so decode one built by hand."""
+    import struct
+
+    from deltalake_poc_spark.tables import roaring
+
+    # one run container, key 0, values 10..14 -> cookie SERIAL_COOKIE
+    # with (n-1)<<16, run flag bitset 0b1, header (key=0, card-1=4),
+    # no offsets (n < 4), then nbRuns=1, (start=10, len-1=4)
+    bitmap = (struct.pack("<I", 12347 | (0 << 16)) + bytes([0b1])
+              + struct.pack("<HH", 0, 4)
+              + struct.pack("<H", 1) + struct.pack("<HH", 10, 4))
+    data = struct.pack("<iq", roaring.MAGIC_PORTABLE, 1) \
+        + struct.pack("<i", 0) + bitmap
+    assert roaring.deserialize_roaring_array(data) == [10, 11, 12, 13, 14]
+
+
+def _dv_table(spark, root: str) -> None:
+    """Standard readerVersion-3 DV table: ids 0..9 and 10..19 in two
+    files; v1 DV-deletes {2,3} from file 0 via an on-disk ``u`` vector;
+    v2 grows it to {2,3,5} inline and deletes {10} from file 1."""
+    from deltalake_poc_spark.tables import roaring
+
+    df = spark.createDataFrame(
+        [(i, f"r{i}") for i in range(10)], "id long, v string")
+    _write_delta_table(spark, root, [(i, f"r{i}") for i in range(10)],
+                       ["id long", "v string"])
+    df2 = spark.createDataFrame(
+        [(i, f"r{i}") for i in range(10, 20)], "id long, v string")
+    df2.toPandas().to_parquet(os.path.join(root, "part-00001.parquet"))
+    log = os.path.join(root, "_delta_log")
+    # upgrade protocol + second file at v1, with the first DV delete
+    (dv0,) = roaring.write_dv_file(root, [[2, 3]])
+    acts1 = [
+        {"commitInfo": {"timestamp": 1700000001000, "operation": "DELETE"}},
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["deletionVectors"],
+                      "writerFeatures": ["deletionVectors"]}},
+        {"add": {"path": "part-00001.parquet", "partitionValues": {},
+                 "size": 1, "modificationTime": 0, "dataChange": True}},
+        {"add": {"path": "part-00000.parquet", "partitionValues": {},
+                 "size": 1, "modificationTime": 0, "dataChange": True,
+                 "deletionVector": dv0}},
+        {"remove": {"path": "part-00000.parquet", "dataChange": True}},
+    ]
+    dv0b = roaring.inline_descriptor([2, 3, 5])
+    dv1 = roaring.inline_descriptor([0])
+    acts2 = [
+        {"commitInfo": {"timestamp": 1700000002000, "operation": "DELETE"}},
+        # remove AFTER the add of the same path: reconciliation must key
+        # by (path, DV uniqueId), not path, or this kills the new add
+        {"add": {"path": "part-00000.parquet", "partitionValues": {},
+                 "size": 1, "modificationTime": 0, "dataChange": True,
+                 "deletionVector": dv0b}},
+        {"remove": {"path": "part-00000.parquet", "dataChange": True,
+                    "deletionVector": dv0}},
+        {"add": {"path": "part-00001.parquet", "partitionValues": {},
+                 "size": 1, "modificationTime": 0, "dataChange": True,
+                 "deletionVector": dv1}},
+        {"remove": {"path": "part-00001.parquet", "dataChange": True}},
+    ]
+    for v, acts in ((1, acts1), (2, acts2)):
+        with open(os.path.join(log, f"{v:020d}.json"), "w") as f:
+            f.write("\n".join(json.dumps(a) for a in acts) + "\n")
+
+
+def test_deletion_vector_read_and_time_travel(spark, tmp_path):
     root = str(tmp_path / "dv")
-    _write_delta_table(
-        spark, root, [(1, "a")], ["id long", "v string"],
-        extra_commits=[[
-            {"add": {"path": "part-00000.parquet", "partitionValues": {},
-                     "size": 1, "modificationTime": 0, "dataChange": True,
-                     "deletionVector": {"storageType": "u",
-                                        "pathOrInlineDv": "x",
-                                        "offset": 1, "sizeInBytes": 1,
-                                        "cardinality": 1}}},
-        ]])
-    with pytest.raises(NotImplementedError, match="deletion vectors"):
-        DeltaLakeReader(spark, root).snapshot(version=1)
+    _dv_table(spark, root)
+    r = DeltaLakeReader(spark, root)
+    assert sorted(x.id for x in r.read().collect()) == \
+        [0, 1, 4, 6, 7, 8, 9] + list(range(11, 20))
+    assert sorted(x.id for x in r.read(version=1).collect()) == \
+        [0, 1] + list(range(4, 20))
+    assert sorted(x.id for x in r.read(version=0).collect()) == list(range(10))
+
+
+def test_deletion_vector_cdf_derivation(spark, tmp_path):
+    """Without cdc actions, CDF derives the per-version delta from DV
+    growth: only NEWLY-deleted positions appear as deletes."""
+    root = str(tmp_path / "dvc")
+    _dv_table(spark, root)
+    r = DeltaLakeReader(spark, root)
+    rows = r.read_change_feed(1).collect()
+    by: dict = {}
+    for row in rows:
+        by.setdefault((row._commit_version, row._change_type),
+                      []).append(row.id)
+    assert sorted(by[(1, "insert")]) == list(range(10, 20))  # new file at v1
+    assert sorted(by[(1, "delete")]) == [2, 3]
+    assert sorted(by[(2, "delete")]) == [5, 10]
+    assert (2, "insert") not in by
+
+
+def test_deletion_vector_checksum_verified(spark, tmp_path):
+    from deltalake_poc_spark.tables import roaring
+
+    root = str(tmp_path / "dvx")
+    _dv_table(spark, root)
+    # corrupt the on-disk DV payload (version byte + size word intact)
+    bins = [f for f in os.listdir(root) if f.startswith("deletion_vector_")]
+    with open(os.path.join(root, bins[0]), "r+b") as f:
+        f.seek(9)
+        f.write(b"\xff")
+    with pytest.raises(ValueError, match="checksum|magic|cookie"):
+        r = DeltaLakeReader(spark, root)
+        roaring.read_descriptor(root, r.snapshot(version=1).dvs[
+            "part-00000.parquet"])
+
+
+def test_deletion_vector_in_checkpoint(spark, tmp_path):
+    """Checkpoint add rows carry the DV struct; absent DVs materialize
+    as all-None structs and must be treated as no vector."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path / "dvck")
+    _dv_table(spark, root)
+    r = DeltaLakeReader(spark, root)
+    snap = r.snapshot()  # v2 state
+    ck_rows = []
+    ck_rows.append({"metaData": {
+        "id": "t", "format": {"provider": "parquet", "options": {"o": "1"}},
+        "schemaString": snap.schema.json(), "partitionColumns": [],
+        "configuration": {"x": "y"}}, "protocol": None, "add": None})
+    ck_rows.append({"metaData": None, "protocol": {
+        "minReaderVersion": 3, "minWriterVersion": 7,
+        "readerFeatures": ["deletionVectors"],
+        "writerFeatures": ["deletionVectors"]}, "add": None})
+    none_dv = {"storageType": None, "pathOrInlineDv": None, "offset": None,
+               "sizeInBytes": None, "cardinality": None}
+    for path in snap.files:
+        dv = snap.dvs.get(path)
+        ck_rows.append({"metaData": None, "protocol": None, "add": {
+            "path": path, "partitionValues": {"_": "_"}, "size": 1,
+            "modificationTime": 0, "dataChange": True,
+            "deletionVector": dv if dv else none_dv}})
+    pq.write_table(pa.Table.from_pylist(ck_rows),
+                   os.path.join(root, "_delta_log",
+                                f"{2:020d}.checkpoint.parquet"))
+    with open(os.path.join(root, "_delta_log", "_last_checkpoint"), "w") as f:
+        json.dump({"version": 2, "size": len(ck_rows)}, f)
+    for v in range(3):  # force checkpoint-only replay
+        os.remove(os.path.join(root, "_delta_log", f"{v:020d}.json"))
+    r2 = DeltaLakeReader(spark, root)
+    assert sorted(x.id for x in r2.read().collect()) == \
+        [0, 1, 4, 6, 7, 8, 9] + list(range(11, 20))
+    # paranoia: partitionValues placeholder didn't leak into schema
+    assert [f.name for f in r2.read().schema.fields] == ["id", "v"]
 
 
 def test_column_mapping_by_name(spark, tmp_path):
