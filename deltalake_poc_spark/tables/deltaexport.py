@@ -13,9 +13,13 @@ readable there.
 The export is commit-for-commit: our version N becomes standard Delta
 version N, preserving history, per-version schemas/properties, commit
 timestamps (so ``timestampAsOf`` time travel agrees), change-data
-files (as ``cdc`` actions), and column mapping (our ``physicalName``
+files (as ``cdc`` actions), column mapping (our ``physicalName``
 field metadata becomes ``delta.columnMapping.physicalName`` + ``.id``
-with reader/writer versions raised per the protocol).
+with reader/writer versions raised per the protocol), and deletion
+vectors (our consolidated (file, pos) parquet sidecars re-encode as
+protocol roaring-bitmap .bin vectors via ``tables/roaring.py``, with
+the protocol upgraded to table features (3, 7) at the first DV
+commit — no data rewrite: DV'd files stay hard links).
 
 Scale: export is metadata-bound — one small JSON per commit plus one
 hard-link (or copy, cross-device) per data file. No data rewrite, no
@@ -106,6 +110,69 @@ def _protocol_requirement(conf: dict[str, str]) -> tuple[int, int]:
     return reader, writer
 
 
+def _protocol_action(conf: dict[str, str], dv_used: bool) -> dict:
+    """Protocol action for the current configuration. Deletion vectors
+    force the table-features form (3, 7); per the protocol every
+    feature the table uses — including those the replaced legacy
+    versions implied — must then be listed explicitly."""
+    if not dv_used:
+        r, w = _protocol_requirement(conf)
+        return {"protocol": {"minReaderVersion": r, "minWriterVersion": w}}
+    reader_feats = {"deletionVectors"}
+    writer_feats = {"appendOnly", "invariants", "deletionVectors"}
+    if conf.get("delta.enableChangeDataFeed") == "true":
+        writer_feats.add("changeDataFeed")
+    if conf.get("delta.columnMapping.mode") == "name":
+        reader_feats.add("columnMapping")
+        writer_feats.add("columnMapping")
+    return {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                         "readerFeatures": sorted(reader_feats),
+                         "writerFeatures": sorted(writer_feats)}}
+
+
+def _protocol_key(action: dict) -> tuple:
+    p = action["protocol"]
+    return (p["minReaderVersion"], p["minWriterVersion"],
+            frozenset(p.get("readerFeatures") or []),
+            frozenset(p.get("writerFeatures") or []))
+
+
+def _needs_protocol(emitted: tuple | None, want: tuple) -> bool:
+    if emitted is None:
+        return True
+    return (want[0] > emitted[0] or want[1] > emitted[1]
+            or not want[2] <= emitted[2] or not want[3] <= emitted[3])
+
+
+def _sidecar_positions(root: str, dv_rel: str,
+                       cache: dict) -> dict[str, list[int]]:
+    """Engine DV sidecar (parquet of file, pos — consolidated across
+    files) -> {data-file rel path: sorted positions}. Driver-side
+    pyarrow read: sidecars are metadata-sized by design (active
+    deleted positions only; tables purge before they grow large)."""
+    if dv_rel not in cache:
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(os.path.join(root, dv_rel),
+                            columns=["file", "pos"])
+        by_file: dict[str, set[int]] = {}
+        for f, p in zip(tbl.column("file").to_pylist(),
+                        tbl.column("pos").to_pylist()):
+            by_file.setdefault(f, set()).add(int(p))
+        cache[dv_rel] = {f: sorted(ps) for f, ps in by_file.items()}
+    return cache[dv_rel]
+
+
+def _stale_stats(stats_json: str | None) -> str | None:
+    """A file under a deletion vector keeps its physical stats but the
+    bounds are no longer tight (deleted rows may hold the min/max)."""
+    if not stats_json:
+        return stats_json
+    stats = json.loads(stats_json)
+    stats["tightBounds"] = False
+    return json.dumps(stats)
+
+
 def _transfer(src: str, dst: str, link: bool) -> None:
     os.makedirs(os.path.dirname(dst), exist_ok=True)
     if os.path.exists(dst):
@@ -158,21 +225,46 @@ def _add_action(root: str, dest: str, entry: FileEntry,
 
 
 def _write_checkpoint(log_dir: str, version: int,
-                      protocol: tuple[int, int], metadata: dict,
+                      protocol: tuple, metadata: dict,
                       active: list[dict]) -> None:
     """Classic-checkpoint parquet + ``_last_checkpoint`` at ``version``:
     full table state (protocol + metaData + every active add), typed
     with explicit map<string,string> columns the way delta-spark writes
     them — readers then replay from here instead of the JSON prefix.
     At 1M files that is the difference between opening one parquet and
-    parsing a million JSON action lines."""
+    parsing a million JSON action lines. ``protocol`` is a
+    ``_protocol_key`` tuple; a table-features protocol (deletion
+    vectors) adds the feature-list columns, and any active DV
+    descriptors ride along in the add struct."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     str_map = pa.map_(pa.string(), pa.string())
+    with_features = bool(protocol[2] or protocol[3])
+    with_dv = any(a.get("deletionVector") for a in active)
+    proto_fields = [("minReaderVersion", pa.int32()),
+                    ("minWriterVersion", pa.int32())]
+    if with_features:
+        proto_fields += [("readerFeatures", pa.list_(pa.string())),
+                         ("writerFeatures", pa.list_(pa.string()))]
+    add_fields = [
+        ("path", pa.string()),
+        ("partitionValues", str_map),
+        ("size", pa.int64()),
+        ("modificationTime", pa.int64()),
+        ("dataChange", pa.bool_()),
+        ("stats", pa.string()),
+    ]
+    if with_dv:
+        add_fields.append(("deletionVector", pa.struct([
+            ("storageType", pa.string()),
+            ("pathOrInlineDv", pa.string()),
+            ("offset", pa.int32()),
+            ("sizeInBytes", pa.int32()),
+            ("cardinality", pa.int64()),
+        ])))
     schema = pa.schema([
-        ("protocol", pa.struct([("minReaderVersion", pa.int32()),
-                                ("minWriterVersion", pa.int32())])),
+        ("protocol", pa.struct(proto_fields)),
         ("metaData", pa.struct([
             ("id", pa.string()),
             ("format", pa.struct([("provider", pa.string()),
@@ -182,19 +274,18 @@ def _write_checkpoint(log_dir: str, version: int,
             ("configuration", str_map),
             ("createdTime", pa.int64()),
         ])),
-        ("add", pa.struct([
-            ("path", pa.string()),
-            ("partitionValues", str_map),
-            ("size", pa.int64()),
-            ("modificationTime", pa.int64()),
-            ("dataChange", pa.bool_()),
-            ("stats", pa.string()),
-        ])),
+        ("add", pa.struct(add_fields)),
     ])
+    proto_row = {"minReaderVersion": protocol[0],
+                 "minWriterVersion": protocol[1]}
+    if with_features:
+        proto_row["readerFeatures"] = sorted(protocol[2])
+        proto_row["writerFeatures"] = sorted(protocol[3])
+    if with_dv:
+        active = [a if a.get("deletionVector")
+                  else {**a, "deletionVector": None} for a in active]
     rows = [
-        {"protocol": {"minReaderVersion": protocol[0],
-                      "minWriterVersion": protocol[1]},
-         "metaData": None, "add": None},
+        {"protocol": proto_row, "metaData": None, "add": None},
         {"protocol": None, "metaData": metadata, "add": None},
     ]
     for ad in active:
@@ -233,14 +324,6 @@ def export_standard_delta(table: VersionedTable, dest: str,
     versions = [c.version for c in log.commits()]
     if not versions:
         raise FileNotFoundError(f"not a versioned table: {log.root}")
-    if table.snapshot().dvs:
-        # standard Delta encodes DVs as roaring bitmaps in its own
-        # sidecar format; replaying our (file,pos) parquet DVs would
-        # produce a table that resurrects deleted rows for Delta
-        # clients. Materialize first.
-        raise NotImplementedError(
-            f"{log.root} has active deletion vectors; run "
-            "purge_deletion_vectors() before export_standard_delta")
     log_dir = os.path.join(dest, "_delta_log")
     exported = -1
     table_id: str | None = None
@@ -279,10 +362,16 @@ def export_standard_delta(table: VersionedTable, dest: str,
     cur_schema_json: str | None = None
     cur_props: dict | None = None
     cur_partition_cols: list[str] = []
-    emitted_protocol: tuple[int, int] = (0, 0)
+    emitted_protocol: tuple | None = None
     # snapshot state for the optional final checkpoint
     last_metadata: dict | None = None
     active: dict[str, dict] = {}  # path -> add-action body
+    # deletion-vector export state: standard descriptor already
+    # published per data file (reconciliation is keyed by
+    # (path, DV uniqueId), so removes must echo the exact descriptor)
+    exported_dvs: dict[str, dict] = {}
+    dv_used = False
+    sidecar_cache: dict = {}
 
     for v in versions:
         c: Commit = log.read_commit(v)
@@ -291,6 +380,7 @@ def export_standard_delta(table: VersionedTable, dest: str,
             created_ms = c.timestamp
         actions: list[dict] = []
         data_change = c.operation not in _NO_DATACHANGE_OPS
+        dv_used = dv_used or bool(c.dv_updates)
 
         schema_changed = bool(c.schema_json) and c.schema_json != cur_schema_json
         props_changed = c.properties is not None and c.properties != cur_props
@@ -303,11 +393,10 @@ def export_standard_delta(table: VersionedTable, dest: str,
 
         conf = _translate_properties(cur_props or {})
         mapping_on = conf.get("delta.columnMapping.mode") == "name"
-        need = _protocol_requirement(conf)
-        if need > emitted_protocol:
-            actions.append({"protocol": {"minReaderVersion": need[0],
-                                         "minWriterVersion": need[1]}})
-            emitted_protocol = need
+        proto = _protocol_action(conf, dv_used)
+        if _needs_protocol(emitted_protocol, _protocol_key(proto)):
+            actions.append(proto)
+            emitted_protocol = _protocol_key(proto)
 
         if v == 0 or schema_changed or props_changed:
             if cur_schema_json is None:
@@ -343,13 +432,75 @@ def export_standard_delta(table: VersionedTable, dest: str,
                               data_change, link, transfer=live)
             active[entry.path] = act["add"]
             actions.append(act)
+            exported_dvs.pop(entry.path, None)  # fresh content, no DV
         for rel in c.remove:
             active.pop(rel, None)
-            actions.append({"remove": {
+            rm = {
                 "path": rel,
                 "deletionTimestamp": c.timestamp,
                 "dataChange": data_change,
-            }})
+            }
+            old_dv = exported_dvs.pop(rel, None)
+            if old_dv:
+                rm["deletionVector"] = old_dv
+            actions.append({"remove": rm})
+
+        # deletion-vector updates: the data file is immutable, so the
+        # standard encoding is remove(path, old DV) + add(path, new DV)
+        # in one commit. Our consolidated (file, pos) parquet sidecar
+        # becomes one packed .bin of roaring bitmaps (u-storage, one
+        # vector per file at increasing offsets — the layout
+        # delta-spark itself writes). Dry replay (incremental sync)
+        # recovers the descriptors from the destination's own committed
+        # JSON instead of re-encoding: the original .bin file names are
+        # random, and the source sidecar may since have been purged.
+        if c.dv_updates and live:
+            from deltalake_poc_spark.tables import roaring
+
+            new_positions: dict[str, list[int]] = {}
+            cleared: list[str] = []
+            for path, dv_rel in sorted(c.dv_updates.items()):
+                if dv_rel is None:
+                    cleared.append(path)
+                else:
+                    new_positions[path] = _sidecar_positions(
+                        log.root, dv_rel, sidecar_cache).get(path, [])
+            paths = sorted(new_positions)
+            descriptors = roaring.write_dv_file(
+                dest, [new_positions[p] for p in paths]) if paths else []
+            for path, desc in list(zip(paths, descriptors)) + [
+                    (p, None) for p in cleared]:
+                if path not in active:
+                    continue  # file itself gone in the same commit
+                old_dv = exported_dvs.pop(path, None)
+                rm = {"path": path, "deletionTimestamp": c.timestamp,
+                      "dataChange": True}
+                if old_dv:
+                    rm["deletionVector"] = old_dv
+                actions.append({"remove": rm})
+                body = dict(active[path])
+                if desc:
+                    body["deletionVector"] = desc
+                    body["stats"] = _stale_stats(body.get("stats"))
+                    exported_dvs[path] = desc
+                else:
+                    body.pop("deletionVector", None)
+                body["dataChange"] = True
+                body["modificationTime"] = c.timestamp
+                active[path] = body
+                actions.append({"add": body})
+        elif c.dv_updates:
+            with open(os.path.join(log_dir, f"{v:020d}.json")) as fh:
+                for line in fh:
+                    a = json.loads(line)
+                    if "add" in a and a["add"]["path"] in c.dv_updates:
+                        body = a["add"]
+                        active[body["path"]] = body
+                        if body.get("deletionVector"):
+                            exported_dvs[body["path"]] = \
+                                body["deletionVector"]
+                        else:
+                            exported_dvs.pop(body["path"], None)
 
         # change-data files -> cdc actions (standard readers then take
         # them as the commit's complete change set, matching how they

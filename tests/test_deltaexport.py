@@ -287,3 +287,113 @@ def test_hardlink_zero_copy_and_existing_dest_refused(spark, tmp_path):
     assert os.stat(os.path.join(t.log.root, rel)).st_nlink >= 2
     with pytest.raises(FileExistsError, match="already has a Delta log"):
         export_standard_delta(t, dest)
+
+
+def _mk_dv(spark, root, cdf=False):
+    """Engine table with deletion vectors enabled: append 2 files,
+    DV-delete twice (second consolidates), so the export must emit
+    remove(old DV) + add(new DV) pairs across commits."""
+    schema = spark.createDataFrame(
+        [], "id long, name string, amount double").schema
+    props = {"enableDeletionVectors": "true"}
+    if cdf:
+        props["enableChangeDataFeed"] = "true"
+    t = VersionedTable.create(spark, root, schema, properties=props)
+    t.write(spark.createDataFrame(
+        [(i, chr(97 + i), 10.0 * i) for i in range(6)], schema),
+        stats_cols=["id"])
+    t.write(spark.createDataFrame(
+        [(i, chr(97 + i), 10.0 * i) for i in range(6, 12)], schema),
+        stats_cols=["id"])
+    t.delete("id IN (1, 7)")     # v3: DVs on both files
+    t.delete("id = 2")           # v4: consolidated DV grows on file 0
+    return t, schema
+
+
+def test_deletion_vectors_exported_as_standard(spark, tmp_path):
+    """Engine (file,pos) sidecar DVs become protocol roaring vectors:
+    the independent replayer agrees with the engine at EVERY version,
+    no data file was rewritten, and the protocol advertises the
+    deletionVectors table feature."""
+    t, _ = _mk_dv(spark, str(tmp_path / "src"))
+    dest = str(tmp_path / "out")
+    assert export_standard_delta(t, dest) == t.version()
+    r = DeltaLakeReader(spark, dest)
+    for v in range(t.version() + 1):
+        assert _rows(r.read(version=v)) == _rows(t.read(version=v)), v
+    assert sorted(x.id for x in r.read().collect()) == \
+        [0, 3, 4, 5, 6, 8, 9, 10, 11]
+    snap = r.snapshot()
+    assert snap.min_reader_version == 3
+    assert "deletionVectors" in snap.reader_features
+    assert len(snap.dvs) == 2  # both files carry a vector at HEAD
+    # stats on DV'd adds are marked non-tight
+    for a in r._commit_actions(4):
+        if "add" in a and a["add"].get("deletionVector"):
+            assert json.loads(a["add"]["stats"])["tightBounds"] is False
+    # data files were linked once, never rewritten
+    for e in t.snapshot().files:
+        assert os.stat(os.path.join(dest, e.path)).st_nlink >= 2
+
+
+def test_dv_export_purge_clears_descriptors(spark, tmp_path):
+    """purge_deletion_vectors rewrites files and drops vectors; the
+    exported log must converge to a DV-free active set."""
+    t, _ = _mk_dv(spark, str(tmp_path / "src"))
+    t.purge_deletion_vectors()
+    dest = str(tmp_path / "out")
+    export_standard_delta(t, dest)
+    r = DeltaLakeReader(spark, dest)
+    assert not r.snapshot().dvs
+    assert _rows(r.read()) == _rows(t.read())
+    for v in range(t.version() + 1):
+        assert _rows(r.read(version=v)) == _rows(t.read(version=v)), v
+
+
+def test_dv_export_incremental_sync(spark, tmp_path):
+    """Sync after new DV commits: dry replay recovers prior descriptors
+    from the destination log, so the follow-up remove actions tombstone
+    the exact (path, uniqueId) entries the first export published."""
+    t, _ = _mk_dv(spark, str(tmp_path / "src"))
+    dest = str(tmp_path / "mirror")
+    export_standard_delta(t, dest)
+    t.delete("id = 3")           # grows file-0 DV again
+    t.delete("id >= 10")         # grows file-1 DV
+    export_standard_delta(t, dest, incremental=True)
+    full = str(tmp_path / "full")
+    export_standard_delta(t, full)
+    rm, rf = DeltaLakeReader(spark, dest), DeltaLakeReader(spark, full)
+    for v in range(t.version() + 1):
+        assert _rows(rm.read(version=v)) == _rows(rf.read(version=v)) \
+            == _rows(t.read(version=v)), v
+    assert sorted(x.id for x in rm.read().collect()) == [0, 4, 5, 6, 8, 9]
+
+
+def test_dv_export_checkpoint(spark, tmp_path):
+    """Checkpoint of a DV table carries feature lists + descriptors;
+    replay from the checkpoint alone reproduces HEAD."""
+    t, _ = _mk_dv(spark, str(tmp_path / "src"))
+    dest = str(tmp_path / "out")
+    export_standard_delta(t, dest, checkpoint=True)
+    # force checkpoint-only replay
+    for v in range(t.version() + 1):
+        os.remove(os.path.join(dest, "_delta_log", f"{v:020d}.json"))
+    r = DeltaLakeReader(spark, dest)
+    assert _rows(r.read()) == _rows(t.read())
+    assert "deletionVectors" in r.snapshot().reader_features
+
+
+def test_dv_export_cdf_changes_preserved(spark, tmp_path):
+    """DV deletes with CDF enabled stage change files; the export's cdc
+    actions replay the same change feed through the standard reader."""
+    t, _ = _mk_dv(spark, str(tmp_path / "src"), cdf=True)
+    dest = str(tmp_path / "out")
+    export_standard_delta(t, dest)
+    r = DeltaLakeReader(spark, dest)
+    ours = sorted((x["_commit_version"], x["_change_type"], x["id"])
+                  for x in t.read_change_feed(0).select(
+                      "_commit_version", "_change_type", "id").collect())
+    theirs = sorted((x["_commit_version"], x["_change_type"], x["id"])
+                    for x in r.read_change_feed(0).select(
+                        "_commit_version", "_change_type", "id").collect())
+    assert ours == theirs
