@@ -178,9 +178,13 @@ def tf_idf(docs: DataFrame, min_df: int = 1,
     ``rounded=False`` exposes the raw product as ``tfidf_raw`` so the
     margin invariant is testable (test_tf_idf_ln_agreement_pinned)."""
     toks = tokens_col()
+    # explode_outer: plain explode triggers InferFiltersFromGenerate,
+    # which clones the tokenizer into a pre-Generate filter (split()
+    # evaluated twice per document); outer explode is exempt and the
+    # != '' filter on the OUTPUT column also drops the null rows
     posting = (
-        docs.select("doc_id", F.explode(toks).alias("token"))
-        .filter(F.col("token") != "")
+        docs.select("doc_id", F.explode_outer(toks).alias("token"))
+        .filter(F.col("token").isNotNull() & (F.col("token") != ""))
     )
     tf = posting.groupBy("doc_id", "token").agg(
         F.count(F.lit(1)).alias("tf"))
@@ -303,8 +307,10 @@ def top_tokens(docs: DataFrame, k: int = 10) -> DataFrame:
     """Corpus-level token frequency top-k (the classic map-side-combine
     aggregation: explode -> partial count -> final count -> TakeOrdered)."""
     return (
-        docs.select(F.explode(tokens_col()).alias("token"))
-        .filter(F.col("token") != "")
+        # explode_outer: see tf_idf — avoids the InferFilters clone of
+        # the tokenizer into a pre-Generate filter
+        docs.select(F.explode_outer(tokens_col()).alias("token"))
+        .filter(F.col("token").isNotNull() & (F.col("token") != ""))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("freq"))
         .orderBy(F.desc("freq"), F.asc("token"))
