@@ -19,6 +19,19 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _cpu_stat() -> dict[str, int]:
+    """Aggregate /proc/stat jiffies — steal/iowait expose host-level
+    interference (this box shows sporadic 25-45s stalls with an IDLE
+    JVM and zero GC activity; without this column a neighbor's noisy
+    minute reads as a query regression)."""
+    try:
+        vals = [int(x) for x in open("/proc/stat").readline().split()[1:]]
+        return {"busy": sum(vals[:3]), "idle": vals[3],
+                "iowait": vals[4], "steal": vals[7] if len(vals) > 7 else 0}
+    except Exception:
+        return {}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -94,6 +107,7 @@ def main() -> None:
             runs.append(time.perf_counter() - t0)
         return _median(runs)
 
+    stat0 = _cpu_stat()
     timings: dict[str, float] = {}
     for name, fn in qs.items():
         timings[name] = _time_reps(fn)
@@ -131,12 +145,20 @@ def main() -> None:
     except Exception:
         oracle_timings = {}
 
+    stat1 = _cpu_stat()
+    env = {}
+    if stat0 and stat1:
+        d = {k: stat1[k] - stat0[k] for k in stat0}
+        tot = sum(d.values()) or 1
+        env = {"cpu_steal_pct": round(100 * d["steal"] / tot, 2),
+               "cpu_iowait_pct": round(100 * d["iowait"] / tot, 2)}
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "total_query_sec",
         "value": total,  # sum of per-query medians
         "unit": "sec",
         "reps": reps,
+        **env,
         "queries": timings,
         "production_twins": twin_timings,
         "oracle_duckdb_sec": oracle_timings,

@@ -34,8 +34,20 @@ def parse_debezium(raw: DataFrame) -> DataFrame:
     - event_id = "{topic}-{partition}-{offset}" (delta_handler.py:87)
     """
     value_str = F.col("value").cast("string")
+    # explode-of-1-element-array = a Generate barrier around the
+    # from_json: predicate pushdown substitutes expressions through
+    # plain Projects (unlike CollapseProject it has no cheapness
+    # guard), so the tombstone filter below re-evaluated the WHOLE
+    # envelope parse per condition — from_json appeared 3x per row in
+    # the physical plan. Filters referencing the generated _msg column
+    # cannot sink below the Generate, so the parse runs exactly once.
+    # (explode of a 1-element array never drops rows: from_json(null)
+    # yields one null element, keeping tombstone semantics identical.)
     parsed = (
-        raw.withColumn("_msg", F.from_json(value_str, MESSAGE_TYPED_SCHEMA))
+        raw.select(
+            "*",
+            F.explode(F.array(F.from_json(value_str, MESSAGE_TYPED_SCHEMA)))
+            .alias("_msg"))
         .withColumn("_payload", F.col("_msg.payload"))
         .filter(F.col("value").isNotNull() & F.col("_payload").isNotNull()
                 & F.col("_payload.op").isNotNull())
@@ -94,10 +106,15 @@ def split_malformed(raw: DataFrame) -> tuple[DataFrame, DataFrame]:
     ``parse_debezium``; the second carries the original message +
     error tag for an errors table.
     """
-    tagged = raw.withColumn(
-        "_op_probe",
-        F.from_json(F.col("value").cast("string"), MESSAGE_TYPED_SCHEMA)[
-            "payload"]["op"],
+    tagged = raw.select(
+        "*",
+        # Generate barrier: same single-parse guarantee as
+        # parse_debezium — both filters below test the generated
+        # column instead of re-running from_json per condition
+        F.explode(F.array(
+            F.from_json(F.col("value").cast("string"),
+                        MESSAGE_TYPED_SCHEMA)["payload"]["op"]))
+        .alias("_op_probe"),
     )
     ok = tagged.filter(
         F.col("value").isNull() | F.col("_op_probe").isNotNull()
