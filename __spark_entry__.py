@@ -742,6 +742,26 @@ def _decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_counts(cands, bench, n=5)
 
 
+def _quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distilled linear quality filter applied corpus-wide (row-local
+    map pass). keep decides on the raw margin z (bit-deterministic
+    fixed-order double chain over exact integer counts); score is the
+    4dp sigmoid."""
+    from deltalake_poc_spark.pipeline.text import quality_classifier
+
+    return quality_classifier(load_table(spark, sf_dir, "documents"))
+
+
+def _pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-budget sequence packing, shard-parallel (doc_id % 32
+    shards; window cumsum within shard — the distributed deployment
+    of the inherently-sequential greedy packer)."""
+    from deltalake_poc_spark.pipeline.text import pack_sequences
+
+    return pack_sequences(load_table(spark, sf_dir, "documents"),
+                          budget=256, n_shards=32)
+
+
 def _dv_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deletion-vector lifecycle end-to-end on driver data: append the
     events table into a DV-enabled versioned table, run two DV deletes
@@ -933,13 +953,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     exactly the first 50 keys of this dict at the time). Round-4
     rotation: repetition_signals / decontaminate / winnow_dedup /
     dv_pipeline — never yet driver-checked (green on the local oracle
-    sweep only) — enter the window, as does the new delta_dv_read
-    (standard-protocol deletion-vector interop); priority_stats /
+    sweep only) — enter the window, as do the round-4 additions
+    delta_dv_read (standard-protocol deletion-vector interop),
+    quality_classifier, and pack_sequences; priority_stats /
     event_stats / inventory_status / top_value_events /
-    suppliers_with_lineitems (driver-green in r1+r2+r3) rotate to
-    positions 51+. Every registered query, in or out of the window, is
-    still oracle-checked by tests/test_entry_oracle.py and
-    timed+oracled by bench.py.
+    suppliers_with_lineitems / customer_order_lists / scalar_showcase
+    (each driver-green in r1+r2+r3) rotate to positions 51+. Every
+    registered query, in or out of the window, is still oracle-checked
+    by tests/test_entry_oracle.py and timed+oracled by bench.py.
     """
     return {
         "customer_order_summary": _customer_order_summary,   # J1 A2 F10
@@ -954,8 +975,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "price_ranks": _price_ranks,                         # rank/ntile windows
         "stats_moments": _stats_moments,                     # percentile/stddev/corr
         "version_diff_keys": _version_diff_keys,             # U3 P6
-        "customer_order_lists": _customer_order_lists,       # array_agg
-        "scalar_showcase": _scalar_showcase,                 # F2-F10
         "cdc_pipeline": _cdc_pipeline,                       # S14 P1-P9 J4 J5 M1 M3
         "q1_pricing_summary": _q1_pricing_summary,           # wide-scan computed agg
         "q6_forecast_revenue": _q6_forecast_revenue,         # selective scan-agg
@@ -989,6 +1008,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_sample": _corpus_sample,                     # deterministic sampling
         "bpe_token_stats": _bpe_token_stats,                 # token budgeting
         "corpus_pipeline": _corpus_pipeline,                 # filter+dedup+sample+budget
+        "quality_classifier": _quality_classifier,           # distilled quality filter
+        "pack_sequences": _pack_sequences,                   # fixed-budget packing
         "repetition_signals": _repetition_signals,           # Gopher repetition stats
         "decontaminate": _decontaminate,                     # benchmark n-gram overlap
         "winnow_dedup": _winnow_dedup,                       # MOSS winnowing spans
@@ -997,6 +1018,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (multi-round driver-green; still oracle-checked by pytest + bench)
         "priority_stats": _priority_stats,                   # A5 P8
         "event_stats": _event_stats,                         # A7
+        "customer_order_lists": _customer_order_lists,       # array_agg
+        "scalar_showcase": _scalar_showcase,                 # F2-F10
         "suppliers_with_lineitems": _suppliers_with_lineitems,  # semi join
         "top_value_events": _top_value_events,               # O1 O4
         "inventory_status": _inventory_status,               # F8
@@ -1909,6 +1932,57 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(c.group_id, d.doc_id) AS keep_doc_id,
                    d.doc_id = COALESCE(c.group_id, d.doc_id) AS is_kept
             FROM documents d LEFT JOIN comp c USING (doc_id)
+        """,
+        "quality_classifier": """
+            WITH f AS (
+                SELECT doc_id,
+                       len(string_split(trim(text), ' ')) AS n_tokens,
+                       length(text) AS n_chars,
+                       len(list_filter(string_split(trim(text), ' '),
+                           x -> x IN ('the','a','of','and','to','in','is')))
+                           AS n_stop,
+                       length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                           AS alpha_chars,
+                       len(list_distinct(string_split(trim(text), ' ')))
+                           AS n_distinct
+                FROM documents
+            ), m AS (
+                SELECT doc_id, n_tokens,
+                       (-1.2 + 0.35 * ((n_chars - n_tokens + 1) / n_tokens)
+                             + 4.0 * (n_stop / n_tokens)
+                             + 1.5 * (alpha_chars / n_chars)
+                             + 0.8 * (n_distinct / n_tokens)
+                             + 0.25 * log10(CAST(n_tokens AS DOUBLE))) AS zz
+                FROM f
+            )
+            SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                   ROUND(zz, 6) AS z,
+                   ROUND(1.0 / (1.0 + exp(-zz)), 4) AS score,
+                   zz >= 0.0 AS keep
+            FROM m
+        """,
+        "pack_sequences": """
+            WITH d AS (
+                SELECT doc_id, doc_id % 32 AS shard,
+                       CAST(len(string_split(trim(text), ' ')) AS BIGINT)
+                           AS n_tokens
+                FROM documents
+            ), r AS (
+                SELECT doc_id, shard, n_tokens,
+                       SUM(n_tokens) OVER (
+                           PARTITION BY shard ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           AS running
+                FROM d
+            )
+            SELECT shard, CAST(FLOOR((running - n_tokens) / 256) AS BIGINT)
+                       AS seq_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens,
+                   MIN(doc_id) AS first_doc_id,
+                   MAX(doc_id) AS last_doc_id
+            FROM r
+            GROUP BY shard, CAST(FLOOR((running - n_tokens) / 256) AS BIGINT)
         """,
         "text_quality": """
             WITH base AS (

@@ -9,7 +9,7 @@ no shuffle except where a corpus-level aggregate is requested.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # tiny per-language stopword lists for the n-gram/stopword LID heuristic
@@ -87,6 +87,115 @@ def quality_scores(docs: DataFrame) -> DataFrame:
         F.round(n_stop / n_tokens, 4).alias("stopword_ratio"),
         F.round(alpha_chars / n_chars, 4).alias("alpha_ratio"),
         ((n_tokens >= 10) & (n_tokens <= 100_000)).alias("length_ok"),
+    )
+
+
+# Distilled quality-filter weights: the deployment shape of a trained
+# text-quality classifier (fastText/LR distilled to a linear model the
+# way production corpus filters ship — training happens offline, the
+# corpus-scale pass is a pure row-local projection). Feature order is
+# the evaluation order; keep it fixed: z is a left-associated IEEE
+# double chain over identical inputs in any engine, so the keep/drop
+# decision is bit-deterministic cross-engine.
+QUALITY_CLF = {
+    "bias": -1.2,
+    "mean_token_len": 0.35,
+    "stopword_ratio": 4.0,
+    "alpha_ratio": 1.5,
+    "distinct_ratio": 0.8,
+    "log10_tokens": 0.25,
+}
+
+
+def quality_classifier(docs: DataFrame, weights: dict | None = None,
+                       threshold: float = 0.0) -> DataFrame:
+    """Linear quality classifier over the cheap per-doc features
+    (row-local, zero shuffles — at 100 TB this is a map-only pass that
+    rides the same scan as any other row-local signal).
+
+    Emits the raw margin ``z`` (bit-deterministic: fixed-order double
+    arithmetic over exact integer counts), the sigmoid ``score``
+    rounded to 4dp (exp() may differ by an ulp across engines —
+    the rounding margin is property-tested like tf_idf's ln), and the
+    ``keep`` decision ``z >= threshold`` (pure comparison on the
+    deterministic margin, never on the rounded score)."""
+    w = weights or QUALITY_CLF
+    toks = tokens_col()
+    n_tokens = F.size(toks)
+    n_chars = F.length(F.col("text"))
+    stop = LID_STOPWORDS["en"]
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*stop)))
+    alpha_chars = F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z]", ""))
+    n_distinct = F.size(F.array_distinct(toks))
+    mean_tl = (n_chars - n_tokens + 1) / n_tokens
+    stop_r = n_stop / n_tokens
+    alpha_r = alpha_chars / n_chars
+    distinct_r = n_distinct / n_tokens
+    log_nt = F.log10(n_tokens.cast("double"))
+    z = (F.lit(float(w["bias"]))
+         + F.lit(float(w["mean_token_len"])) * mean_tl
+         + F.lit(float(w["stopword_ratio"])) * stop_r
+         + F.lit(float(w["alpha_ratio"])) * alpha_r
+         + F.lit(float(w["distinct_ratio"])) * distinct_r
+         + F.lit(float(w["log10_tokens"])) * log_nt)
+    return docs.select(
+        "doc_id",
+        n_tokens.cast("long").alias("n_tokens"),
+        F.round(z, 6).alias("z"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 4).alias("score"),
+        (z >= F.lit(float(threshold))).alias("keep"),
+    )
+
+
+def pack_sequences(docs: DataFrame, budget: int = 256,
+                   n_shards: int = 32) -> DataFrame:
+    """Fixed-budget sequence packing: assign documents (in doc_id
+    order) to training sequences of ~``budget`` tokens, the standard
+    constant-length example-packing step before tokenization.
+
+    Distributed variant: docs shard by ``doc_id % n_shards`` and pack
+    WITHIN shards (training shards are the natural parallel unit), so
+    the window sort never funnels the corpus through one partition —
+    the exact greedy algorithm is inherently sequential, and this is
+    its shard-parallel deployment shape. Boundary semantics: sequence
+    k spans the running-token interval (k*budget, (k+1)*budget] and a
+    doc belongs to the sequence where its running total STARTED
+    (straddling docs overflow, never split), so every non-final
+    sequence's token count lies within one max-doc-length of the
+    budget — the fixed-grid approximation of greedy packing that a
+    window cumsum can express (true greedy resets at each boundary
+    and is not window-expressible). Same window expression evaluates
+    identically in the SQL oracle.
+
+    Output: one row per packed sequence with doc/token counts and the
+    doc_id span, ready to drive a writer that emits one file per
+    sequence group."""
+    toks = tokens_col()
+    w = (
+        Window.partitionBy("shard").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    assigned = (
+        docs.select(
+            "doc_id",
+            (F.col("doc_id") % n_shards).alias("shard"),
+            F.size(toks).cast("long").alias("n_tokens"),
+        )
+        .withColumn("running", F.sum("n_tokens").over(w))
+        .withColumn(
+            "seq_id",
+            F.floor((F.col("running") - F.col("n_tokens"))
+                    / F.lit(int(budget))).cast("long"),
+        )
+    )
+    return (
+        assigned.groupBy("shard", "seq_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").alias("seq_tokens"),
+            F.min("doc_id").alias("first_doc_id"),
+            F.max("doc_id").alias("last_doc_id"),
+        )
     )
 
 

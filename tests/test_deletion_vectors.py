@@ -134,14 +134,18 @@ def test_clone_carries_vectors(spark, dvt, tmp_path):
     assert sorted(r["id"] for r in c.read().collect()) == [2, 3, 4, 5]
 
 
-def test_export_refuses_active_vectors(spark, dvt, tmp_path):
+def test_export_encodes_active_vectors(spark, dvt, tmp_path):
+    """Export no longer refuses DV tables: active vectors re-encode as
+    standard roaring descriptors and the replayer agrees (full DV
+    export matrix in test_deltaexport.py)."""
     from deltalake_poc_spark.tables.deltaexport import export_standard_delta
+    from deltalake_poc_spark.tables.deltareader import DeltaLakeReader
 
     dvt.delete("id = 1")
-    with pytest.raises(NotImplementedError, match="purge_deletion_vectors"):
-        export_standard_delta(dvt, str(tmp_path / "exp"))
-    dvt.purge_deletion_vectors()
-    export_standard_delta(dvt, str(tmp_path / "exp"))  # now fine
+    export_standard_delta(dvt, str(tmp_path / "exp"))
+    r = DeltaLakeReader(spark, str(tmp_path / "exp"))
+    assert sorted(x["id"] for x in r.read().collect()) == [2, 3, 4, 5]
+    assert len(r.snapshot().dvs) == 1
 
 
 def test_vacuum_cleans_orphaned_dv_dirs(spark, dvt):

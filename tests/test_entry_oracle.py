@@ -64,3 +64,52 @@ def test_tf_idf_ln_agreement_pinned(spark, sf):
         F.abs(F.col("s") - F.floor("s") - 0.5).alias("margin")
     ).agg(F.min("margin").alias("m")).collect()[0]["m"]
     assert near > 1e-8, f"tfidf value within {near} of a 4dp boundary"
+
+
+@pytest.mark.parametrize("sf", ["sf0.001", "sf0.01", "sf0.1"])
+def test_quality_classifier_margins_pinned(spark, sf):
+    """quality_classifier's keep decides on the raw margin z
+    (bit-deterministic double chain), but z and score are ROUNDED
+    outputs (6dp / 4dp) and score passes through exp(). Pin the margin
+    invariant at every SF: no unrounded value sits near a rounding
+    boundary, and no z sits near the keep threshold — so a <=1-ulp
+    exp()/arithmetic difference can never flip a hashed value."""
+    from pyspark.sql import functions as F
+
+    from deltalake_poc_spark.analytics.io import load_table
+    from deltalake_poc_spark.pipeline.text import QUALITY_CLF, tokens_col
+
+    sf_dir = f"/root/testdata/{sf}"
+    compare_to_oracle(QUERIES["quality_classifier"](spark, sf_dir),
+                      ORACLES["quality_classifier"], sf_dir)
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col()
+    n_tokens = F.size(toks)
+    n_chars = F.length(F.col("text"))
+    n_stop = F.size(F.filter(
+        toks, lambda t: t.isin("the", "a", "of", "and", "to", "in", "is")))
+    alpha_chars = F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z]", ""))
+    n_distinct = F.size(F.array_distinct(toks))
+    w = QUALITY_CLF
+    z = (F.lit(w["bias"])
+         + F.lit(w["mean_token_len"]) * ((n_chars - n_tokens + 1) / n_tokens)
+         + F.lit(w["stopword_ratio"]) * (n_stop / n_tokens)
+         + F.lit(w["alpha_ratio"]) * (alpha_chars / n_chars)
+         + F.lit(w["distinct_ratio"]) * (n_distinct / n_tokens)
+         + F.lit(w["log10_tokens"]) * F.log10(n_tokens.cast("double")))
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+
+    def margin(col, scale):
+        s = col * scale
+        return F.abs(s - F.floor(s) - 0.5)
+
+    m = docs.select(
+        margin(z, 1_000_000).alias("mz"),
+        margin(score, 10_000).alias("ms"),
+        F.abs(z).alias("thr"),
+    ).agg(F.min("mz").alias("mz"), F.min("ms").alias("ms"),
+          F.min("thr").alias("thr")).collect()[0]
+    assert m["mz"] > 1e-8, f"z within {m['mz']} of a 6dp boundary"
+    assert m["ms"] > 1e-8, f"score within {m['ms']} of a 4dp boundary"
+    assert m["thr"] > 1e-9, f"z within {m['thr']} of the keep threshold"

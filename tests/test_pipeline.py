@@ -519,3 +519,58 @@ def test_winnow_fingerprints_shape(spark):
     assert 1 <= got[0]["n_fps"] <= 3
     # doc 1: fewer tokens than n -> zero grams -> zero fps
     assert got[1]["n_fps"] == 0
+
+
+def test_pack_sequences_semantics(spark):
+    """Shard-parallel fixed-budget packing invariants on a hand-built
+    corpus: no doc lost, overflow docs stay in the sequence where
+    their running total started, and every sequence except a shard's
+    last reaches the budget."""
+    from pyspark.sql import functions as F
+
+    from deltalake_poc_spark.pipeline.text import pack_sequences
+
+    # one shard: tokens 4,4,4,4,4,2; budget 10. Fixed-grid semantics:
+    # doc2 STARTS at running 8 (<10) so it overflows seq0 (12 tokens);
+    # docs 3,4 start at 12,16 -> seq1 (8 tokens — the overflow ate
+    # into seq1's window); doc5 starts at 20 -> seq2
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * n)) for i, n in
+         enumerate([4, 4, 4, 4, 4, 2])],
+        "doc_id long, text string")
+    out = {(r["seq_id"]): (r["n_docs"], r["seq_tokens"])
+           for r in pack_sequences(docs, budget=10, n_shards=1).collect()}
+    assert out == {0: (3, 12), 1: (2, 8), 2: (1, 2)}
+
+    # corpus-level invariants at a real SF: no doc lost, and every
+    # non-final sequence within one max-doc-length of the budget
+    from deltalake_poc_spark.analytics.io import load_table
+    from deltalake_poc_spark.pipeline.text import tokens_col
+
+    corpus = load_table(spark, "/root/testdata/sf0.001", "documents")
+    packed = pack_sequences(corpus, budget=256, n_shards=32)
+    assert packed.agg(F.sum("n_docs")).collect()[0][0] == corpus.count()
+    max_doc = corpus.select(
+        F.max(F.size(tokens_col())).alias("m")).collect()[0]["m"]
+    last_per_shard = packed.groupBy("shard").agg(
+        F.max("seq_id").alias("last"))
+    non_last = packed.join(
+        last_per_shard,
+        (packed.shard == last_per_shard.shard)
+        & (packed.seq_id == last_per_shard.last), "left_anti")
+    bad = non_last.filter(
+        (F.col("seq_tokens") <= 256 - max_doc)
+        | (F.col("seq_tokens") >= 256 + max_doc)).count()
+    assert bad == 0, f"{bad} non-final sequences outside budget±max_doc"
+
+
+def test_quality_classifier_row_local(spark):
+    """The classifier is a map-only pass: no Exchange in the plan."""
+    from deltalake_poc_spark.analytics.io import load_table
+    from deltalake_poc_spark.pipeline.text import quality_classifier
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    plan = quality_classifier(docs)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan, plan[:500]
+    assert "EvalPython" not in plan, plan[:500]
