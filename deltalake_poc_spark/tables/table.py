@@ -711,6 +711,57 @@ class VersionedTable:
             c, snap,
             cleanup_on_fail=(staged_changes,) if staged_changes else ())
 
+    def _dv_sidecar_from(self, matches: DataFrame, snap: Snapshot
+                         ) -> tuple[str | None, list[str], int, int]:
+        """Build one consolidated DV sidecar from ``matches`` (a frame
+        carrying ``__file``/``__pos``): the new (file, pos) rows plus
+        every prior active DV row, written under a fresh unique dir.
+        Returns (dv_rel, dv'd file list, total rows, prior rows);
+        dv_files empty means nothing matched (caller no-ops and the
+        empty sidecar is removed).
+
+        File URIs map back to log-relative paths by BASENAME
+        (uuid-unique within the table) joined against the snapshot's
+        file list — _metadata.file_path is URL-encoded, so any
+        prefix/substring arithmetic on the raw URI silently mismatches
+        for roots containing spaces etc. The unique sidecar dir (not
+        v=<planned>) keeps two racing DV writers from overwriting each
+        other's staged sidecar."""
+        base_map = self.spark.createDataFrame(
+            [(p.rsplit("/", 1)[-1], p) for p in snap.file_paths],
+            "__bname string, file string")
+        new_rows = (
+            matches.select(
+                F.element_at(F.split(F.col("__file"), "/"), -1)
+                .alias("__bname"),
+                F.col("__pos").cast("long").alias("pos"))
+            .join(F.broadcast(base_map), "__bname")
+            .select("file", "pos"))
+        prior_dirs = sorted(set(snap.dvs.values()))
+        n_prior = 0
+        if prior_dirs:
+            prior = (self.spark.read.parquet(
+                        *[self.log.abs_path(d) for d in prior_dirs])
+                     .filter(F.col("file").isin(list(snap.dvs)))
+                     .select("file", F.col("pos").cast("long").alias("pos")))
+            new_rows = new_rows.unionByName(prior)
+        dv_rel = f"{DV_DIR}/{uuid.uuid4().hex}"
+        out_dir = self.log.abs_path(dv_rel)
+        new_rows.distinct().coalesce(1).write.mode("overwrite").parquet(out_dir)
+        written = self.spark.read.parquet(out_dir)
+        dv_files = [r["file"]
+                    for r in written.select("file").distinct().collect()]
+        if not dv_files:
+            shutil.rmtree(out_dir, ignore_errors=True)
+            return None, [], 0, 0
+        n_total = written.count()
+        if prior_dirs:
+            n_prior = (self.spark.read.parquet(
+                          *[self.log.abs_path(d) for d in prior_dirs])
+                       .filter(F.col("file").isin(list(snap.dvs)))
+                       .distinct().count())
+        return dv_rel, dv_files, n_total, n_prior
+
     def _delete_dv(self, pred, pred_str: str, snap: Snapshot) -> Commit:
         """DELETE via deletion vectors (Delta parity:
         delta.enableDeletionVectors): record the (file, row position)
@@ -731,52 +782,13 @@ class VersionedTable:
             staged_changes = self._stage_changes(
                 matches.drop("__file", "__pos").withColumn(
                     "_change_type", F.lit("delete")))
-        # map scanned file URIs back to log-relative paths by BASENAME
-        # (uuid-unique within the table) joined against the snapshot's
-        # file list — _metadata.file_path is URL-encoded, so any
-        # prefix/substring arithmetic on the raw URI silently
-        # mismatches for roots containing spaces etc., turning DV
-        # deletes into no-ops. The basename of a data file never
-        # contains encodable characters (hex uuid + '.parquet').
-        base_map = self.spark.createDataFrame(
-            [(p.rsplit("/", 1)[-1], p) for p in snap.file_paths],
-            "__bname string, file string")
-        new_rows = (
-            matches.select(
-                F.element_at(F.split(F.col("__file"), "/"), -1)
-                .alias("__bname"),
-                F.col("__pos").cast("long").alias("pos"))
-            .join(F.broadcast(base_map), "__bname")
-            .select("file", "pos"))
-        prior_dirs = sorted(set(snap.dvs.values()))
-        n_prior = 0
-        if prior_dirs:
-            prior = (self.spark.read.parquet(
-                        *[self.log.abs_path(d) for d in prior_dirs])
-                     .filter(F.col("file").isin(list(snap.dvs)))
-                     .select("file", F.col("pos").cast("long").alias("pos")))
-            new_rows = new_rows.unionByName(prior)
-        # unique sidecar dir (not v=<planned>): two racing DV deletes
-        # would otherwise overwrite each other's sidecar at the same
-        # contested path — and the loser's overwrite would corrupt the
-        # data the WINNER's published commit references
-        dv_rel = f"{DV_DIR}/{uuid.uuid4().hex}"
-        out_dir = self.log.abs_path(dv_rel)
-        new_rows.distinct().coalesce(1).write.mode("overwrite").parquet(out_dir)
-        written = self.spark.read.parquet(out_dir)
-        dv_files = [r["file"] for r in written.select("file").distinct().collect()]
+        dv_rel, dv_files, n_total, n_prior = self._dv_sidecar_from(
+            matches, snap)
         if not dv_files:
-            shutil.rmtree(out_dir, ignore_errors=True)
             if staged_changes:
                 shutil.rmtree(self.log.abs_path(staged_changes),
                               ignore_errors=True)
             return self._noop_commit("DELETE", {"predicate": pred_str})
-        n_total = written.count()
-        if prior_dirs:
-            n_prior = (self.spark.read.parquet(
-                          *[self.log.abs_path(d) for d in prior_dirs])
-                       .filter(F.col("file").isin(list(snap.dvs)))
-                       .distinct().count())
         c = Commit(
             version=snap.version + 1,
             timestamp=self.log.monotonic_now_ms(),
@@ -821,12 +833,17 @@ class VersionedTable:
 
     def update(self, set_exprs: dict, predicate=None) -> Commit:
         """UPDATE (M2 analogue — the reference expresses conditional
-        update through MERGE; provided for API completeness)."""
+        update through MERGE; provided for API completeness). With
+        ``enableDeletionVectors``, matched rows are DV'd in place and
+        their updated images append as new files — no rewrite of the
+        untouched rows (Delta's DV-enabled UPDATE)."""
         pred = (F.expr(predicate) if isinstance(predicate, str) else predicate) \
             if predicate is not None else F.lit(True)
         snap = self.snapshot()
         if not snap.files:
             return self._noop_commit("UPDATE", {})
+        if str(snap.properties.get(DV_PROP, "false")).lower() == "true":
+            return self._update_dv(set_exprs, pred, str(predicate), snap)
         df = self._read_files_with_filename(snap)
         touched = [r["__file"] for r in
                    df.filter(pred).select("__file").distinct().collect()]
@@ -871,6 +888,73 @@ class VersionedTable:
         return self._publish(
             c, snap,
             cleanup_on_fail=(staged_changes,) if staged_changes else ())
+
+    def _update_dv(self, set_exprs: dict, pred, pred_str: str,
+                   snap: Snapshot) -> Commit:
+        """UPDATE via deletion vectors: the matched rows' (file, pos)
+        go into a consolidated sidecar (same mechanism as _delete_dv)
+        and their post-images land as NEW appended files — updating 10
+        rows in a 1 GB file costs a tiny sidecar plus a 10-row file,
+        not a 1 GB rewrite. One commit: dv_updates + add, so readers
+        atomically see old rows vanish and new images appear; OCC
+        treats it like any DV-bearing commit (conflicts with rivals
+        whose read set it invalidates)."""
+        schema = self.schema(snap)
+        df = self._read_files(snap.file_paths, snap, with_position=True)
+        # persisted: consumed by the sidecar write, the post-image
+        # materialize, and (optionally) the CDF stage — the matched
+        # set is the sparse-update case DVs exist for
+        matches = df.filter(F.coalesce(pred, F.lit(False))).persist()
+        try:
+            if matches.limit(1).count() == 0:
+                return self._noop_commit("UPDATE", {"predicate": pred_str})
+            cols = []
+            for f in schema.fields:
+                if f.name in set_exprs:
+                    expr = set_exprs[f.name]
+                    expr = F.expr(expr) if isinstance(expr, str) else expr
+                    cols.append(expr.cast(f.dataType).alias(f.name))
+                else:
+                    cols.append(F.col(f.name))
+            updated = matches.select(*cols)
+            from deltalake_poc_spark.tables.constraints import enforce
+
+            updated = enforce(updated, snap.properties, schema)
+            staged_changes = None
+            if self.cdf_enabled(snap):
+                pre = matches.drop("__file", "__pos").withColumn(
+                    "_change_type", F.lit("update_preimage"))
+                post = updated.withColumn(
+                    "_change_type", F.lit("update_postimage"))
+                staged_changes = self._stage_changes(pre.unionByName(post))
+            dv_rel, dv_files, n_total, n_prior = self._dv_sidecar_from(
+                matches, snap)
+            if not dv_files:  # unreachable after the match probe; safety
+                if staged_changes:
+                    shutil.rmtree(self.log.abs_path(staged_changes),
+                                  ignore_errors=True)
+                return self._noop_commit("UPDATE", {"predicate": pred_str})
+            entries = self._materialize(
+                updated, partition_by=self.partition_columns(snap) or None)
+            c = Commit(
+                version=snap.version + 1,
+                timestamp=self.log.monotonic_now_ms(),
+                operation="UPDATE",
+                operation_parameters={"predicate": pred_str,
+                                      "deletionVectors": True},
+                add=entries,
+                dv_updates={f: dv_rel for f in dv_files},
+                metrics={"numUpdatedRows": n_total - n_prior,
+                         "numRemovedFiles": 0,
+                         "numAddedFiles": len(entries),
+                         "numDeletionVectorRows": n_total},
+                change_dir=staged_changes,
+            )
+            cleanup = (dv_rel,) + ((staged_changes,)
+                                   if staged_changes else ())
+            return self._publish(c, snap, cleanup_on_fail=cleanup)
+        finally:
+            matches.unpersist()
 
     def _read_files_with_filename(self, snap: Snapshot) -> DataFrame:
         return self._read_files(snap.file_paths, snap,

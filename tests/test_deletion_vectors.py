@@ -6,8 +6,9 @@ anti-joins them during the scan — deleting 1 row from a large file
 costs a tiny sidecar write instead of a full rewrite. Every other
 operation must see through the vectors: merge/update rewrites must
 not resurrect deleted rows, OPTIMIZE and purge materialize, RESTORE
-reverts to the target version's vectors, clone carries them, and
-standard-Delta export refuses until purged.
+reverts to the target version's vectors, clone carries them, DV-mode
+UPDATE appends post-images without rewriting, and standard-Delta
+export re-encodes active vectors as protocol roaring descriptors.
 """
 
 from __future__ import annotations
@@ -188,3 +189,77 @@ def test_dv_on_partitioned_table(spark, tmp_path):
     assert not t.snapshot().dvs
     got = {(r["id"], r["region"]) for r in t.read().collect()}
     assert got == {(1, "eu"), (4, "us")}
+
+
+def test_dv_update_appends_postimages_without_rewrite(spark, dvt):
+    """DV-enabled UPDATE: old rows vanish via the vector, post-images
+    append as new files; the original data files are untouched."""
+    files_before = {e.path for e in dvt.snapshot().files}
+    c = dvt.update({"v": F.concat(F.col("v"), F.lit("!"))}, "id <= 2")
+    assert c.operation == "UPDATE"
+    assert c.metrics["numUpdatedRows"] == 2
+    assert c.metrics["numRemovedFiles"] == 0
+    got = sorted((r["id"], r["v"]) for r in dvt.read().collect())
+    assert got == [(1, "v1!"), (2, "v2!"), (3, "v3"), (4, "v4"), (5, "v5")]
+    snap = dvt.snapshot()
+    # originals still present (not rewritten), plus >=1 post-image file
+    assert files_before <= {e.path for e in snap.files}
+    assert len(snap.files) > len(files_before)
+    assert snap.dvs  # old positions vectored out
+    # time travel sees the pre-update values
+    pre = sorted((r["id"], r["v"])
+                 for r in dvt.read(version=c.version - 1).collect())
+    assert pre == [(i, f"v{i}") for i in (1, 2, 3, 4, 5)]
+
+
+def test_dv_update_then_delete_consolidates(spark, dvt):
+    dvt.update({"v": F.lit("X")}, "id = 1")
+    dvt.delete("id = 2")
+    assert sorted((r["id"], r["v"]) for r in dvt.read().collect()) == [
+        (1, "X"), (3, "v3"), (4, "v4"), (5, "v5")]
+    # consolidation: one active DV dir for all vectored files
+    assert len(set(dvt.snapshot().dvs.values())) == 1
+
+
+def test_dv_update_cdf_pre_and_post_images(spark, tmp_path):
+    t = VersionedTable.create(
+        spark, str(tmp_path / "dvu"), SCHEMA,
+        properties={"enableDeletionVectors": "true",
+                    "enableChangeDataFeed": "true"})
+    t.write(df_of(spark, 1, 2, 3), "append")
+    c = t.update({"v": F.lit("up")}, "id = 2")
+    rows = sorted((r["_change_type"], r["id"], r["v"])
+                  for r in t.read_change_feed(c.version).collect())
+    assert rows == [("update_postimage", 2, "up"),
+                    ("update_preimage", 2, "v2")]
+
+
+def test_dv_update_noop_and_constraint(spark, dvt):
+    c = dvt.update({"v": F.lit("never")}, "id = 999")
+    # no match -> a no-op commit (same convention as DELETE): no files
+    # added, no vectors written, table content unchanged
+    assert not c.add and not c.dv_updates
+    assert ids_of(dvt) == [1, 2, 3, 4, 5]
+    dvt.add_constraint("v_short", "length(v) <= 4")
+    with pytest.raises(Exception, match="v_short|violat|CHECK"):
+        dvt.update({"v": F.lit("toolong")}, "id = 1")
+    assert ids_of(dvt) == [1, 2, 3, 4, 5]
+    assert dvt.read().filter("v = 'toolong'").count() == 0
+
+
+def test_dv_update_exports_standard(spark, dvt, tmp_path):
+    """A DV UPDATE commit (add + dv_updates together) round-trips
+    through the standard-protocol export."""
+    from deltalake_poc_spark.tables.deltaexport import export_standard_delta
+    from deltalake_poc_spark.tables.deltareader import DeltaLakeReader
+
+    dvt.update({"v": F.lit("U")}, "id IN (2, 4)")
+    dest = str(tmp_path / "exp")
+    export_standard_delta(dvt, dest)
+    r = DeltaLakeReader(spark, dest)
+    for v in range(dvt.version() + 1):
+        ours = sorted((x["id"], x["v"])
+                      for x in dvt.read(version=v).collect())
+        theirs = sorted((x["id"], x["v"])
+                        for x in r.read(version=v).collect())
+        assert ours == theirs, v
