@@ -182,8 +182,16 @@ class MergeBuilder:
                 evolved_json = None  # nothing new: plain merge commit
 
         rel_touched = self._touched_files(snap) if snap.files else []
-        target = t._plain_read(rel_touched, schema, dvs=snap.dvs) \
-            if rel_touched else t.spark.createDataFrame([], schema)
+        dv_mode = str(snap.properties.get(
+            "enableDeletionVectors", "false")).lower() == "true"
+        if dv_mode:
+            # merge-on-read: touched rows carry (file, position) so
+            # matched updates/deletes become vector entries instead of
+            # file rewrites (Delta's DV-enabled MERGE)
+            target = t._read_files(rel_touched, snap, with_position=True)
+        else:
+            target = t._plain_read(rel_touched, schema, dvs=snap.dvs) \
+                if rel_touched else t.spark.createDataFrame([], schema)
 
         # align source to target schema (missing cols -> null)
         src_cols = {f.name for f in src.schema.fields}
@@ -225,6 +233,11 @@ class MergeBuilder:
             .otherwise(F.lit("X"))  # source-only rows not inserted
         )
         classified = joined.withColumn("__action", action)
+        if dv_mode:
+            t_cols = [F.col(f"t.{f.name}").alias(f.name)
+                      for f in schema.fields]
+            return self._finish_dv(snap, schema, classified, aligned,
+                                   t_cols, rel_touched, evolved_json)
         # persist only when the CDF path will stream the frame twice
         # (change-file write + materialize); in the single-consumer
         # case the cache fill is pure overhead AND freezes the join's
@@ -328,6 +341,90 @@ class MergeBuilder:
         finally:
             if cache_classified:
                 classified.unpersist()
+
+    def _finish_dv(self, snap, schema, classified, aligned, t_cols,
+                   rel_touched, evolved_json) -> Commit:
+        """Merge-on-read commit: matched updates/deletes go into a
+        consolidated deletion-vector sidecar addressing the TOUCHED
+        files' row positions; update post-images and inserts append as
+        new files; copy rows are never rewritten — a sparse CDC upsert
+        against big files costs a tiny sidecar plus the changed rows,
+        zero copy amplification (numTargetRowsCopied is structurally
+        0, like Delta's DV MERGE). One commit carries dv_updates + add
+        so readers flip atomically."""
+        t = self.table
+        from deltalake_poc_spark.tables.constraints import enforce
+        from deltalake_poc_spark.tables.log import Commit
+
+        classified = classified.persist()
+        try:
+            counts = {
+                r["__action"]: r["cnt"]
+                for r in classified.groupBy("__action")
+                .agg(F.count(F.lit(1)).alias("cnt")).collect()
+            }
+            n_upd = counts.get("U", 0)
+            n_ins = counts.get("I", 0)
+            n_del = counts.get("D", 0)
+            if n_upd + n_ins + n_del == 0:
+                return t._noop_commit("MERGE", {
+                    "predicate": " AND ".join(
+                        f"t.{k} = s.{k}" for k in self.keys)})
+            new_rows = enforce(
+                classified.filter(F.col("__action").isin("U", "I"))
+                .select(*aligned),
+                snap.properties, schema)
+            staged_changes = None
+            if t.cdf_enabled(snap):
+                changes = self._change_rows(classified, schema,
+                                            aligned, t_cols)
+                if changes is not None:
+                    staged_changes = t._stage_changes(changes)
+            dv_rel, dv_files, n_total = None, [], 0
+            if n_upd + n_del > 0:
+                dv_matches = classified.filter(
+                    F.col("__action").isin("U", "D")).select(
+                        F.col("t.__file").alias("__file"),
+                        F.col("t.__pos").alias("__pos"))
+                dv_rel, dv_files, n_total, _prior = t._dv_sidecar_from(
+                    dv_matches, snap)
+            entries = t._materialize(
+                new_rows, stats_cols=None,
+                partition_by=t.partition_columns(snap) or None,
+                mapping=({f.name: t._physical(f) for f in schema.fields}
+                         if evolved_json else None)) \
+                if n_upd + n_ins > 0 else []
+            commit = Commit(
+                version=snap.version + 1,
+                timestamp=t.log.monotonic_now_ms(),
+                operation="MERGE",
+                operation_parameters={
+                    "predicate": " AND ".join(
+                        f"t.{k} = s.{k}" for k in self.keys),
+                    "matchedUpdateAll": self._update_all,
+                    "matchedDelete": self._delete,
+                    "notMatchedInsertAll": self._insert_all,
+                    "deletionVectors": True,
+                },
+                add=entries,
+                dv_updates={f: dv_rel for f in dv_files},
+                schema_json=evolved_json,
+                metrics={
+                    "numTargetRowsUpdated": n_upd,
+                    "numTargetRowsInserted": n_ins,
+                    "numTargetRowsDeleted": n_del,
+                    "numTargetRowsCopied": 0,
+                    "numOutputRows": sum(e.num_records for e in entries),
+                    "numTargetFilesRemoved": 0,
+                    "numTargetFilesAdded": len(entries),
+                    "numDeletionVectorRows": n_total,
+                },
+                change_dir=staged_changes,
+            )
+            cleanup = tuple(x for x in (dv_rel, staged_changes) if x)
+            return t._publish(commit, snap, cleanup_on_fail=cleanup)
+        finally:
+            classified.unpersist()
 
     def _change_rows(self, classified, schema, aligned, t_cols):
         """CDF rows for this merge: insert / delete / update_pre+postimage."""

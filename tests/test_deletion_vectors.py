@@ -263,3 +263,86 @@ def test_dv_update_exports_standard(spark, dvt, tmp_path):
         theirs = sorted((x["id"], x["v"])
                         for x in r.read(version=v).collect())
         assert ours == theirs, v
+
+
+def test_dv_merge_zero_copy_amplification(spark, dvt):
+    """DV-mode MERGE: matched update+delete vector the old rows and
+    append only the changed images — the original files survive and
+    numTargetRowsCopied is structurally zero."""
+    files_before = {e.path for e in dvt.snapshot().files}
+    src = spark.createDataFrame(
+        [(2, "v2new"), (5, None), (9, "v9")], SCHEMA)
+    c = (dvt.merge(src, on="id")
+         .when_matched_delete(condition=F.col("s.v").isNull())
+         .when_matched_update_all(condition=F.col("s.v").isNotNull())
+         .when_not_matched_insert_all()
+         .execute())
+    assert c.metrics["numTargetRowsUpdated"] == 1
+    assert c.metrics["numTargetRowsDeleted"] == 1
+    assert c.metrics["numTargetRowsInserted"] == 1
+    assert c.metrics["numTargetRowsCopied"] == 0
+    assert c.metrics["numTargetFilesRemoved"] == 0
+    assert files_before <= {e.path for e in dvt.snapshot().files}
+    got = sorted((r["id"], r["v"]) for r in dvt.read().collect())
+    assert got == [(1, "v1"), (2, "v2new"), (3, "v3"), (4, "v4"),
+                   (9, "v9")]
+    # time travel to the pre-merge version
+    pre = sorted((r["id"], r["v"])
+                 for r in dvt.read(version=c.version - 1).collect())
+    assert pre == [(i, f"v{i}") for i in (1, 2, 3, 4, 5)]
+
+
+def test_dv_merge_insert_only_writes_no_sidecar(spark, dvt):
+    dv_root = os.path.join(dvt.log.root, "_dv")
+    src = spark.createDataFrame([(10, "v10"), (11, "v11")], SCHEMA)
+    c = (dvt.merge(src, on="id")
+         .when_matched_update_all().when_not_matched_insert_all()
+         .execute())
+    assert c.metrics["numTargetRowsInserted"] == 2
+    assert not c.dv_updates and not os.path.isdir(dv_root)
+    assert ids_of(dvt) == [1, 2, 3, 4, 5, 10, 11]
+
+
+def test_dv_merge_cdf_parity(spark, tmp_path):
+    """The DV merge's change feed must look exactly like the rewrite
+    merge's for the same logical operation."""
+    src_rows = [(2, "B"), (6, "F")]
+    feeds = {}
+    for mode, props in (
+        ("rewrite", {"enableChangeDataFeed": "true"}),
+        ("dv", {"enableChangeDataFeed": "true",
+                "enableDeletionVectors": "true"}),
+    ):
+        t = VersionedTable.create(
+            spark, str(tmp_path / mode), SCHEMA, properties=props)
+        t.write(df_of(spark, 1, 2, 3), "append")
+        c = (t.merge(spark.createDataFrame(src_rows, SCHEMA), on="id")
+             .when_matched_update_all().when_not_matched_insert_all()
+             .execute())
+        feeds[mode] = sorted(
+            (r["_change_type"], r["id"], r["v"])
+            for r in t.read_change_feed(c.version).collect())
+    assert feeds["dv"] == feeds["rewrite"] == [
+        ("insert", 6, "F"),
+        ("update_postimage", 2, "B"),
+        ("update_preimage", 2, "v2"),
+    ]
+
+
+def test_dv_merge_exports_standard(spark, dvt, tmp_path):
+    from deltalake_poc_spark.tables.deltaexport import export_standard_delta
+    from deltalake_poc_spark.tables.deltareader import DeltaLakeReader
+
+    (dvt.merge(spark.createDataFrame([(1, "one"), (7, "seven")], SCHEMA),
+               on="id")
+     .when_matched_update_all().when_not_matched_insert_all().execute())
+    dvt.delete("id = 3")
+    dest = str(tmp_path / "exp")
+    export_standard_delta(dvt, dest)
+    r = DeltaLakeReader(spark, dest)
+    for v in range(dvt.version() + 1):
+        ours = sorted((x["id"], x["v"])
+                      for x in dvt.read(version=v).collect())
+        theirs = sorted((x["id"], x["v"])
+                        for x in r.read(version=v).collect())
+        assert ours == theirs, v
