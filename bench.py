@@ -98,19 +98,25 @@ def main() -> None:
         mid = xs[n // 2] if n % 2 else (xs[n // 2 - 1] + xs[n // 2]) / 2
         return round(mid, 3)
 
-    def _time_reps(fn) -> float:
+    def _time_reps(fn) -> tuple[float, float]:
         runs = []
         for _ in range(reps):
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             df.write.mode("overwrite").format("noop").save()
             runs.append(time.perf_counter() - t0)
-        return _median(runs)
+        return _median(runs), round(min(runs), 3)
 
+    # median is the headline; the min rides along because this host's
+    # noise is one-sided — a steal burst can land on ALL of one query's
+    # consecutive reps (observed: simhash 9.5s median inside a sweep,
+    # 1.4-2s in isolation minutes later), and the min exposes the
+    # query's actual cost under that interference
     stat0 = _cpu_stat()
     timings: dict[str, float] = {}
+    timings_min: dict[str, float] = {}
     for name, fn in qs.items():
-        timings[name] = _time_reps(fn)
+        timings[name], timings_min[name] = _time_reps(fn)
 
     # production-config twins of gate queries that pay a deliberate
     # oracle tax (32-band minhash, portable simhash, literal-pivot
@@ -118,7 +124,7 @@ def main() -> None:
     # cross-round totals stay comparable
     twin_timings: dict[str, float] = {}
     for name, fn in entrymod.bench_extra_queries().items():
-        twin_timings[name] = _time_reps(fn)
+        twin_timings[name], _ = _time_reps(fn)
 
     # single-node comparison point: the same queries' oracle SQL in
     # DuckDB at the same scale (the reference publishes no numbers, so
@@ -153,13 +159,14 @@ def main() -> None:
         env = {"cpu_steal_pct": round(100 * d["steal"] / tot, 2),
                "cpu_iowait_pct": round(100 * d["iowait"] / tot, 2)}
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    payload = {
         "metric": "total_query_sec",
         "value": total,  # sum of per-query medians
         "unit": "sec",
         "reps": reps,
         **env,
         "queries": timings,
+        "queries_min": timings_min,
         "production_twins": twin_timings,
         "oracle_duckdb_sec": oracle_timings,
         "oracle_total_sec": round(sum(oracle_timings.values()), 3),
@@ -169,7 +176,18 @@ def main() -> None:
         "write_pipelines": ["cdc_pipeline", "cdf_changes", "mv_refresh",
                             "time_travel_diff", "dv_pipeline"],
         "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
-    }))
+    }
+    line = json.dumps(payload)
+    print(line)
+    # full non-truncated copy next to the repo (the driver's recorder
+    # keeps only a 2000-char stdout tail; the complete per-query data
+    # with the env columns stays reviewable here)
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, "BENCH_LOCAL.json"), "w") as fh:
+            fh.write(line + "\n")
+    except OSError:
+        pass  # read-only checkout: stdout line is still complete
     spark.stop()
 
 
