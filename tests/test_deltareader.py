@@ -1,8 +1,9 @@
 """Standard-Delta-protocol read interop, verified against the
 REFERENCE'S OWN committed Delta tables (written by delta-spark:
 /root/reference/deltalake/*) plus synthesized logs covering the paths
-the fixtures don't exercise (partitioned tables, checkpoints, column
-mapping, deletion-vector refusal)."""
+the fixtures don't exercise (partitioned tables, single- and
+multi-part checkpoints, column mapping, deletion vectors with every
+storage format, roaring/Z85 codec properties)."""
 
 from __future__ import annotations
 
@@ -439,3 +440,78 @@ def test_column_mapping_by_name(spark, tmp_path):
     out = DeltaLakeReader(spark, root).read()
     assert out.columns == ["id", "name"]
     assert out.collect()[0]["name"] == "x"
+
+
+def test_roaring_roundtrip_property():
+    """Property-based round-trip over the whole container space:
+    arbitrary 64-bit row-index sets survive serialize -> deserialize
+    bit-exactly (arrays, bitmaps, multi-key, dense and sparse)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from deltalake_poc_spark.tables import roaring
+
+    idx = st.one_of(
+        st.integers(min_value=0, max_value=1 << 16),        # one container
+        st.integers(min_value=0, max_value=1 << 33),        # multi-key
+        st.integers(min_value=0, max_value=(1 << 63) - 1),  # full range
+    )
+
+    @given(st.lists(idx, max_size=300, unique=True))
+    @settings(max_examples=200, deadline=None)
+    def check(values):
+        data = roaring.serialize_roaring_array(values)
+        assert roaring.deserialize_roaring_array(data) == sorted(values)
+
+    check()
+
+
+def test_z85_roundtrip_property():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from deltalake_poc_spark.tables import roaring
+
+    @given(st.binary(max_size=200))
+    @settings(max_examples=200, deadline=None)
+    def check(data):
+        assert roaring.z85_decode(roaring.z85_encode(data),
+                                  len(data)) == data
+
+    check()
+
+
+def test_multipart_checkpoint_replay(spark, tmp_path):
+    """_last_checkpoint with parts=N: the replayer must assemble all N
+    part files (the layout large tables checkpoint into)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path / "mck")
+    df = _write_delta_table(
+        spark, root, [(1, "a"), (2, "b"), (3, "c")],
+        ["id long", "v string"])
+    # split a 3-row table's state across 2 checkpoint parts
+    meta_row = {"metaData": {
+        "id": "t", "format": {"provider": "parquet", "options": {"o": "1"}},
+        "schemaString": df.schema.json(), "partitionColumns": [],
+        "configuration": {"x": "y"}}, "protocol": None, "add": None}
+    proto_row = {"metaData": None,
+                 "protocol": {"minReaderVersion": 1, "minWriterVersion": 2},
+                 "add": None}
+    add_row = {"metaData": None, "protocol": None,
+               "add": {"path": "part-00000.parquet",
+                       "partitionValues": {"_": "_"}, "size": 1,
+                       "modificationTime": 0, "dataChange": True}}
+    log = os.path.join(root, "_delta_log")
+    pq.write_table(pa.Table.from_pylist([meta_row, proto_row]),
+                   os.path.join(
+                       log, f"{0:020d}.checkpoint.{1:010d}.{2:010d}.parquet"))
+    pq.write_table(pa.Table.from_pylist([add_row]),
+                   os.path.join(
+                       log, f"{0:020d}.checkpoint.{2:010d}.{2:010d}.parquet"))
+    with open(os.path.join(log, "_last_checkpoint"), "w") as f:
+        json.dump({"version": 0, "size": 3, "parts": 2}, f)
+    os.remove(os.path.join(log, f"{0:020d}.json"))
+    r = DeltaLakeReader(spark, root)
+    assert sorted(x["id"] for x in r.read().collect()) == [1, 2, 3]
