@@ -168,3 +168,22 @@ def test_repetition_signals_single_stage_row_local(spark):
     plan = plan_of(spark, "repetition_signals")
     assert "Exchange" not in plan, plan[:800]
     assert "EvalPython" not in plan, plan[:800]
+
+
+def test_pack_sequences_single_shuffle(spark):
+    """The packing aggregation must reuse the window's shard
+    partitioning (HashPartitioning(shard) satisfies the groupBy's
+    (shard, seq_id) clustering): exactly ONE exchange in the plan —
+    at 100 TB a second corpus-wide shuffle here would double the cost
+    of the whole operator."""
+    plan = plan_of(spark, "pack_sequences", mode="simple")
+    assert plan.count("Exchange") == 1, plan[:800]
+    assert "Window" in plan, plan[:800]
+
+
+def test_quality_classifier_map_only(spark):
+    """The distilled classifier is a pure row-local projection: no
+    exchange, no Python, filter-free single scan."""
+    plan = plan_of(spark, "quality_classifier", mode="simple")
+    assert "Exchange" not in plan, plan[:800]
+    assert "EvalPython" not in plan, plan[:800]
