@@ -284,6 +284,102 @@ def _q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _tpch_q(spark: SparkSession, sf_dir: str, fn_name: str,
+            *tables: str) -> DataFrame:
+    """Shared wrapper for the round-4 TPC-H completions: load the named
+    tables and apply analytics/tpch.py's query function."""
+    import deltalake_poc_spark.analytics.tpch as tpch
+
+    return getattr(tpch, fn_name)(
+        *(load_table(spark, sf_dir, t) for t in tables))
+
+
+def _q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _tpch_q(spark, sf_dir, "q2_min_cost_supplier",
+                   "region", "nation", "supplier", "part", "lineitem")
+
+
+def _q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _tpch_q(spark, sf_dir, "q4_order_priority", "orders", "lineitem")
+
+
+def _q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _tpch_q(spark, sf_dir, "q7_volume_shipping",
+                   "supplier", "lineitem", "orders", "customer", "nation")
+
+
+def _q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _tpch_q(spark, sf_dir, "q8_market_share", "region", "nation",
+                   "customer", "supplier", "orders", "lineitem", "part")
+
+
+def _q9_product_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _tpch_q(spark, sf_dir, "q9_product_revenue",
+                   "nation", "supplier", "part", "orders", "lineitem")
+
+
+def _q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _tpch_q(spark, sf_dir, "q10_returned_items",
+                   "customer", "orders", "lineitem", "nation")
+
+
+def _q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _tpch_q(spark, sf_dir, "q11_important_parts",
+                   "nation", "supplier", "lineitem")
+
+
+def _q12_priority_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _tpch_q(spark, sf_dir, "q12_priority_lateness",
+                   "orders", "lineitem")
+
+
+def _q13_cust_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _tpch_q(spark, sf_dir, "q13_cust_distribution",
+                   "customer", "orders")
+
+
+def _q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _tpch_q(spark, sf_dir, "q14_promo_revenue", "lineitem", "part")
+
+
+def _q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _tpch_q(spark, sf_dir, "q15_top_supplier", "supplier", "lineitem")
+
+
+def _q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _tpch_q(spark, sf_dir, "q16_supplier_cnt",
+                   "part", "lineitem", "supplier")
+
+
+def _q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _tpch_q(spark, sf_dir, "q17_small_qty_revenue",
+                   "lineitem", "part")
+
+
+def _q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _tpch_q(spark, sf_dir, "q18_large_volume",
+                   "customer", "orders", "lineitem")
+
+
+def _q19_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _tpch_q(spark, sf_dir, "q19_bracket_revenue", "lineitem", "part")
+
+
+def _q20_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _tpch_q(spark, sf_dir, "q20_promo_suppliers",
+                   "supplier", "nation", "lineitem", "part")
+
+
+def _q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _tpch_q(spark, sf_dir, "q21_waiting_suppliers",
+                   "supplier", "lineitem", "orders", "nation")
+
+
+def _q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _tpch_q(spark, sf_dir, "q22_idle_customers",
+                   "customer", "orders")
+
+
 def _range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketized time-range self-join (no nested-loop explosion)."""
     from deltalake_poc_spark.analytics.events import range_join_pairs
@@ -1028,6 +1124,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "intersect_keys": _intersect_keys,                   # INTERSECT
         "string_funcs": _string_funcs,                       # string surface
         "date_parts": _date_parts,                           # date extraction
+        # round-4 TPC-H completion: the remaining canonical plan shapes
+        # (adapted to the slim schema — see analytics/tpch.py header)
+        "q2_min_cost_supplier": _q2_min_cost_supplier,       # correlated min
+        "q4_order_priority": _q4_order_priority,             # EXISTS semi join
+        "q7_volume_shipping": _q7_volume_shipping,           # dual-nation join
+        "q8_market_share": _q8_market_share,                 # share quotient
+        "q9_product_revenue": _q9_product_revenue,           # nation/year rollup
+        "q10_returned_items": _q10_returned_items,           # returns top-k
+        "q11_important_parts": _q11_important_parts,         # fraction HAVING
+        "q12_priority_lateness": _q12_priority_lateness,     # conditional agg
+        "q13_cust_distribution": _q13_cust_distribution,     # outer-join hist
+        "q14_promo_revenue": _q14_promo_revenue,             # promo share
+        "q15_top_supplier": _q15_top_supplier,               # view + max probe
+        "q16_supplier_cnt": _q16_supplier_cnt,               # anti + distinct
+        "q17_small_qty_revenue": _q17_small_qty_revenue,     # correlated avg
+        "q18_large_volume": _q18_large_volume,               # IN group-having
+        "q19_bracket_revenue": _q19_bracket_revenue,         # OR brackets
+        "q20_promo_suppliers": _q20_promo_suppliers,         # nested semi
+        "q21_waiting_suppliers": _q21_waiting_suppliers,     # semi+anti self
+        "q22_idle_customers": _q22_idle_customers,           # scalar avg + anti
     }
 
 
@@ -1708,6 +1824,313 @@ def oracle_sql() -> dict[str, str]:
                            AND s.s_nationkey = c.c_nationkey
             WHERE r.r_name = 'ASIA'
             GROUP BY n.n_name
+        """,
+        "q2_min_cost_supplier": f"""
+            WITH supply AS (
+                SELECT l_partkey, l_suppkey,
+                       MIN({_units('l_extendedprice')}) AS cost_e2
+                FROM lineitem GROUP BY l_partkey, l_suppkey
+            ), eur AS (
+                SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+                FROM region r
+                JOIN nation n ON n.n_regionkey = r.r_regionkey
+                JOIN supplier s ON s.s_nationkey = n.n_nationkey
+                WHERE r.r_name = 'EUROPE'
+            ), j AS (
+                SELECT e.s_acctbal, e.s_name, e.n_name,
+                       p.p_partkey, p.p_name, su.cost_e2,
+                       MIN(su.cost_e2) OVER (PARTITION BY p.p_partkey)
+                           AS min_e2
+                FROM supply su
+                JOIN eur e ON su.l_suppkey = e.s_suppkey
+                JOIN part p ON su.l_partkey = p.p_partkey
+                WHERE p.p_size <= 15 AND p.p_type = 'LARGE'
+            )
+            SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+                   cost_e2 / 100.0 AS supply_cost
+            FROM j WHERE cost_e2 = min_e2
+            ORDER BY s_acctbal DESC, n_name ASC, s_name ASC, p_partkey ASC
+            LIMIT 100
+        """,
+        "q4_order_priority": """
+            SELECT o_orderpriority, COUNT(*) AS order_count
+            FROM orders o
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1996-04-01'
+              AND EXISTS (
+                  SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+            GROUP BY o_orderpriority
+        """,
+        "q7_volume_shipping": f"""
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   EXTRACT(YEAR FROM l.l_shipdate) AS l_year,
+                   (CAST(SUM({_units('l.l_extendedprice')}
+                             * (100 - {_units('l.l_discount')})) AS BIGINT)
+                    / 10000.0) AS revenue
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+            WHERE l.l_shipdate >= TIMESTAMP '1995-01-01'
+              AND l.l_shipdate < TIMESTAMP '1997-01-01'
+              AND ((n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_3')
+                   OR (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_2'))
+            GROUP BY supp_nation, cust_nation, l_year
+        """,
+        "q8_market_share": f"""
+            WITH vol AS (
+                SELECT EXTRACT(YEAR FROM o.o_orderdate) AS o_year,
+                       {_units('l.l_extendedprice')}
+                           * (100 - {_units('l.l_discount')}) AS v_e4,
+                       n1.n_name AS supp_nation
+                FROM lineitem l
+                JOIN part p ON l.l_partkey = p.p_partkey
+                JOIN orders o ON l.l_orderkey = o.o_orderkey
+                JOIN customer c ON o.o_custkey = c.c_custkey
+                JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+                JOIN region r ON n2.n_regionkey = r.r_regionkey
+                JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+                WHERE p.p_type = 'ECONOMY' AND r.r_name = 'AMERICA'
+            )
+            SELECT o_year,
+                   CAST(SUM(CASE WHEN supp_nation = 'NATION_1'
+                                 THEN v_e4 ELSE 0 END) AS DOUBLE)
+                   / CAST(SUM(v_e4) AS DOUBLE) AS mkt_share
+            FROM vol GROUP BY o_year
+        """,
+        "q9_product_revenue": f"""
+            SELECT n.n_name AS nation,
+                   EXTRACT(YEAR FROM o.o_orderdate) AS o_year,
+                   (CAST(SUM({_units('l.l_extendedprice')}
+                             * (100 - {_units('l.l_discount')})) AS BIGINT)
+                    / 10000.0) AS sum_revenue
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE p.p_name LIKE '%widget%'
+            GROUP BY nation, o_year
+        """,
+        "q10_returned_items": f"""
+            SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name,
+                   (CAST(SUM({_units('l.l_extendedprice')}
+                             * (100 - {_units('l.l_discount')})) AS BIGINT)
+                    / 10000.0) AS revenue
+            FROM customer c
+            JOIN orders o ON c.c_custkey = o.o_custkey
+            JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o.o_orderdate < TIMESTAMP '1996-04-01'
+              AND l.l_returnflag = 'R'
+            GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+            ORDER BY revenue DESC, c.c_custkey ASC
+            LIMIT 20
+        """,
+        "q11_important_parts": f"""
+            WITH base AS (
+                SELECT l.l_partkey,
+                       {_units('l.l_extendedprice')}
+                           * (100 - {_units('l.l_discount')}) AS v_e4
+                FROM lineitem l
+                JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                JOIN nation n ON s.s_nationkey = n.n_nationkey
+                WHERE n.n_name = 'NATION_7'
+            ), pp AS (
+                SELECT l_partkey, CAST(SUM(v_e4) AS BIGINT) AS part_e4
+                FROM base GROUP BY l_partkey
+            ), tot AS (
+                SELECT CAST(SUM(part_e4) AS BIGINT) AS total_e4 FROM pp
+            )
+            SELECT l_partkey, part_e4 / 10000.0 AS part_value
+            FROM pp, tot
+            WHERE part_e4 * 1000 > total_e4
+            ORDER BY part_value DESC, l_partkey ASC
+        """,
+        "q12_priority_lateness": """
+            SELECT l.l_linestatus,
+                   CAST(SUM(CASE WHEN o.o_orderpriority IN
+                                      ('1-URGENT', '2-HIGH')
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS high_line_count,
+                   CAST(SUM(CASE WHEN o.o_orderpriority IN
+                                      ('1-URGENT', '2-HIGH')
+                                 THEN 0 ELSE 1 END) AS BIGINT)
+                       AS low_line_count
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l.l_shipdate < TIMESTAMP '1998-01-01'
+              AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+            GROUP BY l.l_linestatus
+        """,
+        "q13_cust_distribution": """
+            WITH per_cust AS (
+                SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+                FROM customer c
+                LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                     AND o.o_orderpriority <> '5-LOW'
+                GROUP BY c.c_custkey
+            )
+            SELECT c_count, COUNT(*) AS custdist
+            FROM per_cust GROUP BY c_count
+            ORDER BY custdist DESC, c_count DESC
+        """,
+        "q14_promo_revenue": f"""
+            SELECT 100.0 * (
+                CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                              THEN {_units('l.l_extendedprice')}
+                                   * (100 - {_units('l.l_discount')})
+                              ELSE 0 END) AS DOUBLE)
+                / CAST(SUM({_units('l.l_extendedprice')}
+                           * (100 - {_units('l.l_discount')})) AS DOUBLE)
+            ) AS promo_revenue
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE l.l_shipdate >= TIMESTAMP '1997-09-01'
+              AND l.l_shipdate < TIMESTAMP '1997-10-01'
+        """,
+        "q15_top_supplier": f"""
+            WITH revenue0 AS (
+                SELECT l_suppkey AS supplier_no,
+                       CAST(SUM({_units('l_extendedprice')}
+                                * (100 - {_units('l_discount')})) AS BIGINT)
+                           AS rev_e4
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-10-01'
+                  AND l_shipdate < TIMESTAMP '1997-01-01'
+                GROUP BY l_suppkey
+            )
+            SELECT s.s_suppkey, s.s_name, r.rev_e4 / 10000.0 AS total_revenue
+            FROM revenue0 r
+            JOIN supplier s ON r.supplier_no = s.s_suppkey
+            WHERE r.rev_e4 = (SELECT MAX(rev_e4) FROM revenue0)
+            ORDER BY s.s_suppkey
+        """,
+        "q16_supplier_cnt": """
+            SELECT p.p_brand, p.p_type, p.p_size,
+                   COUNT(DISTINCT pr.l_suppkey) AS supplier_cnt
+            FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) pr
+            JOIN part p ON pr.l_partkey = p.p_partkey
+            WHERE p.p_brand <> 'Brand#5'
+              AND p.p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+              AND pr.l_suppkey NOT IN (
+                  SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+            GROUP BY p.p_brand, p.p_type, p.p_size
+            ORDER BY supplier_cnt DESC, p.p_brand ASC, p.p_type ASC,
+                     p.p_size ASC
+        """,
+        "q17_small_qty_revenue": f"""
+            WITH j AS (
+                SELECT {_units('l.l_quantity')} AS qty_u,
+                       {_units('l.l_extendedprice')} AS price_u,
+                       SUM({_units('l.l_quantity')})
+                           OVER (PARTITION BY p.p_partkey) AS sum_qty_u,
+                       COUNT(*) OVER (PARTITION BY p.p_partkey) AS n
+                FROM lineitem l
+                JOIN part p ON l.l_partkey = p.p_partkey
+                WHERE p.p_brand = 'Brand#3' AND p.p_type = 'SMALL'
+            )
+            SELECT CAST(CAST(SUM(price_u) AS BIGINT) AS DOUBLE)
+                       / 100.0 / 7.0 AS avg_yearly
+            FROM j WHERE qty_u * 5 * n < sum_qty_u
+        """,
+        "q18_large_volume": f"""
+            SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+                   o.o_totalprice,
+                   {_dsum('l.l_quantity')} AS sum_qty
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            WHERE o.o_orderkey IN (
+                SELECT l_orderkey FROM lineitem
+                GROUP BY l_orderkey
+                HAVING CAST(SUM({_units('l_quantity')}) AS BIGINT) > 25000)
+            GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+                     o.o_totalprice
+            ORDER BY o.o_totalprice DESC, o.o_orderkey ASC
+            LIMIT 100
+        """,
+        "q19_bracket_revenue": f"""
+            SELECT (CAST(SUM({_units('l.l_extendedprice')}
+                             * (100 - {_units('l.l_discount')})) AS BIGINT)
+                    / 10000.0) AS revenue
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+                   AND l.l_quantity BETWEEN 1 AND 11)
+               OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+                   AND l.l_quantity BETWEEN 10 AND 20)
+               OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+                   AND l.l_quantity BETWEEN 20 AND 30)
+        """,
+        "q20_promo_suppliers": f"""
+            SELECT s.s_suppkey, s.s_name
+            FROM supplier s
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            WHERE n.n_name = 'NATION_7'
+              AND s.s_suppkey IN (
+                  SELECT l_suppkey FROM lineitem
+                  WHERE l_partkey IN (
+                        SELECT p_partkey FROM part
+                        WHERE p_name LIKE 'red%')
+                    AND l_shipdate >= TIMESTAMP '1997-01-01'
+                    AND l_shipdate < TIMESTAMP '1998-01-01'
+                  GROUP BY l_suppkey, l_partkey
+                  HAVING CAST(SUM({_units('l_quantity')}) AS BIGINT) > 4000)
+            ORDER BY s.s_suppkey
+        """,
+        "q21_waiting_suppliers": """
+            WITH li AS (
+                SELECT l.l_orderkey, l.l_suppkey,
+                       (l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+                           AS late
+                FROM lineitem l
+                JOIN orders o ON l.l_orderkey = o.o_orderkey
+                WHERE o.o_orderstatus = 'F'
+            )
+            SELECT s.s_name, COUNT(*) AS numwait
+            FROM li l1
+            JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            WHERE l1.late AND n.n_name = 'NATION_2'
+              AND EXISTS (
+                  SELECT 1 FROM li l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+              AND NOT EXISTS (
+                  SELECT 1 FROM li l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+            GROUP BY s.s_name
+            ORDER BY numwait DESC, s.s_name ASC
+            LIMIT 100
+        """,
+        "q22_idle_customers": f"""
+            WITH scope AS (
+                SELECT * FROM customer
+                WHERE c_nationkey IN (1, 5, 9, 13, 17, 21)
+            ), a AS (
+                SELECT CAST(SUM({_units('c_acctbal')}) AS BIGINT) AS sum_u,
+                       COUNT(*) AS n
+                FROM scope WHERE c_acctbal > 0
+            )
+            SELECT sc.c_nationkey AS cntry, COUNT(*) AS numcust,
+                   {_dsum('sc.c_acctbal')} AS totacctbal
+            FROM scope sc, a
+            WHERE {_units('sc.c_acctbal')} * a.n > a.sum_u
+              AND NOT EXISTS (
+                  SELECT 1 FROM orders o
+                  WHERE o.o_custkey = sc.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+            GROUP BY sc.c_nationkey
+            ORDER BY cntry
         """,
         "range_join": """
             WITH b AS (
