@@ -796,6 +796,34 @@ def _simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                          max_hamming=3, portable=True)
 
 
+def _incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signature-store incremental dedup: the even-doc_id half of the
+    corpus seeds a persisted MinHash signature store (a VersionedTable
+    holding ONLY signatures), then the odd half arrives as an ingest
+    batch and is judged against store + smaller-id batch peers.
+
+    Oracle contract: with 32x2 banding (recall 1.0 at J=0.3, as pinned
+    for minhash_dedup) and exact-Jaccard rescoring of candidates, the
+    per-document (n_store_dups, n_peer_dups, kept) decisions equal the
+    exact all-pairs decisions, which the DuckDB oracle recomputes from
+    raw text. The production path verifies by signature agreement
+    instead (no text access); it is benched as incremental_dedup_prod
+    and property-tested for idempotent re-ingest."""
+    import tempfile
+
+    from deltalake_poc_spark.pipeline.dedup import (
+        incremental_minhash_dedup, signature_store_append,
+        signature_store_init)
+
+    docs = load_table(spark, sf_dir, "documents")
+    store = signature_store_init(
+        spark, tempfile.mkdtemp(prefix="sigstore_"))
+    signature_store_append(store, docs.filter(F.col("doc_id") % 2 == 0))
+    return incremental_minhash_dedup(
+        store, docs.filter(F.col("doc_id") % 2 == 1),
+        bands=32, threshold=0.3, rescore_texts=docs)
+
+
 def _text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from deltalake_poc_spark.pipeline.text import quality_scores
 
@@ -1144,6 +1172,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q20_promo_suppliers": _q20_promo_suppliers,         # nested semi
         "q21_waiting_suppliers": _q21_waiting_suppliers,     # semi+anti self
         "q22_idle_customers": _q22_idle_customers,           # scalar avg + anti
+        # round-4: batch-vs-corpus dedup via the persisted signature store
+        "incremental_dedup": _incremental_dedup,
     }
 
 
@@ -1203,12 +1233,31 @@ def bench_extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"),
                                    threshold=0.15, max_df=None)
 
+    def _incremental_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # production config: 16x4 banding (s-curve at 0.5), candidate
+        # verification by signature agreement only — zero text access,
+        # the path a 100 TB store actually runs
+        import tempfile
+
+        from deltalake_poc_spark.pipeline.dedup import (
+            incremental_minhash_dedup, signature_store_append,
+            signature_store_init)
+
+        docs = load_table(spark, sf_dir, "documents")
+        store = signature_store_init(
+            spark, tempfile.mkdtemp(prefix="sigstore_prod_"))
+        signature_store_append(store, docs.filter(F.col("doc_id") % 2 == 0))
+        return incremental_minhash_dedup(
+            store, docs.filter(F.col("doc_id") % 2 == 1),
+            bands=16, threshold=0.5)
+
     return {
         "minhash_dedup_prod": _minhash_prod,
         "simhash_dedup_prod": _simhash_prod,
         "ivf_kmeans_topk": _ivf_kmeans,
         "winnow_dedup_prod": _winnow_prod,
         "ngram_jaccard_nocap": _ngram_nocap,
+        "incremental_dedup_prod": _incremental_prod,
     }
 
 
@@ -2319,6 +2368,46 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(shared / (na + nb - shared), 4) AS jaccard
             FROM pairs
             WHERE ROUND(shared / (na + nb - shared), 4) >= 0.3
+        """,
+        # exact all-pairs recompute of the signature-store decisions
+        # (see _incremental_dedup docstring for the recall contract)
+        "incremental_dedup": """
+            WITH toks AS (
+                SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents
+            ), grams AS (
+                SELECT doc_id,
+                       list_distinct([t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+                                      FOR i IN range(len(t) - 2)]) AS gs
+                FROM toks WHERE len(t) >= 3
+            ), posting AS (
+                SELECT doc_id, len(gs) AS n_grams, unnest(gs) AS gram FROM grams
+            ), pairs AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       a.n_grams AS na, b.n_grams AS nb, COUNT(*) AS shared
+                FROM posting a JOIN posting b
+                  ON a.gram = b.gram AND a.doc_id <> b.doc_id
+                GROUP BY 1, 2, 3, 4
+            ), sim AS (
+                SELECT doc_a, doc_b FROM pairs
+                WHERE ROUND(shared / (na + nb - shared), 4) >= 0.3
+            )
+            SELECT n.doc_id,
+                   CAST(COALESCE(SUM(CASE WHEN s.doc_b % 2 = 0
+                                          THEN 1 ELSE 0 END), 0) AS BIGINT)
+                       AS n_store_dups,
+                   CAST(COALESCE(SUM(CASE WHEN s.doc_b % 2 = 1
+                                           AND s.doc_b < n.doc_id
+                                          THEN 1 ELSE 0 END), 0) AS BIGINT)
+                       AS n_peer_dups,
+                   (COALESCE(SUM(CASE WHEN s.doc_b % 2 = 0
+                                      THEN 1 ELSE 0 END), 0) = 0
+                    AND COALESCE(SUM(CASE WHEN s.doc_b % 2 = 1
+                                           AND s.doc_b < n.doc_id
+                                          THEN 1 ELSE 0 END), 0) = 0)
+                       AS kept
+            FROM (SELECT doc_id FROM grams WHERE doc_id % 2 = 1) n
+            LEFT JOIN sim s ON s.doc_a = n.doc_id
+            GROUP BY n.doc_id
         """,
         "simhash_dedup": _simhash_oracle_sql(max_hamming=3),
         "dedup_group_assign": """

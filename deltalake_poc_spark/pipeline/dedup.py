@@ -370,16 +370,7 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 64, bands: int = 16,
     # self-join shuffle; gram arrays re-attach to the (small) candidate
     # set afterwards — carrying arrays through a x16-exploded join is
     # the classic LSH-join mistake at scale
-    banded = sigs.select(
-        "doc_id",
-        F.posexplode(
-            F.array(*[
-                F.xxhash64(*[F.col("sig")[b * rows_per_band + r]
-                             for r in range(rows_per_band)])
-                for b in range(bands)
-            ])
-        ).alias("band", "band_hash"),
-    )
+    banded = _banded(sigs, bands, rows_per_band)
     a, b = banded.alias("a"), banded.alias("b")
     cands = (
         a.join(b, (F.col("a.band") == F.col("b.band"))
@@ -770,3 +761,175 @@ def streaming_dedup_exact(docs_stream: DataFrame, table_root: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# ------------------------------------------- incremental signature store
+
+def minhash_band_hashes(sig_col, bands: int, rows_per_band: int):
+    """One xxhash64 per band over that band's signature rows — the
+    LSH bucket keys. Row-local."""
+    return F.array(*[
+        F.xxhash64(*[sig_col[b * rows_per_band + r]
+                     for r in range(rows_per_band)])
+        for b in range(bands)
+    ])
+
+
+def _banded(sigs: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
+    """Slim (doc_id, band, band_hash) frame — the only thing that goes
+    through LSH join shuffles."""
+    return sigs.select(
+        "doc_id",
+        F.posexplode(minhash_band_hashes(F.col("sig"), bands,
+                                         rows_per_band))
+        .alias("band", "band_hash"),
+    )
+
+
+def signature_store_init(spark, root: str, num_hashes: int = 64):
+    """Create (or open) the corpus signature store: one row per
+    admitted document, carrying ONLY its MinHash signature —
+    ~8*num_hashes bytes/doc, so a 100-billion-doc corpus fits in
+    ~50 TB of store against the corpus's 100 TB+ of text, and
+    incremental dedup never re-reads corpus text at all."""
+    from pyspark.sql.types import (ArrayType, LongType, StructField,
+                                   StructType)
+
+    from deltalake_poc_spark.tables import VersionedTable
+
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("sig", ArrayType(LongType())),
+    ])
+    return VersionedTable.create(spark, root, schema, if_not_exists=True)
+
+
+def signature_store_append(store, docs: DataFrame, num_hashes: int = 64,
+                           shingle_n: int = 3) -> None:
+    """Seed/extend the store with signatures of ``docs`` (no dedup)."""
+    store.write(minhash_signatures(docs, num_hashes, shingle_n), "append")
+
+
+def incremental_minhash_dedup(store, new_docs: DataFrame,
+                              num_hashes: int = 64, bands: int = 16,
+                              shingle_n: int = 3, threshold: float = 0.5,
+                              rescore_texts: DataFrame | None = None,
+                              commit: bool = True) -> DataFrame:
+    """Dedup an incoming batch against the accumulated corpus via the
+    signature store — the shape a 100 TB training pipeline actually
+    runs: each ingest batch is signed once (row-local), LSH-joined
+    against the store's band frame (shuffle is batch-sized, never
+    corpus-sized on the probe side), and only surviving signatures are
+    appended back, transactionally (the store is a VersionedTable, so
+    concurrent ingest batches go through OCC conflict checks).
+
+    Decision rule (deterministic, SQL-expressible, no transitive
+    chaining): a new document is dropped iff it has a verified match
+    in the store, or a verified match to a batch peer with a smaller
+    doc_id. Documents with fewer than ``shingle_n`` tokens have no
+    signature and are not judged (mirrors minhash_signatures).
+
+    Verification of LSH candidates:
+    - production path (``rescore_texts=None``): signature-agreement
+      estimate — fraction of equal signature positions >= threshold.
+      No text access at all.
+    - exact path (``rescore_texts`` = (doc_id, text) covering both
+      sides): exact n-gram Jaccard, giving the same oracle contract as
+      minhash_lsh_pairs (with 32x2 banding, recall 1.0 to ~1e-18, the
+      output equals the exact all-pairs decision — DuckDB-checkable).
+
+    Returns one row per judged new document:
+    (doc_id, n_store_dups, n_peer_dups, kept). When ``commit`` is
+    true, kept signatures are appended to the store before returning;
+    the decision plan reads the store at its pre-append version, so
+    re-executing the returned DataFrame is stable.
+    """
+    rows_per_band = num_hashes // bands
+    snap_version = store.log.latest_version()
+    store_sigs = store.read(version=snap_version).select(
+        F.col("doc_id").alias("_store_id"), F.col("sig").alias("_store_sig"))
+    sigs_new = minhash_signatures(new_docs, num_hashes, shingle_n)
+
+    banded_new = _banded(sigs_new, bands, rows_per_band)
+    banded_store = _banded(
+        store_sigs.select(F.col("_store_id").alias("doc_id"),
+                          F.col("_store_sig").alias("sig")),
+        bands, rows_per_band)
+
+    cand_store = (
+        banded_new.alias("a")
+        .join(banded_store.alias("b"),
+              (F.col("a.band") == F.col("b.band"))
+              & (F.col("a.band_hash") == F.col("b.band_hash")))
+        .select(F.col("a.doc_id").alias("new_id"),
+                F.col("b.doc_id").alias("old_id"))
+        .dropDuplicates(["new_id", "old_id"])
+    )
+    cand_peer = (
+        banded_new.alias("a")
+        .join(banded_new.alias("b"),
+              (F.col("a.band") == F.col("b.band"))
+              & (F.col("a.band_hash") == F.col("b.band_hash"))
+              & (F.col("b.doc_id") < F.col("a.doc_id")))
+        .select(F.col("a.doc_id").alias("new_id"),
+                F.col("b.doc_id").alias("peer_id"))
+        .dropDuplicates(["new_id", "peer_id"])
+    )
+
+    if rescore_texts is not None:
+        grams = doc_grams(rescore_texts, shingle_n)
+
+        def _verify(cands: DataFrame, other: str) -> DataFrame:
+            j = (
+                cands.join(grams.select(F.col("doc_id").alias("new_id"),
+                                        F.col("grams").alias("ga")), "new_id")
+                .join(grams.select(F.col("doc_id").alias(other),
+                                   F.col("grams").alias("gb")), other)
+            )
+            inter = F.size(F.array_intersect(F.col("ga"), F.col("gb")))
+            union = F.size("ga") + F.size("gb") - inter
+            return j.filter(F.round(inter / union, 4) >= threshold) \
+                    .select("new_id", other)
+    else:
+        sig_of_new = sigs_new.select(F.col("doc_id").alias("new_id"),
+                                     F.col("sig").alias("_sa"))
+
+        def _verify(cands: DataFrame, other: str) -> DataFrame:
+            if other == "old_id":
+                side = store_sigs.select(F.col("_store_id").alias("old_id"),
+                                         F.col("_store_sig").alias("_sb"))
+            else:
+                side = sigs_new.select(F.col("doc_id").alias("peer_id"),
+                                       F.col("sig").alias("_sb"))
+            eq = F.aggregate(
+                F.zip_with("_sa", "_sb",
+                           lambda x, y: (x == y).cast("int")),
+                F.lit(0), lambda acc, v: acc + v)
+            return (cands.join(sig_of_new, "new_id").join(side, other)
+                    .filter(eq / num_hashes >= threshold)
+                    .select("new_id", other))
+
+    n_store = (_verify(cand_store, "old_id").groupBy("new_id")
+               .agg(F.count(F.lit(1)).alias("n_store_dups")))
+    n_peer = (_verify(cand_peer, "peer_id").groupBy("new_id")
+              .agg(F.count(F.lit(1)).alias("n_peer_dups")))
+    decisions = (
+        sigs_new.select(F.col("doc_id").alias("new_id"))
+        .join(n_store, "new_id", "left")
+        .join(n_peer, "new_id", "left")
+        .select(
+            F.col("new_id").alias("doc_id"),
+            F.coalesce("n_store_dups", F.lit(0)).alias("n_store_dups"),
+            F.coalesce("n_peer_dups", F.lit(0)).alias("n_peer_dups"),
+        )
+        .withColumn("kept", (F.col("n_store_dups") == 0)
+                    & (F.col("n_peer_dups") == 0))
+    )
+    if commit:
+        kept_ids = decisions.filter("kept").select(
+            F.col("doc_id").alias("_keep_id"))
+        store.write(
+            sigs_new.join(kept_ids,
+                          F.col("doc_id") == F.col("_keep_id"), "left_semi"),
+            "append")
+    return decisions

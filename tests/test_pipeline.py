@@ -574,3 +574,66 @@ def test_quality_classifier_row_local(spark):
         .executedPlan().toString()
     assert "Exchange" not in plan, plan[:500]
     assert "EvalPython" not in plan, plan[:500]
+
+
+def test_incremental_signature_store(spark, docs, tmp_path):
+    """Batch-vs-corpus dedup through the persisted signature store:
+    decisions, store growth, and idempotent re-ingest."""
+    store = dedup.signature_store_init(spark, str(tmp_path / "store"))
+    # seed with docs 0 and 2; ingest 1 (near-dup of 0), 3 (exact dup
+    # of 0), 4 (too short to sign)
+    dedup.signature_store_append(store, docs.filter("doc_id IN (0, 2)"))
+    assert store.read().count() == 2
+    batch = docs.filter("doc_id IN (1, 3, 4)")
+
+    decisions = dedup.incremental_minhash_dedup(
+        store, batch, bands=32, threshold=0.3, rescore_texts=docs)
+    rows = {r["doc_id"]: r for r in decisions.collect()}
+    # doc 4 has <3 tokens: no signature, not judged
+    assert set(rows) == {1, 3}
+    assert rows[1]["n_store_dups"] == 1 and not rows[1]["kept"]
+    assert rows[3]["n_store_dups"] == 1 and not rows[3]["kept"]
+    # nothing survived, so the store is unchanged
+    assert store.read().count() == 2
+
+    # a genuinely new doc survives and its signature is committed
+    fresh = spark.createDataFrame(
+        [(10, "totally novel sentence mentioning astronomy telescopes "
+              "and orbital mechanics")], "doc_id long, text string")
+    d2 = dedup.incremental_minhash_dedup(
+        store, fresh, bands=32, threshold=0.3, rescore_texts=fresh)
+    assert [r["kept"] for r in d2.collect()] == [True]
+    assert store.read().count() == 3
+
+    # idempotent re-ingest: replaying the same batch drops everything
+    # (each doc now matches its own stored signature) — the estimate
+    # path needs no text for this
+    d3 = dedup.incremental_minhash_dedup(store, fresh, bands=32,
+                                         threshold=0.3)
+    r3 = d3.collect()[0]
+    assert r3["n_store_dups"] >= 1 and not r3["kept"]
+    assert store.read().count() == 3
+
+
+def test_incremental_estimate_matches_exact_on_clear_cases(spark, docs):
+    """Signature-agreement verification agrees with exact Jaccard when
+    similarities are far from the threshold (the production contract:
+    the estimator's error is ~1/sqrt(num_hashes) ≈ 0.125 at 64 hashes,
+    so J=1.0 dups and J≈0 non-dups are always classified right)."""
+    import tempfile
+
+    exact_store = dedup.signature_store_init(
+        spark, tempfile.mkdtemp(prefix="sig_ex_"))
+    est_store = dedup.signature_store_init(
+        spark, tempfile.mkdtemp(prefix="sig_es_"))
+    seed = docs.filter("doc_id IN (0, 2)")
+    dedup.signature_store_append(exact_store, seed)
+    dedup.signature_store_append(est_store, seed)
+    batch = docs.filter("doc_id IN (1, 3)")
+    exact = dedup.incremental_minhash_dedup(
+        exact_store, batch, bands=32, threshold=0.3, rescore_texts=docs,
+        commit=False)
+    est = dedup.incremental_minhash_dedup(
+        est_store, batch, bands=32, threshold=0.3, commit=False)
+    assert ({(r["doc_id"], r["kept"]) for r in exact.collect()}
+            == {(r["doc_id"], r["kept"]) for r in est.collect()})
