@@ -187,3 +187,74 @@ def test_quality_classifier_map_only(spark):
     plan = plan_of(spark, "quality_classifier", mode="simple")
     assert "Exchange" not in plan, plan[:800]
     assert "EvalPython" not in plan, plan[:800]
+
+
+def test_tpch_semi_anti_joins_stay_semi_anti(spark):
+    """The EXISTS/NOT-EXISTS shapes must plan as semi/anti joins —
+    a rewrite to inner-join+distinct would fan out and re-aggregate
+    at 100 TB."""
+    plan = plan_of(spark, "q4_order_priority")
+    assert "LeftSemi" in plan, plan[:800]
+    plan = plan_of(spark, "q21_waiting_suppliers")
+    assert "LeftSemi" in plan and "LeftAnti" in plan, plan[:800]
+    plan = plan_of(spark, "q16_supplier_cnt")
+    assert "LeftAnti" in plan, plan[:800]
+    plan = plan_of(spark, "q22_idle_customers")
+    assert "LeftAnti" in plan, plan[:800]
+
+
+def test_tpch_dims_broadcast(spark):
+    """region/nation (25 rows) must broadcast into the fact joins, and
+    the scalar-subquery sides (1-row aggregates) must broadcast too —
+    never shuffle the fact table against a 25-row dim."""
+    for q in ("q7_volume_shipping", "q9_product_revenue",
+              "q10_returned_items"):
+        plan = plan_of(spark, q)
+        assert "BroadcastHashJoin" in plan, f"{q}: {plan[:800]}"
+    # q15's MAX(revenue) probe and q22's AVG side are 1-row aggregates:
+    # broadcast nested-loop or broadcast-hash, but no shuffle-side
+    # cartesian
+    for q in ("q15_top_supplier", "q22_idle_customers", "q11_important_parts"):
+        plan = plan_of(spark, q)
+        assert "Broadcast" in plan, f"{q}: {plan[:800]}"
+        assert "CartesianProduct" not in plan, f"{q}: {plan[:800]}"
+
+
+def test_tpch_topk_and_pushdown(spark):
+    """Top-k queries keep TakeOrderedAndProject; selective dimension
+    filters reach the parquet scan."""
+    for q in ("q2_min_cost_supplier", "q10_returned_items",
+              "q18_large_volume", "q21_waiting_suppliers"):
+        assert "TakeOrderedAndProject" in plan_of(spark, q), q
+    plan = plan_of(spark, "q19_bracket_revenue")
+    # brand/size brackets are residual OR predicates on ONE equi-join —
+    # no union of three scans: one lineitem scan + one part scan (each
+    # appears twice in formatted output: tree node + details section)
+    assert plan.count("Scan parquet") == 4, plan[:800]
+    plan = plan_of(spark, "q14_promo_revenue")
+    assert re.search(r"PushedFilters: \[.*GreaterThanOrEqual\(l_shipdate",
+                     plan), plan[:800]
+
+
+def test_incremental_dedup_prod_no_python_no_cartesian(spark):
+    """The production signature-store path must stay JVM-side (the
+    zip_with/aggregate estimator is built-in HOFs, not a UDF) and
+    bucket-join only."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from deltalake_poc_spark.pipeline.dedup import (
+        incremental_minhash_dedup, signature_store_append,
+        signature_store_init)
+
+    docs = entrymod.load_table(spark, SF_DIR, "documents")
+    store = signature_store_init(spark, tempfile.mkdtemp(prefix="sigplan_"))
+    signature_store_append(store, docs.filter(F.col("doc_id") % 2 == 0))
+    d = incremental_minhash_dedup(store, docs.filter(F.col("doc_id") % 2 == 1),
+                                  bands=16, threshold=0.5, commit=False)
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted")
+    plan = d._jdf.queryExecution().explainString(jmode)
+    assert "EvalPython" not in plan, plan[:800]
+    assert "CartesianProduct" not in plan, plan[:800]
