@@ -933,3 +933,49 @@ def incremental_minhash_dedup(store, new_docs: DataFrame,
                           F.col("doc_id") == F.col("_keep_id"), "left_semi"),
             "append")
     return decisions
+
+
+def streaming_dedup_minhash(docs_stream: DataFrame, store_root: str,
+                            checkpoint_dir: str, num_hashes: int = 64,
+                            bands: int = 16, shingle_n: int = 3,
+                            threshold: float = 0.5,
+                            decisions_root: str | None = None,
+                            available_now: bool = False):
+    """Near-dup dedup of a document STREAM through the persisted
+    signature store — the streaming twin of incremental_minhash_dedup
+    (as streaming_dedup_exact is of dedup_exact). Each micro-batch is
+    signed, judged against store + smaller-doc_id batch peers with
+    text-free signature-agreement verification, and survivors' sigs
+    append to the store; per-doc decisions optionally append to a
+    second audit table. Replayed batches re-converge: every replayed
+    doc matches its own stored signature and is dropped, so the store
+    never double-admits (idempotent at the content level).
+
+    Scale shape: the store side of the LSH join is corpus-sized but
+    slim (doc_id, band, band_hash — derived row-locally from the sig
+    column); the probe side and both shuffles are batch-sized.
+    """
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        store = signature_store_init(spark, store_root, num_hashes)
+        decisions = incremental_minhash_dedup(
+            store, batch_df, num_hashes=num_hashes, bands=bands,
+            shingle_n=shingle_n, threshold=threshold)
+        if decisions_root is not None:
+            from deltalake_poc_spark.tables import VersionedTable
+
+            audit = VersionedTable.create(
+                spark, decisions_root,
+                decisions.withColumn("batch_id", F.lit(0).cast("long")).schema,
+                if_not_exists=True)
+            audit.write(decisions.withColumn(
+                "batch_id", F.lit(batch_id).cast("long")), "append")
+        else:
+            decisions.count()  # force the store append
+
+    writer = (docs_stream.writeStream.foreachBatch(process)
+              .option("checkpointLocation", checkpoint_dir)
+              .queryName("dedup-minhash"))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -637,3 +637,44 @@ def test_incremental_estimate_matches_exact_on_clear_cases(spark, docs):
         est_store, batch, bands=32, threshold=0.3, commit=False)
     assert ({(r["doc_id"], r["kept"]) for r in exact.collect()}
             == {(r["doc_id"], r["kept"]) for r in est.collect()})
+
+
+def test_streaming_dedup_minhash(spark, tmp_path):
+    """Stream two micro-batches through the signature store: near-dups
+    are dropped within and across batches; the store ends with one
+    signature per surviving doc and replay-idempotence holds."""
+    import json
+    import os
+
+    from deltalake_poc_spark.pipeline.dedup import streaming_dedup_minhash
+    from deltalake_poc_spark.tables import VersionedTable
+
+    base = "the quick brown fox jumps over the lazy dog near the river"
+    src = tmp_path / "in"
+    os.makedirs(src)
+    b1 = [{"doc_id": 1, "text": base + " today"},
+          {"doc_id": 2, "text": base + " tonight"},      # near-dup of 1
+          {"doc_id": 3, "text": "unrelated words about distributed "
+                                "query engines and shuffle plans"}]
+    b2 = [{"doc_id": 4, "text": base + " today"},        # dup across batches
+          {"doc_id": 5, "text": "another fully distinct document "
+                                "regarding astronomy telescopes orbit"}]
+    (src / "b1.json").write_text("\n".join(json.dumps(r) for r in b1))
+    (src / "b2.json").write_text("\n".join(json.dumps(r) for r in b2))
+
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", "1").json(str(src)))
+    q = streaming_dedup_minhash(
+        stream, str(tmp_path / "store"), str(tmp_path / "ckpt"),
+        bands=32, threshold=0.3,
+        decisions_root=str(tmp_path / "audit"), available_now=True)
+    q.awaitTermination(120)
+
+    store = VersionedTable.for_path(spark, str(tmp_path / "store"))
+    kept = sorted(r["doc_id"] for r in store.read().collect())
+    assert kept == [1, 3, 5]
+    audit = VersionedTable.for_path(spark, str(tmp_path / "audit")).read()
+    decisions = {r["doc_id"]: r for r in audit.collect()}
+    assert decisions[2]["n_peer_dups"] == 1 and not decisions[2]["kept"]
+    assert decisions[4]["n_store_dups"] >= 1 and not decisions[4]["kept"]
+    assert decisions[5]["kept"]
