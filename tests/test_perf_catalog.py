@@ -113,3 +113,50 @@ def test_bucketed_join_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS t_big")
         spark.sql("DROP TABLE IF EXISTS t_dim")
+
+
+def test_aqe_splits_skewed_join(spark):
+    """The 100 TB skew story must actually fire: a sort-merge join with
+    one hot key gets its skewed partition split by AQE at runtime
+    (OptimizeSkewedJoin marks the join skew=true). Thresholds are
+    lowered so the test corpus triggers the same code path a hot-key
+    shuffle triggers at scale."""
+    from pyspark.sql import functions as F
+
+    saved = {k: spark.conf.get(k, None) for k in (
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.autoBroadcastJoinThreshold")}
+    try:
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "64KB")
+        spark.conf.set(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+        # force a shuffle join: broadcast would hide the skew path
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+        skewed = spark.range(0, 200_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(7))
+            .otherwise(F.col("id") % 1000).alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("pad"),
+        )
+        dim = spark.range(0, 1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w"))
+        j = skewed.join(dim, "k")
+        # collect() (not count()) so it is THIS frame's query execution
+        # that runs — count() builds a separate execution and the
+        # inspected plan would stay isFinalPlan=false
+        assert len(j.collect()) == 200_000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan, plan[:500]
+        assert "skew=true" in plan, plan[:1500]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
