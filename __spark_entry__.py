@@ -1075,30 +1075,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ORDER MATTERS: the driver's correctness gate checks the FIRST 50
     entries in dict insertion order (CORRECTNESS_r01..r03 each contain
     exactly the first 50 keys of this dict at the time). Round-4
-    rotation: repetition_signals / decontaminate / winnow_dedup /
-    dv_pipeline — never yet driver-checked (green on the local oracle
-    sweep only) — enter the window, as do the round-4 additions
-    delta_dv_read (standard-protocol deletion-vector interop),
-    quality_classifier, and pack_sequences; priority_stats /
-    event_stats / inventory_status / top_value_events /
-    suppliers_with_lineitems / customer_order_lists / scalar_showcase
-    (each driver-green in r1+r2+r3) rotate to positions 51+. Every
-    registered query, in or out of the window, is still oracle-checked
-    by tests/test_entry_oracle.py and timed+oracled by bench.py.
+    rotation, two waves:
+    (1) repetition_signals / decontaminate / winnow_dedup / dv_pipeline
+    — never driver-checked before r4 — enter the window, plus the new
+    delta_dv_read / quality_classifier / pack_sequences;
+    (2) 12 of the round-4 TPC-H completions and the signature-store
+    incremental_dedup enter so the most complex new shapes get hard
+    driver rows immediately (q2 correlated-min, q4 EXISTS, q8 share
+    quotient, q11 fraction-HAVING, q13 outer-join histogram, q15 max
+    probe, q16 anti+distinct, q17 correlated-avg, q18 IN-HAVING, q21
+    semi+anti self-join, q22 idle-customer rollup).
+    Rotated to positions 51+: twelve queries each driver-green in
+    r1+r2+r3 (customer_order_summary, product_popularity,
+    order_line_summary, order_analytics, analytics_summary,
+    order_rollup, order_cube, price_ranks, version_diff_keys,
+    text_quality, lang_id, doc_fingerprint) and the r1-r3 green
+    scalar set. Every registered query, in or out of the window, is
+    still oracle-checked by tests/test_entry_oracle.py and
+    timed+oracled by bench.py.
     """
     return {
-        "customer_order_summary": _customer_order_summary,   # J1 A2 F10
-        "product_popularity": _product_popularity,           # J2 A3 O1
-        "order_line_summary": _order_line_summary,           # J3 A4
-        "order_analytics": _order_analytics,                 # A1 F9
-        "analytics_summary": _analytics_summary,             # A8 A9 U1
+        "q2_min_cost_supplier": _q2_min_cost_supplier,       # correlated min
+        "q4_order_priority": _q4_order_priority,             # EXISTS semi join
+        "q8_market_share": _q8_market_share,                 # share quotient
+        "q11_important_parts": _q11_important_parts,         # fraction HAVING
+        "q13_cust_distribution": _q13_cust_distribution,     # outer-join hist
+        "q15_top_supplier": _q15_top_supplier,               # view + max probe
+        "q16_supplier_cnt": _q16_supplier_cnt,               # anti + distinct
+        "q17_small_qty_revenue": _q17_small_qty_revenue,     # correlated avg
+        "q18_large_volume": _q18_large_volume,               # IN group-having
+        "q21_waiting_suppliers": _q21_waiting_suppliers,     # semi+anti self
+        "q22_idle_customers": _q22_idle_customers,           # scalar avg + anti
+        "incremental_dedup": _incremental_dedup,
         "delta_read": _delta_read,                           # Delta-protocol interop
         "delta_dv_read": _delta_dv_read,                     # standard deletion vectors
-        "order_rollup": _order_rollup,                       # ROLLUP subtotals
-        "order_cube": _order_cube,                           # CUBE subtotals
-        "price_ranks": _price_ranks,                         # rank/ntile windows
         "stats_moments": _stats_moments,                     # percentile/stddev/corr
-        "version_diff_keys": _version_diff_keys,             # U3 P6
         "cdc_pipeline": _cdc_pipeline,                       # S14 P1-P9 J4 J5 M1 M3
         "q1_pricing_summary": _q1_pricing_summary,           # wide-scan computed agg
         "q6_forecast_revenue": _q6_forecast_revenue,         # selective scan-agg
@@ -1117,9 +1128,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_group_assign": _dedup_group_assign,           # connected components
         "minhash_dedup": _minhash_dedup,                     # MinHash+LSH vs exact oracle
         "simhash_dedup": _simhash_dedup,                     # SimHash, full SQL oracle
-        "text_quality": _text_quality,                       # quality scoring
-        "lang_id": _lang_id,                                 # language ID
-        "doc_fingerprint": _doc_fingerprint,                 # fingerprinting
         "top_tokens": _top_tokens,                           # token counting
         "doc_chunks": _doc_chunks,                           # chunking w/ overlap
         "tf_idf": _tf_idf,                                   # corpus TF-IDF
@@ -1152,28 +1160,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "intersect_keys": _intersect_keys,                   # INTERSECT
         "string_funcs": _string_funcs,                       # string surface
         "date_parts": _date_parts,                           # date extraction
+        "customer_order_summary": _customer_order_summary,   # J1 A2 F10
+        "product_popularity": _product_popularity,           # J2 A3 O1
+        "order_line_summary": _order_line_summary,           # J3 A4
+        "order_analytics": _order_analytics,                 # A1 F9
+        "analytics_summary": _analytics_summary,             # A8 A9 U1
+        "order_rollup": _order_rollup,                       # ROLLUP subtotals
+        "order_cube": _order_cube,                           # CUBE subtotals
+        "price_ranks": _price_ranks,                         # rank/ntile windows
+        "version_diff_keys": _version_diff_keys,             # U3 P6
+        "text_quality": _text_quality,                       # quality scoring
+        "lang_id": _lang_id,                                 # language ID
+        "doc_fingerprint": _doc_fingerprint,                 # fingerprinting
         # round-4 TPC-H completion: the remaining canonical plan shapes
         # (adapted to the slim schema — see analytics/tpch.py header)
-        "q2_min_cost_supplier": _q2_min_cost_supplier,       # correlated min
-        "q4_order_priority": _q4_order_priority,             # EXISTS semi join
         "q7_volume_shipping": _q7_volume_shipping,           # dual-nation join
-        "q8_market_share": _q8_market_share,                 # share quotient
         "q9_product_revenue": _q9_product_revenue,           # nation/year rollup
         "q10_returned_items": _q10_returned_items,           # returns top-k
-        "q11_important_parts": _q11_important_parts,         # fraction HAVING
         "q12_priority_lateness": _q12_priority_lateness,     # conditional agg
-        "q13_cust_distribution": _q13_cust_distribution,     # outer-join hist
         "q14_promo_revenue": _q14_promo_revenue,             # promo share
-        "q15_top_supplier": _q15_top_supplier,               # view + max probe
-        "q16_supplier_cnt": _q16_supplier_cnt,               # anti + distinct
-        "q17_small_qty_revenue": _q17_small_qty_revenue,     # correlated avg
-        "q18_large_volume": _q18_large_volume,               # IN group-having
         "q19_bracket_revenue": _q19_bracket_revenue,         # OR brackets
         "q20_promo_suppliers": _q20_promo_suppliers,         # nested semi
-        "q21_waiting_suppliers": _q21_waiting_suppliers,     # semi+anti self
-        "q22_idle_customers": _q22_idle_customers,           # scalar avg + anti
-        # round-4: batch-vs-corpus dedup via the persisted signature store
-        "incremental_dedup": _incremental_dedup,
     }
 
 
