@@ -380,3 +380,51 @@ def test_threaded_appends_all_land(spark, tmp_path):
                          for j in range(3))
     # 1 create + 18 appends, every version distinct and contiguous
     assert t.version() == 18
+
+
+def test_concurrent_incremental_dedup_batches(spark, tmp_path):
+    """Two ingest batches racing into ONE signature store: both are
+    blind appends, so OCC rebase lands both without conflict and no
+    signature is lost. (Cross-batch duplicate admission during the
+    race window is by-design at-least-once — reconciled by a later
+    compaction pass; asserted here is store integrity, not mutual
+    exclusion.)"""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark.sql import functions as F
+
+    from deltalake_poc_spark.pipeline.dedup import (
+        incremental_minhash_dedup, signature_store_init)
+
+    store = signature_store_init(spark, str(tmp_path / "store"))
+
+    def mk_batch(lo):
+        # ten id-derived pseudo-words per doc: cross-doc Jaccard ~0, so
+        # every doc is genuinely novel (a shared-template text would
+        # make the whole batch near-dups of each other)
+        words = F.transform(
+            F.sequence(F.lit(0), F.lit(9)),
+            lambda i: F.sha2(F.concat(F.col("id").cast("string"),
+                                      F.lit("-"), i.cast("string")), 256))
+        return spark.range(lo, lo + 20).select(
+            F.col("id").alias("doc_id"),
+            F.array_join(words, " ").alias("text"))
+
+    def ingest(lo):
+        d = incremental_minhash_dedup(store, mk_batch(lo),
+                                      bands=16, threshold=0.5)
+        return d.filter("kept").count()
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        kept_counts = list(ex.map(ingest, [0, 100]))
+
+    # all 40 docs are mutually distinct -> both batches fully admitted
+    assert kept_counts == [20, 20]
+    final = store.read()
+    assert final.count() == 40
+    assert final.select("doc_id").distinct().count() == 40
+    # and a replay of either batch is now fully dropped
+    replay = incremental_minhash_dedup(store, mk_batch(0),
+                                       bands=16, threshold=0.5)
+    assert replay.filter("kept").count() == 0
+    assert store.read().count() == 40
