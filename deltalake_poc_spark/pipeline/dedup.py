@@ -957,6 +957,7 @@ def streaming_dedup_minhash(docs_stream: DataFrame, store_root: str,
                             bands: int = 16, shingle_n: int = 3,
                             threshold: float = 0.5,
                             decisions_root: str | None = None,
+                            optimize_every: int | None = None,
                             available_now: bool = False):
     """Near-dup dedup of a document STREAM through the persisted
     signature store — the streaming twin of incremental_minhash_dedup
@@ -971,6 +972,13 @@ def streaming_dedup_minhash(docs_stream: DataFrame, store_root: str,
     Scale shape: the store side of the LSH join is corpus-sized but
     slim (doc_id, band, band_hash — derived row-locally from the sig
     column); the probe side and both shuffles are batch-sized.
+
+    ``optimize_every=N`` compacts the store every N batches: continuous
+    small appends are the classic streaming small-file problem, and
+    the store is scanned by every subsequent batch, so periodic
+    OPTIMIZE keeps the probe-side scan from degrading to
+    one-file-per-batch. (Compaction is itself an OCC commit; a
+    concurrent ingest append rebases past it.)
     """
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -989,6 +997,8 @@ def streaming_dedup_minhash(docs_stream: DataFrame, store_root: str,
                 "batch_id", F.lit(batch_id).cast("long")), "append")
         else:
             decisions.count()  # force the store append
+        if optimize_every and (batch_id + 1) % optimize_every == 0:
+            store.optimize()
 
     writer = (docs_stream.writeStream.foreachBatch(process)
               .option("checkpointLocation", checkpoint_dir)

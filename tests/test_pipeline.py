@@ -678,3 +678,37 @@ def test_streaming_dedup_minhash(spark, tmp_path):
     assert decisions[2]["n_peer_dups"] == 1 and not decisions[2]["kept"]
     assert decisions[4]["n_store_dups"] >= 1 and not decisions[4]["kept"]
     assert decisions[5]["kept"]
+
+
+def test_streaming_dedup_minhash_compacts(spark, tmp_path):
+    """optimize_every folds the store's per-batch append files back
+    into ~one file so the probe-side scan doesn't degrade."""
+    import json
+    import os
+
+    from deltalake_poc_spark.pipeline.dedup import streaming_dedup_minhash
+    from deltalake_poc_spark.tables import VersionedTable
+
+    src = tmp_path / "in"
+    os.makedirs(src)
+    for b in range(4):
+        rows = [{"doc_id": b * 10 + i,
+                 "text": " ".join(f"w{b}_{i}_{k}" for k in range(8))}
+                for i in range(3)]
+        (src / f"b{b}.json").write_text(
+            "\n".join(json.dumps(r) for r in rows))
+
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", "1").json(str(src)))
+    q = streaming_dedup_minhash(
+        stream, str(tmp_path / "store"), str(tmp_path / "ckpt"),
+        bands=16, threshold=0.5, optimize_every=2, available_now=True)
+    q.awaitTermination(180)
+
+    store = VersionedTable.for_path(spark, str(tmp_path / "store"))
+    assert store.read().count() == 12
+    # 4 append commits + 2 OPTIMIZE commits ran; the final snapshot is
+    # the last compaction's output plus appends after it
+    hist_ops = [h["operation"] for h in store.history()]
+    assert hist_ops.count("OPTIMIZE") == 2, hist_ops
+    assert len(store.snapshot().files) < 4, store.snapshot().files
