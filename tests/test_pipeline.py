@@ -712,3 +712,69 @@ def test_streaming_dedup_minhash_compacts(spark, tmp_path):
     hist_ops = [h["operation"] for h in store.history()]
     assert hist_ops.count("OPTIMIZE") == 2, hist_ops
     assert len(store.snapshot().files) < 4, store.snapshot().files
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    corpus=st.lists(
+        st.tuples(
+            st.integers(0, 39),                       # doc_id
+            st.lists(st.sampled_from(                 # 6-12 words from a
+                [f"w{i}" for i in range(12)]),        # tiny vocab -> real
+                min_size=6, max_size=12)),            # near-dup collisions
+        min_size=4, max_size=14, unique_by=lambda t: t[0]),
+    split=st.integers(1, 5),
+)
+def test_incremental_dedup_matches_model(spark, corpus, split):
+    """Exact-rescore incremental dedup vs a brute-force Python model of
+    the decision rule (store match OR smaller-id batch peer match, at
+    3-gram Jaccard >= 0.3, docs with <3 tokens unjudged). 32x2 banding
+    recall makes the LSH result equal the model exactly."""
+    import tempfile
+
+    from deltalake_poc_spark.pipeline.dedup import (
+        incremental_minhash_dedup, signature_store_append,
+        signature_store_init)
+
+    docs = sorted(corpus)
+    seed = [d for i, d in enumerate(docs) if i < split]
+    batch = [d for i, d in enumerate(docs) if i >= split]
+    if not batch:
+        return
+
+    def grams(words):
+        return {" ".join(words[i:i + 3]) for i in range(len(words) - 2)}
+
+    def jac(a, b):
+        inter = len(a & b)
+        return round(inter / (len(a) + len(b) - inter), 4) if a | b else 0.0
+
+    expected = {}
+    for did, words in batch:
+        g = grams(words)
+        if not g:
+            continue
+        n_store = sum(1 for sid, sw in seed if grams(sw)
+                      and jac(g, grams(sw)) >= 0.3)
+        n_peer = sum(1 for pid, pw in batch
+                     if pid < did and grams(pw) and jac(g, grams(pw)) >= 0.3)
+        expected[did] = (n_store, n_peer, n_store == 0 and n_peer == 0)
+
+    to_df = lambda rows: spark.createDataFrame(
+        [(i, " ".join(w)) for i, w in rows], "doc_id long, text string")
+    store = signature_store_init(spark, tempfile.mkdtemp(prefix="sig_hyp_"))
+    if seed:
+        signature_store_append(store, to_df(seed))
+    all_df = to_df(docs)
+    got = {
+        r["doc_id"]: (r["n_store_dups"], r["n_peer_dups"], r["kept"])
+        for r in incremental_minhash_dedup(
+            store, to_df(batch), bands=32, threshold=0.3,
+            rescore_texts=all_df, commit=False).collect()
+    }
+    assert got == expected
