@@ -884,6 +884,7 @@ def incremental_minhash_dedup(store, new_docs: DataFrame,
         .dropDuplicates(["new_id", "peer_id"])
     )
 
+    grams = None
     if rescore_texts is not None:
         # the exact-rescore variant (oracle/audit path — production
         # verifies by signature agreement and never touches text) joins
@@ -949,6 +950,16 @@ def incremental_minhash_dedup(store, new_docs: DataFrame,
             sigs_new.join(kept_ids,
                           F.col("doc_id") == F.col("_keep_id"), "left_semi"),
             "append")
+        # the append materialized the decisions cache; release the
+        # scratch caches NOW. This matters beyond memory: Spark's
+        # CacheManager substitutes cached subtrees into ANY later query
+        # whose plan contains an identical subtree, so a lingering
+        # doc_grams(corpus) cache would silently rewrite e.g.
+        # ngram_jaccard's plan in the same session (observed: it broke
+        # that query's pinned ReusedExchange shape in the test suite).
+        sigs_new.unpersist()
+        if grams is not None:
+            grams.unpersist()
     return decisions
 
 
