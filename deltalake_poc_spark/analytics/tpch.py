@@ -555,10 +555,21 @@ def q21_waiting_suppliers(supplier: DataFrame, lineitem: DataFrame,
                           late_days: int = 60, k: int = 100) -> DataFrame:
     """Q21 shape (receipt-vs-commit lateness -> shipped >late_days
     after order date): suppliers who were the ONLY late supplier on a
-    multi-supplier finished order. EXISTS -> left-semi on another
-    supplier's lineitem; NOT EXISTS -> left-anti on another supplier's
-    late lineitem. The lateness flag is computed once on a shared
-    (order x lineitem) projection reused by all three branches."""
+    multi-supplier finished order; numwait counts their late lineitems.
+
+    The textbook EXISTS/NOT-EXISTS formulation self-joins the
+    (lineitem x orders) subtree three times — at 100 TB that is the
+    engine's biggest join computed thrice. Both quantifiers are
+    per-order facts, so they fold into ONE pass: aggregate to
+    (order, supplier) grain, then window over the order to count
+    suppliers and late suppliers. A row qualifies iff it is late, the
+    order has >1 supplier (the EXISTS), and it is the order's only
+    late supplier (the NOT EXISTS). One fact join + one shuffle + one
+    window replaces three fact joins; result is row-for-row identical
+    to the quantifier form (the DuckDB oracle still runs EXISTS /
+    NOT EXISTS)."""
+    from pyspark.sql import Window
+
     li = (
         lineitem
         .join(orders.filter(F.col("o_orderstatus") == "F"),
@@ -570,17 +581,18 @@ def q21_waiting_suppliers(supplier: DataFrame, lineitem: DataFrame,
              + F.expr(f"INTERVAL {late_days} DAYS")).alias("_late"),
         )
     )
-    l1 = li.filter(F.col("_late")).select("l_orderkey", "l_suppkey")
-    l2 = li.select(F.col("l_orderkey").alias("_okey2"),
-                   F.col("l_suppkey").alias("_skey2"))
-    l3 = (li.filter(F.col("_late"))
-          .select(F.col("l_orderkey").alias("_okey3"),
-                  F.col("l_suppkey").alias("_skey3")))
+    per_supp = (
+        li.groupBy("l_orderkey", "l_suppkey")
+        .agg(F.sum(F.col("_late").cast("long")).alias("_n_late_rows"))
+    )
+    w = Window.partitionBy("l_orderkey")
     waiting = (
-        l1.join(l2, (F.col("l_orderkey") == F.col("_okey2"))
-                & (F.col("l_suppkey") != F.col("_skey2")), "left_semi")
-        .join(l3, (F.col("l_orderkey") == F.col("_okey3"))
-              & (F.col("l_suppkey") != F.col("_skey3")), "left_anti")
+        per_supp
+        .withColumn("_n_supp", F.count(F.lit(1)).over(w))
+        .withColumn("_n_late_supps",
+                    F.sum((F.col("_n_late_rows") > 0).cast("long")).over(w))
+        .filter((F.col("_n_late_rows") > 0) & (F.col("_n_supp") > 1)
+                & (F.col("_n_late_supps") == 1))
     )
     return (
         waiting
@@ -588,7 +600,7 @@ def q21_waiting_suppliers(supplier: DataFrame, lineitem: DataFrame,
         .join(nation.filter(F.col("n_name") == nation_name),
               F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .agg(F.sum("_n_late_rows").alias("numwait"))
         .orderBy(F.desc("numwait"), F.asc("s_name"))
         .limit(k)
     )
