@@ -132,7 +132,8 @@ def q5_local_supplier_volume(region: DataFrame, nation: DataFrame,
 #   q18  IN over group-by-HAVING           (faithful)
 #   q19  OR-bracket predicate join         (containers -> size brackets)
 #   q20  nested semi-join chain            (availqty -> shipped-qty HAVING)
-#   q21  semi+anti self-join               (receipt lateness -> ship lateness)
+#   q21  only-late-supplier quantifiers     (receipt lateness -> ship
+#        folded into per-order window aggs   lateness; one fact join)
 #   q22  scalar-avg + anti-join rollup     (phone prefix -> nation key)
 # All money/measure aggregates keep the exact integer-units discipline
 # (analytics/money.py) so the DuckDB oracle hash-matches bit-for-bit.
@@ -331,8 +332,14 @@ def q11_important_parts(nation: DataFrame, supplier: DataFrame,
               F.col("s_nationkey") == F.col("n_nationkey"))
         .select("l_partkey", _disc_price_e4().alias("_val_e4"))
     )
+    # the probe branch (grand total) would otherwise recompute the
+    # whole 3-table join + aggregate: column pruning makes the two
+    # subtrees differ, so Catalyst plans no ReusedExchange. Persist the
+    # per-part aggregate — one slim row per part, orders of magnitude
+    # below the fact table — and both branches read the cache (the
+    # executed plan shows a single lineitem scan + InMemoryTableScan).
     per_part = base.groupBy("l_partkey").agg(
-        F.sum("_val_e4").alias("_part_e4"))
+        F.sum("_val_e4").alias("_part_e4")).persist()
     total = per_part.agg(F.sum("_part_e4").alias("_total_e4"))
     return (
         per_part.crossJoin(total)
@@ -408,12 +415,16 @@ def q15_top_supplier(supplier: DataFrame, lineitem: DataFrame,
     """Q15: supplier(s) with the maximum quarterly revenue. The revenue
     "view" is aggregated once and reused for both the max and the
     equality probe; the 1-row max side broadcasts."""
+    # persisted for the same reason as q11's per-part aggregate: the
+    # MAX probe branch would otherwise rescan + re-aggregate lineitem
+    # (no ReusedExchange once pruning diverges the subtrees). One slim
+    # row per supplier.
     revenue = (
         lineitem.filter((F.col("l_shipdate") >= start)
                         & (F.col("l_shipdate") < end))
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(F.sum(_disc_price_e4()).alias("_rev_e4"))
-    )
+    ).persist()
     top = revenue.agg(F.max("_rev_e4").alias("_max_e4"))
     return (
         revenue.crossJoin(top)
