@@ -62,3 +62,85 @@ def collect_file_stats(abs_path: str, stats_cols: list[str] | None = None) -> tu
             maxs[name] = hi if name not in maxs else max(maxs[name], hi)
     stats = {n: [mins[n], maxs[n]] for n in wanted if n in mins and n not in failed}
     return num_records, stats
+
+
+# ----------------------------------------------------------- data skipping
+
+_PRED_RE = None  # compiled lazily (keep module import light)
+
+
+def _parse_literal(text: str):
+    t = text.strip()
+    if len(t) >= 2 and t[0] == t[-1] and t[0] in ("'", '"'):
+        return t[1:-1]
+    try:
+        return int(t)
+    except ValueError:
+        pass
+    try:
+        return float(t)
+    except ValueError:
+        return None  # not a literal we can reason about
+
+
+def parse_skipping_predicates(where: str) -> list[tuple[str, str, Any]]:
+    """Extract the provable conjuncts of a predicate string.
+
+    Data skipping is allowed to use only what it can PROVE from
+    [min, max]: top-level AND-ed comparisons of a bare column against a
+    literal (`col <op> literal` or `literal <op> col`). Everything else
+    (ORs, functions, column-column, IN, ...) contributes no pruning —
+    the full predicate is still applied to the scanned rows, so
+    skipping is a pure optimization, exactly like Delta's
+    dataSkippingNumIndexedCols stats pruning.
+    """
+    global _PRED_RE
+    import re
+
+    if _PRED_RE is None:
+        _PRED_RE = re.compile(
+            r"^\s*(?:(?P<col>[A-Za-z_]\w*)\s*(?P<op><=|>=|==|=|<|>)\s*"
+            r"(?P<lit>[^<>=]+)|(?P<lit2>[^<>=]+?)\s*(?P<op2><=|>=|==|=|<|>)"
+            r"\s*(?P<col2>[A-Za-z_]\w*))\s*$")
+    out: list[tuple[str, str, Any]] = []
+    FLIP = {"<": ">", ">": "<", "<=": ">=", ">=": "<=", "=": "=", "==": "=="}
+    for conj in re.split(r"(?i)\s+and\s+", where):
+        m = _PRED_RE.match(conj)
+        if not m:
+            continue
+        if m.group("col"):
+            col, op, lit = m.group("col"), m.group("op"), m.group("lit")
+        else:
+            col, op, lit = (m.group("col2"), FLIP[m.group("op2")],
+                            m.group("lit2"))
+        v = _parse_literal(lit)
+        if v is None:
+            continue
+        out.append((col, "=" if op == "==" else op, v))
+    return out
+
+
+def file_may_match(stats: dict, preds: list[tuple[str, str, Any]]) -> bool:
+    """Interval check: can a file with these [min,max] stats contain a
+    row satisfying every predicate? Missing stats or incomparable
+    types answer 'maybe' (True) — skipping must be conservative."""
+    for col, op, v in preds:
+        if col not in stats:
+            continue
+        lo, hi = stats[col]
+        if lo is None or hi is None:
+            continue
+        try:
+            if op == "=" and (v < lo or v > hi):
+                return False
+            if op == "<" and not lo < v:
+                return False
+            if op == "<=" and not lo <= v:
+                return False
+            if op == ">" and not hi > v:
+                return False
+            if op == ">=" and not hi >= v:
+                return False
+        except TypeError:
+            continue  # literal type incomparable with the stats type
+    return True

@@ -154,12 +154,37 @@ class VersionedTable:
     # ---------------------------------------------------------------- reads
 
     def read(self, version: int | None = None,
-             timestamp_ms: int | None = None) -> DataFrame:
+             timestamp_ms: int | None = None,
+             where: str | None = None) -> DataFrame:
         """Batch read, optionally time-traveled (S5-S7; reference:
         spark.read.format('delta').option('versionAsOf'/'timestampAsOf')
-        spark_delta_handler.py:253-267, notebook cells 20-24)."""
+        spark_delta_handler.py:253-267, notebook cells 20-24).
+
+        ``where`` enables Delta-style DATA SKIPPING: provable AND-ed
+        ``col <op> literal`` conjuncts prune files whose per-file
+        [min, max] stats cannot contain a match (files_matching), and
+        the FULL predicate is then applied to the surviving rows — so
+        pruning is a pure optimization and arbitrary predicates stay
+        correct. Pairs with OPTIMIZE ZORDER BY, which clusters the
+        stats ranges so selective predicates touch few files."""
         snap = self.snapshot(version, timestamp_ms)
-        return self._read_files(snap.file_paths, snap)
+        if where is None:
+            return self._read_files(snap.file_paths, snap)
+        return self._read_files(self.files_matching(where, snap),
+                                snap).filter(where)
+
+    def files_matching(self, where: str, snap: Snapshot | None = None) -> list[str]:
+        """Relative data-file paths whose stats admit ``where`` (see
+        read). Deletion vectors only shrink a file's live rows, so its
+        recorded [min, max] remain valid over-approximations."""
+        from .stats import file_may_match, parse_skipping_predicates
+
+        if snap is None:
+            snap = self.snapshot()
+        preds = parse_skipping_predicates(where)
+        if not preds:
+            return snap.file_paths
+        return [e.path for e in snap.files if file_may_match(e.stats, preds)]
 
     def _read_files(self, rel_paths: list[str], snap: Snapshot,
                     with_position: bool = False) -> DataFrame:

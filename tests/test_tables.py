@@ -295,3 +295,63 @@ def test_clone_zero_copy(spark, tmp_path):
     # source deletion leaves the clone fully readable (hard links)
     t.drop()
     assert sorted(r["id"] for r in c.read().collect()) == [1, 2, 3, 9]
+
+
+def test_read_data_skipping(spark, tmp_path):
+    """read(where=...) prunes files whose [min,max] stats cannot match,
+    and always returns exactly read().filter(where)."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    t = VersionedTable.create(
+        spark, str(tmp_path / "ds"),
+        StructType([StructField("id", LongType()),
+                    StructField("label", StringType())]))
+    for lo in (0, 100, 200):
+        t.write(spark.range(lo, lo + 100).select(
+            F.col("id"), F.concat(F.lit("g"), (F.col("id") % 3)).alias("label"))
+            .coalesce(1), "append")
+    snap = t.snapshot()
+    assert len(snap.files) == 3
+
+    # provable range predicate: one file survives pruning
+    assert len(t.files_matching("id >= 250")) == 1
+    assert len(t.files_matching("id >= 100 AND id < 200")) == 1
+    # flipped literal-first form
+    assert len(t.files_matching("99 >= id")) == 1
+    # equality outside every range: zero files, empty (not erroring) read
+    assert t.files_matching("id = 1000") == []
+    assert t.read(where="id = 1000").count() == 0
+
+    # results always equal full-scan + filter
+    for pred in ("id >= 250", "id >= 100 AND id < 200",
+                 "id % 7 = 0",            # unprunable: modulo
+                 "label = 'g1' AND id < 50"):
+        got = sorted(r["id"] for r in t.read(where=pred).collect())
+        want = sorted(r["id"] for r in t.read().filter(pred).collect())
+        assert got == want, pred
+    # unprunable predicates keep every file (conservative)
+    assert len(t.files_matching("id % 7 = 0")) == 3
+    # string-stats pruning works too
+    assert len(t.files_matching("label = 'zzz'")) == 0
+
+
+def test_read_data_skipping_respects_dv_and_time_travel(spark, tmp_path):
+    """Stats pruning stays correct when rows were deleted via deletion
+    vectors (stats over-approximate) and composes with time travel."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    t = VersionedTable.create(
+        spark, str(tmp_path / "dsdv"),
+        StructType([StructField("id", LongType())]),
+        properties={"enableDeletionVectors": "true"})
+    t.write(spark.range(0, 100).coalesce(1), "append")
+    t.write(spark.range(100, 200).coalesce(1), "append")
+    v_before = t.log.latest_version()
+    t.delete("id >= 150")
+
+    got = sorted(r["id"] for r in t.read(where="id >= 140").collect())
+    assert got == list(range(140, 150))
+    # time travel back: the DV delete is not visible
+    got = sorted(r["id"] for r in
+                 t.read(version=v_before, where="id >= 140").collect())
+    assert got == list(range(140, 200))
