@@ -173,6 +173,17 @@ class VersionedTable:
         return self._read_files(self.files_matching(where, snap),
                                 snap).filter(where)
 
+    def _candidate_paths(self, snap: Snapshot, predicate) -> list[str]:
+        """Stats-pruned scan list for finding rows where ``predicate``
+        IS TRUE (DELETE/UPDATE discovery): a file whose [min, max]
+        ranges exclude every provable conjunct cannot contain a TRUE
+        row (NULL never satisfies IS TRUE), so sparse point operations
+        scan candidate files, not the table. Column predicates prune
+        nothing (conservative)."""
+        if isinstance(predicate, str):
+            return self.files_matching(predicate, snap)
+        return snap.file_paths
+
     def files_matching(self, where: str, snap: Snapshot | None = None) -> list[str]:
         """Relative data-file paths whose stats admit ``where`` (see
         read). Deletion vectors only shrink a file's live rows, so its
@@ -695,9 +706,12 @@ class VersionedTable:
         snap = self.snapshot()
         if not snap.files:
             return self._noop_commit("DELETE", {"predicate": str(predicate)})
+        cand = self._candidate_paths(snap, predicate)
+        if not cand:
+            return self._noop_commit("DELETE", {"predicate": str(predicate)})
         if str(snap.properties.get(DV_PROP, "false")).lower() == "true":
-            return self._delete_dv(pred, str(predicate), snap)
-        df = self._read_files_with_filename(snap)
+            return self._delete_dv(pred, str(predicate), snap, cand)
+        df = self._read_files(cand, snap, with_position=True).drop("__pos")
         touched_rows = df.filter(pred)
         touched = [
             r["__file"] for r in
@@ -787,7 +801,8 @@ class VersionedTable:
                        .distinct().count())
         return dv_rel, dv_files, n_total, n_prior
 
-    def _delete_dv(self, pred, pred_str: str, snap: Snapshot) -> Commit:
+    def _delete_dv(self, pred, pred_str: str, snap: Snapshot,
+                   paths: list[str] | None = None) -> Commit:
         """DELETE via deletion vectors (Delta parity:
         delta.enableDeletionVectors): record the (file, row position)
         of every matching row in a sidecar parquet under ``_dv/v=N``
@@ -800,7 +815,9 @@ class VersionedTable:
         positions plus all prior active DV rows, and every DV'd file
         re-maps to it — one active DV dir at a time, no fragment chain
         for readers to union."""
-        df = self._read_files(snap.file_paths, snap, with_position=True)
+        df = self._read_files(paths if paths is not None
+                              else snap.file_paths, snap,
+                              with_position=True)
         matches = df.filter(F.coalesce(pred, F.lit(False)))
         staged_changes = None
         if self.cdf_enabled(snap):
@@ -867,9 +884,14 @@ class VersionedTable:
         snap = self.snapshot()
         if not snap.files:
             return self._noop_commit("UPDATE", {})
+        cand = self._candidate_paths(snap, predicate) \
+            if predicate is not None else snap.file_paths
+        if not cand:
+            return self._noop_commit("UPDATE", {})
         if str(snap.properties.get(DV_PROP, "false")).lower() == "true":
-            return self._update_dv(set_exprs, pred, str(predicate), snap)
-        df = self._read_files_with_filename(snap)
+            return self._update_dv(set_exprs, pred, str(predicate), snap,
+                                   cand)
+        df = self._read_files(cand, snap, with_position=True).drop("__pos")
         touched = [r["__file"] for r in
                    df.filter(pred).select("__file").distinct().collect()]
         if not touched:
@@ -915,7 +937,7 @@ class VersionedTable:
             cleanup_on_fail=(staged_changes,) if staged_changes else ())
 
     def _update_dv(self, set_exprs: dict, pred, pred_str: str,
-                   snap: Snapshot) -> Commit:
+                   snap: Snapshot, paths: list[str] | None = None) -> Commit:
         """UPDATE via deletion vectors: the matched rows' (file, pos)
         go into a consolidated sidecar (same mechanism as _delete_dv)
         and their post-images land as NEW appended files — updating 10
@@ -925,7 +947,9 @@ class VersionedTable:
         treats it like any DV-bearing commit (conflicts with rivals
         whose read set it invalidates)."""
         schema = self.schema(snap)
-        df = self._read_files(snap.file_paths, snap, with_position=True)
+        df = self._read_files(paths if paths is not None
+                              else snap.file_paths, snap,
+                              with_position=True)
         # persisted: consumed by the sidecar write, the post-image
         # materialize, and (optionally) the CDF stage — the matched
         # set is the sparse-update case DVs exist for

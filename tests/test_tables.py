@@ -355,3 +355,34 @@ def test_read_data_skipping_respects_dv_and_time_travel(spark, tmp_path):
     got = sorted(r["id"] for r in
                  t.read(version=v_before, where="id >= 140").collect())
     assert got == list(range(140, 200))
+
+
+def test_delete_update_discovery_is_stats_pruned(spark, tmp_path):
+    """DELETE/UPDATE find their touched files by scanning only the
+    stats-candidate files; results are identical to a full scan."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    t = VersionedTable.create(
+        spark, str(tmp_path / "dup"),
+        StructType([StructField("id", LongType()),
+                    StructField("v", LongType())]))
+    for lo in (0, 100, 200):
+        t.write(spark.range(lo, lo + 100).select(
+            F.col("id"), (F.col("id") * 10).alias("v")).coalesce(1),
+            "append")
+    # the candidate list for a point predicate is one file
+    assert len(t._candidate_paths(t.snapshot(), "id = 250")) == 1
+
+    c = t.delete("id = 250")
+    assert c.metrics["numDeletedRows"] == 1
+    # only the containing file was rewritten
+    assert c.metrics["numRemovedFiles"] == 1
+    assert t.read().count() == 299
+
+    c = t.update({"v": "v + 1"}, "id = 7")
+    assert c.metrics["numRemovedFiles"] == 1
+    assert t.read(where="id = 7").collect()[0]["v"] == 71
+    # predicate outside every file range: clean no-op
+    c = t.delete("id = 99999")
+    assert c.operation_parameters.get("predicate") == "id = 99999"
+    assert t.read().count() == 299
