@@ -144,3 +144,35 @@ def file_may_match(stats: dict, preds: list[tuple[str, str, Any]]) -> bool:
         except TypeError:
             continue  # literal type incomparable with the stats type
     return True
+
+
+def partition_may_match(partition: dict, preds: list[tuple[str, str, Any]]) -> bool:
+    """Hive-partition pruning: a file's partition value is a single
+    point, so a predicate on a partition column is decided exactly
+    (pv op v), not as an interval. Partition values are stored as
+    strings; they are cast to the literal's type when possible, and
+    any cast/compare failure conservatively answers 'maybe'."""
+    for col, op, v in preds:
+        if col not in partition:
+            continue
+        raw = partition[col]
+        if raw is None:
+            continue
+        try:
+            pv = raw if isinstance(v, str) else type(v)(raw)
+        except (TypeError, ValueError):
+            continue
+        try:
+            if op == "=" and pv != v:
+                return False
+            if op == "<" and not pv < v:
+                return False
+            if op == "<=" and not pv <= v:
+                return False
+            if op == ">" and not pv > v:
+                return False
+            if op == ">=" and not pv >= v:
+                return False
+        except TypeError:
+            continue
+    return True

@@ -188,14 +188,17 @@ class VersionedTable:
         """Relative data-file paths whose stats admit ``where`` (see
         read). Deletion vectors only shrink a file's live rows, so its
         recorded [min, max] remain valid over-approximations."""
-        from .stats import file_may_match, parse_skipping_predicates
+        from .stats import (file_may_match, parse_skipping_predicates,
+                            partition_may_match)
 
         if snap is None:
             snap = self.snapshot()
         preds = parse_skipping_predicates(where)
         if not preds:
             return snap.file_paths
-        return [e.path for e in snap.files if file_may_match(e.stats, preds)]
+        return [e.path for e in snap.files
+                if partition_may_match(e.partition, preds)
+                and file_may_match(e.stats, preds)]
 
     def _read_files(self, rel_paths: list[str], snap: Snapshot,
                     with_position: bool = False) -> DataFrame:

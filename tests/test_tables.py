@@ -386,3 +386,58 @@ def test_delete_update_discovery_is_stats_pruned(spark, tmp_path):
     c = t.delete("id = 99999")
     assert c.operation_parameters.get("predicate") == "id = 99999"
     assert t.read().count() == 299
+
+
+def test_partition_pruning_in_files_matching(spark, tmp_path):
+    """Predicates on partition columns prune by the exact partition
+    value (a point, not an interval) and compose with stats pruning;
+    OPTIMIZE ZORDER clusters stats so multi-column predicates prune."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    t = VersionedTable.create(
+        spark, str(tmp_path / "pp"),
+        StructType([StructField("id", LongType()),
+                    StructField("region", StringType())]),
+        partition_by=["region"])
+    t.write(spark.range(0, 300).select(
+        F.col("id"),
+        F.concat(F.lit("r"), (F.col("id") % 3)).alias("region")), "append")
+    snap = t.snapshot()
+    total = len(snap.files)
+    pruned = t.files_matching("region = 'r1'")
+    assert 0 < len(pruned) < total
+    got = sorted(r["id"] for r in t.read(where="region = 'r1'").collect())
+    assert got == sorted(range(1, 300, 3))
+    # numeric cast of partition strings: write an int-partitioned table
+    t2 = VersionedTable.create(
+        spark, str(tmp_path / "pp2"),
+        StructType([StructField("id", LongType()),
+                    StructField("bucket", LongType())]),
+        partition_by=["bucket"])
+    t2.write(spark.range(0, 100).select(
+        F.col("id"), (F.col("id") % 4).alias("bucket")), "append")
+    assert len(t2.files_matching("bucket >= 2")) < len(t2.snapshot().files)
+    assert t2.read(where="bucket >= 2").count() == 50
+
+
+def test_zorder_improves_stats_pruning(spark, tmp_path):
+    """After OPTIMIZE ZORDER BY (a, b), point predicates on the SECOND
+    clustered column prune files — the reason Z-order exists."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    t = VersionedTable.create(
+        spark, str(tmp_path / "z"),
+        StructType([StructField("a", LongType()),
+                    StructField("b", LongType())]))
+    # b is uniformly shuffled across the initial files: no pruning on b
+    t.write(spark.range(0, 4000).select(
+        F.col("id").alias("a"),
+        ((F.col("id") * 2654435761) % 1000).alias("b")).repartition(8),
+        "append")
+    before = len(t.files_matching("b = 500"))
+    t.optimize(target_file_rows=500, zorder_by=["a", "b"])
+    snap = t.snapshot()
+    after = len(t.files_matching("b = 500", snap))
+    assert after < len(snap.files), (after, len(snap.files))
+    assert t.read(where="b = 500").count() == \
+        t.read().filter("b = 500").count()
