@@ -65,10 +65,35 @@ class DeltaSnapshot:
     files: dict[str, dict[str, str]] = field(default_factory=dict)
     # path -> deletionVector descriptor dict (only files that have one)
     dvs: dict[str, dict] = field(default_factory=dict)
+    # path -> {column: [min, max]} parsed from the add action's stats
+    # (keys are PHYSICAL names under column mapping, like the protocol)
+    stats: dict[str, dict] = field(default_factory=dict)
 
     @property
     def column_mapping_mode(self) -> str:
         return self.configuration.get("delta.columnMapping.mode", "none")
+
+
+def _parse_add_stats(raw) -> dict:
+    """{col: [min, max]} from an add action's ``stats`` JSON string
+    (top-level scalar columns only; nested structs and missing bounds
+    simply contribute no skipping)."""
+    if not raw:
+        return {}
+    try:
+        d = json.loads(raw) if isinstance(raw, str) else dict(raw)
+    except (ValueError, TypeError):
+        return {}
+    mins = d.get("minValues") or {}
+    maxs = d.get("maxValues") or {}
+    out = {}
+    for col, lo in mins.items():
+        hi = maxs.get(col)
+        if lo is None or hi is None or isinstance(lo, dict) \
+                or isinstance(hi, dict):
+            continue
+        out[col] = [lo, hi]
+    return out
 
 
 class DeltaLakeReader:
@@ -179,7 +204,8 @@ class DeltaLakeReader:
         # commits remove(path, oldDV) + add(path, newDV) atomically, and
         # the remove must only tombstone the OLD incarnation even when
         # it follows the add within the same commit file.
-        entries: dict[tuple[str, str | None], tuple[dict, dict | None]] = {}
+        entries: dict[tuple[str, str | None],
+                      tuple[dict, dict | None, dict]] = {}
 
         def _norm_dv(dv: dict | None) -> dict | None:
             # checkpoint parquet rows materialize an absent descriptor
@@ -206,7 +232,8 @@ class DeltaLakeReader:
                 ad = a["add"]
                 dv = _norm_dv(ad.get("deletionVector"))
                 entries[(ad["path"], _dv_uid(dv))] = (
-                    dict(ad.get("partitionValues") or {}), dv)
+                    dict(ad.get("partitionValues") or {}), dv,
+                    _parse_add_stats(ad.get("stats")))
             elif "remove" in a:
                 rm = a["remove"]
                 entries.pop(
@@ -214,8 +241,11 @@ class DeltaLakeReader:
                     None)
         files: dict[str, dict[str, str]] = {}
         dvs: dict[str, dict] = {}
-        for (path, _uid), (pvals, dv) in entries.items():
+        stats: dict[str, dict] = {}
+        for (path, _uid), (pvals, dv, st) in entries.items():
             files[path] = pvals
+            if st:
+                stats[path] = st
             if dv:
                 dvs[path] = dv
             else:
@@ -228,7 +258,7 @@ class DeltaLakeReader:
                 f"unsupported Delta reader requirement: version {min_reader}, "
                 f"features {sorted(unsupported)}")
         return DeltaSnapshot(target, schema, part_cols, conf,
-                             min_reader, reader_features, files, dvs)
+                             min_reader, reader_features, files, dvs, stats)
 
     def history(self) -> list[dict]:
         """commitInfo per version, newest first (M6 parity for foreign
@@ -258,15 +288,41 @@ class DeltaLakeReader:
         return pairs
 
     def read(self, version: int | None = None,
-             timestamp_ms: int | None = None) -> DataFrame:
+             timestamp_ms: int | None = None,
+             where: str | None = None) -> DataFrame:
         """Snapshot read (optionally time-traveled): distributed parquet
         scan of the active file set; partition values come from the log
         and are attached as typed literal columns per partition group;
         files carrying a deletion vector have their deleted row indexes
-        anti-joined out."""
+        anti-joined out.
+
+        ``where`` enables protocol data skipping on MIGRATED tables:
+        the add actions' stats (minValues/maxValues, written by
+        delta-spark and friends) and partitionValues prune files for
+        the provable conjuncts, then the full predicate filters the
+        surviving rows — same contract as VersionedTable.read(where=).
+        Predicate columns are logical names; under column mapping they
+        translate to the physical stats keys."""
         snap = self.snapshot(version, timestamp_ms)
-        return self._read_files(snap, snap.files,
-                                drop_positions=self._dv_positions(snap.dvs))
+        files = snap.files
+        if where is not None:
+            from .stats import (file_may_match, parse_skipping_predicates,
+                                partition_may_match)
+
+            preds = parse_skipping_predicates(where)
+            phys = dict(self._physical_fields(snap))
+            preds = [(phys.get(c, c), op, v) for c, op, v in preds]
+            if preds:
+                files = {
+                    p: pv for p, pv in files.items()
+                    if partition_may_match(pv, preds)
+                    and file_may_match(snap.stats.get(p, {}), preds)
+                }
+        out = self._read_files(
+            snap, files,
+            drop_positions=self._dv_positions(
+                {p: d for p, d in snap.dvs.items() if p in files}))
+        return out.filter(where) if where is not None else out
 
     def _dv_positions(self, dvs: dict[str, dict]) -> dict[str, list[int]]:
         """Decode each file's DV descriptor to its deleted row indexes

@@ -515,3 +515,44 @@ def test_multipart_checkpoint_replay(spark, tmp_path):
     os.remove(os.path.join(log, f"{0:020d}.json"))
     r = DeltaLakeReader(spark, root)
     assert sorted(x["id"] for x in r.read().collect()) == [1, 2, 3]
+
+
+def test_standard_delta_data_skipping(spark, tmp_path):
+    """read(where=) on a standard Delta table prunes files using the
+    add actions' minValues/maxValues stats and partitionValues, and
+    always equals full-scan + filter. The fixture is built through the
+    engine's own standard-Delta export (which writes protocol stats)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from deltalake_poc_spark.tables import VersionedTable
+    from deltalake_poc_spark.tables.deltaexport import export_standard_delta
+    from deltalake_poc_spark.tables.deltareader import DeltaLakeReader
+
+    t = VersionedTable.create(
+        spark, str(tmp_path / "src"),
+        StructType([StructField("id", LongType()),
+                    StructField("v", LongType())]))
+    for lo in (0, 1000, 2000):
+        t.write(spark.range(lo, lo + 1000).select(
+            F.col("id"), (F.col("id") * 3).alias("v")).coalesce(1),
+            "append")
+    dst = str(tmp_path / "exported")
+    export_standard_delta(t, dst)
+
+    r = DeltaLakeReader(spark, dst)
+    snap = r.snapshot()
+    assert len(snap.files) == 3
+    assert snap.stats, "export must carry minValues/maxValues stats"
+
+    got = sorted(x["id"] for x in r.read(where="id >= 2500").collect())
+    assert got == list(range(2500, 3000))
+    full = sorted(x["id"] for x in r.read().filter("id >= 2500").collect())
+    assert got == full
+    # and the pruning actually happened
+    from deltalake_poc_spark.tables.stats import (
+        file_may_match, parse_skipping_predicates)
+    preds = parse_skipping_predicates("id >= 2500")
+    kept = [p for p in snap.files
+            if file_may_match(snap.stats.get(p, {}), preds)]
+    assert len(kept) == 1
