@@ -796,6 +796,47 @@ def _simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                          max_hamming=3, portable=True)
 
 
+def _skipping_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-skipping read, end-to-end: lineitem lands in a
+    VersionedTable via repartitionByRange(l_shipdate) — one write, and
+    every file gets a tight shipdate range — then read(where=) must
+    (a) prune files by per-file [min, max] stats (self-checked: the
+    query RAISES if no file was skipped) and (b) return exactly the
+    predicate's rows, which the DuckDB oracle checks against the raw
+    table. ISO-string stats bounds make the timestamp compare
+    lexicographic-safe."""
+    import tempfile
+
+    from pyspark.sql.types import (DoubleType, LongType, StructField,
+                                   StructType, TimestampType)
+
+    from deltalake_poc_spark.tables import VersionedTable
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice", "l_shipdate")
+    t = VersionedTable.create(
+        spark, tempfile.mkdtemp(prefix="skip_"),
+        StructType([StructField("l_orderkey", LongType()),
+                    StructField("l_quantity", DoubleType()),
+                    StructField("l_extendedprice", DoubleType()),
+                    StructField("l_shipdate", TimestampType())]))
+    t.write(li.repartitionByRange(8, "l_shipdate"), "append")
+    from deltalake_poc_spark.analytics.money import dec_sum
+
+    pred = "l_shipdate >= '2001-01-01'"
+    snap = t.snapshot()
+    pruned = t.files_matching(pred, snap)
+    if not len(pruned) < len(snap.files):
+        raise AssertionError(
+            f"data skipping pruned nothing: {len(pruned)}/{len(snap.files)}")
+    return (
+        t.read(where=pred)
+        .agg(F.count(F.lit(1)).alias("n_rows"),
+             dec_sum("l_quantity").alias("sum_qty"),
+             dec_sum("l_extendedprice").alias("sum_price"))
+    )
+
+
 def _incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Signature-store incremental dedup: the even-doc_id half of the
     corpus seeds a persisted MinHash signature store (a VersionedTable
@@ -1172,6 +1213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _text_quality,                       # quality scoring
         "lang_id": _lang_id,                                 # language ID
         "doc_fingerprint": _doc_fingerprint,                 # fingerprinting
+        "skipping_read": _skipping_read,                     # data skipping e2e
         # round-4 TPC-H completion: the remaining canonical plan shapes
         # (adapted to the slim schema — see analytics/tpch.py header)
         "q7_volume_shipping": _q7_volume_shipping,           # dual-nation join
@@ -2415,6 +2457,13 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT doc_id FROM grams WHERE doc_id % 2 = 1) n
             LEFT JOIN sim s ON s.doc_a = n.doc_id
             GROUP BY n.doc_id
+        """,
+        "skipping_read": f"""
+            SELECT COUNT(*) AS n_rows,
+                   {_dsum('l_quantity')} AS sum_qty,
+                   {_dsum('l_extendedprice')} AS sum_price
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '2001-01-01'
         """,
         "simhash_dedup": _simhash_oracle_sql(max_hamming=3),
         "dedup_group_assign": """

@@ -175,7 +175,7 @@ def main() -> None:
         # the semantic output, not equivalent workloads
         "write_pipelines": ["cdc_pipeline", "cdf_changes", "mv_refresh",
                             "time_travel_diff", "dv_pipeline",
-                            "incremental_dedup"],
+                            "incremental_dedup", "skipping_read"],
         # round-4 additions — subtract these when comparing totals to
         # BENCH_r03 and earlier
         "new_since_r3": sorted(
@@ -183,7 +183,7 @@ def main() -> None:
             if (n[0] == "q" and n[1].isdigit() and n not in
                 ("q1_pricing_summary", "q6_forecast_revenue",
                  "q3_shipping_priority", "q5_local_supplier"))
-            or n == "incremental_dedup"),
+            or n in ("incremental_dedup", "skipping_read")),
         "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
     }
     line = json.dumps(payload)
