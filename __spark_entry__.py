@@ -1094,6 +1094,38 @@ def _corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source", "lang", "n_chars")
 
 
+# weights for the mixture_sample gate query: 4-way tiered up/down
+# weighting across the 20 sources (integer weights keep the threshold
+# arithmetic exact in both engines)
+_MIXTURE_WEIGHTS = {f"src{i}": (i % 4) + 1 for i in range(20)}
+_MIXTURE_BUDGET = 8000
+
+
+def _mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture sampling to a global token budget: per-source
+    acceptance rates are DERIVED from observed token totals and target
+    mixture weights (DoReMi-style static weights), then applied with
+    the deterministic key hash. Exact 64-bit integer thresholds, so
+    the oracle reselects the identical rows."""
+    from deltalake_poc_spark.pipeline.sample import mixture_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mixture_sample(docs, token_budget=_MIXTURE_BUDGET,
+                          weights=_MIXTURE_WEIGHTS)
+
+
+def _chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document chunk-level dedup with reconstruction
+    (RefinedWeb-style): 32-token chunks, first occurrence by
+    (doc_id, idx) wins, documents reassembled from surviving chunks.
+    The window shuffle keys on md5(chunk) — uniform, skew-free at any
+    scale."""
+    from deltalake_poc_spark.pipeline.dedup import chunk_dedup
+
+    return chunk_dedup(load_table(spark, sf_dir, "documents"),
+                       chunk_tokens=32)
+
+
 def _multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from deltalake_poc_spark.pipeline import multimodal
 
@@ -1126,6 +1158,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     quotient, q11 fraction-HAVING, q13 outer-join histogram, q15 max
     probe, q16 anti+distinct, q17 correlated-avg, q18 IN-HAVING, q21
     semi+anti self-join, q22 idle-customer rollup).
+    (3) the two newest operators — chunk_dedup (chunk-level dedup with
+    reconstruction) and mixture_sample (token-budget domain mixing) —
+    enter in place of top_tokens / scrub_pii (each driver-green
+    r1-r3).
     Rotated to positions 51+: twelve queries each driver-green in
     r1+r2+r3 (customer_order_summary, product_popularity,
     order_line_summary, order_analytics, analytics_summary,
@@ -1169,10 +1205,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_group_assign": _dedup_group_assign,           # connected components
         "minhash_dedup": _minhash_dedup,                     # MinHash+LSH vs exact oracle
         "simhash_dedup": _simhash_dedup,                     # SimHash, full SQL oracle
-        "top_tokens": _top_tokens,                           # token counting
+        "chunk_dedup": _chunk_dedup,                         # chunk-level dedup (new r4)
         "doc_chunks": _doc_chunks,                           # chunking w/ overlap
         "tf_idf": _tf_idf,                                   # corpus TF-IDF
-        "scrub_pii": _scrub_pii,                             # PII scrubbing
+        "mixture_sample": _mixture_sample,                   # domain mixing (new r4)
         "embedding_topk": _embedding_topk,                   # brute-force ANN baseline
         "ann_lsh_topk": _ann_lsh_topk,                       # LSH ANN, full SQL oracle
         "ivf_topk": _ivf_topk,                               # pivot IVF, full SQL oracle
@@ -1189,6 +1225,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dv_pipeline": _dv_pipeline,                         # deletion vectors e2e
         # --- positions 51+: outside the driver's 50-query gate window
         # (multi-round driver-green; still oracle-checked by pytest + bench)
+        "top_tokens": _top_tokens,                           # token counting
+        "scrub_pii": _scrub_pii,                             # PII scrubbing
         "priority_stats": _priority_stats,                   # A5 P8
         "event_stats": _event_stats,                         # A7
         "customer_order_lists": _customer_order_lists,       # array_agg
@@ -2781,5 +2819,65 @@ def oracle_sql() -> dict[str, str]:
                                WHEN 'src1' THEN {int(0.25 * (2**31 - 1))}
                                ELSE {int(0.1 * (2**31 - 1))}
                            END
+        """,
+        # mixture_sample: per-source thresholds derived from observed
+        # token totals + integer mixture weights — all BIGINT floor
+        # arithmetic, identical in both engines
+        "mixture_sample": f"""
+            WITH base AS (
+                SELECT doc_id, source,
+                       CAST(len(string_split(trim(text), ' ')) AS BIGINT)
+                           AS n_tokens
+                FROM documents
+            ), tot AS (
+                SELECT source, SUM(n_tokens) AS total FROM base
+                GROUP BY source
+            ), th AS (
+                SELECT source,
+                       LEAST(CAST({2**31 - 1} AS BIGINT),
+                             CAST((CASE {' '.join(
+                                 f"WHEN source = '{k}' THEN "
+                                 f"{_MIXTURE_BUDGET * v // sum(_MIXTURE_WEIGHTS.values())}"
+                                 for k, v in sorted(_MIXTURE_WEIGHTS.items()))}
+                                   ELSE 0 END) AS BIGINT)
+                             * {2**31 - 1} // total) AS thresh
+                FROM tot
+            ), h0 AS (
+                SELECT b.*, t.thresh, doc_id % {2**31 - 1} AS h
+                FROM base b JOIN th t USING (source)
+            ), h1 AS (
+                SELECT *, (h*h + 48271*h + 11) % {2**31 - 1} AS g FROM h0
+            ), h2 AS (
+                SELECT *, (g*g + 48271*g + 17) % {2**31 - 1} AS bucket
+                FROM h1
+            )
+            SELECT doc_id, source, n_tokens FROM h2 WHERE bucket < thresh
+        """,
+        # chunk_dedup: 32-token chunks, md5 first-occurrence keep,
+        # string_agg reconstruction (ORDER BY idx inside the agg)
+        "chunk_dedup": """
+            WITH toks AS (
+                SELECT doc_id, string_split(trim(text), ' ') AS t
+                FROM documents
+            ), nums AS (
+                SELECT doc_id, t,
+                       CAST(ceil(len(t)/32.0) AS BIGINT) AS nc
+                FROM toks
+            ), chunks AS (
+                SELECT doc_id, CAST(u.idx AS INT) AS idx,
+                       array_to_string(t[u.idx*32+1 : (u.idx+1)*32], ' ')
+                           AS chunk
+                FROM nums, unnest(range(0, nc)) AS u(idx)
+            ), ranked AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY md5(chunk) ORDER BY doc_id, idx) AS rn
+                FROM chunks
+            )
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+                   CAST(sum(CASE WHEN rn=1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_kept,
+                   coalesce(string_agg(CASE WHEN rn=1 THEN chunk END,
+                                       ' ' ORDER BY idx), '') AS dedup_text
+            FROM ranked GROUP BY doc_id
         """,
     }

@@ -1017,3 +1017,69 @@ def streaming_dedup_minhash(docs_stream: DataFrame, store_root: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def chunk_dedup(docs: DataFrame, chunk_tokens: int = 32,
+                text_col: str = "text") -> DataFrame:
+    """Cross-document CHUNK-level exact dedup with reconstruction
+    (RefinedWeb-style: the unit of duplication is a paragraph/chunk,
+    not the whole document — boilerplate shared by thousands of pages
+    is removed everywhere except its first occurrence, while the rest
+    of each document survives).
+
+    Documents are cut into consecutive ``chunk_tokens``-token chunks;
+    a chunk is kept iff it is the globally-first occurrence of its
+    md5 (first by (doc_id, idx) — deterministic, engine-independent).
+    Each document is then reassembled from its surviving chunks in
+    order.
+
+    Scale shape: chunking is row-local (one slice+concat per chunk, no
+    re-tokenization per position); the first-occurrence rank is a
+    window partitioned by the chunk HASH — md5 keys distribute
+    uniformly, so the shuffle has no skew regardless of how hot a
+    boilerplate chunk is (all copies of one chunk land in one
+    partition, but a partition holds ~rows/parts distinct hashes).
+    Reassembly is one groupBy(doc_id) whose per-group state is the
+    document itself — bounded by max document size, same as any
+    per-doc transform.
+
+    Returns (doc_id, n_chunks, n_kept, dedup_text).
+    """
+    toks = (
+        spread(docs.select("doc_id", F.col(text_col)))
+        .select("doc_id", _tokens(text_col).alias("__toks"))
+    )
+    nchunks = F.ceil(F.size("__toks") / F.lit(chunk_tokens)).cast("int")
+    chunks = (
+        toks
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), nchunks - 1),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.slice(F.col("__toks"),
+                                i.cast("int") * chunk_tokens + 1,
+                                chunk_tokens)),
+                )
+            ).alias("idx", "chunk"),
+        )
+    )
+    w = Window.partitionBy(F.md5("chunk")).orderBy("doc_id", "idx")
+    ranked = chunks.withColumn("__rn", F.row_number().over(w))
+    kept_struct = F.when(
+        F.col("__rn") == 1, F.struct(F.col("idx"), F.col("chunk")))
+    return (
+        ranked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum(F.when(F.col("__rn") == 1, 1).otherwise(0))
+             .cast("long").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda s: s["chunk"]),
+                " ").alias("dedup_text"),
+        )
+    )

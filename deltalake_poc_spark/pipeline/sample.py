@@ -68,3 +68,69 @@ def stratified_sample(df: DataFrame, rates: dict[str, float],
     default = F.lit(int(default_rate * LEHMER_MOD))
     threshold = default if threshold is None else threshold.otherwise(default)
     return df.filter(key_bucket(key_col, salt) < threshold)
+
+
+def mixture_sample(docs: DataFrame, token_budget: int,
+                   weights: dict[str, int] | None = None,
+                   strata_col: str = "source", key_col: str = "doc_id",
+                   text_col: str = "text", salt: int = 0) -> DataFrame:
+    """Domain-mixture sampling to a global TOKEN budget.
+
+    Where ``stratified_sample`` takes per-stratum rates as given, this
+    op derives them from the data: each stratum (source/domain) gets a
+    target token allocation — ``token_budget * w_s / sum(w)`` for the
+    integer ``weights`` map, or an equal share when ``weights`` is None
+    — and its acceptance rate becomes ``min(1, target_s / observed
+    tokens in s)``. Documents are then kept by the same deterministic
+    key-hash as every other sampler here, so the mixture is
+    reproducible across runs, shardings, and engines. This is the
+    static-weights half of DoReMi-style data mixing (weights chosen
+    offline, applied exactly at scan time).
+
+    Scale shape: one tiny aggregate (per-stratum token totals — strata
+    are sources/languages, O(10..1000) rows), broadcast-joined back to
+    the corpus, then a row-local filter. All threshold arithmetic is
+    64-bit integer (exact: targets * 2^31 stay far below 2^63), so the
+    DuckDB oracle reproduces the selection bit-for-bit.
+
+    Returns the sampled rows as (key, strata, n_tokens).
+    """
+    M = LEHMER_MOD
+    base = docs.select(
+        F.col(key_col).alias("__key"),
+        F.col(strata_col).alias("__strata"),
+        F.size(F.split(F.trim(F.col(text_col)), " ")).cast("long")
+         .alias("n_tokens"),
+    )
+    totals = base.groupBy("__strata").agg(
+        F.sum("n_tokens").alias("__total"))
+    if weights is not None:
+        wsum = sum(weights.values())
+        target = None
+        for value, w in sorted(weights.items()):
+            lit = F.lit(int(token_budget * w // wsum))
+            cond = F.col("__strata") == value
+            target = (F.when(cond, lit) if target is None
+                      else target.when(cond, lit))
+        target = target.otherwise(F.lit(0))
+        targets = totals.withColumn("__target", target)
+    else:
+        # equal share across the strata observed in the data; the count
+        # is a window over the already-tiny aggregate (no extra pass)
+        from pyspark.sql import Window
+        n = F.count(F.lit(1)).over(Window.partitionBy())
+        targets = totals.withColumn("__n", n).withColumn(
+            "__target",
+            F.expr(f"CAST({int(token_budget)} AS BIGINT) DIV __n"))
+    thresholds = targets.withColumn(
+        "__thresh",
+        F.least(F.lit(M).cast("long"),
+                F.expr(f"__target * CAST({M} AS BIGINT) DIV __total")))
+    out = (
+        base.join(F.broadcast(thresholds.select("__strata", "__thresh")),
+                  "__strata")
+        .filter(key_bucket("__key", salt) < F.col("__thresh"))
+        .select(F.col("__key").alias(key_col),
+                F.col("__strata").alias(strata_col), "n_tokens")
+    )
+    return out

@@ -778,3 +778,62 @@ def test_incremental_dedup_matches_model(spark, corpus, split):
             rescore_texts=all_df, commit=False).collect()
     }
     assert got == expected
+
+
+def test_chunk_dedup_removes_shared_chunk(spark):
+    """A chunk duplicated across documents survives only at its first
+    (doc_id, idx) occurrence; unique chunks are untouched."""
+    shared = " ".join(f"w{i}" for i in range(4))
+    rows = [
+        (1, shared + " " + " ".join(f"a{i}" for i in range(4))),
+        (2, " ".join(f"b{i}" for i in range(4)) + " " + shared),
+        (3, " ".join(f"c{i}" for i in range(3))),  # short doc, one chunk
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           dedup.chunk_dedup(df, chunk_tokens=4).collect()}
+    # doc 1 owns the first occurrence: both chunks kept
+    assert out[1]["n_chunks"] == 2 and out[1]["n_kept"] == 2
+    assert out[1]["dedup_text"] == rows[0][1]
+    # doc 2 loses its copy of the shared chunk (idx 1), keeps chunk 0
+    assert out[2]["n_chunks"] == 2 and out[2]["n_kept"] == 1
+    assert out[2]["dedup_text"] == " ".join(f"b{i}" for i in range(4))
+    # doc 3 untouched
+    assert out[3]["n_kept"] == 1 and out[3]["dedup_text"] == rows[2][1]
+
+
+def test_chunk_dedup_within_doc(spark):
+    """The same chunk repeated INSIDE one document is also collapsed
+    to its first occurrence."""
+    c = "x0 x1 x2 x3"
+    df = spark.createDataFrame([(7, c + " " + c)],
+                               "doc_id long, text string")
+    r = dedup.chunk_dedup(df, chunk_tokens=4).collect()[0]
+    assert r["n_chunks"] == 2 and r["n_kept"] == 1
+    assert r["dedup_text"] == c
+
+
+def test_mixture_sample_budget_and_weights(spark):
+    from deltalake_poc_spark.pipeline.sample import (LEHMER_MOD,
+                                                     mixture_sample)
+
+    rows = [(i, f"s{i % 2}", " ".join(["t"] * 10)) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    # generous budget -> rate 1 everywhere -> everything kept
+    all_kept = mixture_sample(df, token_budget=10**9)
+    assert all_kept.count() == 200
+    assert set(all_kept.columns) == {"doc_id", "source", "n_tokens"}
+    # half budget, uniform: each stratum targets 500 tokens of its
+    # 1000 -> threshold M/2 -> roughly half selected, deterministic
+    half = mixture_sample(df, token_budget=1000)
+    again = mixture_sample(df, token_budget=1000)
+    ids = sorted(r["doc_id"] for r in half.collect())
+    assert ids == sorted(r["doc_id"] for r in again.collect())
+    assert 0 < len(ids) < 200
+    # weighted: zero-weight stratum contributes nothing; the other is
+    # fully covered by its share of a big budget
+    w = mixture_sample(df, token_budget=10**9,
+                       weights={"s0": 1, "s1": 0})
+    srcs = {r["source"] for r in w.collect()}
+    assert srcs == {"s0"}
+    assert w.count() == 100
