@@ -1037,6 +1037,27 @@ def _ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pivot_ivf_topk(emb, centers, q, k=10, n_probe=4, exclude_vec_id=0)
 
 
+def _pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: vectors encoded as 4 centroid ids
+    (8 subspaces x 16 seeded-literal centroids), query scored
+    against codes via a precomputed asymmetric-distance table, ADC
+    shortlist of 100 exactly rescored with full-precision cosine. The
+    whole encode -> ADC -> rescore path is recomputed by the oracle
+    with identical left-fold double arithmetic. Fitted codebooks
+    (k-means per subspace, not SQL-expressible) are covered by the
+    recall pytest over ``pq_fit``."""
+    from deltalake_poc_spark.pipeline.similarity import (pq_adc_topk,
+                                                         pq_codebooks,
+                                                         pq_encode)
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    books = pq_codebooks(len(q), m=8, k=16, seed=11)
+    encoded = pq_encode(emb, books)
+    return pq_adc_topk(encoded, books, q, k=10, shortlist=100,
+                       exclude_vec_id=0)
+
+
 def _embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from deltalake_poc_spark.pipeline.dedup import embedding_neardup_pairs
 
@@ -1209,9 +1230,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": _doc_chunks,                           # chunking w/ overlap
         "tf_idf": _tf_idf,                                   # corpus TF-IDF
         "mixture_sample": _mixture_sample,                   # domain mixing (new r4)
-        "embedding_topk": _embedding_topk,                   # brute-force ANN baseline
         "ann_lsh_topk": _ann_lsh_topk,                       # LSH ANN, full SQL oracle
         "ivf_topk": _ivf_topk,                               # pivot IVF, full SQL oracle
+        "pq_topk": _pq_topk,                                 # PQ/ADC ANN (new r4)
         "embedding_neardup": _embedding_neardup,             # cosine near-dup pairs
         "multimodal_decode": _multimodal_decode,             # binary decode + resize
         "corpus_sample": _corpus_sample,                     # deterministic sampling
@@ -1227,6 +1248,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (multi-round driver-green; still oracle-checked by pytest + bench)
         "top_tokens": _top_tokens,                           # token counting
         "scrub_pii": _scrub_pii,                             # PII scrubbing
+        "embedding_topk": _embedding_topk,                   # brute-force ANN baseline
         "priority_stats": _priority_stats,                   # A5 P8
         "event_stats": _event_stats,                         # A7
         "customer_order_lists": _customer_order_lists,       # array_agg
@@ -1338,10 +1360,24 @@ def bench_extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
             store, docs.filter(F.col("doc_id") % 2 == 1),
             bands=16, threshold=0.5)
 
+    def _pq_fitted(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # production PQ: per-subspace k-means codebooks (pq_fit, not
+        # SQL-expressible) at the quality config — recall 0.9 at
+        # sf0.01 vs 0.5 for the oracle-checked seeded-codebook gate
+        from deltalake_poc_spark.pipeline.similarity import (
+            pq_adc_topk, pq_encode, pq_fit)
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        q = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+        books = pq_fit(emb, m=8, k=32)
+        return pq_adc_topk(pq_encode(emb, books), books, q, k=10,
+                           shortlist=100, exclude_vec_id=0)
+
     return {
         "minhash_dedup_prod": _minhash_prod,
         "simhash_dedup_prod": _simhash_prod,
         "ivf_kmeans_topk": _ivf_kmeans,
+        "pq_fitted_topk": _pq_fitted,
         "winnow_dedup_prod": _winnow_prod,
         "ngram_jaccard_nocap": _ngram_nocap,
         "incremental_dedup_prod": _incremental_prod,
@@ -1423,12 +1459,13 @@ def _lsh_proj_sql(plane, vec: str = "embedding") -> str:
     return f"(0.0 + {terms})"
 
 
-def _sqdist_sql(center, vec: str = "embedding") -> str:
+def _sqdist_sql(center, vec: str = "embedding", offset: int = 0) -> str:
     """Left-assoc squared-distance chain mirroring
-    ``similarity.sqdist_expr`` / ``left_fold_sqdist``."""
+    ``similarity.sqdist_expr`` / ``left_fold_sqdist``. ``offset``
+    selects a PQ subspace (vector elements offset+1 .. offset+len)."""
     terms = " + ".join(
-        f"(({vec}[{i + 1}]::DOUBLE - {float(c)!r})"
-        f" * ({vec}[{i + 1}]::DOUBLE - {float(c)!r}))"
+        f"(({vec}[{offset + i + 1}]::DOUBLE - {float(c)!r})"
+        f" * ({vec}[{offset + i + 1}]::DOUBLE - {float(c)!r}))"
         for i, c in enumerate(center))
     return f"(0.0 + {terms})"
 
@@ -1511,6 +1548,64 @@ def _ivf_oracle() -> str:
     """
 
 
+def _pq_oracle() -> str:
+    """Full SQL recompute of the PQ/ADC ANN: literal codebooks, per-
+    subspace nearest-centroid encode (first-min list_position, same
+    tie rule as Spark array_position), the query's asymmetric distance
+    table as literal lists, left-assoc ADC sum, shortlist 100 by
+    (approx, vec_id), exact cosine rescore."""
+    from deltalake_poc_spark.pipeline.similarity import pq_codebooks
+
+    m, kk = 8, 16
+    books = pq_codebooks(_EMB_DIM, m=m, k=kk, seed=11)
+    sub = _EMB_DIM // m
+    d_cols = []
+    code_cols = []
+    for mi, book in enumerate(books):
+        dlist = ",\n                    ".join(
+            _sqdist_sql(c, offset=mi * sub) for c in book)
+        d_cols.append(f"[{dlist}] AS d{mi}")
+        code_cols.append(
+            f"(list_position(d{mi}, list_aggregate(d{mi}, 'min')) - 1)"
+            f" AS c{mi}")
+    # the distance table needs the actual query vector; inline it from
+    # a scalar subquery is impossible for literals — so the oracle
+    # recomputes dt FROM the query row with the same left-fold chain,
+    # then indexes it per code
+    adc_terms = []
+    for mi, book in enumerate(books):
+        dtlist = ", ".join(
+            _sqdist_sql(c, vec="q.embedding", offset=mi * sub)
+            for c in book)
+        adc_terms.append(f"list_extract([{dtlist}], e.c{mi} + 1)")
+    adc = " + ".join(adc_terms)
+    return f"""
+        WITH q AS (
+            SELECT embedding FROM embeddings WHERE vec_id = 0
+        ), dl AS (
+            SELECT vec_id, embedding,
+                   {', '.join(d_cols)}
+            FROM embeddings
+        ), e AS (
+            SELECT vec_id, embedding, {', '.join(code_cols)} FROM dl
+        ), adc AS (
+            SELECT e.vec_id, e.embedding, {adc} AS approx
+            FROM e, q
+        ), short AS (
+            SELECT vec_id, embedding FROM adc
+            WHERE vec_id <> 0
+            ORDER BY approx ASC, vec_id ASC LIMIT 100
+        )
+        SELECT s.vec_id,
+               ROUND(list_cosine_similarity(s.embedding::DOUBLE[],
+                                            q.embedding::DOUBLE[]), 4)
+                   AS cosine
+        FROM short s, q
+        ORDER BY cosine DESC, s.vec_id ASC
+        LIMIT 10
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for each query (same column aliases)."""
     # delta_read: file lists come from an independent _delta_log replay
@@ -1534,6 +1629,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "ann_lsh_topk": _ann_lsh_oracle(),
         "ivf_topk": _ivf_oracle(),
+        "pq_topk": _pq_oracle(),
         "customer_order_summary": """
             SELECT c.c_custkey, c.c_name,
                    COUNT(o.o_orderkey) AS order_count,

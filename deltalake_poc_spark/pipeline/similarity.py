@@ -224,3 +224,117 @@ def ann_lsh_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
                      else (cand_cond | table_cond))
     candidates = emb.filter(cand_cond)
     return cosine_topk(candidates, query_vec, k, exclude_vec_id)
+
+
+# --- product quantization (PQ) -------------------------------------------
+
+def pq_codebooks(dim: int, m: int = 4, k: int = 16,
+                 seed: int = 11) -> list[list[list[float]]]:
+    """Deterministic PQ codebooks: ``m`` subspaces of ``dim/m`` dims,
+    ``k`` seeded-gaussian centroids each.
+
+    Same rationale as :func:`pivot_centers`: the driver's oracle is a
+    static SQL string, so the gate-checked variant quantizes against
+    literal seeded codebooks — the entire encode -> ADC -> rescore
+    path is then recomputable in SQL with bit-equal double
+    arithmetic. Fitting real codebooks (k-means per subspace) would
+    follow the ``ivf_build`` pattern and changes nothing downstream.
+    """
+    assert dim % m == 0, "dim must split evenly into m subspaces"
+    rs = np.random.RandomState(seed)
+    sub = dim // m
+    return [[[float(v) for v in row] for row in rs.normal(size=(k, sub))]
+            for _ in range(m)]
+
+
+def pq_encode(emb: DataFrame, codebooks: list[list[list[float]]],
+              vec_col: str = "embedding") -> DataFrame:
+    """Encode each vector as ``m`` centroid ids (nearest centroid per
+    subspace, ties -> lowest id). Row-local (no shuffle): at 100 TB
+    this runs once at ingest and the codes column — m bytes instead
+    of dim*4 — is what the ANN scan reads, a 32-64x reduction in
+    scanned bytes.
+    """
+    sub = len(codebooks[0][0])
+    codes = []
+    for mi, book in enumerate(codebooks):
+        slice_m = F.slice(F.col(vec_col), mi * sub + 1, sub)
+        dists = F.array(*[sqdist_expr(slice_m, c) for c in book])
+        codes.append((F.array_position(dists, F.array_min(dists)) - 1)
+                     .cast("int"))
+    return emb.withColumn("pq_code", F.array(*codes))
+
+
+def pq_adc_topk(encoded: DataFrame, codebooks: list[list[list[float]]],
+                query_vec: list[float], k: int = 10, shortlist: int = 50,
+                exclude_vec_id: int | None = None,
+                vectors: DataFrame | None = None) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k: the query's distance to every
+    centroid of every subspace is precomputed driver-side (m*k doubles
+    — the 'distance table'), so scoring a row is m literal-array
+    lookups + a fixed left-assoc sum over its codes. The ADC scan
+    shortlists ``shortlist`` candidates (TakeOrdered — no full sort),
+    which are then exactly rescored with full-precision cosine.
+
+    At 100 TB the scan touches only the m-byte codes column; the
+    expensive full vectors are fetched just for the shortlist rows.
+    Pass ``vectors`` (a separate (vec_id, embedding) table — codes are
+    precomputed at ingest and stored WITHOUT the vectors) to get that
+    shape literally: the ADC scan projects only (vec_id, pq_code), and
+    the shortlist is broadcast-joined back to the vectors table for
+    rescore, so the wide embedding column never enters the scan
+    (pinned by the plan test). With ``vectors=None`` the rescore reuses
+    ``encoded``'s own embedding column — right when encode and query
+    run in one job.
+    """
+    sub = len(codebooks[0][0])
+    dt = [[left_fold_sqdist(query_vec[mi * sub:(mi + 1) * sub], c)
+           for c in book]
+          for mi, book in enumerate(codebooks)]
+    approx = None
+    for mi, row in enumerate(dt):
+        term = F.element_at(F.array(*[F.lit(float(d)) for d in row]),
+                            F.element_at(F.col("pq_code"), mi + 1) + 1)
+        approx = term if approx is None else approx + term
+    scored = encoded.withColumn("__adc", approx)
+    if exclude_vec_id is not None:
+        scored = scored.filter(F.col("vec_id") != exclude_vec_id)
+    if vectors is not None:
+        ids = (scored.select("vec_id", "__adc")
+               .orderBy(F.col("__adc").asc(), F.col("vec_id").asc())
+               .limit(shortlist).select("vec_id"))
+        short = vectors.join(F.broadcast(ids), "vec_id")
+    else:
+        short = (scored.orderBy(F.col("__adc").asc(), F.col("vec_id").asc())
+                 .limit(shortlist).drop("__adc", "pq_code"))
+    return cosine_topk(short, query_vec, k, exclude_vec_id=None)
+
+
+def pq_fit(emb: DataFrame, m: int = 4, k: int = 16, seed: int = 23,
+           sample_cap: int = 100_000, iters: int = 10,
+           vec_col: str = "embedding") -> list[list[list[float]]]:
+    """Fit PQ codebooks: Lloyd's k-means per subspace over a driver-
+    collected sample (bounded: sample_cap * dim * 8B ~ 50 MB at the
+    defaults — fitting quantizers on a sample is standard practice;
+    the expensive part, encoding the full corpus, stays distributed
+    in :func:`pq_encode`). Deterministic for a fixed seed and sample.
+    """
+    rows = emb.select(vec_col).limit(sample_cap).collect()
+    X = np.array([list(r[0]) for r in rows], dtype=float)
+    dim = X.shape[1]
+    assert dim % m == 0
+    sub = dim // m
+    rs = np.random.RandomState(seed)
+    books = []
+    for mi in range(m):
+        S = X[:, mi * sub:(mi + 1) * sub]
+        centers = S[rs.choice(len(S), size=k, replace=False)].copy()
+        for _ in range(iters):
+            d2 = ((S[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for ci in range(k):
+                mask = assign == ci
+                if mask.any():
+                    centers[ci] = S[mask].mean(axis=0)
+        books.append([[float(v) for v in c] for c in centers])
+    return books

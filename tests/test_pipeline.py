@@ -837,3 +837,31 @@ def test_mixture_sample_budget_and_weights(spark):
     srcs = {r["source"] for r in w.collect()}
     assert srcs == {"s0"}
     assert w.count() == 100
+
+
+def test_pq_adc_recall(spark):
+    """Fitted PQ codebooks + ADC shortlist + exact rescore recover the
+    true neighbors; the encode/ADC machinery is exact-oracle-checked
+    separately (pq_topk gate query), this pins retrieval QUALITY of
+    the production fitting path."""
+    rs = np.random.RandomState(3)
+    vecs = rs.normal(size=(300, 32))
+    for i in range(1, 6):
+        vecs[i] = vecs[0] + rs.normal(scale=0.1, size=32)
+    rows = [(i, [float(x) for x in vecs[i]], 0) for i in range(300)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    q = [float(x) for x in vecs[0]]
+    exact = [r["vec_id"] for r in
+             similarity.cosine_topk(emb, q, k=5, exclude_vec_id=0).collect()]
+    books = similarity.pq_fit(emb, m=8, k=16, iters=5)
+    assert len(books) == 8 and len(books[0]) == 16 and len(books[0][0]) == 4
+    enc = similarity.pq_encode(emb, books)
+    # codes are row-local ints in [0, k)
+    one = enc.select("pq_code").first()["pq_code"]
+    assert len(one) == 8 and all(0 <= c < 16 for c in one)
+    approx = [r["vec_id"] for r in
+              similarity.pq_adc_topk(enc, books, q, k=5, shortlist=60,
+                                     exclude_vec_id=0).collect()]
+    recall = len(set(exact) & set(approx)) / 5
+    assert recall >= 0.8, f"recall {recall}: exact={exact} approx={approx}"

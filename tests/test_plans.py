@@ -264,3 +264,45 @@ def test_incremental_dedup_prod_no_python_no_cartesian(spark):
     plan = d._jdf.queryExecution().explainString(jmode)
     assert "EvalPython" not in plan, plan[:800]
     assert "CartesianProduct" not in plan, plan[:800]
+
+
+def test_pq_codes_scan_excludes_vectors(spark, tmp_path):
+    """The at-scale PQ layout: codes and vectors live in separate
+    tables; the ADC scan must read ONLY (vec_id, pq_code) — the wide
+    embedding column enters the plan solely via the shortlist join.
+    Also: no shuffle before the shortlist (TakeOrdered over a
+    row-local projection), and the shortlist join is broadcast."""
+    from pyspark.sql import functions as F
+
+    from deltalake_poc_spark.pipeline.similarity import (pq_adc_topk,
+                                                         pq_codebooks,
+                                                         pq_encode)
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    books = pq_codebooks(len(q), m=8, k=16, seed=11)
+    codes_path = str(tmp_path / "codes")
+    vecs_path = str(tmp_path / "vectors")
+    pq_encode(emb, books).select("vec_id", "pq_code") \
+        .write.parquet(codes_path)
+    emb.select("vec_id", "embedding").write.parquet(vecs_path)
+
+    codes = spark.read.parquet(codes_path)
+    vectors = spark.read.parquet(vecs_path)
+    df = pq_adc_topk(codes, books, q, k=10, shortlist=50,
+                     exclude_vec_id=0, vectors=vectors)
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode \
+        .fromString("formatted")
+    plan = df._jdf.queryExecution().explainString(jmode)
+    # the codes-table scan must not read the embedding column (pin on
+    # ReadSchema — Output attribute names are post-alias and can lie)
+    schemas = re.findall(r"ReadSchema: (\S+)", plan)
+    assert any("pq_code" in sch and "embedding" not in sch
+               for sch in schemas), schemas
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    # result equals the single-pass variant
+    single = pq_adc_topk(pq_encode(emb, books), books, q, k=10,
+                         shortlist=50, exclude_vec_id=0)
+    assert [r.asDict() for r in df.collect()] == \
+           [r.asDict() for r in single.collect()]
