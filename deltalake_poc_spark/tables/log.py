@@ -46,17 +46,23 @@ class FileEntry:
     num_records: int = 0
     stats: dict[str, list] = field(default_factory=dict)
     partition: dict[str, str] = field(default_factory=dict)
+    # per-column bloom filters ({col: {m, k, b64}}) for equality
+    # skipping on high-cardinality columns — written only when the
+    # graft.bloomFilter.columns table property is set
+    bloom: dict[str, dict] = field(default_factory=dict)
 
     def to_json(self) -> dict:
         d = {"path": self.path, "numRecords": self.num_records, "stats": self.stats}
         if self.partition:
             d["partition"] = self.partition
+        if self.bloom:
+            d["bloom"] = self.bloom
         return d
 
     @staticmethod
     def from_json(d: dict) -> "FileEntry":
         return FileEntry(d["path"], d.get("numRecords", 0), d.get("stats", {}),
-                         d.get("partition", {}))
+                         d.get("partition", {}), d.get("bloom", {}))
 
 
 @dataclass

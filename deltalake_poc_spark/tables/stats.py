@@ -10,7 +10,10 @@ tasks instead (same information, shipped back with the file list).
 
 from __future__ import annotations
 
+import base64
 import datetime
+import hashlib
+import math
 from typing import Any
 
 import pyarrow.parquet as pq
@@ -175,4 +178,98 @@ def partition_may_match(partition: dict, preds: list[tuple[str, str, Any]]) -> b
                 return False
         except TypeError:
             continue
+    return True
+
+
+# ----------------------------------------------------- bloom file skipping
+
+# Table properties configuring per-file bloom filters (equivalent of
+# Delta's bloom-filter index / delta.bloomFilter.* and Parquet column
+# bloom filters): equality lookups on high-cardinality columns where
+# [min, max] never prunes (uuids, hashes — every file spans the whole
+# value space).
+BLOOM_COLS_PROP = "graft.bloomFilter.columns"  # comma-separated logical names
+BLOOM_FPP_PROP = "graft.bloomFilter.fpp"       # default 0.01
+
+
+def _bloom_key(v: Any) -> bytes:
+    """Canonical bytes for a value — MUST agree between the write side
+    (python values from the footer/column read) and the read side
+    (parsed predicate literals). Ints and floats that are whole numbers
+    canonicalize identically (1 == 1.0); everything else via str."""
+    if isinstance(v, bool):
+        return b"t" if v else b"f"
+    if isinstance(v, float) and v.is_integer():
+        v = int(v)
+    return str(v).encode("utf-8")
+
+
+def _bloom_hashes(v: Any, k: int, m: int) -> list[int]:
+    """k bit positions by double hashing (h1 + i*h2 mod m) over a
+    blake2b-16 digest — deterministic across processes (no PYTHONHASHSEED
+    dependence)."""
+    d = hashlib.blake2b(_bloom_key(v), digest_size=16).digest()
+    h1 = int.from_bytes(d[:8], "big")
+    h2 = int.from_bytes(d[8:], "big") | 1
+    return [(h1 + i * h2) % m for i in range(k)]
+
+
+def bloom_build(values, fpp: float = 0.01) -> dict:
+    """Build {m, k, b64} for the distinct values of one file's column.
+    Sized for the observed distinct count: m = -n ln(fpp) / ln(2)^2."""
+    vals = set(values)
+    n = max(1, len(vals))
+    m = max(64, int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2))))
+    k = max(1, round(m / n * math.log(2)))
+    bits = bytearray((m + 7) // 8)
+    for v in vals:
+        if v is None:
+            continue
+        for pos in _bloom_hashes(v, k, m):
+            bits[pos // 8] |= 1 << (pos % 8)
+    return {"m": m, "k": k,
+            "b64": base64.b64encode(bytes(bits)).decode("ascii")}
+
+
+def bloom_might_contain(bloom: dict, v: Any) -> bool:
+    """False = definitely absent from the file; True = maybe present."""
+    try:
+        m, k = int(bloom["m"]), int(bloom["k"])
+        bits = base64.b64decode(bloom["b64"])
+    except (KeyError, TypeError, ValueError):
+        return True  # malformed -> conservative
+    return all(bits[pos // 8] & (1 << (pos % 8))
+               for pos in _bloom_hashes(v, k, m))
+
+
+def collect_file_bloom(abs_path: str, cols: list[str],
+                       fpp: float = 0.01) -> dict:
+    """Per-column bloom filters for one written file. The column read
+    is a real data read (unlike min/max, blooms need every value) —
+    driver-side here, O(one file) per call right after that file was
+    written (page cache hot); at cluster scale this computation moves
+    into the write tasks like the stats collection (module docstring).
+    """
+    import pyarrow.parquet as pq_
+
+    pf = pq_.ParquetFile(abs_path)
+    present = [c for c in cols if c in pf.schema_arrow.names]
+    if not present:
+        return {}
+    tbl = pf.read(columns=present)
+    out = {}
+    for c in present:
+        out[c] = bloom_build(
+            (v for v in tbl.column(c).to_pylist() if v is not None), fpp)
+    return out
+
+
+def bloom_may_match(bloom: dict, preds: list[tuple[str, str, Any]]) -> bool:
+    """Equality-predicate bloom check: False only when some ``col = v``
+    predicate hits a definitely-absent bloom verdict."""
+    for col, op, v in preds:
+        if op != "=" or col not in bloom or v is None:
+            continue
+        if not bloom_might_contain(bloom[col], v):
+            return False
     return True

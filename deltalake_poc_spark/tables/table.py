@@ -32,7 +32,9 @@ from pyspark.sql.types import StructField, StructType
 from deltalake_poc_spark.tables.log import (
     Commit, ConcurrentWriteError, FileEntry, Snapshot, TableLog,
 )
-from deltalake_poc_spark.tables.stats import collect_file_stats
+from deltalake_poc_spark.tables.stats import (BLOOM_COLS_PROP, BLOOM_FPP_PROP,
+                                               collect_file_bloom,
+                                               collect_file_stats)
 
 CDF_PROP = "enableChangeDataFeed"
 DV_PROP = "enableDeletionVectors"
@@ -188,8 +190,8 @@ class VersionedTable:
         """Relative data-file paths whose stats admit ``where`` (see
         read). Deletion vectors only shrink a file's live rows, so its
         recorded [min, max] remain valid over-approximations."""
-        from .stats import (file_may_match, parse_skipping_predicates,
-                            partition_may_match)
+        from .stats import (bloom_may_match, file_may_match,
+                            parse_skipping_predicates, partition_may_match)
 
         if snap is None:
             snap = self.snapshot()
@@ -198,7 +200,8 @@ class VersionedTable:
             return snap.file_paths
         return [e.path for e in snap.files
                 if partition_may_match(e.partition, preds)
-                and file_may_match(e.stats, preds)]
+                and file_may_match(e.stats, preds)
+                and bloom_may_match(e.bloom, preds)]
 
     def _read_files(self, rel_paths: list[str], snap: Snapshot,
                     with_position: bool = False) -> DataFrame:
@@ -384,6 +387,11 @@ class VersionedTable:
                 F.col(c).alias(nontrivial.get(c, c)) for c in df.columns])
             if stats_cols:
                 stats_cols = [nontrivial.get(c, c) for c in stats_cols]
+        props = self.properties() if self.log.exists() else {}
+        bloom_cols = [c.strip()
+                      for c in str(props.get(BLOOM_COLS_PROP, "")).split(",")
+                      if c.strip()]
+        bloom_fpp = float(props.get(BLOOM_FPP_PROP, 0.01))
         if sort_within_partitions_by:
             df = df.sortWithinPartitions(*sort_within_partitions_by)
         writer = df.write.mode("overwrite")
@@ -431,9 +439,18 @@ class VersionedTable:
                 if n == 0:
                     os.unlink(self.log.abs_path(rel))
                     continue
+                bloom = {}
+                if bloom_cols:
+                    # property names logical columns; files store
+                    # physical names — translate both ways like stats
+                    phys_bloom = collect_file_bloom(
+                        self.log.abs_path(rel),
+                        [nontrivial.get(c, c) for c in bloom_cols],
+                        fpp=bloom_fpp)
+                    bloom = {inv.get(c, c): b for c, b in phys_bloom.items()}
                 if inv:
                     stats = {inv.get(c, c): v for c, v in stats.items()}
-                entries.append(FileEntry(rel, n, stats, part_vals))
+                entries.append(FileEntry(rel, n, stats, part_vals, bloom))
         shutil.rmtree(staging, ignore_errors=True)
         # only remove the shared _staging parent if it is empty: a
         # concurrent writer (write() retries on commit conflicts, so

@@ -441,3 +441,44 @@ def test_zorder_improves_stats_pruning(spark, tmp_path):
     assert after < len(snap.files), (after, len(snap.files))
     assert t.read(where="b = 500").count() == \
         t.read().filter("b = 500").count()
+
+
+def test_bloom_filter_file_skipping(spark, tmp_path):
+    """Equality lookups on a high-cardinality column: every file's
+    [min, max] spans the whole value space (md5 strings, random
+    partitioning) so interval stats prune nothing — the per-file bloom
+    filters written under graft.bloomFilter.columns must do the
+    pruning, and reads stay exact."""
+    from pyspark.sql.types import LongType
+
+    schema = StructType([StructField("id", LongType()),
+                         StructField("rid", StringType()),
+                         StructField("v", LongType())])
+    t = VersionedTable.create(
+        spark, str(tmp_path / "bloomy"), schema,
+        properties={"graft.bloomFilter.columns": "rid"})
+    df = spark.range(0, 4000).select(
+        F.col("id"),
+        F.md5(F.col("id").cast("string")).alias("rid"),
+        (F.col("id") * 3).alias("v"))
+    t.write(df.repartition(8), "append")
+    snap = t.snapshot()
+    assert len(snap.files) > 1
+    assert all(e.bloom.get("rid") for e in snap.files)
+
+    import hashlib
+    target = hashlib.md5(b"1234").hexdigest()
+    pred = f"rid = '{target}'"
+    pruned = t.files_matching(pred, snap)
+    # min/max cannot prune (hex strings span every file); bloom must
+    assert len(pruned) < len(snap.files), \
+        f"bloom pruned nothing: {len(pruned)}/{len(snap.files)}"
+    rows = t.read(where=pred).collect()
+    assert len(rows) == 1 and rows[0]["id"] == 1234 and rows[0]["v"] == 3702
+    # an absent key prunes everything (within fpp; 8 files x 1% -> ~0)
+    assert len(t.files_matching("rid = 'not-a-real-hash'", snap)) <= 1
+    # non-equality predicates ignore blooms entirely
+    assert len(t.files_matching("rid >= 'a'", snap)) == len(snap.files)
+    # blooms survive the log round-trip (read back from commit JSON)
+    t2 = VersionedTable(spark, t.log.root)
+    assert all(e.bloom.get("rid") for e in t2.snapshot().files)
