@@ -837,6 +837,46 @@ def _skipping_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter file skipping, end-to-end: lineitem gets a
+    high-cardinality md5 row id and lands RANDOMLY partitioned in a
+    VersionedTable with graft.bloomFilter.columns=rid — every file's
+    [min, max] spans the whole hex space, so interval stats can prune
+    NOTHING; the per-file blooms written at commit time must prune the
+    point lookup (self-checked: raises if they don't), and the read
+    returns exactly the target row, which the oracle recomputes from
+    the raw table with its own md5."""
+    import tempfile
+
+    from pyspark.sql.types import (DoubleType, LongType, StringType,
+                                   StructField, StructType)
+
+    from deltalake_poc_spark.tables import VersionedTable
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity",
+        F.md5(F.concat(F.col("l_orderkey").cast("string"), F.lit("-"),
+                       F.col("l_linenumber").cast("string"))).alias("rid"))
+    t = VersionedTable.create(
+        spark, tempfile.mkdtemp(prefix="bloom_"),
+        StructType([StructField("l_orderkey", LongType()),
+                    StructField("l_linenumber", LongType()),
+                    StructField("l_quantity", DoubleType()),
+                    StructField("rid", StringType())]),
+        properties={"graft.bloomFilter.columns": "rid"})
+    t.write(li.repartition(8), "append")
+    first = (li.orderBy("l_orderkey", "l_linenumber")
+             .select("rid").first()["rid"])
+    pred = f"rid = '{first}'"
+    snap = t.snapshot()
+    pruned = t.files_matching(pred, snap)
+    if not len(pruned) < len(snap.files):
+        raise AssertionError(
+            f"bloom pruned nothing: {len(pruned)}/{len(snap.files)}")
+    return t.read(where=pred).select(
+        "l_orderkey", "l_linenumber", "l_quantity")
+
+
 def _incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Signature-store incremental dedup: the even-doc_id half of the
     corpus seeds a persisted MinHash signature store (a VersionedTable
@@ -1169,28 +1209,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ORDER MATTERS: the driver's correctness gate checks the FIRST 50
     entries in dict insertion order (CORRECTNESS_r01..r03 each contain
     exactly the first 50 keys of this dict at the time). Round-4
-    rotation, two waves:
-    (1) repetition_signals / decontaminate / winnow_dedup / dv_pipeline
-    — never driver-checked before r4 — enter the window, plus the new
-    delta_dv_read / quality_classifier / pack_sequences;
-    (2) 12 of the round-4 TPC-H completions and the signature-store
-    incremental_dedup enter so the most complex new shapes get hard
-    driver rows immediately (q2 correlated-min, q4 EXISTS, q8 share
-    quotient, q11 fraction-HAVING, q13 outer-join histogram, q15 max
-    probe, q16 anti+distinct, q17 correlated-avg, q18 IN-HAVING, q21
-    semi+anti self-join, q22 idle-customer rollup).
-    (3) the two newest operators — chunk_dedup (chunk-level dedup with
-    reconstruction) and mixture_sample (token-budget domain mixing) —
-    enter in place of top_tokens / scrub_pii (each driver-green
-    r1-r3).
-    Rotated to positions 51+: twelve queries each driver-green in
-    r1+r2+r3 (customer_order_summary, product_popularity,
-    order_line_summary, order_analytics, analytics_summary,
-    order_rollup, order_cube, price_ranks, version_diff_keys,
-    text_quality, lang_id, doc_fingerprint) and the r1-r3 green
-    scalar set. Every registered query, in or out of the window, is
-    still oracle-checked by tests/test_entry_oracle.py and
-    timed+oracled by bench.py.
+    rotation rule: EVERY query with no CORRECTNESS row from any prior
+    round sits inside the window — all 31 of them (the full TPC-H
+    completion q2..q22, incremental_dedup, delta_dv_read, the four
+    r3-era never-checked pipeline ops, quality_classifier,
+    pack_sequences, skipping_read, bloom_lookup, chunk_dedup,
+    mixture_sample, pq_topk) — leaving 19 slots for a core of
+    multi-round-green pipelines (cdc/cdf/dv/mv, dedup+ANN family).
+    Rotated to positions 51+: only queries driver-green in r1-r3
+    (flagship q1/q3/q5/q6 among them — each has three green rows).
+    Every registered query, in or out of the window, is still
+    oracle-checked by tests/test_entry_oracle.py and timed+oracled by
+    bench.py.
     """
     return {
         "q2_min_cost_supplier": _q2_min_cost_supplier,       # correlated min
@@ -1209,14 +1239,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_dv_read": _delta_dv_read,                     # standard deletion vectors
         "stats_moments": _stats_moments,                     # percentile/stddev/corr
         "cdc_pipeline": _cdc_pipeline,                       # S14 P1-P9 J4 J5 M1 M3
-        "q1_pricing_summary": _q1_pricing_summary,           # wide-scan computed agg
-        "q6_forecast_revenue": _q6_forecast_revenue,         # selective scan-agg
-        "q3_shipping_priority": _q3_shipping_priority,       # 3-way join top-k
-        "q5_local_supplier": _q5_local_supplier_volume,      # 5-way join bcast dims
-        "asof_join": _asof_join,                             # as-of join (custom op)
-        "range_join": _range_join,                           # band/range join (custom op)
-        "event_windows": _event_windows,                     # windowed agg (streaming twin)
-        "user_sessions": _user_sessions,                     # sessionization
+        "skipping_read": _skipping_read,                     # data skipping e2e
+        "bloom_lookup": _bloom_lookup,                       # bloom skipping (new r4)
+        "q7_volume_shipping": _q7_volume_shipping,           # dual-nation join
+        "q9_product_revenue": _q9_product_revenue,           # nation/year rollup
+        "q10_returned_items": _q10_returned_items,           # returns top-k
+        "q12_priority_lateness": _q12_priority_lateness,     # conditional agg
+        "q14_promo_revenue": _q14_promo_revenue,             # promo share
+        "q19_bracket_revenue": _q19_bracket_revenue,         # OR brackets
+        "q20_promo_suppliers": _q20_promo_suppliers,         # nested semi
         "mv_refresh": _mv_refresh,                           # T7 S5 S11
         "time_travel_diff": _time_travel_diff,               # S6 U3
         "cdf_changes": _cdf_changes,                         # S8 M1 M3
@@ -1227,7 +1258,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup": _minhash_dedup,                     # MinHash+LSH vs exact oracle
         "simhash_dedup": _simhash_dedup,                     # SimHash, full SQL oracle
         "chunk_dedup": _chunk_dedup,                         # chunk-level dedup (new r4)
-        "doc_chunks": _doc_chunks,                           # chunking w/ overlap
         "tf_idf": _tf_idf,                                   # corpus TF-IDF
         "mixture_sample": _mixture_sample,                   # domain mixing (new r4)
         "ann_lsh_topk": _ann_lsh_topk,                       # LSH ANN, full SQL oracle
@@ -1247,6 +1277,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- positions 51+: outside the driver's 50-query gate window
         # (multi-round driver-green; still oracle-checked by pytest + bench)
         "top_tokens": _top_tokens,                           # token counting
+        "doc_chunks": _doc_chunks,                           # chunking w/ overlap
         "scrub_pii": _scrub_pii,                             # PII scrubbing
         "embedding_topk": _embedding_topk,                   # brute-force ANN baseline
         "priority_stats": _priority_stats,                   # A5 P8
@@ -1273,16 +1304,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _text_quality,                       # quality scoring
         "lang_id": _lang_id,                                 # language ID
         "doc_fingerprint": _doc_fingerprint,                 # fingerprinting
-        "skipping_read": _skipping_read,                     # data skipping e2e
-        # round-4 TPC-H completion: the remaining canonical plan shapes
-        # (adapted to the slim schema — see analytics/tpch.py header)
-        "q7_volume_shipping": _q7_volume_shipping,           # dual-nation join
-        "q9_product_revenue": _q9_product_revenue,           # nation/year rollup
-        "q10_returned_items": _q10_returned_items,           # returns top-k
-        "q12_priority_lateness": _q12_priority_lateness,     # conditional agg
-        "q14_promo_revenue": _q14_promo_revenue,             # promo share
-        "q19_bracket_revenue": _q19_bracket_revenue,         # OR brackets
-        "q20_promo_suppliers": _q20_promo_suppliers,         # nested semi
+        "q1_pricing_summary": _q1_pricing_summary,           # wide-scan computed agg
+        "q6_forecast_revenue": _q6_forecast_revenue,         # selective scan-agg
+        "q3_shipping_priority": _q3_shipping_priority,       # 3-way join top-k
+        "q5_local_supplier": _q5_local_supplier_volume,      # 5-way join bcast dims
+        "asof_join": _asof_join,                             # as-of join (custom op)
+        "range_join": _range_join,                           # band/range join (custom op)
+        "event_windows": _event_windows,                     # windowed agg (streaming twin)
+        "user_sessions": _user_sessions,                     # sessionization
     }
 
 
@@ -2591,6 +2620,19 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT doc_id FROM grams WHERE doc_id % 2 = 1) n
             LEFT JOIN sim s ON s.doc_a = n.doc_id
             GROUP BY n.doc_id
+        """,
+        "bloom_lookup": """
+            WITH li AS (
+                SELECT l_orderkey, l_linenumber, l_quantity,
+                       md5(l_orderkey || '-' || l_linenumber) AS rid
+                FROM lineitem
+            ), tgt AS (
+                SELECT md5(l_orderkey || '-' || l_linenumber) AS rid
+                FROM lineitem
+                ORDER BY l_orderkey, l_linenumber LIMIT 1
+            )
+            SELECT li.l_orderkey, li.l_linenumber, li.l_quantity
+            FROM li, tgt WHERE li.rid = tgt.rid
         """,
         "skipping_read": f"""
             SELECT COUNT(*) AS n_rows,
