@@ -121,11 +121,24 @@ def pivot_centers(dim: int, n_clusters: int = 16, seed: int = 7) -> list[list[fl
 def pivot_assign(emb: DataFrame, centers: list[list[float]],
                  vec_col: str = "embedding") -> DataFrame:
     """Assign each vector to its nearest pivot (ties -> lowest cluster
-    id, via first-match array_position). Pure column expressions; at
-    100 TB ``__cluster`` becomes the table's partition key."""
-    dists = F.array(*[sqdist_expr(F.col(vec_col), c) for c in centers])
-    return emb.withColumn(
-        "__cluster", F.array_position(dists, F.array_min(dists)) - 1)
+    id — array_min over (dist, id) structs, same first-min semantics
+    as array_position but each fold evaluates once; centers ride as a
+    single literal array-of-arrays under one transform lambda, see
+    pq_encode for the plan-cost rationale). Pure column expressions;
+    at 100 TB ``__cluster`` becomes the table's partition key."""
+    centers_col = F.array(*[
+        F.array(*[F.lit(float(x)) for x in c]) for c in centers])
+    v = F.col(vec_col)
+    entries = F.transform(
+        centers_col,
+        lambda c, i: F.struct(
+            F.aggregate(
+                F.zip_with(v, c,
+                           lambda x, y: (x.cast("double") - y)
+                                        * (x.cast("double") - y)),
+                F.lit(0.0), lambda acc, x: acc + x).alias("d"),
+            i.alias("i")))
+    return emb.withColumn("__cluster", F.array_min(entries)["i"])
 
 
 def pivot_ivf_topk(emb: DataFrame, centers: list[list[float]],
