@@ -13,7 +13,7 @@ higher-order functions, JVM-side, no UDF.
 from __future__ import annotations
 
 import numpy as np
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -400,3 +400,75 @@ def pq_fit(emb: DataFrame, m: int = 4, k: int = 16, seed: int = 23,
                     centers[ci] = S[mask].mean(axis=0)
         books.append([[float(v) for v in c] for c in centers])
     return books
+
+
+def pq_query_tables(queries_df: DataFrame,
+                    codebooks: list[list[list[float]]],
+                    vec_col: str = "embedding") -> DataFrame:
+    """Per-query asymmetric distance tables, computed declaratively:
+    for each query row, ``dt[m][c] = sqdist(query_sub_m, book[m][c])``
+    with the same literal-codebook transform (and the same left-fold
+    arithmetic) as :func:`pq_encode`. Row-local over the QUERY set —
+    a few rows — so the result broadcasts."""
+    sub = len(codebooks[0][0])
+    dts = []
+    for mi, book in enumerate(codebooks):
+        slice_m = F.slice(F.col(vec_col), mi * sub + 1, sub)
+        book_col = F.array(*[
+            F.array(*[F.lit(float(x)) for x in c]) for c in book])
+        dts.append(F.transform(
+            book_col,
+            lambda c: F.aggregate(
+                F.zip_with(slice_m, c,
+                           lambda x, y: (x.cast("double") - y)
+                                        * (x.cast("double") - y)),
+                F.lit(0.0), lambda acc, x: acc + x)))
+    return queries_df.select(
+        F.col("vec_id").alias("qid"),
+        F.col(vec_col).alias("__qvec"),
+        F.array(*dts).alias("__dt"))
+
+
+def pq_adc_topk_batch(encoded: DataFrame,
+                      codebooks: list[list[list[float]]],
+                      queries_df: DataFrame, k: int = 10,
+                      shortlist: int = 50,
+                      vec_col: str = "embedding") -> DataFrame:
+    """Batch ANN — the shape a production retrieval job actually has:
+    MANY queries against one corpus. The corpus codes are scanned
+    ONCE; every row is scored against every query via a broadcast
+    nested-loop join with the per-query distance tables (queries are
+    few, the join side is tiny), then two per-query rank windows pick
+    the ADC shortlist and the exact-cosine top-k. Self-pairs are
+    excluded.
+
+    Scale shape: cost is (corpus x queries) lookups of m array
+    elements — no re-encode per query, no per-query scan. The rank
+    window shuffles by qid; for query batches comparable to the
+    cluster size that is the right partitioning (each query's
+    shortlist builds on one node), and larger batches spread further.
+    """
+    m = len(codebooks)
+    qdt = pq_query_tables(queries_df, codebooks, vec_col)
+    approx = None
+    for mi in range(m):
+        term = F.element_at(
+            F.element_at(F.col("__dt"), mi + 1),
+            F.element_at(F.col("pq_code"), mi + 1) + 1)
+        approx = term if approx is None else approx + term
+    scored = (encoded.crossJoin(F.broadcast(qdt))
+              .filter(F.col("vec_id") != F.col("qid"))
+              .withColumn("__adc", approx))
+    w_short = Window.partitionBy("qid").orderBy(
+        F.col("__adc").asc(), F.col("vec_id").asc())
+    short = (scored.withColumn("__rn", F.row_number().over(w_short))
+             .filter(F.col("__rn") <= shortlist))
+    v = _as_double(F.col(vec_col))
+    qv = _as_double(F.col("__qvec"))
+    sim = _dot(v, qv) / (_norm(v) * _norm(qv))
+    w_k = Window.partitionBy("qid").orderBy(
+        F.desc("cosine"), F.asc("vec_id"))
+    return (short.select("qid", "vec_id", F.round(sim, 4).alias("cosine"))
+            .withColumn("__rk", F.row_number().over(w_k))
+            .filter(F.col("__rk") <= k)
+            .select("qid", "vec_id", "cosine"))

@@ -666,6 +666,14 @@ class VersionedTable:
             fields.append(f)
         props = dict(snap.properties)
         props[self.COLUMN_MAPPING_PROP] = "name"
+        # bloom columns are configured by LOGICAL name: follow the
+        # rename so future files keep their blooms (already-written
+        # files keep old-name keys — conservative no-prune, still
+        # correct)
+        if props.get(BLOOM_COLS_PROP):
+            props[BLOOM_COLS_PROP] = ",".join(
+                new if cc.strip() == old else cc.strip()
+                for cc in str(props[BLOOM_COLS_PROP]).split(","))
         c = Commit(
             version=self.log.next_version(),
             timestamp=self.log.monotonic_now_ms(),

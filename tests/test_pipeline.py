@@ -865,3 +865,29 @@ def test_pq_adc_recall(spark):
                                      exclude_vec_id=0).collect()]
     recall = len(set(exact) & set(approx)) / 5
     assert recall >= 0.8, f"recall {recall}: exact={exact} approx={approx}"
+
+
+def test_pq_batch_matches_single_query(spark):
+    """pq_adc_topk_batch must produce, per query, exactly what the
+    single-query pq_adc_topk produces (same codebooks, same shortlist,
+    same tie rules)."""
+    rs = np.random.RandomState(5)
+    rows = [(i, [float(x) for x in rs.normal(size=16)], 0)
+            for i in range(150)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    books = similarity.pq_codebooks(16, m=4, k=8, seed=2)
+    enc = similarity.pq_encode(emb, books)
+    queries = emb.filter(F.col("vec_id") < 3)
+    batch = similarity.pq_adc_topk_batch(enc, books, queries,
+                                         k=5, shortlist=30)
+    got = {}
+    for r in batch.collect():
+        got.setdefault(r["qid"], []).append((r["vec_id"], r["cosine"]))
+    assert set(got) == {0, 1, 2}
+    for qid in (0, 1, 2):
+        q = rows[qid][1]
+        single = [(r["vec_id"], r["cosine"]) for r in
+                  similarity.pq_adc_topk(enc, books, q, k=5, shortlist=30,
+                                         exclude_vec_id=qid).collect()]
+        assert got[qid] == single, f"qid {qid}"

@@ -482,3 +482,34 @@ def test_bloom_filter_file_skipping(spark, tmp_path):
     # blooms survive the log round-trip (read back from commit JSON)
     t2 = VersionedTable(spark, t.log.root)
     assert all(e.bloom.get("rid") for e in t2.snapshot().files)
+
+
+def test_bloom_columns_follow_rename_and_optimize(spark, tmp_path):
+    """graft.bloomFilter.columns names LOGICAL columns: after RENAME
+    COLUMN the property follows, so new files bloom under the new
+    name; files rewritten by OPTIMIZE regenerate their blooms."""
+    schema = StructType([StructField("id", LongType()),
+                         StructField("rid", StringType())])
+    t = VersionedTable.create(
+        spark, str(tmp_path / "bloomren"), schema,
+        properties={"graft.bloomFilter.columns": "rid"})
+    mk = lambda a, b: spark.range(a, b).select(
+        F.col("id"), F.md5(F.col("id").cast("string")).alias("rid"))
+    t.write(mk(0, 500).repartition(2), "append")
+    t.rename_column("rid", "row_key")
+    assert t.properties()["graft.bloomFilter.columns"] == "row_key"
+    t.write(mk(500, 1000).withColumnRenamed("rid", "row_key")
+            .repartition(2), "append")
+    snap = t.snapshot()
+    newer = [e for e in snap.files if e.bloom.get("row_key")]
+    assert len(newer) >= 2  # post-rename files bloom under the new name
+    # OPTIMIZE rewrites everything -> all files bloom under row_key
+    t.optimize()
+    snap2 = t.snapshot()
+    assert snap2.files and all(e.bloom.get("row_key") for e in snap2.files)
+    import hashlib
+    target = hashlib.md5(b"42").hexdigest()
+    pred = f"row_key = '{target}'"
+    assert len(t.files_matching(pred, snap2)) <= len(snap2.files)
+    got = t.read(where=pred).collect()
+    assert len(got) == 1 and got[0]["id"] == 42
