@@ -306,3 +306,25 @@ def test_pq_codes_scan_excludes_vectors(spark, tmp_path):
                          shortlist=50, exclude_vec_id=0)
     assert [r.asDict() for r in df.collect()] == \
            [r.asDict() for r in single.collect()]
+
+
+def test_new_r4_ops_stay_jvm_and_shuffle_lean(spark):
+    """Round-4 operators: no Python eval, no cartesian product (the
+    batch-ANN cross join must be a broadcast nested loop), bounded
+    exchange counts — chunk_dedup's two shuffles are the hash window
+    and the per-doc reassembly; mixture_sample's one exchange is the
+    tiny per-stratum aggregate (the corpus side is join+filter only)."""
+    for q, max_exchanges in (("chunk_dedup", 3), ("mixture_sample", 2),
+                             ("pq_topk", 1), ("pq_batch_topk", 3),
+                             ("bloom_lookup", None)):
+        plan = plan_of(spark, q)
+        assert "EvalPython" not in plan, q
+        assert "CartesianProduct" not in plan, q
+        if max_exchanges is not None:
+            # count only shuffle exchanges, not broadcast exchanges
+            n = plan.count("Exchange hashpartitioning") + \
+                plan.count("Exchange rangepartitioning") + \
+                plan.count("Exchange RoundRobinPartitioning")
+            assert n <= max_exchanges, f"{q}: {n} shuffles\n{plan[:800]}"
+    batch = plan_of(spark, "pq_batch_topk")
+    assert "BroadcastNestedLoopJoin" in batch or "BroadcastHashJoin" in batch
