@@ -837,6 +837,17 @@ def _skipping_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus governance: pairwise n-gram overlap between sources —
+    shared distinct grams and Jaccard per source pair, computed over
+    source-level vocabularies (docs collapse to DISTINCT (source,
+    gram) before the self-join, so corpus row count never enters the
+    join size)."""
+    from deltalake_poc_spark.pipeline.dedup import source_overlap
+
+    return source_overlap(load_table(spark, sf_dir, "documents"), n=3)
+
+
 def _bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter file skipping, end-to-end: lineitem gets a
     high-cardinality md5 row id and lands RANDOMLY partitioned in a
@@ -1007,8 +1018,15 @@ def _dv_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # both deletes were sidecar-only: same data files, vectors active
     assert set(t.snapshot().file_paths) == files_v1
     assert t.snapshot().dvs
+    # metadata-only COUNT(*) (log numRecords minus DV cardinality)
+    # must agree with the scan while vectors are active...
+    if t.count_rows() != t.read().count():
+        raise AssertionError("count_rows diverged from scan under DVs")
     t.purge_deletion_vectors()
     assert not t.snapshot().dvs
+    # ...and after they are materialized away
+    if t.count_rows() != t.read().count():
+        raise AssertionError("count_rows diverged after purge")
     return (
         t.read().groupBy("etype")
         .agg(F.count(F.lit(1)).alias("cnt"),
@@ -1278,7 +1296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup": _minhash_dedup,                     # MinHash+LSH vs exact oracle
         "simhash_dedup": _simhash_dedup,                     # SimHash, full SQL oracle
         "chunk_dedup": _chunk_dedup,                         # chunk-level dedup (new r4)
-        "tf_idf": _tf_idf,                                   # corpus TF-IDF
+        "source_overlap": _source_overlap,                   # overlap matrix (new r4)
         "mixture_sample": _mixture_sample,                   # domain mixing (new r4)
         "ann_lsh_topk": _ann_lsh_topk,                       # LSH ANN, full SQL oracle
         "ivf_topk": _ivf_topk,                               # pivot IVF, full SQL oracle
@@ -1298,6 +1316,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- positions 51+: outside the driver's 50-query gate window
         # (multi-round driver-green; still oracle-checked by pytest + bench)
         "time_travel_diff": _time_travel_diff,               # S6 U3
+        "tf_idf": _tf_idf,                                   # corpus TF-IDF
         "top_tokens": _top_tokens,                           # token counting
         "doc_chunks": _doc_chunks,                           # chunking w/ overlap
         "scrub_pii": _scrub_pii,                             # PII scrubbing
@@ -3071,6 +3090,30 @@ def oracle_sql() -> dict[str, str]:
         """,
         # chunk_dedup: 32-token chunks, md5 first-occurrence keep,
         # string_agg reconstruction (ORDER BY idx inside the agg)
+        "source_overlap": """
+            WITH toks AS (
+                SELECT doc_id, source, string_split(trim(text), ' ') AS t
+                FROM documents
+            ), grams AS (
+                SELECT DISTINCT source AS src,
+                       array_to_string(t[i+1 : i+3], ' ') AS gram
+                FROM toks,
+                     unnest(range(0, greatest(len(t)-2, 0))) AS u(i)
+            ), sizes AS (
+                SELECT src, CAST(count(*) AS BIGINT) AS n
+                FROM grams GROUP BY src
+            ), shared AS (
+                SELECT a.src AS src_a, b.src AS src_b,
+                       CAST(count(*) AS BIGINT) AS shared_grams
+                FROM grams a JOIN grams b USING (gram)
+                WHERE a.src < b.src GROUP BY a.src, b.src
+            )
+            SELECT src_a, src_b, shared_grams,
+                   ROUND(shared_grams / (sa.n + sb.n - shared_grams), 6)
+                       AS jaccard
+            FROM shared JOIN sizes sa ON sa.src = shared.src_a
+                        JOIN sizes sb ON sb.src = shared.src_b
+        """,
         "chunk_dedup": """
             WITH toks AS (
                 SELECT doc_id, string_split(trim(text), ' ') AS t

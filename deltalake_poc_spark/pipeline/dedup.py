@@ -1083,3 +1083,56 @@ def chunk_dedup(docs: DataFrame, chunk_tokens: int = 32,
                 " ").alias("dedup_text"),
         )
     )
+
+
+def source_overlap(docs: DataFrame, n: int = 3,
+                   strata_col: str = "source",
+                   max_df: int | None = None) -> DataFrame:
+    """Corpus governance: pairwise n-gram overlap matrix between
+    sources/domains — which feeds are near-copies of each other, which
+    are independent. For every source pair (a < b): the count of
+    distinct grams they share and the Jaccard of their gram sets.
+
+    Scale shape: documents collapse to DISTINCT (source, gram) first —
+    the self-join is over source-level vocabularies, not documents, so
+    its size is bounded by vocabulary x sources regardless of corpus
+    row count. The join keys on gram; ``max_df`` (in SOURCES per gram)
+    caps universal boilerplate grams exactly like the document-level
+    inverted indexes cap hot grams — a gram in every source
+    contributes sources^2 join rows and zero discriminative signal.
+    """
+    grams = (
+        _explode_posting(
+            doc_grams(docs, n).join(
+                docs.select("doc_id", F.col(strata_col).alias("__src")),
+                "doc_id"),
+            "grams", "gram", keys=("doc_id", "__src"))
+        .select("__src", "gram")
+        .distinct()
+    )
+    if max_df is not None:
+        w = Window.partitionBy("gram")
+        grams = (grams.withColumn("__df", F.count(F.lit(1)).over(w))
+                 .filter(F.col("__df") <= max_df).drop("__df"))
+    sizes = grams.groupBy("__src").agg(
+        F.count(F.lit(1)).cast("long").alias("__n"))
+    a = grams.select(F.col("__src").alias("src_a"), "gram")
+    b = grams.select(F.col("__src").alias("src_b"), "gram")
+    shared = (
+        a.join(b, "gram")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_grams"))
+    )
+    sa = sizes.select(F.col("__src").alias("src_a"),
+                      F.col("__n").alias("__na"))
+    sb = sizes.select(F.col("__src").alias("src_b"),
+                      F.col("__n").alias("__nb"))
+    return (
+        shared.join(F.broadcast(sa), "src_a").join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a", "src_b", "shared_grams",
+            F.round(F.col("shared_grams")
+                    / (F.col("__na") + F.col("__nb")
+                       - F.col("shared_grams")), 6).alias("jaccard"))
+    )

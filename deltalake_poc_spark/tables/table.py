@@ -1226,6 +1226,34 @@ class VersionedTable:
             raise
         return VersionedTable(self.spark, new_root)
 
+    def count_rows(self, snap: Snapshot | None = None) -> int:
+        """Metadata-only COUNT(*): per-file numRecords from the commit
+        log minus the cardinality of active deletion vectors — no data
+        scan, no Spark job (Delta answers count(*) from stats the same
+        way). The DV sidecars are tiny positional parquets, read
+        driver-side with pyarrow; at 100 TB this is O(log) arithmetic
+        against a full-corpus scan."""
+        import pyarrow.parquet as pq_
+
+        if snap is None:
+            snap = self.snapshot()
+        total = sum(e.num_records for e in snap.files)
+        if snap.dvs:
+            by_dir: dict[str, set] = {}
+            for data_rel, dv_rel in snap.dvs.items():
+                by_dir.setdefault(dv_rel, set()).add(data_rel)
+            for dv_rel, data_files in by_dir.items():
+                base = self.log.abs_path(dv_rel)
+                for dirpath, _dirs, files in os.walk(base):
+                    for name in files:
+                        if not name.endswith(".parquet"):
+                            continue
+                        t = pq_.read_table(os.path.join(dirpath, name),
+                                           columns=["file"])
+                        col = t.column("file").to_pylist()
+                        total -= sum(1 for f in col if f in data_files)
+        return total
+
     def detail(self) -> dict:
         """DESCRIBE DETAIL parity: one metadata-only dict of table
         facts (format, location, version, file/byte counts, partition

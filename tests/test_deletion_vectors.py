@@ -346,3 +346,34 @@ def test_dv_merge_exports_standard(spark, dvt, tmp_path):
         theirs = sorted((x["id"], x["v"])
                         for x in r.read(version=v).collect())
         assert ours == theirs, v
+
+
+def test_count_rows_metadata_only(spark, tmp_path):
+    """count_rows answers COUNT(*) from the commit log (numRecords
+    minus active DV cardinalities) — it must track the scan count
+    through appends, DV deletes, purge, and restore."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from deltalake_poc_spark.tables import VersionedTable
+
+    schema = StructType([StructField("id", LongType()),
+                         StructField("v", LongType())])
+    t = VersionedTable.create(
+        spark, str(tmp_path / "cnt"), schema,
+        properties={"enableDeletionVectors": "true"})
+    df = spark.range(0, 1000).select(
+        F.col("id"), (F.col("id") * 2).alias("v"))
+    t.write(df.repartition(4), "append")
+    assert t.count_rows() == 1000 == t.read().count()
+    t.delete("id % 10 = 0")  # 100 rows -> deletion vectors
+    snap = t.snapshot()
+    assert snap.dvs, "expected a DV delete, not a rewrite"
+    assert t.count_rows() == 900 == t.read().count()
+    t.delete("id = 1")
+    assert t.count_rows() == 899 == t.read().count()
+    t.purge_deletion_vectors()
+    assert not t.snapshot().dvs
+    assert t.count_rows() == 899 == t.read().count()
+    t.restore(1)
+    assert t.count_rows() == 1000 == t.read().count()

@@ -891,3 +891,23 @@ def test_pq_batch_matches_single_query(spark):
                   similarity.pq_adc_topk(enc, books, q, k=5, shortlist=30,
                                          exclude_vec_id=qid).collect()]
         assert got[qid] == single, f"qid {qid}"
+
+
+def test_source_overlap_matrix(spark):
+    """Planted overlap: s1 and s2 share one trigram; s3 shares
+    nothing. Jaccard is shared / (|a| + |b| - shared) on distinct
+    per-source gram vocabularies."""
+    rows = [
+        (1, "a b c d", "s1"),    # grams: "a b c", "b c d"
+        (2, "a b c x", "s2"),    # grams: "a b c", "b c x"
+        (3, "q r s t", "s3"),    # grams: "q r s", "r s t"
+        (4, "a b c d", "s1"),    # duplicate doc: no new grams for s1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {(r["src_a"], r["src_b"]): r for r in
+           dedup.source_overlap(df, n=3).collect()}
+    assert got[("s1", "s2")]["shared_grams"] == 1
+    assert abs(got[("s1", "s2")]["jaccard"] - 1 / 3) < 1e-6
+    assert ("s1", "s3") not in got and ("s2", "s3") not in got
+    # max_df=1 kills the gram present in both sources -> no pairs
+    assert dedup.source_overlap(df, n=3, max_df=1).count() == 0
