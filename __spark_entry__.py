@@ -1179,6 +1179,23 @@ def _bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_token_stats(load_table(spark, sf_dir, "documents"))
 
 
+def _frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing through the real 1-to-many
+    mapInPandas path: deterministic fake videos (frame count / fps
+    derived from n_chars), every-10th-frame stride capped at 4 frames,
+    integer frame timestamps. The oracle recomputes the sampled
+    (media_id, frame_idx, ts_ms) set in SQL."""
+    from deltalake_poc_spark.pipeline import multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        multimodal.fake_video_binary(
+            F.col("n_chars") % 97 + 5, F.col("n_chars") % 25 + 5
+        ).alias("payload"))
+    return multimodal.sample_frames(media, every_nth=10, max_frames=4)         .select("media_id", "frame_idx", "ts_ms")
+
+
 def _corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sampling / domain mixing: per-source
     keep rates selected purely by a Lehmer key hash — reproducible
@@ -1289,7 +1306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mv_refresh": _mv_refresh,                           # T7 S5 S11
         "cdf_changes": _cdf_changes,                         # S8 M1 M3
         # training-data pipeline ops
-        "dedup_exact_groups": _dedup_exact_groups,           # exact dedup
+        "frame_sample": _frame_sample,                       # video frames (new r4)
         "ngram_jaccard": _ngram_jaccard,                     # n-gram Jaccard pairs
         "dedup_group_assign": _dedup_group_assign,           # connected components
         "minhash_dedup": _minhash_dedup,                     # MinHash+LSH vs exact oracle
@@ -1316,6 +1333,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (multi-round driver-green; still oracle-checked by pytest + bench)
         "time_travel_diff": _time_travel_diff,               # S6 U3
         "tf_idf": _tf_idf,                                   # corpus TF-IDF
+        "dedup_exact_groups": _dedup_exact_groups,           # exact dedup
         "top_tokens": _top_tokens,                           # token counting
         "doc_chunks": _doc_chunks,                           # chunking w/ overlap
         "scrub_pii": _scrub_pii,                             # PII scrubbing
@@ -3112,6 +3130,18 @@ def oracle_sql() -> dict[str, str]:
                        AS jaccard
             FROM shared JOIN sizes sa ON sa.src = shared.src_a
                         JOIN sizes sb ON sb.src = shared.src_b
+        """,
+        "frame_sample": """
+            WITH m AS (
+                SELECT doc_id AS media_id,
+                       n_chars % 97 + 5 AS nf,
+                       n_chars % 25 + 5 AS fps
+                FROM documents
+            )
+            SELECT media_id, CAST(u.i * 10 AS INT) AS frame_idx,
+                   CAST((u.i * 10) * 1000 // fps AS BIGINT) AS ts_ms
+            FROM m, unnest(range(0, least(
+                     CAST(ceil(nf / 10.0) AS BIGINT), 4))) AS u(i)
         """,
         "chunk_dedup": """
             WITH toks AS (

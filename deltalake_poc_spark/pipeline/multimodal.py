@@ -108,3 +108,74 @@ def resize_plan(decoded: DataFrame, max_side: int = 512,
         F.round(F.col("width") * scale).cast("int").alias("target_width"),
         F.round(F.col("height") * scale).cast("int").alias("target_height"),
     )
+
+
+FAKE_VIDEO_MAGIC = b"FAKEVID1"
+
+FRAME_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("frame_idx", IntegerType()),
+    StructField("ts_ms", LongType()),
+    StructField("frame", BinaryType()),
+])
+
+
+def fake_video_binary(n_frames_col, fps_col):
+    """Deterministic fake video payload: magic + packed frame count and
+    fps. Stands in for a real container so the frame-sampling plumbing
+    (1-to-many mapInPandas, binary frames out) runs without ffmpeg."""
+    return F.concat(
+        F.lit(FAKE_VIDEO_MAGIC),
+        F.unhex(F.lpad(F.hex(n_frames_col.cast("int")), 8, "0")),
+        F.unhex(F.lpad(F.hex(fps_col.cast("int")), 8, "0")),
+    )
+
+
+def _video_meta(payload: bytes) -> tuple[int, int]:
+    if payload[:8] == FAKE_VIDEO_MAGIC:
+        return struct.unpack(">II", payload[8:16])
+    raise NotImplementedError(
+        "real video demuxing requires ffmpeg; only FAKEVID1 payloads "
+        "are supported in this environment"
+    )
+
+
+def sample_frames(media: DataFrame, every_nth: int = 10,
+                  max_frames: int = 8) -> DataFrame:
+    """Frame sampling: each video row explodes into <= max_frames
+    sampled frames (every_nth stride) with frame timestamps — the
+    1-to-many batch shape a real ffmpeg extractor has. mapInPandas
+    yields MORE rows than it consumes (a generator per Arrow batch),
+    which is exactly how a real demuxer streams frames out without
+    materializing the whole video's frames in memory. Frame bytes here
+    are a deterministic function of (media_id, frame_idx) — a real
+    build swaps `_video_meta`/the frame synthesis for ffmpeg calls,
+    nothing else changes.
+    """
+
+    def frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_id, out_idx, out_ts, out_frame = [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                n_frames, fps = _video_meta(payload)
+                taken = 0
+                for idx in range(0, n_frames, every_nth):
+                    if taken >= max_frames:
+                        break
+                    out_id.append(mid)
+                    out_idx.append(idx)
+                    out_ts.append(idx * 1000 // max(fps, 1))
+                    out_frame.append(
+                        FAKE_MAGIC + struct.pack(">II", int(mid) % 4096,
+                                                 idx % 4096))
+                    taken += 1
+            yield pd.DataFrame({
+                "media_id": pd.Series(out_id, dtype="int64"),
+                "frame_idx": pd.Series(out_idx, dtype="int32"),
+                "ts_ms": pd.Series(out_ts, dtype="int64"),
+                "frame": pd.Series(out_frame, dtype="object"),
+            })
+
+    from deltalake_poc_spark.pipeline.dedup import spread
+
+    return spread(media).mapInPandas(frame_batches, FRAME_SCHEMA)

@@ -911,3 +911,28 @@ def test_source_overlap_matrix(spark):
     assert ("s1", "s3") not in got and ("s2", "s3") not in got
     # max_df=1 kills the gram present in both sources -> no pairs
     assert dedup.source_overlap(df, n=3, max_df=1).count() == 0
+
+
+def test_sample_frames_plumbing(spark):
+    """Video frame sampling: 1-to-many mapInPandas — stride, cap,
+    timestamps, and decodable frame payloads."""
+    rows = [(1, 35, 10), (2, 5, 25), (3, 200, 50)]
+    media = spark.createDataFrame(
+        rows, "media_id long, n_frames int, fps int").select(
+        "media_id",
+        multimodal.fake_video_binary(F.col("n_frames"), F.col("fps"))
+        .alias("payload"))
+    out = multimodal.sample_frames(media, every_nth=10, max_frames=4)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["media_id"], []).append(r)
+    # video 1: frames 0,10,20,30; video 2: frame 0; video 3: capped at 4
+    assert [r["frame_idx"] for r in sorted(got[1], key=lambda r: r["frame_idx"])] == [0, 10, 20, 30]
+    assert [r["frame_idx"] for r in got[2]] == [0]
+    assert len(got[3]) == 4
+    # timestamps: idx * 1000 / fps
+    f = {r["frame_idx"]: r for r in got[1]}
+    assert f[30]["ts_ms"] == 3000
+    # each frame payload decodes through the image stub
+    w, h, fmt = multimodal._decode_one(bytes(f[10]["frame"]))
+    assert (w, h, fmt) == (1, 10, "fake")
