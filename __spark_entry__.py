@@ -1196,6 +1196,23 @@ def _frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.sample_frames(media, every_nth=10, max_frames=4)         .select("media_id", "frame_idx", "ts_ms")
 
 
+def _audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature-extraction plumbing: deterministic fake audio
+    (sample count / rate from n_chars, sample i of media m is
+    ((m*31+i) % 256) - 128), windowed INTEGER features (sum|x|,
+    max|x|) via the 1-to-many mapInPandas path — exact in any engine,
+    so the oracle recomputes every window in SQL."""
+    from deltalake_poc_spark.pipeline import multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        multimodal.fake_audio_binary(
+            F.col("n_chars") % 1000 + 100, F.col("n_chars") % 31 + 8
+        ).alias("payload"))
+    return multimodal.audio_features(media, window=256)
+
+
 def _corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sampling / domain mixing: per-source
     keep rates selected purely by a Lehmer key hash — reproducible
@@ -1307,7 +1324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdf_changes": _cdf_changes,                         # S8 M1 M3
         # training-data pipeline ops
         "frame_sample": _frame_sample,                       # video frames (new r4)
-        "ngram_jaccard": _ngram_jaccard,                     # n-gram Jaccard pairs
+        "audio_features": _audio_features,                   # audio windows (new r4)
         "dedup_group_assign": _dedup_group_assign,           # connected components
         "minhash_dedup": _minhash_dedup,                     # MinHash+LSH vs exact oracle
         "simhash_dedup": _simhash_dedup,                     # SimHash, full SQL oracle
@@ -1334,6 +1351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_travel_diff": _time_travel_diff,               # S6 U3
         "tf_idf": _tf_idf,                                   # corpus TF-IDF
         "dedup_exact_groups": _dedup_exact_groups,           # exact dedup
+        "ngram_jaccard": _ngram_jaccard,                     # n-gram Jaccard pairs
         "top_tokens": _top_tokens,                           # token counting
         "doc_chunks": _doc_chunks,                           # chunking w/ overlap
         "scrub_pii": _scrub_pii,                             # PII scrubbing
@@ -3130,6 +3148,29 @@ def oracle_sql() -> dict[str, str]:
                        AS jaccard
             FROM shared JOIN sizes sa ON sa.src = shared.src_a
                         JOIN sizes sb ON sb.src = shared.src_b
+        """,
+        "audio_features": """
+            WITH m AS (
+                SELECT doc_id AS media_id,
+                       n_chars % 1000 + 100 AS n,
+                       n_chars % 31 + 8 AS rate
+                FROM documents
+            ), w AS (
+                SELECT media_id, n, rate, CAST(u.wi AS INT) AS window_idx
+                FROM m, unnest(range(0, (n + 255) // 256)) AS u(wi)
+            ), s AS (
+                SELECT media_id, window_idx, rate,
+                       ((media_id * 31 + v.i) % 256) - 128 AS smp
+                FROM w, unnest(range(window_idx * 256,
+                         least(CAST((window_idx + 1) * 256 AS BIGINT),
+                               CAST(n AS BIGINT)))) AS v(i)
+            )
+            SELECT media_id, window_idx,
+                   CAST(window_idx * 256 * 1000 // rate AS BIGINT) AS ts_ms,
+                   CAST(count(*) AS INT) AS n_samples,
+                   CAST(sum(abs(smp)) AS BIGINT) AS sum_abs,
+                   CAST(max(abs(smp)) AS INT) AS max_abs
+            FROM s GROUP BY media_id, window_idx, rate
         """,
         "frame_sample": """
             WITH m AS (

@@ -179,3 +179,78 @@ def sample_frames(media: DataFrame, every_nth: int = 10,
     from deltalake_poc_spark.pipeline.dedup import spread
 
     return spread(media).mapInPandas(frame_batches, FRAME_SCHEMA)
+
+
+FAKE_AUDIO_MAGIC = b"FAKEAUD1"
+
+AUDIO_FEATURE_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("window_idx", IntegerType()),
+    StructField("ts_ms", LongType()),
+    StructField("n_samples", IntegerType()),
+    StructField("sum_abs", LongType()),
+    StructField("max_abs", IntegerType()),
+])
+
+
+def fake_audio_binary(n_samples_col, rate_col):
+    """Deterministic fake audio payload: magic + packed sample count
+    and sample rate. Samples themselves are synthesized in the decoder
+    as a fixed function of (media_id, position) — no payload bytes per
+    sample, so corpora of any notional duration stay tiny on disk."""
+    return F.concat(
+        F.lit(FAKE_AUDIO_MAGIC),
+        F.unhex(F.lpad(F.hex(n_samples_col.cast("int")), 8, "0")),
+        F.unhex(F.lpad(F.hex(rate_col.cast("int")), 8, "0")),
+    )
+
+
+def _audio_meta(payload: bytes) -> tuple[int, int]:
+    if payload[:8] == FAKE_AUDIO_MAGIC:
+        return struct.unpack(">II", payload[8:16])
+    raise NotImplementedError(
+        "real audio decoding requires ffmpeg/soundfile; only FAKEAUD1 "
+        "payloads are supported in this environment"
+    )
+
+
+def audio_features(media: DataFrame, window: int = 256) -> DataFrame:
+    """Windowed audio features over decoded samples — the
+    feature-extraction batch shape (binary in, per-window numeric rows
+    out via a 1-to-many mapInPandas; numpy does the per-window math
+    inside the worker). Features are INTEGER (sum of |sample|, max
+    |sample|) so they are exact in any engine — a real build swaps the
+    sample synthesis for a decoder and the features for MFCC/RMS,
+    nothing else changes. Sample i of media m is
+    ((m * 31 + i) % 256) - 128.
+    """
+    import numpy as np
+
+    def feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "window_idx", "ts_ms",
+                                   "n_samples", "sum_abs", "max_abs")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                n, rate = _audio_meta(payload)
+                samples = ((int(mid) * 31
+                            + np.arange(n, dtype=np.int64)) % 256) - 128
+                for wi in range(0, (n + window - 1) // window):
+                    seg = np.abs(samples[wi * window:(wi + 1) * window])
+                    out["media_id"].append(mid)
+                    out["window_idx"].append(wi)
+                    out["ts_ms"].append(wi * window * 1000 // max(rate, 1))
+                    out["n_samples"].append(len(seg))
+                    out["sum_abs"].append(int(seg.sum()))
+                    out["max_abs"].append(int(seg.max()))
+            yield pd.DataFrame({
+                "media_id": pd.Series(out["media_id"], dtype="int64"),
+                "window_idx": pd.Series(out["window_idx"], dtype="int32"),
+                "ts_ms": pd.Series(out["ts_ms"], dtype="int64"),
+                "n_samples": pd.Series(out["n_samples"], dtype="int32"),
+                "sum_abs": pd.Series(out["sum_abs"], dtype="int64"),
+                "max_abs": pd.Series(out["max_abs"], dtype="int32"),
+            })
+
+    from deltalake_poc_spark.pipeline.dedup import spread
+
+    return spread(media).mapInPandas(feature_batches, AUDIO_FEATURE_SCHEMA)

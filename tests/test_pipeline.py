@@ -936,3 +936,21 @@ def test_sample_frames_plumbing(spark):
     # each frame payload decodes through the image stub
     w, h, fmt = multimodal._decode_one(bytes(f[10]["frame"]))
     assert (w, h, fmt) == (1, 10, "fake")
+
+
+def test_audio_features_windows(spark):
+    """Windowed audio features: window count, partial last window,
+    exact integer features against a python recompute."""
+    media = spark.createDataFrame(
+        [(7, 300, 16)], "media_id long, n int, rate int").select(
+        "media_id",
+        multimodal.fake_audio_binary(F.col("n"), F.col("rate"))
+        .alias("payload"))
+    rows = {r["window_idx"]: r for r in
+            multimodal.audio_features(media, window=256).collect()}
+    assert set(rows) == {0, 1}
+    assert rows[0]["n_samples"] == 256 and rows[1]["n_samples"] == 44
+    samples = [((7 * 31 + i) % 256) - 128 for i in range(300)]
+    assert rows[0]["sum_abs"] == sum(abs(x) for x in samples[:256])
+    assert rows[1]["max_abs"] == max(abs(x) for x in samples[256:])
+    assert rows[1]["ts_ms"] == 256 * 1000 // 16
