@@ -1213,6 +1213,20 @@ def _audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.audio_features(media, window=256)
 
 
+def _token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus drift: tokens most over-represented in sources src0-9
+    vs src10-19, scored by the exact integer cross product
+    count_a*total_b - count_b*total_a — zero float arithmetic, so the
+    oracle reproduces the ranking bit-for-bit."""
+    from deltalake_poc_spark.pipeline.text import token_drift
+
+    docs = load_table(spark, sf_dir, "documents")
+    side = F.when(
+        F.regexp_extract("source", r"src(\d+)", 1).cast("int") < 10,
+        "a").otherwise("b")
+    return token_drift(docs, side, k=50)
+
+
 def _corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sampling / domain mixing: per-source
     keep rates selected purely by a Lehmer key hash — reproducible
@@ -1282,12 +1296,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     entries in dict insertion order (CORRECTNESS_r01..r03 each contain
     exactly the first 50 keys of this dict at the time). Round-4
     rotation rule: EVERY query with no CORRECTNESS row from any prior
-    round sits inside the window — all 35 of them (the full TPC-H
+    round sits inside the window — all 36 of them (the full TPC-H
     completion q2..q22, incremental_dedup, delta_dv_read, the four
     r3-era never-checked pipeline ops, quality_classifier,
     pack_sequences, skipping_read, bloom_lookup, chunk_dedup,
     mixture_sample, source_overlap, pq_topk, pq_batch_topk,
-    frame_sample, audio_features) — the remaining slots hold a core
+    frame_sample, audio_features, token_drift) — the remaining slots hold a core
     of multi-round-green pipelines (cdc/cdf/dv/mv, dedup+ANN
     family).
     Rotated to positions 51+: only queries driver-green in r1-r3
@@ -1327,7 +1341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training-data pipeline ops
         "frame_sample": _frame_sample,                       # video frames (new r4)
         "audio_features": _audio_features,                   # audio windows (new r4)
-        "dedup_group_assign": _dedup_group_assign,           # connected components
+        "token_drift": _token_drift,                         # corpus drift (new r4)
         "minhash_dedup": _minhash_dedup,                     # MinHash+LSH vs exact oracle
         "simhash_dedup": _simhash_dedup,                     # SimHash, full SQL oracle
         "chunk_dedup": _chunk_dedup,                         # chunk-level dedup (new r4)
@@ -1354,6 +1368,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tf_idf": _tf_idf,                                   # corpus TF-IDF
         "dedup_exact_groups": _dedup_exact_groups,           # exact dedup
         "ngram_jaccard": _ngram_jaccard,                     # n-gram Jaccard pairs
+        "dedup_group_assign": _dedup_group_assign,           # connected components
         "top_tokens": _top_tokens,                           # token counting
         "doc_chunks": _doc_chunks,                           # chunking w/ overlap
         "scrub_pii": _scrub_pii,                             # PII scrubbing
@@ -3173,6 +3188,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(abs(smp)) AS BIGINT) AS sum_abs,
                    CAST(max(abs(smp)) AS INT) AS max_abs
             FROM s GROUP BY media_id, window_idx, rate
+        """,
+        "token_drift": """
+            WITH toks AS (
+                SELECT CASE WHEN CAST(regexp_extract(source,
+                                'src(\\d+)', 1) AS INT) < 10
+                            THEN 'a' ELSE 'b' END AS side,
+                       unnest(string_split(trim(text), ' ')) AS token
+                FROM documents
+            ), counts AS (
+                SELECT token,
+                       CAST(sum(CASE WHEN side = 'a' THEN 1 ELSE 0 END)
+                            AS BIGINT) AS count_a,
+                       CAST(sum(CASE WHEN side = 'b' THEN 1 ELSE 0 END)
+                            AS BIGINT) AS count_b
+                FROM toks WHERE token <> '' GROUP BY token
+            ), totals AS (
+                SELECT CAST(SUM(count_a) AS BIGINT) AS ta,
+                       CAST(SUM(count_b) AS BIGINT) AS tb FROM counts
+            )
+            SELECT token, count_a, count_b,
+                   CAST(count_a * tb - count_b * ta AS BIGINT) AS drift
+            FROM counts, totals
+            ORDER BY abs(count_a * tb - count_b * ta) DESC, token ASC
+            LIMIT 50
         """,
         "frame_sample": """
             WITH m AS (

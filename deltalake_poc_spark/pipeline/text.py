@@ -425,3 +425,46 @@ def top_tokens(docs: DataFrame, k: int = 10) -> DataFrame:
         .orderBy(F.desc("freq"), F.asc("token"))
         .limit(k)
     )
+
+
+def token_drift(docs: DataFrame, side_col, k: int = 50) -> DataFrame:
+    """Corpus drift monitor: which tokens are most over-represented in
+    one half of a corpus vs the other (two snapshots, two sources, two
+    time windows — anything ``side_col`` can label 'a' or 'b').
+
+    The divergence score per token is the EXACT integer cross product
+    ``count_a * total_b - count_b * total_a`` — positive means
+    over-represented in side a; |score| orders tokens by how far their
+    frequency ratio diverges, with zero float arithmetic, so any
+    engine reproduces the ranking bit-for-bit. (At extreme corpus
+    sizes where count * total would overflow int64, normalize counts
+    to integer parts-per-million first — same ranking, bounded
+    operands.)
+
+    Scale shape: one explode -> groupBy(token) shuffle carrying
+    (token, side) pairs; totals are a two-row aggregate broadcast
+    back. Top-k by (|score| desc, token) is a TakeOrdered, not a full
+    sort.
+    """
+    side = side_col if not isinstance(side_col, str) else F.col(side_col)
+    toks = (
+        docs.select(side.alias("__side"), tokens_col().alias("__t"))
+        .select("__side", F.explode_outer("__t").alias("token"))
+        .filter(F.col("token").isNotNull() & (F.col("token") != ""))
+    )
+    counts = (
+        toks.groupBy("token")
+        .agg(F.sum(F.when(F.col("__side") == "a", 1).otherwise(0))
+             .cast("long").alias("count_a"),
+             F.sum(F.when(F.col("__side") == "b", 1).otherwise(0))
+             .cast("long").alias("count_b"))
+    )
+    totals = counts.agg(F.sum("count_a").alias("__ta"),
+                        F.sum("count_b").alias("__tb"))
+    scored = counts.crossJoin(F.broadcast(totals)).select(
+        "token", "count_a", "count_b",
+        (F.col("count_a") * F.col("__tb")
+         - F.col("count_b") * F.col("__ta")).alias("drift"))
+    return (scored
+            .orderBy(F.abs(F.col("drift")).desc(), F.col("token").asc())
+            .limit(k))

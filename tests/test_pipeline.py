@@ -954,3 +954,17 @@ def test_audio_features_windows(spark):
     assert rows[0]["sum_abs"] == sum(abs(x) for x in samples[:256])
     assert rows[1]["max_abs"] == max(abs(x) for x in samples[256:])
     assert rows[1]["ts_ms"] == 256 * 1000 // 16
+
+
+def test_token_drift_exact_ranking(spark):
+    """Integer cross-product drift: planted over-representation ranks
+    first; a token present only in one side scores sign-correctly."""
+    rows = [(1, "x x x y", "a"), (2, "x y z", "a"),
+            (3, "y y z w", "b"), (4, "y z w", "b")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, side string")
+    out = text.token_drift(df, "side", k=10).collect()
+    # totals: ta=7, tb=7 -> drift = 7*(count_a - count_b)
+    by_tok = {r["token"]: r for r in out}
+    assert by_tok["x"]["drift"] == 7 * (4 - 0)
+    assert by_tok["w"]["drift"] == 7 * (0 - 2)
+    assert out[0]["token"] == "x"  # largest |drift| first
