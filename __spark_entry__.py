@@ -839,13 +839,17 @@ def _skipping_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus governance: pairwise n-gram overlap between sources —
-    shared distinct grams and Jaccard per source pair, computed over
-    source-level vocabularies (docs collapse to DISTINCT (source,
-    gram) before the self-join, so corpus row count never enters the
-    join size)."""
+    shared distinct grams and integer micro-Jaccard per source pair,
+    computed over source-level vocabularies (docs collapse to DISTINCT
+    (source, gram) before the self-join, so corpus row count never
+    enters the join size). The gate hashes only exact integers
+    (shared, grams_a, grams_b, jaccard_micro = shared*1e6 DIV union);
+    the double ``jaccard`` stays an interactive-caller column and is
+    dropped here per the verify rule on rounded quotients."""
     from deltalake_poc_spark.pipeline.dedup import source_overlap
 
-    return source_overlap(load_table(spark, sf_dir, "documents"), n=3)
+    return source_overlap(
+        load_table(spark, sf_dir, "documents"), n=3).drop("jaccard")
 
 
 def _bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3109,7 +3113,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         # mixture_sample: per-source thresholds derived from observed
         # token totals + integer mixture weights — all BIGINT floor
-        # arithmetic, identical in both engines
+        # arithmetic, identical in both engines. Mirrors the engine's
+        # overflow-safe rescaled formula (clamp target at total, then
+        # rescale by 1 + total // M) so intermediates stay < 2^62 at
+        # any budget; at test scale (total < M) scale == 1 and the
+        # result is bit-identical to the naive target*M//total.
         "mixture_sample": f"""
             WITH base AS (
                 SELECT doc_id, source,
@@ -3119,16 +3127,24 @@ def oracle_sql() -> dict[str, str]:
             ), tot AS (
                 SELECT source, SUM(n_tokens) AS total FROM base
                 GROUP BY source
+            ), tgt AS (
+                SELECT source, total,
+                       CAST((CASE {' '.join(
+                           f"WHEN source = '{k}' THEN "
+                           f"{_MIXTURE_BUDGET * v // sum(_MIXTURE_WEIGHTS.values())}"
+                           for k, v in sorted(_MIXTURE_WEIGHTS.items()))}
+                             ELSE 0 END) AS BIGINT) AS target
+                FROM tot
             ), th AS (
                 SELECT source,
                        LEAST(CAST({2**31 - 1} AS BIGINT),
-                             CAST((CASE {' '.join(
-                                 f"WHEN source = '{k}' THEN "
-                                 f"{_MIXTURE_BUDGET * v // sum(_MIXTURE_WEIGHTS.values())}"
-                                 for k, v in sorted(_MIXTURE_WEIGHTS.items()))}
-                                   ELSE 0 END) AS BIGINT)
-                             * {2**31 - 1} // total) AS thresh
-                FROM tot
+                             (LEAST(target, total)
+                              // (1 + total // {2**31 - 1}))
+                             * CAST({2**31 - 1} AS BIGINT)
+                             // GREATEST(CAST(1 AS BIGINT),
+                                         total // (1 + total // {2**31 - 1})))
+                           AS thresh
+                FROM tgt
             ), h0 AS (
                 SELECT b.*, t.thresh, doc_id % {2**31 - 1} AS h
                 FROM base b JOIN th t USING (source)
@@ -3161,8 +3177,9 @@ def oracle_sql() -> dict[str, str]:
                 WHERE a.src < b.src GROUP BY a.src, b.src
             )
             SELECT src_a, src_b, shared_grams,
-                   ROUND(shared_grams / (sa.n + sb.n - shared_grams), 6)
-                       AS jaccard
+                   sa.n AS grams_a, sb.n AS grams_b,
+                   shared_grams * CAST(1000000 AS BIGINT)
+                       // (sa.n + sb.n - shared_grams) AS jaccard_micro
             FROM shared JOIN sizes sa ON sa.src = shared.src_a
                         JOIN sizes sb ON sb.src = shared.src_b
         """,

@@ -22,6 +22,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .money import dec_avg, dec_sum, units, units_sum
+from .scratch import scratch_persist
 
 # TPC-H money expressions in exact integer cents (analytics/money.py:
 # double summation is order-dependent and fails the exact-hash oracle
@@ -338,8 +339,13 @@ def q11_important_parts(nation: DataFrame, supplier: DataFrame,
     # per-part aggregate — one slim row per part, orders of magnitude
     # below the fact table — and both branches read the cache (the
     # executed plan shows a single lineitem scan + InMemoryTableScan).
-    per_part = base.groupBy("l_partkey").agg(
-        F.sum("_val_e4").alias("_part_e4")).persist()
+    # scratch_persist bounds the cache to one live entry per query:
+    # re-invocation releases the previous cache (no CacheManager
+    # growth / subtree-substitution residue in long sessions).
+    per_part = scratch_persist(
+        "tpch.q11.per_part",
+        base.groupBy("l_partkey").agg(
+            F.sum("_val_e4").alias("_part_e4")))
     total = per_part.agg(F.sum("_part_e4").alias("_total_e4"))
     return (
         per_part.crossJoin(total)
@@ -418,13 +424,14 @@ def q15_top_supplier(supplier: DataFrame, lineitem: DataFrame,
     # persisted for the same reason as q11's per-part aggregate: the
     # MAX probe branch would otherwise rescan + re-aggregate lineitem
     # (no ReusedExchange once pruning diverges the subtrees). One slim
-    # row per supplier.
-    revenue = (
+    # row per supplier; scratch_persist releases the previous
+    # invocation's cache.
+    revenue = scratch_persist(
+        "tpch.q15.revenue",
         lineitem.filter((F.col("l_shipdate") >= start)
                         & (F.col("l_shipdate") < end))
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
-        .agg(F.sum(_disc_price_e4()).alias("_rev_e4"))
-    ).persist()
+        .agg(F.sum(_disc_price_e4()).alias("_rev_e4")))
     top = revenue.agg(F.max("_rev_e4").alias("_max_e4"))
     return (
         revenue.crossJoin(top)

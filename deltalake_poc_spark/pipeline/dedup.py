@@ -1050,21 +1050,23 @@ def chunk_dedup(docs: DataFrame, chunk_tokens: int = 32,
         .select("doc_id", _tokens(text_col).alias("__toks"))
     )
     nchunks = F.ceil(F.size("__toks") / F.lit(chunk_tokens)).cast("int")
+    # nchunks == 0 (null/empty text) must yield NO chunks: sequence(0,
+    # -1) counts DOWN, which would fabricate two phantom '' chunks per
+    # empty doc (md5('') collisions across docs) — same hazard
+    # word_ngrams_col guards against above.
+    chunk_arr = F.when(
+        nchunks > 0,
+        F.transform(
+            F.sequence(F.lit(0), nchunks - 1),
+            lambda i: F.concat_ws(
+                " ",
+                F.slice(F.col("__toks"),
+                        i.cast("int") * chunk_tokens + 1,
+                        chunk_tokens)),
+        )).otherwise(F.array().cast("array<string>"))
     chunks = (
         toks
-        .select(
-            "doc_id",
-            F.posexplode(
-                F.transform(
-                    F.sequence(F.lit(0), nchunks - 1),
-                    lambda i: F.concat_ws(
-                        " ",
-                        F.slice(F.col("__toks"),
-                                i.cast("int") * chunk_tokens + 1,
-                                chunk_tokens)),
-                )
-            ).alias("idx", "chunk"),
-        )
+        .select("doc_id", F.posexplode(chunk_arr).alias("idx", "chunk"))
     )
     w = Window.partitionBy(F.md5("chunk")).orderBy("doc_id", "idx")
     ranked = chunks.withColumn("__rn", F.row_number().over(w))
@@ -1128,11 +1130,21 @@ def source_overlap(docs: DataFrame, n: int = 3,
                       F.col("__n").alias("__na"))
     sb = sizes.select(F.col("__src").alias("src_b"),
                       F.col("__n").alias("__nb"))
+    # Exact integer outputs (shared, na, nb, jaccard_micro) so the
+    # driver gate never hashes a rounded double quotient (Spark
+    # HALF_UP vs DuckDB rounding can diverge on boundary values);
+    # jaccard_micro = shared * 1e6 DIV union is pure int64 floor
+    # division, identical in any engine. The double jaccard stays for
+    # interactive callers — UNROUNDED, so it is honestly a float.
+    union = F.col("__na") + F.col("__nb") - F.col("shared_grams")
     return (
         shared.join(F.broadcast(sa), "src_a").join(F.broadcast(sb), "src_b")
         .select(
             "src_a", "src_b", "shared_grams",
-            F.round(F.col("shared_grams")
-                    / (F.col("__na") + F.col("__nb")
-                       - F.col("shared_grams")), 6).alias("jaccard"))
+            F.col("__na").alias("grams_a"),
+            F.col("__nb").alias("grams_b"),
+            F.expr("shared_grams * CAST(1000000 AS BIGINT)"
+                   " DIV (__na + __nb - shared_grams)")
+             .alias("jaccard_micro"),
+            (F.col("shared_grams") / union).alias("jaccard"))
     )

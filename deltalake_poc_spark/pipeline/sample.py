@@ -90,7 +90,8 @@ def mixture_sample(docs: DataFrame, token_budget: int,
     Scale shape: one tiny aggregate (per-stratum token totals — strata
     are sources/languages, O(10..1000) rows), broadcast-joined back to
     the corpus, then a row-local filter. All threshold arithmetic is
-    64-bit integer (exact: targets * 2^31 stay far below 2^63), so the
+    64-bit integer with a rescaling step that keeps every intermediate
+    below 2^62 at ANY budget (trillions of tokens included), so the
     DuckDB oracle reproduces the selection bit-for-bit.
 
     Returns the sampled rows as (key, strata, n_tokens).
@@ -122,10 +123,25 @@ def mixture_sample(docs: DataFrame, token_budget: int,
         targets = totals.withColumn("__n", n).withColumn(
             "__target",
             F.expr(f"CAST({int(token_budget)} AS BIGINT) DIV __n"))
+    # Overflow-safe exact threshold: the naive ``target * M DIV total``
+    # wraps int64 once a stratum's target exceeds ~2^63/M ≈ 4.3e9 tokens
+    # — real training budgets (trillions of tokens) hit that. Clamp the
+    # target at the observed total first (rate saturates at 1 anyway),
+    # then rescale BOTH sides by ``scale = 1 + total DIV M`` so the
+    # multiplicand stays under 2^31: (tgt DIV scale) < M, so
+    # (tgt DIV scale) * M < 2^62. For total < M (every stratum at test
+    # scale) scale == 1 and the arithmetic is bit-identical to the
+    # naive formula; for larger strata the rescaling's relative error
+    # is ≤ 2*scale/total ≈ 2/M ≈ 1e-9 — and the DuckDB oracle mirrors
+    # the SAME formula, so engine agreement stays exact at any budget.
     thresholds = targets.withColumn(
         "__thresh",
-        F.least(F.lit(M).cast("long"),
-                F.expr(f"__target * CAST({M} AS BIGINT) DIV __total")))
+        F.least(
+            F.lit(M).cast("long"),
+            F.expr(
+                f"(least(__target, __total) DIV (1 + __total DIV {M}))"
+                f" * CAST({M} AS BIGINT)"
+                f" DIV greatest(CAST(1 AS BIGINT), __total DIV (1 + __total DIV {M}))")))
     out = (
         base.join(F.broadcast(thresholds.select("__strata", "__thresh")),
                   "__strata")

@@ -374,18 +374,24 @@ def pq_adc_topk(encoded: DataFrame, codebooks: list[list[list[float]]],
 
 def pq_fit(emb: DataFrame, m: int = 4, k: int = 16, seed: int = 23,
            sample_cap: int = 100_000, iters: int = 10,
-           vec_col: str = "embedding") -> list[list[list[float]]]:
+           vec_col: str = "embedding",
+           key_col: str = "vec_id") -> list[list[list[float]]]:
     """Fit PQ codebooks: Lloyd's k-means per subspace over a driver-
     collected sample (bounded: sample_cap * dim * 8B ~ 50 MB at the
     defaults — fitting quantizers on a sample is standard practice;
     the expensive part, encoding the full corpus, stays distributed
-    in :func:`pq_encode`). Deterministic for a fixed seed and sample.
+    in :func:`pq_encode`). Deterministic for a fixed seed: the sample
+    is the ``sample_cap`` LOWEST ``key_col`` rows (a TakeOrdered top-k,
+    not a partitioning-dependent bare limit), and ``k`` is clamped to
+    the sample size so tiny corpora fit without raising.
     """
-    rows = emb.select(vec_col).limit(sample_cap).collect()
-    X = np.array([list(r[0]) for r in rows], dtype=float)
+    rows = (emb.select(key_col, vec_col)
+            .orderBy(key_col).limit(sample_cap).collect())
+    X = np.array([list(r[1]) for r in rows], dtype=float)
     dim = X.shape[1]
     assert dim % m == 0
     sub = dim // m
+    k = min(k, len(X))
     rs = np.random.RandomState(seed)
     books = []
     for mi in range(m):

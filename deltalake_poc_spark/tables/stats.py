@@ -192,11 +192,24 @@ BLOOM_COLS_PROP = "graft.bloomFilter.columns"  # comma-separated logical names
 BLOOM_FPP_PROP = "graft.bloomFilter.fpp"       # default 0.01
 
 
+def _bloom_eligible(v: Any) -> bool:
+    """Only types whose canonical bytes provably agree between the
+    write side (python values read back from the parquet column) and
+    the read side (predicate literals) participate in blooms.
+    Timestamps/dates/decimals do NOT: str(datetime) vs an ISO literal
+    vs Decimal('2.00') hash different bytes, and unlike min/max
+    skipping a bloom miss is a DEFINITIVE prune — a mismatch silently
+    drops matching files (wrong results). Such values are skipped when
+    building and answer 'maybe' when probing."""
+    return isinstance(v, (str, bool, int, float))
+
+
 def _bloom_key(v: Any) -> bytes:
     """Canonical bytes for a value — MUST agree between the write side
     (python values from the footer/column read) and the read side
     (parsed predicate literals). Ints and floats that are whole numbers
-    canonicalize identically (1 == 1.0); everything else via str."""
+    canonicalize identically (1 == 1.0); everything else via str.
+    Callers must pre-filter with :func:`_bloom_eligible`."""
     if isinstance(v, bool):
         return b"t" if v else b"f"
     if isinstance(v, float) and v.is_integer():
@@ -214,17 +227,28 @@ def _bloom_hashes(v: Any, k: int, m: int) -> list[int]:
     return [(h1 + i * h2) % m for i in range(k)]
 
 
-def bloom_build(values, fpp: float = 0.01) -> dict:
+def bloom_build(values, fpp: float = 0.01) -> dict | None:
     """Build {m, k, b64} for the distinct values of one file's column.
-    Sized for the observed distinct count: m = -n ln(fpp) / ln(2)^2."""
-    vals = set(values)
+    Sized for the observed distinct count: m = -n ln(fpp) / ln(2)^2.
+    Returns None if ANY non-null value is bloom-ineligible: a partial
+    bitset would answer a definitive (wrong) False for values that
+    were silently skipped — no bloom is safe, a partial one is not."""
+    seen_ineligible = False
+    vals = set()
+    for v in values:
+        if v is None:
+            continue
+        if _bloom_eligible(v):
+            vals.add(v)
+        else:
+            seen_ineligible = True
+    if seen_ineligible:
+        return None
     n = max(1, len(vals))
     m = max(64, int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2))))
     k = max(1, round(m / n * math.log(2)))
     bits = bytearray((m + 7) // 8)
     for v in vals:
-        if v is None:
-            continue
         for pos in _bloom_hashes(v, k, m):
             bits[pos // 8] |= 1 << (pos % 8)
     return {"m": m, "k": k,
@@ -232,7 +256,13 @@ def bloom_build(values, fpp: float = 0.01) -> dict:
 
 
 def bloom_might_contain(bloom: dict, v: Any) -> bool:
-    """False = definitely absent from the file; True = maybe present."""
+    """False = definitely absent from the file; True = maybe present.
+    Ineligible value types (timestamps/dates/decimals — see
+    :func:`_bloom_eligible`) conservatively answer True: they were
+    never added on the write side, so a bitset probe would be a
+    wrong-results definitive prune, not a safe miss."""
+    if not _bloom_eligible(v):
+        return True
     try:
         m, k = int(bloom["m"]), int(bloom["k"])
         bits = base64.b64decode(bloom["b64"])
@@ -244,11 +274,11 @@ def bloom_might_contain(bloom: dict, v: Any) -> bool:
 
 def collect_file_bloom(abs_path: str, cols: list[str],
                        fpp: float = 0.01) -> dict:
-    """Per-column bloom filters for one written file. The column read
-    is a real data read (unlike min/max, blooms need every value) —
-    driver-side here, O(one file) per call right after that file was
-    written (page cache hot); at cluster scale this computation moves
-    into the write tasks like the stats collection (module docstring).
+    """Per-column bloom filters for one parquet file, read driver-side
+    with pyarrow. NOT on the write path (the write job builds blooms
+    distributedly via :func:`collect_blooms_distributed`); kept as a
+    single-file utility for tooling/tests and as the independent
+    reference implementation the distributed build is checked against.
     """
     import pyarrow.parquet as pq_
 
@@ -259,8 +289,73 @@ def collect_file_bloom(abs_path: str, cols: list[str],
     tbl = pf.read(columns=present)
     out = {}
     for c in present:
-        out[c] = bloom_build(
+        b = bloom_build(
             (v for v in tbl.column(c).to_pylist() if v is not None), fpp)
+        if b is not None:
+            out[c] = b
+    return out
+
+
+def collect_blooms_distributed(spark, staging_dir: str, cols: list[str],
+                               fpp: float = 0.01) -> dict[str, dict]:
+    """Per-file bloom filters for EVERY parquet file under a staging
+    directory, computed inside the cluster in one job — the write-path
+    replacement for :func:`collect_file_bloom`, which read every value
+    of every bloom column through the driver (the one driver-side data
+    read this engine had).
+
+    Shape: project (input_file_name, bloom columns) off a distributed
+    scan of the staging dir, shuffle by file name (volume = the bloom
+    columns only, never the full rows), and build each file's filters
+    in an Arrow-batched ``applyInPandas`` group — one group per file,
+    bounded by the size-targeted staging files (~64 MB). Only the
+    serialized filters (~KB per file x column) come back to the
+    driver. No per-row Python UDFs; the pandas group is the same
+    Arrow-batch shape the multimodal extractors use.
+
+    Returns {absolute_file_path: {col: bloom}} with the same
+    eligibility rules as :func:`bloom_build` (a column whose group
+    saw any ineligible value gets no bloom).
+    """
+    import urllib.parse
+
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(staging_dir)
+    present = [c for c in cols if c in df.columns]
+    if not present:
+        return {}
+
+    def _build(pdf):
+        import pandas as pd
+
+        out = []
+        fname = pdf["__file"].iloc[0]
+        for c in present:
+            # .tolist() materializes PYTHON scalars (int/float/str/
+            # bool), not numpy ones — _bloom_eligible depends on that.
+            # Nullable ints surface as whole floats; _bloom_key
+            # canonicalizes those back to int bytes.
+            b = bloom_build(pdf[c].dropna().tolist(), fpp)
+            if b is not None:
+                out.append((fname, c, int(b["m"]), int(b["k"]), b["b64"]))
+        return pd.DataFrame(
+            out, columns=["file", "col", "m", "k", "b64"])
+
+    rows = (
+        df.select(F.input_file_name().alias("__file"), *present)
+        .groupBy("__file")
+        .applyInPandas(
+            _build, schema="file string, col string, m long, k long, b64 string")
+        .collect()
+    )
+    out: dict[str, dict] = {}
+    for r in rows:
+        # input_file_name yields a percent-encoded file: URI
+        path = urllib.parse.unquote(
+            urllib.parse.urlparse(r["file"]).path)
+        out.setdefault(path, {})[r["col"]] = {
+            "m": r["m"], "k": r["k"], "b64": r["b64"]}
     return out
 
 

@@ -33,7 +33,7 @@ from deltalake_poc_spark.tables.log import (
     Commit, ConcurrentWriteError, FileEntry, Snapshot, TableLog,
 )
 from deltalake_poc_spark.tables.stats import (BLOOM_COLS_PROP, BLOOM_FPP_PROP,
-                                               collect_file_bloom,
+                                               collect_blooms_distributed,
                                                collect_file_stats)
 
 CDF_PROP = "enableChangeDataFeed"
@@ -418,6 +418,16 @@ class VersionedTable:
                 self.spark.conf.unset(pf_key)
             else:
                 self.spark.conf.set(pf_key, old_pf)
+        # Per-file blooms are computed by ONE distributed job over the
+        # staging dir BEFORE the files move to their final names —
+        # write tasks read the data, the driver receives only the
+        # serialized filters (keyed by staged path).
+        staged_blooms: dict[str, dict] = {}
+        if bloom_cols:
+            staged_blooms = collect_blooms_distributed(
+                self.spark, staging,
+                [nontrivial.get(c, c) for c in bloom_cols],
+                fpp=bloom_fpp)
         entries: list[FileEntry] = []
         os.makedirs(self.log.data_dir(), exist_ok=True)
         for dirpath, _dirs, files in os.walk(staging):
@@ -433,8 +443,9 @@ class VersionedTable:
                     continue
                 sub = "" if subdir == "." else subdir + "/"
                 rel = f"{TableLog.DATA_DIR}/{sub}{uuid.uuid4().hex}.parquet"
+                staged_abs = os.path.join(dirpath, name)
                 os.makedirs(os.path.dirname(self.log.abs_path(rel)), exist_ok=True)
-                shutil.move(os.path.join(dirpath, name), self.log.abs_path(rel))
+                shutil.move(staged_abs, self.log.abs_path(rel))
                 n, stats = collect_file_stats(self.log.abs_path(rel), stats_cols)
                 if n == 0:
                     os.unlink(self.log.abs_path(rel))
@@ -443,10 +454,7 @@ class VersionedTable:
                 if bloom_cols:
                     # property names logical columns; files store
                     # physical names — translate both ways like stats
-                    phys_bloom = collect_file_bloom(
-                        self.log.abs_path(rel),
-                        [nontrivial.get(c, c) for c in bloom_cols],
-                        fpp=bloom_fpp)
+                    phys_bloom = staged_blooms.get(staged_abs, {})
                     bloom = {inv.get(c, c): b for c, b in phys_bloom.items()}
                 if inv:
                     stats = {inv.get(c, c): v for c, v in stats.items()}

@@ -839,6 +839,63 @@ def test_mixture_sample_budget_and_weights(spark):
     assert w.count() == 100
 
 
+def test_chunk_dedup_empty_and_null_text(spark):
+    """Empty/null text must yield NO chunks — before the sequence
+    guard, ceil(0/32)=0 made sequence(0, -1) count DOWN and fabricate
+    two phantom '' chunks per empty doc (md5('') collisions across
+    docs and inflated n_chunks)."""
+    rows = [(1, "x0 x1 x2 x3"), (2, ""), (3, None), (4, "   ")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           dedup.chunk_dedup(df, chunk_tokens=4).collect()}
+    assert out[1]["n_chunks"] == 1 and out[1]["n_kept"] == 1
+    # ''/'   ' texts: split('') == [''] in BOTH engines, so each is
+    # exactly ONE '' chunk (not the two phantom chunks sequence(0,-1)
+    # used to fabricate); first occurrence (doc 2) keeps it
+    assert out[2]["n_chunks"] == 1 and out[2]["n_kept"] == 1
+    assert out[4]["n_chunks"] == 1 and out[4]["n_kept"] == 0
+    # NULL text: size(NULL tokens) is null -> guard yields zero chunks
+    # -> the doc vanishes, like the oracle's NULL range
+    assert 3 not in out
+
+
+def test_mixture_sample_trillion_token_budget(spark):
+    """Thresholds stay exact at realistic training budgets: the naive
+    target * 2^31 product overflows int64 once a stratum target passes
+    ~4.3e9 tokens, silently wrapping to a NEGATIVE threshold that
+    drops the stratum. The rescaled formula must keep rate-1 strata
+    fully selected at a 10-trillion-token budget."""
+    from deltalake_poc_spark.pipeline.sample import mixture_sample
+
+    rows = [(i, f"s{i % 2}", " ".join(["t"] * 10)) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    big = mixture_sample(df, token_budget=10**13)
+    assert big.count() == 200, "stratum dropped by int64 overflow"
+    # weighted variant at the same scale
+    w = mixture_sample(df, token_budget=10**13,
+                       weights={"s0": 3, "s1": 1})
+    assert w.count() == 200
+
+
+def test_pq_fit_deterministic_and_small_sample(spark):
+    """pq_fit's sample is ordered (TakeOrdered by vec_id), so the
+    fitted codebooks are identical across partitionings; k is clamped
+    to the sample size so tiny corpora fit without raising."""
+    rs = np.random.RandomState(11)
+    rows = [(i, [float(x) for x in rs.normal(size=16)], 0)
+            for i in range(40)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    a = similarity.pq_fit(emb, m=4, k=8, iters=3)
+    b = similarity.pq_fit(emb.repartition(7), m=4, k=8, iters=3)
+    assert a == b, "codebooks depend on partitioning"
+    # 5 rows < k=8: clamps instead of raising in rs.choice
+    tiny = spark.createDataFrame(rows[:5],
+                                 "vec_id long, embedding array<float>, label int")
+    books = similarity.pq_fit(tiny, m=4, k=8, iters=2)
+    assert len(books) == 4 and len(books[0]) == 5
+
+
 def test_pq_adc_recall(spark):
     """Fitted PQ codebooks + ADC shortlist + exact rescore recover the
     true neighbors; the encode/ADC machinery is exact-oracle-checked
@@ -908,6 +965,11 @@ def test_source_overlap_matrix(spark):
            dedup.source_overlap(df, n=3).collect()}
     assert got[("s1", "s2")]["shared_grams"] == 1
     assert abs(got[("s1", "s2")]["jaccard"] - 1 / 3) < 1e-6
+    # exact integer columns for the gate: sizes and micro-jaccard
+    # (1 shared / (2 + 2 - 1) union = 333333 micro, floor division)
+    assert got[("s1", "s2")]["grams_a"] == 2
+    assert got[("s1", "s2")]["grams_b"] == 2
+    assert got[("s1", "s2")]["jaccard_micro"] == 333333
     assert ("s1", "s3") not in got and ("s2", "s3") not in got
     # max_df=1 kills the gram present in both sources -> no pairs
     assert dedup.source_overlap(df, n=3, max_df=1).count() == 0

@@ -226,7 +226,23 @@ def test_tpch_dims_broadcast(spark):
         assert "CartesianProduct" not in plan, f"{q}: {plan[:800]}"
 
 
-def test_tpch_topk_and_pushdown(spark):
+def test_q11_q15_scratch_caches_do_not_accumulate(spark):
+    """q11/q15 persist a slim diamond-reuse aggregate; the scratch
+    registry must release the PREVIOUS invocation's cache on each new
+    build, so repeated invocation in one session holds the persistent-
+    RDD count flat (no storage-tab growth) and results stay stable."""
+    def n_cached():
+        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+    for q in ("q11_important_parts", "q15_top_supplier"):
+        first = entrymod.queries()[q](spark, SF_DIR).collect()
+        after_one = n_cached()
+        for _ in range(3):
+            again = entrymod.queries()[q](spark, SF_DIR).collect()
+        assert n_cached() <= after_one, f"{q}: scratch caches accumulate"
+        assert again == first, q
+    from deltalake_poc_spark.analytics.scratch import release_scratch
+    release_scratch()
     """Top-k queries keep TakeOrderedAndProject; selective dimension
     filters reach the parquet scan."""
     for q in ("q2_min_cost_supplier", "q10_returned_items",

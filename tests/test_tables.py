@@ -484,6 +484,91 @@ def test_bloom_filter_file_skipping(spark, tmp_path):
     assert all(e.bloom.get("rid") for e in t2.snapshot().files)
 
 
+def test_bloom_build_is_distributed_not_driver_side(spark, tmp_path,
+                                                    monkeypatch):
+    """Writing N bloom-indexed files must NOT read column data through
+    the driver: the blooms come from one distributed job over the
+    staging dir (collect_blooms_distributed), and only the serialized
+    filters reach the driver. Pin by poisoning the driver-side reader
+    paths — pyarrow data reads and the single-file utility — for the
+    duration of the write; stats still work (footer metadata only)."""
+    import pyarrow.parquet as papq
+
+    from deltalake_poc_spark.tables import stats as stats_mod
+
+    schema = StructType([StructField("id", LongType()),
+                         StructField("rid", StringType())])
+    t = VersionedTable.create(
+        spark, str(tmp_path / "bloomdist"), schema,
+        properties={"graft.bloomFilter.columns": "rid"})
+    df = spark.range(0, 2000).select(
+        F.col("id"), F.md5(F.col("id").cast("string")).alias("rid"))
+
+    def _no_driver_read(self, *a, **kw):
+        raise AssertionError("driver-side parquet data read in write path")
+
+    # worker processes are forked per-task and import pyarrow fresh,
+    # so this poison only bites DRIVER-side reads
+    monkeypatch.setattr(papq.ParquetFile, "read", _no_driver_read)
+    monkeypatch.setattr(
+        stats_mod, "collect_file_bloom",
+        lambda *a, **kw: (_ for _ in ()).throw(
+            AssertionError("collect_file_bloom on write path")))
+    t.write(df.repartition(6), "append")
+    monkeypatch.undo()
+
+    snap = t.snapshot()
+    assert len(snap.files) > 1
+    assert all(e.bloom.get("rid") for e in snap.files)
+    # the distributed blooms agree with the single-file reference
+    # implementation file-by-file
+    for e in snap.files:
+        ref = stats_mod.collect_file_bloom(t.log.abs_path(e.path), ["rid"])
+        assert e.bloom["rid"] == ref["rid"], e.path
+    # and they prune
+    import hashlib
+    target = hashlib.md5(b"77").hexdigest()
+    assert len(t.files_matching(f"rid = '{target}'", snap)) < len(snap.files)
+
+
+def test_bloom_skips_ineligible_types_both_sides(spark, tmp_path):
+    """Timestamp/date/decimal columns must get NO bloom at all:
+    str()-canonicalization differs between the write side (python
+    datetime) and read side (ISO literal / Decimal('2.00')), and a
+    bloom miss is a DEFINITIVE prune — a partial or mismatched bitset
+    silently drops matching files. Eligible columns on the same table
+    still bloom."""
+    from pyspark.sql.types import TimestampType
+
+    from deltalake_poc_spark.tables.stats import (bloom_build,
+                                                  bloom_might_contain)
+
+    schema = StructType([StructField("id", LongType()),
+                         StructField("rid", StringType()),
+                         StructField("ts", TimestampType())])
+    t = VersionedTable.create(
+        spark, str(tmp_path / "bloomts"), schema,
+        properties={"graft.bloomFilter.columns": "rid,ts"})
+    df = spark.range(0, 400).select(
+        F.col("id"),
+        F.md5(F.col("id").cast("string")).alias("rid"),
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("ts"))
+    t.write(df.repartition(4), "append")
+    snap = t.snapshot()
+    assert all("ts" not in e.bloom for e in snap.files), \
+        "ineligible type produced a bloom (wrong-results prune hazard)"
+    assert all(e.bloom.get("rid") for e in snap.files)
+    # a timestamp equality predicate must not prune via blooms
+    n = len(t.files_matching("ts = '2024-01-01 00:00:00'", snap))
+    assert n == len(snap.files)
+    assert t.read(where="ts = '2024-01-01 00:00:00'").count() == 400
+    # unit level: ineligible build -> None; ineligible probe -> maybe
+    import datetime
+    assert bloom_build([datetime.datetime(2024, 1, 1)]) is None
+    b = bloom_build(["x"])
+    assert bloom_might_contain(b, datetime.datetime(2024, 1, 1))
+
+
 def test_bloom_columns_follow_rename_and_optimize(spark, tmp_path):
     """graft.bloomFilter.columns names LOGICAL columns: after RENAME
     COLUMN the property follows, so new files bloom under the new
