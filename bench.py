@@ -165,6 +165,11 @@ def main() -> None:
         "unit": "sec",
         "reps": reps,
         **env,
+        # sum of per-query MINIMUMS: the noise-floor companion to the
+        # median headline. Cross-round comparisons should look at BOTH
+        # — a query whose median moved but whose min is flat regressed
+        # in GC/steal luck, not in plan quality.
+        "total_min_sec": round(sum(timings_min.values()), 3),
         "queries": timings,
         "queries_min": timings_min,
         "production_twins": twin_timings,
@@ -175,7 +180,8 @@ def main() -> None:
         # the semantic output, not equivalent workloads
         "write_pipelines": ["cdc_pipeline", "cdf_changes", "mv_refresh",
                             "time_travel_diff", "dv_pipeline",
-                            "incremental_dedup", "skipping_read"],
+                            "incremental_dedup", "skipping_read",
+                            "pq_stream_ingest"],
         # round-4 additions — subtract these when comparing totals to
         # BENCH_r03 and earlier
         "new_since_r3": sorted(

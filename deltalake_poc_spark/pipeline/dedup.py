@@ -1087,6 +1087,79 @@ def chunk_dedup(docs: DataFrame, chunk_tokens: int = 32,
     )
 
 
+def repeated_spans(docs: DataFrame, n: int = 8,
+                   text_col: str = "text") -> DataFrame:
+    """Cross-document repeated-SUBSTRING detection at arbitrary
+    alignment (the Lee et al. "Deduplicating Training Data" exact-
+    substring op): find maximal token spans that also occur elsewhere
+    in the corpus — the boilerplate chunk_dedup misses when the copy
+    is not aligned to fixed chunk boundaries.
+
+    Method (hash proxy for a distributed suffix array): every n-token
+    sliding window is keyed by md5 of its token string (row-local
+    slice+concat over the materialized token array, the
+    word_ngrams_col idiom); an occurrence is DUPLICATED iff it is not
+    the globally-first occurrence of its window content (first by
+    (doc_id, pos) — deterministic, engine-independent). Per document,
+    duplicated window positions merge into maximal spans by the
+    gaps-and-islands rule (a new span starts when pos > prev + n,
+    i.e. the [pos, pos+n-1] intervals stop overlapping/touching).
+
+    Scale shape: the only corpus-wide shuffle keys on the window HASH
+    — uniform by construction, skew-free no matter how hot a
+    boilerplate string is (chunk_dedup's argument); the island merge
+    shuffles per-doc position lists, bounded by document length. No
+    suffix array, no all-pairs: cost is O(total windows) through two
+    hash-partitioned windows.
+
+    Returns one row per document that contains at least one
+    duplicated span: (doc_id, n_spans, dup_tokens, total_tokens,
+    dup_ratio_micro) — all exact integers (ratio = dup*1e6 DIV
+    total, gate-safe).
+    """
+    toks = (
+        spread(docs.select("doc_id", F.col(text_col)))
+        .select("doc_id", _tokens(text_col).alias("__toks"))
+    )
+    t = F.col("__toks")
+    wins_arr = F.when(
+        F.size(t) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(t) - n),
+            lambda i: F.md5(
+                F.concat_ws(" ", F.slice(t, i.cast("int") + 1, n)))),
+    ).otherwise(F.array().cast("array<string>"))
+    wins = (
+        toks.select(
+            "doc_id", F.size(t).cast("long").alias("total_tokens"),
+            F.posexplode_outer(wins_arr).alias("pos", "__h"))
+        .filter(F.col("__h").isNotNull())
+    )
+    w_first = Window.partitionBy("__h").orderBy("doc_id", "pos")
+    dups = (wins.withColumn("__rn", F.row_number().over(w_first))
+            .filter(F.col("__rn") > 1))
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    prev = F.lag("pos").over(w_doc)
+    island = F.sum(
+        F.when(prev.isNull() | (F.col("pos") > prev + n), 1).otherwise(0)
+    ).over(w_doc.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    spans = (
+        dups.withColumn("__isl", island)
+        .groupBy("doc_id", "total_tokens", "__isl")
+        .agg(F.min("pos").alias("__s"),
+             (F.max("pos") + n - 1).alias("__e"))
+    )
+    return (
+        spans.groupBy("doc_id", "total_tokens")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_spans"),
+             F.sum(F.col("__e") - F.col("__s") + 1).cast("long")
+              .alias("dup_tokens"))
+        .select("doc_id", "n_spans", "dup_tokens", "total_tokens",
+                F.expr("dup_tokens * CAST(1000000 AS BIGINT)"
+                       " DIV total_tokens").alias("dup_ratio_micro"))
+    )
+
+
 def source_overlap(docs: DataFrame, n: int = 3,
                    strata_col: str = "source",
                    max_df: int | None = None) -> DataFrame:

@@ -478,3 +478,84 @@ def pq_adc_topk_batch(encoded: DataFrame,
             .withColumn("__rk", F.row_number().over(w_k))
             .filter(F.col("__rk") <= k)
             .select("qid", "vec_id", "cosine"))
+
+
+# ------------------------------------------------------ streaming PQ ingest
+
+def pq_codes_store_init(spark, root: str, dim: int = 32, m: int = 4):
+    """Create/open the persisted PQ codes table: (vec_id, embedding,
+    pq_code). The ADC scan projects only (vec_id, pq_code) — column
+    pruning keeps the wide embedding out of the shortlist pass (the
+    plan pin at tests/test_plans.py) — while the exact-rescore tail
+    reads embeddings for shortlist rows only."""
+    from pyspark.sql.types import (ArrayType, FloatType, IntegerType,
+                                   LongType, StructField, StructType)
+
+    from deltalake_poc_spark.tables import VersionedTable
+
+    schema = StructType([
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(FloatType())),
+        StructField("pq_code", ArrayType(IntegerType())),
+    ])
+    return VersionedTable.create(spark, root, schema, if_not_exists=True)
+
+
+def streaming_pq_ingest(emb_stream: DataFrame, store_root: str,
+                        checkpoint_dir: str,
+                        codebooks: list[list[list[float]]],
+                        vec_col: str = "embedding",
+                        optimize_every: int | None = None,
+                        available_now: bool = False):
+    """Continuous ANN-index maintenance: each embedding micro-batch is
+    PQ-encoded (row-local, pq_encode) and appended to the persisted
+    codes table that :func:`pq_adc_topk_batch` scans — the streaming
+    twin of the one-shot encode job, mirroring the signature store's
+    writer pattern (streaming ingest + OCC commits + periodic
+    OPTIMIZE; pipeline/dedup.py:streaming_dedup_minhash).
+
+    Exactly-once under at-least-once replay: the micro-batch id is
+    stamped into the append commit's operationParameters, and a
+    replayed batch whose id already appears in the log tail skips the
+    append (the cdc/apply.py:applied_batch_ids idiom — incremental
+    tail scan, not a full log replay per trigger).
+
+    Readers are never torn: an ANN query sees the store at one
+    version (OCC snapshot), so results are consistent-at-a-version
+    while ingest keeps appending; ``optimize_every`` bounds the
+    small-file growth that per-batch appends otherwise accumulate
+    (compaction is one more OCC commit — concurrent queries pin
+    their version, concurrent appends rebase past it).
+    """
+    state = {"scanned_to": -1, "ids": set()}
+
+    def _applied(store) -> set[str]:
+        latest = store.log.latest_version()
+        for c in store.log.commits(start=state["scanned_to"] + 1,
+                                   end=latest):
+            bid = c.operation_parameters.get("batchId")
+            if bid is not None:
+                state["ids"].add(bid)
+        state["scanned_to"] = latest
+        return state["ids"]
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        dim = len(codebooks) * len(codebooks[0][0])
+        store = pq_codes_store_init(spark, store_root, dim=dim,
+                                    m=len(codebooks))
+        if str(batch_id) in _applied(store):
+            return  # replayed batch: already committed
+        encoded = pq_encode(batch_df.select("vec_id", vec_col), codebooks,
+                            vec_col)
+        store.write(encoded, "append",
+                    extra_params={"batchId": str(batch_id)})
+        if optimize_every and (batch_id + 1) % optimize_every == 0:
+            store.optimize()
+
+    writer = (emb_stream.writeStream.foreachBatch(process)
+              .option("checkpointLocation", checkpoint_dir)
+              .queryName("pq-ingest"))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

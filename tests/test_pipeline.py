@@ -877,6 +877,37 @@ def test_mixture_sample_trillion_token_budget(spark):
     assert w.count() == 200
 
 
+def test_pq_fitted_recall_at_sf01(spark):
+    """Hard local contract for the PRODUCTION fitting path: codebooks
+    fitted by pq_fit on the sf0.1 embeddings table must recover >= 0.9
+    of the exact cosine top-10 (averaged over 5 query vectors) through
+    the ADC shortlist + exact rescore. The driver-gated PQ queries use
+    seeded literal codebooks (SQL-oracle requirement); this pins the
+    fitted path's retrieval QUALITY the way the IVF recall test does."""
+    emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet") \
+        .select("vec_id", "embedding")
+    # iid-gaussian 64-dim vectors are PQ's WORST case (no cluster
+    # structure, all cosines marginal), so this config is the honest
+    # production one for unstructured data: k=32 centroids/subspace
+    # and a 15% rescore shortlist. Measured 0.96 (deterministic:
+    # pq_fit is ordered-sample seeded).
+    books = similarity.pq_fit(emb, m=8, k=32, iters=8)
+    enc = similarity.pq_encode(emb, books).persist()
+    recalls = []
+    for qid in range(5):
+        q = emb.filter(F.col("vec_id") == qid).first()["embedding"]
+        exact = {r["vec_id"] for r in
+                 similarity.cosine_topk(emb, q, k=10,
+                                        exclude_vec_id=qid).collect()}
+        got = {r["vec_id"] for r in
+               similarity.pq_adc_topk(enc, books, q, k=10, shortlist=300,
+                                      exclude_vec_id=qid).collect()}
+        recalls.append(len(exact & got) / 10)
+    enc.unpersist()
+    avg = sum(recalls) / len(recalls)
+    assert avg >= 0.9, f"fitted-PQ recall {avg} ({recalls})"
+
+
 def test_pq_fit_deterministic_and_small_sample(spark):
     """pq_fit's sample is ordered (TakeOrdered by vec_id), so the
     fitted codebooks are identical across partitionings; k is clamped
@@ -948,6 +979,40 @@ def test_pq_batch_matches_single_query(spark):
                   similarity.pq_adc_topk(enc, books, q, k=5, shortlist=30,
                                          exclude_vec_id=qid).collect()]
         assert got[qid] == single, f"qid {qid}"
+
+
+def test_repeated_spans_unaligned_copy(spark):
+    """A copied passage at an ARBITRARY offset (which fixed-boundary
+    chunk dedup misses) is found as one maximal span in the later
+    document; the first occurrence is canonical and unflagged; a doc
+    with no repeats yields no row."""
+    shared = " ".join(f"s{i}" for i in range(10))         # 10 tokens
+    rows = [
+        (1, shared + " " + " ".join(f"a{i}" for i in range(5))),
+        # same passage, shifted by 3 tokens — no chunk alignment
+        (2, " ".join(f"b{i}" for i in range(3)) + " " + shared
+            + " " + " ".join(f"c{i}" for i in range(4))),
+        (3, " ".join(f"u{i}" for i in range(12))),        # unique
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           dedup.repeated_spans(df, n=4).collect()}
+    # doc 1 is canonical everywhere -> no duplicated windows
+    assert 1 not in out and 3 not in out
+    # doc 2: windows at pos 3..9 (7 windows of the shared 10 tokens)
+    # merge into ONE span covering pos 3..12 = 10 tokens of 17
+    r = out[2]
+    assert r["n_spans"] == 1
+    assert r["dup_tokens"] == 10
+    assert r["total_tokens"] == 17
+    assert r["dup_ratio_micro"] == 10 * 1_000_000 // 17
+    # an internal self-repeat is also caught: "x0..x3 x0..x3"
+    df2 = spark.createDataFrame(
+        [(7, " ".join(f"x{i}" for i in range(4)) + " "
+          + " ".join(f"x{i}" for i in range(4)))],
+        "doc_id long, text string")
+    r2 = dedup.repeated_spans(df2, n=4).collect()[0]
+    assert r2["n_spans"] == 1 and r2["dup_tokens"] == 4
 
 
 def test_source_overlap_matrix(spark):

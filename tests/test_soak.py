@@ -182,3 +182,95 @@ def test_soak_merge_dv_constraint_writers(spark, tmp_path):
     dels = (t.read_change_feed(0)
             .filter(F.col("_change_type") == "delete").collect())
     assert sorted(r["id"] for r in dels) == list(range(50, 50 + rounds))
+
+
+def test_soak_streaming_pq_ingest_with_concurrent_queries(spark, tmp_path):
+    """ANN index maintenance under streaming ingest: embeddings arrive
+    in micro-batches, each PQ-encoded and OCC-appended to the codes
+    table with periodic OPTIMIZE; batch ANN queries pin a version and
+    must return IDENTICAL results before and after later ingest
+    commits (reader isolation), the final version must equal the
+    one-shot encode of the same corpus, and checkpoint replay must not
+    double-append (batchId commit markers)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from deltalake_poc_spark.pipeline.similarity import (
+        pq_adc_topk_batch, pq_encode, streaming_pq_ingest)
+
+    rs = np.random.RandomState(5)
+    m, k_codes, dim = 4, 8, 16
+    books = [[[float(x) for x in rs.normal(size=dim // m)]
+              for _ in range(k_codes)] for _ in range(m)]
+
+    src = tmp_path / "vec_in"
+    os.makedirs(src)
+    all_rows = []
+    for b in range(5):
+        rows = [{"vec_id": b * 100 + i,
+                 "embedding": [float(x) for x in rs.normal(size=dim)]}
+                for i in range(30)]
+        all_rows += rows
+        (src / f"b{b}.json").write_text(
+            "\n".join(json.dumps(r) for r in rows))
+
+    stream = (spark.readStream
+              .schema("vec_id long, embedding array<float>")
+              .option("maxFilesPerTrigger", "1").json(str(src)))
+    q = streaming_pq_ingest(stream, str(tmp_path / "codes"),
+                            str(tmp_path / "ckpt"), books,
+                            optimize_every=3, available_now=True)
+    q.awaitTermination(180)
+
+    store = VersionedTable.for_path(spark, str(tmp_path / "codes"))
+    versions = [c.version for c in store.log.commits()]
+    assert len([c for c in store.log.commits()
+                if c.operation_parameters.get("batchId")]) == 5
+
+    emb_all = spark.createDataFrame(
+        [(r["vec_id"], r["embedding"]) for r in all_rows],
+        "vec_id long, embedding array<float>")
+    queries = emb_all.filter(F.col("vec_id").isin(0, 101, 203))
+
+    # reader isolation: results at a pinned mid-ingest version are
+    # stable across re-execution after later commits exist
+    mid = versions[len(versions) // 2]
+    def ann_at(version):
+        return sorted(
+            (r["qid"], r["vec_id"], r["cosine"]) for r in pq_adc_topk_batch(
+                store.read(version=version), books, queries, k=5,
+                shortlist=20).collect())
+    first = ann_at(mid)
+    assert ann_at(mid) == first
+    # ingested rows at a version = union of batches committed <= it
+    n_mid = store.read(version=mid).count()
+    assert 0 < n_mid <= len(all_rows)
+
+    # final version == one-shot encode of the same corpus
+    final_rows = sorted(
+        (r["vec_id"], r["pq_code"]) for r in
+        store.read().select("vec_id", "pq_code").collect())
+    oneshot = sorted(
+        (r["vec_id"], r["pq_code"]) for r in
+        pq_encode(emb_all, books).select("vec_id", "pq_code").collect())
+    assert final_rows == oneshot
+    # and batch ANN over the store == batch ANN over the one-shot frame
+    got = sorted((r["qid"], r["vec_id"], r["cosine"]) for r in
+                 pq_adc_topk_batch(store.read(), books, queries,
+                                   k=5, shortlist=20).collect())
+    want = sorted((r["qid"], r["vec_id"], r["cosine"]) for r in
+                  pq_adc_topk_batch(pq_encode(emb_all, books), books,
+                                    queries, k=5, shortlist=20).collect())
+    assert got == want
+
+    # replay: a fresh stream over the same files + checkpoint appends
+    # nothing (all batch ids already stamped)
+    n_commits = len(store.log.commits())
+    q2 = streaming_pq_ingest(stream, str(tmp_path / "codes"),
+                             str(tmp_path / "ckpt"), books,
+                             available_now=True)
+    q2.awaitTermination(120)
+    assert store.read().count() == len(all_rows)
+    assert len([c for c in store.log.commits()
+                if c.operation_parameters.get("batchId")]) == 5, \
+        "replayed batches double-appended"
