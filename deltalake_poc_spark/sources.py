@@ -4,7 +4,10 @@
   mirrors updated with ON CONFLICT upserts (database.py:161-196); in
   this engine Postgres is just another snapshot sink — the same
   CDCApplier output written via spark JDBC. Plain reads mirror
-  ``spark.read.jdbc``.
+  ``spark.read.jdbc``. The generated postgresql-dialect statements
+  are validated against a LIVE PostgreSQL 15 server
+  (tests/test_live_postgres.py); only the JDBC transport itself
+  remains env-blocked (no postgres JDBC jar in the Spark runtime).
 - Raw-parquet read (S16): the notebook's DuckDB-over-parquet path
   (cells 43-48) bypasses the transaction log and therefore sees
   removed/uncommitted files — provided for parity, with the same
@@ -103,13 +106,25 @@ def upsert_statements(columns: list[str], table: str,
     # SET over non-key columns only: the reference's update_set lists
     # every column (Postgres tolerates assigning the conflict key to
     # itself), but engines with strict PK binding (e.g. DuckDB) reject
-    # it and the semantics are identical
-    upd_cols = [c for c in columns if c not in keys]
+    # it and the semantics are identical. The synced-at column is also
+    # excluded when it gets its own now_expr assignment — PostgreSQL
+    # raises "multiple assignments to same column" on the duplicate
+    # (caught by the live-server test, tests/test_live_postgres.py;
+    # the DuckDB twin had tolerated it by never staging that column).
+    upd_cols = [c for c in columns
+                if c not in keys and (synced_at_col is None
+                                      or c != synced_at_col)]
+    # the INSERT path stamps the synced column too (the reference sets
+    # CURRENT_TIMESTAMP on both the VALUES and the DO UPDATE branch)
+    sel_cols = ", ".join(
+        f"{now_expr} AS {q(c)}" if c == synced_at_col else q(c)
+        for c in columns)
 
     if dialect == "postgresql":
         set_clause = ", ".join(f"{q(c)} = EXCLUDED.{q(c)}" for c in upd_cols)
         upsert = (
-            f"INSERT INTO {tgt} ({cols}) SELECT {cols} FROM {stg}{not_delete} "
+            f"INSERT INTO {tgt} ({cols}) SELECT {sel_cols} FROM {stg}"
+            f"{not_delete} "
             f"ON CONFLICT ({', '.join(q(k) for k in keys)}) "
             f"DO UPDATE SET {set_clause}{synced}"
         )
@@ -127,7 +142,7 @@ def upsert_statements(columns: list[str], table: str,
         upsert = (
             f"INSERT INTO {tgt} ({cols}) "
             f"SELECT {cols} FROM "
-            f"(SELECT {cols} FROM {stg}{not_delete}) AS new "
+            f"(SELECT {sel_cols} FROM {stg}{not_delete}) AS new "
             f"ON DUPLICATE KEY UPDATE {set_clause}{synced_my}"
         )
         delete = (
@@ -136,7 +151,8 @@ def upsert_statements(columns: list[str], table: str,
         )
     elif dialect == "merge":
         set_clause = ", ".join(f"t.{q(c)} = s.{q(c)}" for c in upd_cols)
-        ins_vals = ", ".join(f"s.{q(c)}" for c in columns)
+        ins_vals = ", ".join(
+            now_expr if c == synced_at_col else f"s.{q(c)}" for c in columns)
         del_clause = (
             f"WHEN MATCHED AND s.{q(cdc_op_col)} = 'd' THEN DELETE "
             if has_cdc_op else ""

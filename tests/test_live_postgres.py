@@ -1,0 +1,185 @@
+"""LIVE PostgreSQL validation of the S12 upsert dialect.
+
+The reference keeps Postgres mirrors updated with per-row
+INSERT ... ON CONFLICT (reference consumer/spark-streaming/
+database.py:161-196); this engine ships the same semantics SET-BASED
+(sources.py:upsert_statements). Until round 5 those statements were
+executed only against DuckDB's ON CONFLICT implementation; this module
+runs them against a REAL PostgreSQL 15 server (initdb + unix socket,
+no network), closing most of the S12 "env-blocked" caveat — what
+remains blocked is only the JDBC transport (no postgres JDBC jar in
+the Spark runtime), which jdbc_read/jdbc_write/jdbc_execute wrap
+thinly.
+
+The server runs as the 'postgres' system user (postgres refuses root)
+on a private data dir + socket under /tmp; everything is torn down at
+module end. Skips cleanly where the binaries or user are unavailable.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import subprocess
+import tempfile
+
+import pytest
+
+from deltalake_poc_spark.sources import upsert_statements
+
+PG_BIN = "/usr/lib/postgresql/15/bin"
+
+
+def _have_postgres() -> bool:
+    if not os.path.exists(os.path.join(PG_BIN, "initdb")):
+        return False
+    try:
+        out = subprocess.run(["su", "postgres", "-c", "true"],
+                             cwd="/tmp", capture_output=True, timeout=10)
+        return out.returncode == 0
+    except Exception:
+        return False
+
+
+pytestmark = pytest.mark.skipif(
+    not _have_postgres(), reason="no local postgres server binaries")
+
+
+class _Pg:
+    def __init__(self):
+        self.root = tempfile.mkdtemp(prefix="pglive_")
+        self.data = os.path.join(self.root, "data")
+        self.sock = os.path.join(self.root, "sock")
+        os.makedirs(self.data)
+        os.makedirs(self.sock)
+        subprocess.run(["chown", "-R", "postgres", self.root], check=True)
+        self._su(f"{PG_BIN}/initdb -D {self.data} -A trust")
+        self._su(
+            f"{PG_BIN}/pg_ctl -D {self.data} "
+            f"-o \"-k {self.sock} -c listen_addresses=''\" "
+            f"-l {self.root}/log start")
+
+    def _su(self, cmd: str) -> str:
+        r = subprocess.run(["su", "postgres", "-c", cmd], cwd="/tmp",
+                           capture_output=True, text=True, timeout=120)
+        assert r.returncode == 0, f"{cmd}\n{r.stdout}\n{r.stderr}"
+        return r.stdout
+
+    def sql(self, statement: str, db: str = "postgres") -> str:
+        """One statement through psql, tuples-only unaligned output."""
+        path = os.path.join(self.root, "stmt.sql")
+        with open(path, "w") as fh:
+            fh.write(statement)
+        os.chmod(path, 0o644)
+        return self._su(
+            f"psql -h {self.sock} -d {db} -v ON_ERROR_STOP=1 -qAt -f {path}")
+
+    def stop(self):
+        try:
+            self._su(f"{PG_BIN}/pg_ctl -D {self.data} -m fast stop")
+        finally:
+            shutil.rmtree(self.root, ignore_errors=True)
+
+
+@pytest.fixture(scope="module")
+def pg():
+    server = _Pg()
+    yield server
+    server.stop()
+
+
+def _setup_tables(pg: _Pg):
+    """Target mirrors the staged shape (as jdbc_write creates it, CDC
+    op column included) with three existing rows; the staged batch
+    updates one, deletes one, inserts one."""
+    pg.sql("DROP TABLE IF EXISTS public.customers;"
+           "DROP TABLE IF EXISTS public.customers__staging;")
+    pg.sql("""
+        CREATE TABLE public.customers (
+            id BIGINT PRIMARY KEY, name TEXT, email TEXT,
+            __cdc_operation TEXT, __synced_at TIMESTAMP);
+        INSERT INTO public.customers VALUES
+            (1, 'alice', 'a@old', 'c', '2020-01-01'),
+            (2, 'bob',   'b@old', 'c', '2020-01-01'),
+            (3, 'carol', 'c@old', 'c', '2020-01-01');
+        CREATE TABLE public.customers__staging (
+            id BIGINT, name TEXT, email TEXT,
+            __cdc_operation TEXT, __synced_at TIMESTAMP);
+        INSERT INTO public.customers__staging VALUES
+            (2, 'bobby', 'b@new', 'u', NULL),
+            (3, NULL,    NULL,    'd', NULL),
+            (4, 'dave',  'd@new', 'c', NULL);
+    """)
+
+
+def test_postgres_dialect_against_live_server(pg):
+    """The generated postgres-dialect statements run UNMODIFIED on a
+    real PostgreSQL 15 and produce exactly the reference's mirror
+    semantics: conflict rows updated (with __synced_at bumped),
+    delete-op rows removed, new rows inserted, staging dropped."""
+    _setup_tables(pg)
+    stmts = upsert_statements(
+        ["id", "name", "email", "__cdc_operation", "__synced_at"],
+        "customers", keys=("id",), dialect="postgresql")
+    pg.sql(stmts["upsert"])
+    pg.sql(stmts["delete"])
+    pg.sql(stmts["drop_staging"])
+
+    rows = pg.sql("SELECT id, name, email FROM public.customers "
+                  "ORDER BY id").strip().splitlines()
+    assert rows == ["1|alice|a@old", "2|bobby|b@new", "4|dave|d@new"]
+    # updated row got a fresh __synced_at; untouched row kept its old one
+    synced = pg.sql("SELECT id FROM public.customers "
+                    "WHERE __synced_at > '2021-01-01' "
+                    "ORDER BY id").strip().splitlines()
+    assert synced == ["2", "4"]
+    assert pg.sql("SELECT to_regclass('public.customers__staging') "
+                  "IS NULL").strip() == "t"
+
+
+def test_postgres_dialect_matches_duckdb_twin(pg):
+    """Cross-engine agreement: the same staged batch applied via the
+    postgres dialect on live PostgreSQL and via DuckDB's ON CONFLICT
+    (the oracle twin the suite always runs) converges to identical
+    target rows."""
+    import duckdb
+
+    _setup_tables(pg)
+    stmts = upsert_statements(
+        ["id", "name", "email", "__cdc_operation", "__synced_at"],
+        "customers", keys=("id",), dialect="postgresql",
+        synced_at_col=None)
+    pg.sql(stmts["upsert"])
+    pg.sql(stmts["delete"])
+    got_pg = pg.sql("SELECT id, name, email FROM public.customers "
+                    "ORDER BY id").strip().splitlines()
+
+    con = duckdb.connect()
+    con.execute("""
+        CREATE TABLE customers (
+            id BIGINT PRIMARY KEY, name TEXT, email TEXT,
+            __cdc_operation TEXT, __synced_at TIMESTAMP);
+        INSERT INTO customers VALUES
+            (1, 'alice', 'a@old', 'c', '2020-01-01'),
+            (2, 'bob',   'b@old', 'c', '2020-01-01'),
+            (3, 'carol', 'c@old', 'c', '2020-01-01');
+        CREATE TABLE customers__staging (
+            id BIGINT, name TEXT, email TEXT,
+            __cdc_operation TEXT, __synced_at TIMESTAMP);
+        INSERT INTO customers__staging VALUES
+            (2, 'bobby', 'b@new', 'u', NULL),
+            (3, NULL,    NULL,    'd', NULL),
+            (4, 'dave',  'd@new', 'c', NULL);
+    """)
+    duck_stmts = upsert_statements(
+        ["id", "name", "email", "__cdc_operation", "__synced_at"],
+        "customers", keys=("id",), dialect="postgresql", schema="",
+        synced_at_col=None)
+    con.execute(duck_stmts["upsert"])
+    con.execute(duck_stmts["delete"])
+    got_duck = ["|".join("" if v is None else str(v) for v in r)
+                for r in con.execute(
+                    "SELECT id, name, email FROM customers ORDER BY id"
+                ).fetchall()]
+    assert got_pg == got_duck
+    assert got_pg == ["1|alice|a@old", "2|bobby|b@new", "4|dave|d@new"]

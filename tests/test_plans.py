@@ -226,7 +226,19 @@ def test_tpch_dims_broadcast(spark):
         assert "CartesianProduct" not in plan, f"{q}: {plan[:800]}"
 
 
-def test_q11_q15_scratch_caches_do_not_accumulate(spark):
+def test_new_r5_ops_stay_jvm_and_shuffle_lean(spark):
+    """Round-5 operators: span_dedup's plan is exactly three shuffles
+    — the spread() scan repartition, the window-HASH rank (uniform md5
+    keys, skew-free), and ONE doc_id exchange that both the island
+    window and BOTH span aggregates reuse (doc_id is a subset of every
+    later grouping key, so no further exchange is planned). No Python
+    eval anywhere."""
+    plan = plan_of(spark, "span_dedup")
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    n = len([l for l in plan.splitlines()
+             if l.strip().startswith("(") and "Exchange" in l])
+    assert n <= 3, f"span_dedup: {n} exchanges\n{plan[:800]}"
     """q11/q15 persist a slim diamond-reuse aggregate; the scratch
     registry must release the PREVIOUS invocation's cache on each new
     build, so repeated invocation in one session holds the persistent-
