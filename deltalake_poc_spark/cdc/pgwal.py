@@ -1,0 +1,180 @@
+"""PostgreSQL logical-decoding (WAL) CDC source adapter.
+
+The reference's CDC chain is postgres -> Debezium -> Kafka -> Spark
+(consumer/spark-streaming/spark_streaming.py; S1/S14 in SURVEY.md §2).
+This adapter taps the FIRST link directly: PostgreSQL's built-in
+``test_decoding`` logical replication plugin (no Debezium/Kafka
+process needed) and converts the decoded WAL lines into
+Debezium-shaped Kafka messages, so the engine's existing parse
+(:func:`deltalake_poc_spark.cdc.parse.parse_debezium`) and apply
+(:class:`deltalake_poc_spark.cdc.CDCApplier`) path runs UNCHANGED —
+real database commits flow into versioned snapshot tables end-to-end
+(exercised against a live PostgreSQL 15 in
+tests/test_live_postgres.py).
+
+Deliberately driver-side Python: a replication slot is a SERIAL WAL
+stream read by exactly one consumer — this module replaces the
+out-of-process Debezium connector task, not a distributed operator.
+Everything downstream of the message list (envelope parse, per-table
+typing, key-dedup, MERGE) is the engine's JVM-side path, identical to
+the Kafka route. Scale comes from the same place it does for
+Debezium: per-table/per-slot parallelism upstream, Spark parallelism
+downstream.
+
+Field-level encoding matches the Debezium config the reference runs
+("time.precision.mode": "connect", "decimal.handling.mode": "double";
+database.py:20-27): timestamps become epoch-MICROSECOND longs, dates
+become epoch-day ints, numerics become doubles.
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import re
+
+_LINE_RE = re.compile(
+    r"^table (?P<schema>[^.]+)\.(?P<table>[^:]+): "
+    r"(?P<op>INSERT|UPDATE|DELETE): (?P<rest>.*)$")
+# name[type]:value — value is a single-quoted literal ('' escapes a
+# quote) or a bare token (numbers, true/false, null, unchanged-toast)
+_COL_RE = re.compile(
+    r"(?P<name>\w+)\[(?P<type>[^\]]+)\]:"
+    r"(?P<lit>'(?:[^']|'')*'|[^\s]+)")
+
+_INT_TYPES = {"smallint", "integer", "bigint", "oid"}
+_FLOAT_TYPES = {"real", "double precision", "numeric"}
+_OPS = {"INSERT": "c", "UPDATE": "u", "DELETE": "d"}
+
+
+def _ts_micros(text: str) -> int:
+    """'2024-01-01 10:00:00[.ffffff]' -> epoch µs (PG session TZ is
+    the server's; test setup pins UTC)."""
+    for fmt in ("%Y-%m-%d %H:%M:%S.%f", "%Y-%m-%d %H:%M:%S"):
+        try:
+            dt = datetime.datetime.strptime(text, fmt)
+            return int(dt.replace(
+                tzinfo=datetime.timezone.utc).timestamp() * 1_000_000)
+        except ValueError:
+            continue
+    raise ValueError(f"unparseable timestamp {text!r}")
+
+
+def _value(col_type: str, lit: str):
+    """Decode one test_decoding literal into its Debezium JSON value."""
+    if lit == "null":
+        return None
+    quoted = lit.startswith("'")
+    text = lit[1:-1].replace("''", "'") if quoted else lit
+    if col_type in _INT_TYPES:
+        return int(text)
+    if col_type in _FLOAT_TYPES:
+        return float(text)
+    if col_type == "boolean":
+        return text == "true"
+    if col_type.startswith("timestamp"):
+        return _ts_micros(text)
+    if col_type == "date":
+        d = datetime.date.fromisoformat(text)
+        return (d - datetime.date(1970, 1, 1)).days
+    return text
+
+
+def _cols(segment: str) -> dict:
+    return {m.group("name"): _value(m.group("type"), m.group("lit"))
+            for m in _COL_RE.finditer(segment)}
+
+
+def parse_wal_line(line: str):
+    """One decoded WAL data line -> (schema, table, op, before, after)
+    or None for non-row lines (BEGIN/COMMIT/messages)."""
+    m = _LINE_RE.match(line)
+    if m is None:
+        return None
+    op = _OPS[m.group("op")]
+    rest = m.group("rest")
+    before = after = None
+    if op == "c":
+        after = _cols(rest)
+    elif op == "d":
+        # replica identity key (or the full row with REPLICA IDENTITY
+        # FULL) — either way it is the BEFORE image
+        before = _cols(rest)
+    else:
+        # UPDATE: "old-key: ... new-tuple: ..." only when the replica
+        # identity changed (or FULL); otherwise just the new tuple
+        if rest.startswith("old-key:"):
+            old_part, new_part = rest.split("new-tuple:", 1)
+            before = _cols(old_part[len("old-key:"):])
+            after = _cols(new_part)
+        else:
+            after = _cols(rest)
+    return m.group("schema"), m.group("table"), op, before, after
+
+
+def _lsn_int(lsn: str) -> int:
+    hi, lo = lsn.split("/")
+    return (int(hi, 16) << 32) | int(lo, 16)
+
+
+def wal_to_kafka_messages(changes, source_name: str = "pgwal",
+                          db: str = "postgres",
+                          key_col: str = "id") -> list[dict]:
+    """Convert ``pg_logical_slot_get_changes`` rows — (lsn, xid,
+    data) — into the Kafka-record dicts ``parse_debezium`` consumes:
+    {key, value, topic, partition, offset}. The LSN (a 64-bit WAL
+    position, strictly increasing within the slot) becomes the Kafka
+    offset, so the applier's latest-event-per-key ordering
+    (source_lsn, offset) is the true commit order."""
+    out = []
+    for lsn, xid, data in changes:
+        parsed = parse_wal_line(data)
+        if parsed is None:
+            continue  # BEGIN/COMMIT markers carry no row data
+        schema, table, op, before, after = parsed
+        lsn_i = _lsn_int(lsn) if isinstance(lsn, str) else int(lsn)
+        now_ms = lsn_i  # deterministic envelope ts; the engine keys
+        # ordering off source.lsn + offset, never ts_ms
+        payload = {
+            "op": op,
+            "ts_ms": now_ms,
+            "before": before,
+            "after": after,
+            "source": {
+                "version": "pgwal-1", "connector": "test_decoding",
+                "name": source_name, "ts_ms": now_ms,
+                "snapshot": "false", "db": db, "schema": schema,
+                "table": table, "txId": int(xid), "lsn": lsn_i,
+                "xmin": None,
+            },
+        }
+        row = (after or before or {})
+        key = ({"payload": {key_col: row.get(key_col)}}
+               if key_col in row else None)
+        out.append({
+            "key": (json.dumps(key).encode() if key is not None else None),
+            "value": json.dumps({"payload": payload}).encode(),
+            "topic": f"{source_name}.{schema}.{table}",
+            "partition": 0,
+            "offset": lsn_i,
+        })
+    return out
+
+
+def kafka_shape_df(spark, messages: list[dict]):
+    """Materialize adapter messages with the exact column contract of
+    ``spark.read.format('kafka')`` so parse_debezium is reused
+    verbatim."""
+    from pyspark.sql.types import (BinaryType, IntegerType, LongType,
+                                   StringType, StructField, StructType)
+
+    schema = StructType([
+        StructField("key", BinaryType()),
+        StructField("value", BinaryType()),
+        StructField("topic", StringType()),
+        StructField("partition", IntegerType()),
+        StructField("offset", LongType()),
+    ])
+    rows = [(m["key"], m["value"], m["topic"], m["partition"], m["offset"])
+            for m in messages]
+    return spark.createDataFrame(rows, schema)

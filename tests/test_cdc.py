@@ -267,3 +267,64 @@ def test_standard_mirror_follows_cdc(spark, tmp_path):
                  eng.read_change_feed(0).select(
                      "_commit_version", "_change_type").collect())
     assert types == ref
+
+
+def test_pgwal_line_parser():
+    """test_decoding line decode: quoted strings (with '' escapes),
+    typed numerics/booleans/timestamps, nulls, replica-identity
+    old-key/new-tuple updates, and non-row lines."""
+    from deltalake_poc_spark.cdc.pgwal import parse_wal_line
+
+    assert parse_wal_line("BEGIN 731") is None
+    assert parse_wal_line("COMMIT 731") is None
+
+    sch, tbl, op, before, after = parse_wal_line(
+        "table public.customers: INSERT: id[bigint]:7 "
+        "name[text]:'o''brien x' bal[double precision]:2.5 "
+        "vip[boolean]:true note[text]:null "
+        "created_at[timestamp without time zone]:'2024-01-01 10:00:00'")
+    assert (sch, tbl, op, before) == ("public", "customers", "c", None)
+    assert after == {"id": 7, "name": "o'brien x", "bal": 2.5,
+                     "vip": True, "note": None,
+                     "created_at": 1704103200000000}
+
+    _, _, op, before, after = parse_wal_line(
+        "table public.customers: UPDATE: old-key: id[bigint]:7 "
+        "new-tuple: id[bigint]:8 name[text]:'n'")
+    assert op == "u" and before == {"id": 7}
+    assert after == {"id": 8, "name": "n"}
+
+    _, _, op, before, after = parse_wal_line(
+        "table public.customers: DELETE: id[bigint]:7")
+    assert op == "d" and before == {"id": 7} and after is None
+
+
+def test_pgwal_messages_reuse_debezium_parse(spark):
+    """Adapter output satisfies parse_debezium's Kafka contract: op
+    mapping, lsn-as-offset ordering, topic naming, key payload."""
+    from deltalake_poc_spark.cdc.pgwal import (kafka_shape_df,
+                                               wal_to_kafka_messages)
+
+    changes = [
+        ("0/15D6E90", "731", "BEGIN 731"),
+        ("0/15D6E90", "731",
+         "table public.orders: INSERT: id[bigint]:1 total[numeric]:9.5"),
+        ("0/15D6F00", "731", "COMMIT 731"),
+        ("0/15D7000", "732",
+         "table public.orders: UPDATE: id[bigint]:1 total[numeric]:11.0"),
+        ("0/15D8000", "733",
+         "table public.orders: DELETE: id[bigint]:1"),
+    ]
+    msgs = wal_to_kafka_messages(changes, source_name="pgwal", db="d1")
+    assert len(msgs) == 3
+    assert [m["topic"] for m in msgs] == ["pgwal.public.orders"] * 3
+    assert msgs[0]["offset"] < msgs[1]["offset"] < msgs[2]["offset"]
+
+    ev = parse_debezium(kafka_shape_df(spark, msgs)).orderBy("offset")
+    rows = ev.collect()
+    assert [r["operation"] for r in rows] == ["c", "u", "d"]
+    assert rows[0]["table_name"] == "public.orders"
+    assert rows[0]["source_db"] == "d1"
+    assert json.loads(rows[1]["after_data"]) == {"id": 1, "total": 11.0}
+    assert json.loads(rows[2]["before_data"]) == {"id": 1}
+    assert rows[1]["source_lsn"] > rows[0]["source_lsn"]
