@@ -955,6 +955,20 @@ def _span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repeated_spans(load_table(spark, sf_dir, "documents"), n=8)
 
 
+def _sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch vocabulary accounting: per-source HLL token
+    sketches + a union rollup that re-scans NOTHING (kilobyte sketch
+    merge instead of a second token shuffle). Gate rows are the EXACT
+    integer distincts (HLL estimates are not bit-portable across
+    engines); the sketch path is self-checking — the query RAISES if
+    any per-source estimate or the union estimate drifts >5% from
+    exact, so a green driver row certifies the sketch machinery the
+    same way skipping_read certifies pruning."""
+    from deltalake_poc_spark.pipeline.text import sketch_distinct_rollup
+
+    return sketch_distinct_rollup(load_table(spark, sf_dir, "documents"))
+
+
 def _text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from deltalake_poc_spark.pipeline.text import quality_scores
 
@@ -1436,6 +1450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": _incremental_dedup,             # signature store
         "pq_stream_ingest": _pq_stream_ingest,               # streaming PQ ingest (new r5)
         "span_dedup": _span_dedup,                           # repeated substrings (new r5)
+        "sketch_rollup": _sketch_rollup,                     # HLL union rollup (new r5)
         # --- stale: newest driver row r2
         "customers_without_orders": _customers_without_orders,  # anti join
         "change_type_counts": _change_type_counts,           # A6
@@ -1478,10 +1493,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": _asof_join,                             # as-of join (custom op)
         "range_join": _range_join,                           # band/range join (custom op)
         "event_windows": _event_windows,                     # windowed agg (streaming twin)
-        "user_sessions": _user_sessions,                     # sessionization
         # --- positions 51+: outside the driver's 50-query gate window
         # (driver-green in r4, code untouched this round; still
         # oracle-checked by pytest + bench)
+        "user_sessions": _user_sessions,                     # sessionization (r3-green)
         "q2_min_cost_supplier": _q2_min_cost_supplier,       # correlated min
         "q4_order_priority": _q4_order_priority,             # EXISTS semi join
         "q8_market_share": _q8_market_share,                 # share quotient
@@ -3358,6 +3373,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST((u.i * 10) * 1000 // fps AS BIGINT) AS ts_ms
             FROM m, unnest(range(0, least(
                      CAST(ceil(nf / 10.0) AS BIGINT), 4))) AS u(i)
+        """,
+        # sketch_rollup: exact per-source + corpus token distincts (the
+        # HLL sketch path is self-checking inside the Spark query; the
+        # gate hashes only the exact integers)
+        "sketch_rollup": """
+            WITH toks AS (
+                SELECT source,
+                       unnest(string_split(trim(text), ' ')) AS token
+                FROM documents
+            ), clean AS (
+                SELECT source, token FROM toks WHERE token <> ''
+            ), per AS (
+                SELECT source,
+                       CAST(count(*) AS BIGINT) AS n_tokens,
+                       CAST(count(DISTINCT token) AS BIGINT)
+                           AS distinct_tokens
+                FROM clean GROUP BY source
+            )
+            SELECT source, n_tokens, distinct_tokens FROM per
+            UNION ALL
+            SELECT '__ALL__',
+                   CAST(count(*) AS BIGINT),
+                   CAST(count(DISTINCT token) AS BIGINT)
+            FROM clean
         """,
         # span_dedup: 8-token sliding windows keyed by md5, duplicated
         # = not the globally-first (doc_id, pos) occurrence of the

@@ -468,3 +468,70 @@ def token_drift(docs: DataFrame, side_col, k: int = 50) -> DataFrame:
     return (scored
             .orderBy(F.abs(F.col("drift")).desc(), F.col("token").asc())
             .limit(k))
+
+
+def sketch_distinct_rollup(docs: DataFrame, strata_col: str = "source",
+                           text_col: str = "text",
+                           max_rel_err_pct: float = 5.0) -> DataFrame:
+    """Mergeable-sketch distinct-token accounting per stratum — the
+    100 TB vocabulary-monitoring pattern: each partition/day/source
+    builds an HLL sketch of its tokens (Spark's DataSketches
+    hll_sketch_agg, map-side combinable), and corpus-level distincts
+    come from hll_union_agg over the tiny per-stratum sketches — NO
+    re-scan of the corpus to roll up, which is the whole point of a
+    mergeable summary (a COUNT(DISTINCT) rollup would shuffle every
+    token again; sketch union shuffles kilobytes).
+
+    Because HLL estimates are not bit-portable across engines, the
+    returned frame carries EXACT integer distincts (gate-safe); the
+    sketch path is SELF-CHECKING instead: per-stratum estimates and
+    the union rollup are computed eagerly here and a RelativeError >
+    ``max_rel_err_pct`` raises — so the driver row also certifies the
+    sketch machinery, the way skipping_read certifies pruning.
+
+    Returns (strata, n_tokens, distinct_tokens) plus one __ALL__ row
+    with the corpus totals.
+    """
+    toks = (
+        docs.select(F.col(strata_col).alias("__strata"),
+                    tokens_col(text_col).alias("__t"))
+        .select("__strata", F.explode_outer("__t").alias("token"))
+        .filter(F.col("token").isNotNull() & (F.col("token") != ""))
+    )
+    per = (toks.groupBy("__strata")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_tokens"),
+                F.countDistinct("token").alias("distinct_tokens"),
+                F.hll_sketch_agg("token").alias("__sk"),
+                F.hll_sketch_estimate(
+                    F.hll_sketch_agg("token")).alias("__est")))
+    # self-check 1: per-stratum estimate within tolerance of exact
+    rows = per.select("__strata", "n_tokens", "distinct_tokens",
+                      "__est", "__sk").collect()
+    for r in rows:
+        exact, est = r["distinct_tokens"], r["__est"]
+        if exact > 0 and abs(est - exact) / exact * 100 > max_rel_err_pct:
+            raise AssertionError(
+                f"HLL estimate off by >{max_rel_err_pct}% for "
+                f"{r['__strata']}: est {est} vs exact {exact}")
+    # self-check 2: the union of per-stratum sketches (merge-only, no
+    # token re-scan) matches the exact corpus-wide distinct count
+    union_est = per.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("__sk")).alias("e")
+    ).collect()[0]["e"]
+    total_exact = toks.agg(
+        F.countDistinct("token").alias("d"),
+        F.count(F.lit(1)).cast("long").alias("n")).collect()[0]
+    if total_exact["d"] > 0 and \
+            abs(union_est - total_exact["d"]) / total_exact["d"] * 100 \
+            > max_rel_err_pct:
+        raise AssertionError(
+            f"HLL union estimate off by >{max_rel_err_pct}%: "
+            f"{union_est} vs exact {total_exact['d']}")
+    spark = docs.sparkSession
+    all_row = spark.createDataFrame(
+        [("__ALL__", int(total_exact["n"]), int(total_exact["d"]))],
+        "__strata string, n_tokens long, distinct_tokens long")
+    return (per.select("__strata", "n_tokens", "distinct_tokens")
+            .unionByName(all_row)
+            .select(F.col("__strata").alias(strata_col),
+                    "n_tokens", "distinct_tokens"))
