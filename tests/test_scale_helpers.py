@@ -76,3 +76,38 @@ def test_approx_stats_accuracy(spark):
     for g in ("0", "1"):
         assert abs(approx[g]["approx_distinct"] - exact[g]["nd"]) / exact[g]["nd"] < 0.1
         assert abs(approx[g]["approx_median"] - exact[g]["med"]) <= 25
+
+
+def test_mixture_threshold_formula_exact_and_overflow_free():
+    """Pure-integer property check of mixture_sample's rescaled
+    threshold (no Spark needed): for random (target, total) pairs up
+    to 10^16 tokens, the formula (1) never leaves int64, (2) is EXACT
+    whenever total < 2^31 (the naive formula's domain), and (3) stays
+    within 1e-6 relative error of the true floor(target*M/total)
+    elsewhere — python bigints provide the truth the engines cannot
+    compute in 64 bits."""
+    import random
+
+    M = 2**31 - 1
+    rnd = random.Random(99)
+
+    def formula(target, total):
+        tgt = min(target, total)
+        scale = 1 + total // M
+        num = (tgt // scale) * M
+        assert -2**63 <= num < 2**63, "int64 overflow"
+        return min(M, num // max(1, total // scale))
+
+    for _ in range(20000):
+        total = rnd.randrange(1, 10**16)
+        target = rnd.randrange(0, 10**16)
+        got = formula(target, total)
+        true = min(M, target * M // total)  # python bigint, exact
+        if total < M:
+            assert got == true, (target, total)
+        else:
+            assert abs(got - true) <= max(1, true * 1e-6), (target, total)
+    # the documented failure of the naive formula: targets past
+    # ~2^63/M wrap int64 negative — the rescaled one returns M (keep
+    # all), the correct saturation
+    assert formula(10**13, 2000) == M
