@@ -569,6 +569,40 @@ def test_bloom_skips_ineligible_types_both_sides(spark, tmp_path):
     assert bloom_might_contain(b, datetime.datetime(2024, 1, 1))
 
 
+def test_bloom_distributed_build_covers_partitioned_writes(spark, tmp_path):
+    """The staged-path mapping behind the distributed bloom build must
+    survive Hive partition dirs with URI-escaped characters (space,
+    '#'): input_file_name returns a DOUBLY-encoded URI for an on-disk
+    escaped dir name ('grp=a b' -> disk 'grp=a%20b' -> URI
+    'grp=a%2520b'), and one unquote lands exactly back on the on-disk
+    name. A mapping miss here silently drops blooms (no wrong results
+    — just unpruned reads), so pin that EVERY partition's files carry
+    one."""
+    schema = StructType([StructField("id", LongType()),
+                         StructField("rid", StringType()),
+                         StructField("grp", StringType())])
+    t = VersionedTable.create(
+        spark, str(tmp_path / "bloompart"), schema,
+        properties={"graft.bloomFilter.columns": "rid"},
+        partition_by=["grp"])
+    df = spark.range(0, 300).select(
+        F.col("id"), F.md5(F.col("id").cast("string")).alias("rid"),
+        F.when(F.col("id") % 2 == 0, "a b").otherwise("c#d").alias("grp"))
+    t.write(df, "append")
+    snap = t.snapshot()
+    assert {tuple(e.partition.items()) for e in snap.files} == \
+        {(("grp", "a b"),), (("grp", "c#d"),)}
+    missing = [e.path for e in snap.files if not e.bloom.get("rid")]
+    assert not missing, f"files without blooms: {missing}"
+    # bloom + partition pruning compose on a point lookup
+    import hashlib
+    target = hashlib.md5(b"10").hexdigest()
+    pruned = t.files_matching(f"rid = '{target}'", snap)
+    assert len(pruned) < len(snap.files)
+    rows = t.read(where=f"rid = '{target}'").collect()
+    assert len(rows) == 1 and rows[0]["grp"] == "a b"
+
+
 def test_bloom_columns_follow_rename_and_optimize(spark, tmp_path):
     """graft.bloomFilter.columns names LOGICAL columns: after RENAME
     COLUMN the property follows, so new files bloom under the new
