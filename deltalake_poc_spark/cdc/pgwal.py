@@ -178,3 +178,34 @@ def kafka_shape_df(spark, messages: list[dict]):
     rows = [(m["key"], m["value"], m["topic"], m["partition"], m["offset"])
             for m in messages]
     return spark.createDataFrame(rows, schema)
+
+
+def apply_wal_batch(spark, applier, changes, tables=None,
+                    source_name: str = "pgwal", db: str = "postgres"):
+    """One peeked WAL batch through the CDC applier, exactly-once.
+
+    The continuous-follow protocol (mirrors Debezium's offset commit):
+    PEEK the slot (``pg_logical_slot_peek_changes`` — non-destructive),
+    apply here with the batch's max LSN as the batch id, and only then
+    ADVANCE the slot (``pg_replication_slot_advance``) to that LSN. A
+    crash between apply and advance re-peeks the same changes — the
+    applier's batchId commit markers skip the already-appended audit
+    batch, and the per-table MERGEs are idempotent by construction, so
+    replays re-converge instead of double-applying (the same
+    at-least-once-delivery / idempotent-sink contract as the Kafka
+    path's checkpointed foreachBatch).
+
+    Returns (metrics, upto_lsn_text) — ``upto_lsn_text`` is the LSN to
+    advance the slot to, or None when the batch held no row changes.
+    """
+    msgs = wal_to_kafka_messages(changes, source_name=source_name, db=db)
+    if not msgs:
+        return {}, None
+    from deltalake_poc_spark.cdc.parse import parse_debezium
+
+    events = parse_debezium(kafka_shape_df(spark, msgs))
+    upto_int = max(m["offset"] for m in msgs)
+    upto_text = f"{upto_int >> 32:X}/{upto_int & 0xFFFFFFFF:X}"
+    metrics = applier.apply_batch(events, tables=tables,
+                                  batch_id=f"wal-{upto_text}")
+    return metrics, upto_text

@@ -324,3 +324,57 @@ def test_wal_cdc_to_standard_delta_mirror(pg, spark, tmp_path):
         ).splitlines() if l))
     assert got == live == [(2, "b", 25), (3, "c", 30)]
     pg.sql("SELECT pg_drop_replication_slot('graft_slot2');")
+
+
+def test_wal_follow_peek_apply_advance_exactly_once(pg, spark, tmp_path):
+    """Continuous WAL following with the peek -> apply -> advance
+    protocol: a crash between apply and advance re-delivers the same
+    peeked batch, and the batchId commit markers must make the replay
+    a no-op (audit rows stable, snapshot unchanged); after advancing,
+    the next peek starts past the applied LSN and a second DML round
+    applies incrementally."""
+    from deltalake_poc_spark.cdc import CDCApplier
+    from deltalake_poc_spark.cdc.pgwal import apply_wal_batch
+
+    def peek():
+        raw = pg.sql(
+            "SELECT lsn::text, xid::text, data FROM "
+            "pg_logical_slot_peek_changes('graft_slot3', NULL, NULL);",
+            sep="\x1f")
+        return [l.split("\x1f", 2) for l in raw.splitlines() if l]
+
+    pg.sql("DROP TABLE IF EXISTS public.wal_follow;")
+    pg.sql("""
+        CREATE TABLE public.wal_follow (
+            id BIGINT PRIMARY KEY, v TEXT);
+        SELECT pg_create_logical_replication_slot(
+            'graft_slot3', 'test_decoding');
+    """)
+    applier = CDCApplier(spark, str(tmp_path / "cdc"),
+                         infer_unknown_tables=True)
+
+    pg.sql("INSERT INTO public.wal_follow VALUES (1,'a'),(2,'b');")
+    batch1 = peek()
+    metrics, upto = apply_wal_batch(spark, applier, batch1)
+    assert upto is not None and "wal_follow" in metrics
+    audit_n = applier.audit_table().read().count()
+    # crash before advance: the SAME peeked batch is delivered again
+    apply_wal_batch(spark, applier, peek())
+    assert applier.audit_table().read().count() == audit_n, \
+        "replayed WAL batch double-appended to the audit table"
+    snap = applier.snapshot_table("wal_follow")
+    assert sorted((r["id"], r["v"]) for r in snap.read().collect()) == \
+        [(1, "a"), (2, "b")]
+
+    pg.sql(f"SELECT pg_replication_slot_advance("
+           f"'graft_slot3', '{upto}'::pg_lsn);")
+    # second round applies only the new changes
+    pg.sql("UPDATE public.wal_follow SET v='a2' WHERE id=1;"
+           "INSERT INTO public.wal_follow VALUES (3,'c');")
+    batch2 = peek()
+    assert batch2, "advance consumed too much: second round invisible"
+    _, upto2 = apply_wal_batch(spark, applier, batch2)
+    assert upto2 != upto
+    assert sorted((r["id"], r["v"]) for r in snap.read().collect()) == \
+        [(1, "a2"), (2, "b"), (3, "c")]
+    pg.sql("SELECT pg_drop_replication_slot('graft_slot3');")
