@@ -181,7 +181,7 @@ def main() -> None:
         "write_pipelines": ["cdc_pipeline", "cdf_changes", "mv_refresh",
                             "time_travel_diff", "dv_pipeline",
                             "incremental_dedup", "skipping_read",
-                            "pq_stream_ingest"],
+                            "pq_stream_ingest", "wal_cdc_pipeline"],
         # round-4 additions — subtract these when comparing totals to
         # BENCH_r03 and earlier
         "new_since_r3": sorted(
