@@ -655,6 +655,55 @@ def dedup_groups(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     )
 
 
+def canonical_selection(docs: DataFrame, pairs: DataFrame,
+                        quality: DataFrame) -> DataFrame:
+    """Quality-aware canonical selection: within each near-dup
+    component keep the HIGHEST-QUALITY member instead of the lowest
+    doc_id — the dedup policy a curated training corpus actually
+    wants (the best-written copy of a page survives, not the one that
+    crawled first).
+
+    ``pairs`` is any near-dup pair frame (ngram_jaccard_pairs /
+    minhash_lsh_pairs); ``quality`` is (doc_id, z) — a DETERMINISTIC
+    comparable margin (quality_classifier's fixed-order z). The keeper
+    per component is max_by(z), ties to the lowest doc_id (struct
+    max over (z, -doc_id) — one map-side-combinable aggregate, no
+    per-group sort).
+
+    Scale shape: components come from the bounded union-find /
+    min-label propagation in :func:`connected_components`; the argmax
+    is one groupBy(group) over slim (group, z, doc_id) rows.
+
+    Returns one row per document: (doc_id, group_id, keep_doc_id,
+    is_kept, n_members).
+    """
+    assign = (
+        docs.select("doc_id")
+        .join(connected_components(pairs), "doc_id", "left")
+        .select("doc_id",
+                F.coalesce("group_id", F.col("doc_id")).alias("group_id"))
+    )
+    qz = quality.select("doc_id", F.col("z").alias("__z"))
+    best = (
+        assign.join(qz, "doc_id")
+        .groupBy("group_id")
+        .agg(F.max_by(
+            F.col("doc_id"),
+            F.struct(F.col("__z"), (-F.col("doc_id")).alias("__nid")))
+            .alias("keep_doc_id"),
+            F.count(F.lit(1)).cast("long").alias("n_members"))
+    )
+    # groups-sized join (one row per group ~ one per doc at the
+    # limit): keyed shuffle join, NOT broadcast — AQE may still pick
+    # broadcast when the group side measures small
+    return (
+        assign.join(best, "group_id")
+        .select("doc_id", "group_id", "keep_doc_id",
+                (F.col("doc_id") == F.col("keep_doc_id")).alias("is_kept"),
+                "n_members")
+    )
+
+
 # ------------------------------------------------------ decontamination
 
 

@@ -1160,3 +1160,34 @@ def test_sketch_distinct_rollup(spark):
     # tolerance proves the guard raises
     with pytest.raises(AssertionError):
         text.sketch_distinct_rollup(df, max_rel_err_pct=-1.0)
+
+
+def test_canonical_selection_prefers_quality_over_id(spark):
+    """Within a near-dup component the HIGHEST-z member survives even
+    when it has the highest doc_id (min-id dedup would keep doc 1);
+    singletons keep themselves; ties break to the lowest id."""
+    base = "the quick brown fox jumps over the lazy dog near the river"
+    rows = [
+        (1, base + " aa"),
+        (2, base + " bb"),
+        (3, base + " of the and to in is a of the and to in is"),  # stopword-rich -> higher z
+        (9, "a completely unrelated singleton document right here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    from deltalake_poc_spark.pipeline.text import quality_classifier
+
+    q = quality_classifier(docs).select("doc_id", "z")
+    zmap = {r["doc_id"]: r["z"] for r in q.collect()}
+    assert zmap[3] > max(zmap[1], zmap[2]), "planted quality inversion failed"
+    out = {r["doc_id"]: r for r in dedup.canonical_selection(
+        docs, dedup.ngram_jaccard_pairs(docs, threshold=0.15), q).collect()}
+    assert {d for d, r in out.items() if r["is_kept"]} == {3, 9}
+    assert all(out[d]["keep_doc_id"] == 3 for d in (1, 2, 3))
+    assert out[1]["n_members"] == 3 and out[9]["n_members"] == 1
+    # tie on z -> lowest doc_id: two byte-identical docs
+    dup = spark.createDataFrame(
+        [(5, base), (6, base)], "doc_id long, text string")
+    q2 = quality_classifier(dup).select("doc_id", "z")
+    out2 = {r["doc_id"]: r for r in dedup.canonical_selection(
+        dup, dedup.ngram_jaccard_pairs(dup, threshold=0.15), q2).collect()}
+    assert out2[5]["is_kept"] and not out2[6]["is_kept"]
