@@ -6,12 +6,14 @@ as Arrow-batched pandas iterators over ``mapInPandas`` (the right
 shape for expensive per-row Python: one Python worker per partition,
 columnar Arrow transfer, no per-row overhead).
 
-The actual codec calls are STUBBED (PIL/ffmpeg are not in this
-container): ``decode_image_meta`` parses only the deterministic fake
-header produced by ``fake_image_binary`` and raises NotImplementedError
-for real formats. The Spark-side plumbing — schemas, batch iteration,
-partitioning — is real and tested; swapping the stub for PIL is a
-one-function change.
+Codec status: UNCOMPRESSED formats decode NATIVELY (no PIL/ffmpeg
+needed) — BMP and binary-PPM images, PCM WAV audio (stdlib ``wave``),
+and YUV4MPEG2 (y4m) video demux — alongside the deterministic FAKE*
+headers used by the synthetic corpus. COMPRESSED formats (JPEG/PNG,
+MP3/AAC, MP4/H.264) genuinely need PIL/ffmpeg, which are not in this
+container, and raise NotImplementedError; the batch shapes
+(1-to-many Arrow generators) are exactly what those decoders slot
+into.
 """
 
 from __future__ import annotations
@@ -55,14 +57,43 @@ def fake_image_binary(width_col, height_col):
     )
 
 
+def _ppm_dims(payload: bytes) -> tuple[int, int]:
+    """Width/height from a binary-PPM (P6) header: whitespace-separated
+    ASCII ints after the magic, '#' comments allowed."""
+    i, vals = 2, []
+    while len(vals) < 2 and i < len(payload):
+        c = payload[i:i + 1]
+        if c == b"#":
+            i = payload.index(b"\n", i) + 1
+        elif c.isspace():
+            i += 1
+        else:
+            j = i
+            while j < len(payload) and payload[j:j + 1].isdigit():
+                j += 1
+            vals.append(int(payload[i:j]))
+            i = j
+    if len(vals) < 2:
+        raise ValueError("truncated PPM header")
+    return vals[0], vals[1]
+
+
 def _decode_one(payload: bytes) -> tuple[int, int, str]:
     if payload[:8] == FAKE_MAGIC:
         w, h = struct.unpack(">II", payload[8:16])
         return w, h, "fake"
-    # real decoders (PIL, ffmpeg) are not available in this container
+    if payload[:2] == b"BM" and len(payload) >= 26:
+        # BITMAPINFOHEADER: int32-LE width/height at 18/22 (negative
+        # height = top-down row order)
+        w, h = struct.unpack_from("<ii", payload, 18)
+        return w, abs(h), "bmp"
+    if payload[:2] == b"P6":
+        w, h = _ppm_dims(payload)
+        return w, h, "ppm"
+    # compressed formats genuinely need codec libraries
     raise NotImplementedError(
-        "real image decoding requires PIL/ffmpeg; only FAKEIMG1 payloads "
-        "are supported in this environment"
+        "compressed image formats (JPEG/PNG/...) require PIL; native "
+        "decoders cover BMP, binary PPM, and FAKEIMG1 payloads"
     )
 
 
@@ -131,12 +162,45 @@ def fake_video_binary(n_frames_col, fps_col):
     )
 
 
-def _video_meta(payload: bytes) -> tuple[int, int]:
+def _video_frames(media_id: int, payload: bytes):
+    """Yield (frame_idx, ts_ms, frame_bytes) for EVERY frame of one
+    payload, lazily. FAKEVID1 synthesizes frame headers from metadata;
+    YUV4MPEG2 (y4m — uncompressed 4:2:0) demuxes NATIVELY: parse the
+    'YUV4MPEG2 W.. H.. F..:..' header, then walk fixed-size FRAME
+    chunks. Compressed containers (MP4/H.264) need ffmpeg."""
     if payload[:8] == FAKE_VIDEO_MAGIC:
-        return struct.unpack(">II", payload[8:16])
+        n_frames, fps = struct.unpack(">II", payload[8:16])
+        for idx in range(n_frames):
+            yield (idx, idx * 1000 // max(fps, 1),
+                   FAKE_MAGIC + struct.pack(">II", int(media_id) % 4096,
+                                            idx % 4096))
+        return
+    if payload[:9] == b"YUV4MPEG2":
+        header, _, rest = payload.partition(b"\n")
+        w = h = None
+        num, den = 25, 1
+        for p in header.split()[1:]:
+            if p[:1] == b"W":
+                w = int(p[1:])
+            elif p[:1] == b"H":
+                h = int(p[1:])
+            elif p[:1] == b"F":
+                num, den = (int(x) for x in p[1:].split(b":"))
+        if not w or not h:
+            raise ValueError("y4m header missing W/H")
+        fsize = w * h * 3 // 2  # 4:2:0 planar
+        pos, idx = 0, 0
+        while rest[pos:pos + 5] == b"FRAME":
+            nl = rest.index(b"\n", pos)
+            data = rest[nl + 1:nl + 1 + fsize]
+            if len(data) < fsize:
+                break  # truncated tail frame
+            yield idx, idx * 1000 * den // num, bytes(data)
+            pos, idx = nl + 1 + fsize, idx + 1
+        return
     raise NotImplementedError(
-        "real video demuxing requires ffmpeg; only FAKEVID1 payloads "
-        "are supported in this environment"
+        "compressed video (MP4/H.264/...) requires ffmpeg; native "
+        "demuxers cover YUV4MPEG2 and FAKEVID1 payloads"
     )
 
 
@@ -147,9 +211,10 @@ def sample_frames(media: DataFrame, every_nth: int = 10,
     1-to-many batch shape a real ffmpeg extractor has. mapInPandas
     yields MORE rows than it consumes (a generator per Arrow batch),
     which is exactly how a real demuxer streams frames out without
-    materializing the whole video's frames in memory. Frame bytes here
-    are a deterministic function of (media_id, frame_idx) — a real
-    build swaps `_video_meta`/the frame synthesis for ffmpeg calls,
+    materializing the whole video's frames in memory. YUV4MPEG2
+    payloads demux for REAL (raw 4:2:0 frame bytes out); FAKEVID1
+    frames are a deterministic function of (media_id, frame_idx); a
+    real build adds compressed-container support in _video_frames,
     nothing else changes.
     """
 
@@ -157,17 +222,16 @@ def sample_frames(media: DataFrame, every_nth: int = 10,
         for pdf in batches:
             out_id, out_idx, out_ts, out_frame = [], [], [], []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                n_frames, fps = _video_meta(payload)
                 taken = 0
-                for idx in range(0, n_frames, every_nth):
+                for idx, ts_ms, frame in _video_frames(mid, payload):
+                    if idx % every_nth != 0:
+                        continue
                     if taken >= max_frames:
                         break
                     out_id.append(mid)
                     out_idx.append(idx)
-                    out_ts.append(idx * 1000 // max(fps, 1))
-                    out_frame.append(
-                        FAKE_MAGIC + struct.pack(">II", int(mid) % 4096,
-                                                 idx % 4096))
+                    out_ts.append(ts_ms)
+                    out_frame.append(frame)
                     taken += 1
             yield pd.DataFrame({
                 "media_id": pd.Series(out_id, dtype="int64"),
@@ -205,12 +269,36 @@ def fake_audio_binary(n_samples_col, rate_col):
     )
 
 
-def _audio_meta(payload: bytes) -> tuple[int, int]:
+def _audio_samples(media_id: int, payload: bytes):
+    """(sample_rate, int64 numpy samples) for one payload. FAKEAUD1
+    synthesizes samples from metadata; PCM WAV decodes NATIVELY via
+    the stdlib wave module (8/16-bit; multi-channel takes channel 0
+    for determinism). Compressed audio needs ffmpeg."""
+    import numpy as np
+
     if payload[:8] == FAKE_AUDIO_MAGIC:
-        return struct.unpack(">II", payload[8:16])
+        n, rate = struct.unpack(">II", payload[8:16])
+        samples = ((int(media_id) * 31
+                    + np.arange(n, dtype=np.int64)) % 256) - 128
+        return rate, samples
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        import io
+        import wave
+
+        with wave.open(io.BytesIO(payload)) as w:
+            rate, nch, sw = (w.getframerate(), w.getnchannels(),
+                             w.getsampwidth())
+            raw = w.readframes(w.getnframes())
+        if sw == 2:
+            arr = np.frombuffer(raw, "<i2").astype(np.int64)
+        elif sw == 1:
+            arr = np.frombuffer(raw, "u1").astype(np.int64) - 128
+        else:
+            raise NotImplementedError(f"{8 * sw}-bit WAV unsupported")
+        return rate, arr[::nch]
     raise NotImplementedError(
-        "real audio decoding requires ffmpeg/soundfile; only FAKEAUD1 "
-        "payloads are supported in this environment"
+        "compressed audio (mp3/aac/...) requires ffmpeg; native decoders "
+        "cover PCM WAV and FAKEAUD1 payloads"
     )
 
 
@@ -219,10 +307,10 @@ def audio_features(media: DataFrame, window: int = 256) -> DataFrame:
     feature-extraction batch shape (binary in, per-window numeric rows
     out via a 1-to-many mapInPandas; numpy does the per-window math
     inside the worker). Features are INTEGER (sum of |sample|, max
-    |sample|) so they are exact in any engine — a real build swaps the
-    sample synthesis for a decoder and the features for MFCC/RMS,
-    nothing else changes. Sample i of media m is
-    ((m * 31 + i) % 256) - 128.
+    |sample|) so they are exact in any engine. PCM WAV payloads decode
+    for real (_audio_samples); FAKEAUD1 synthesizes sample i of media
+    m as ((m * 31 + i) % 256) - 128; a real build adds MFCC/RMS and
+    compressed-codec support, nothing else changes.
     """
     import numpy as np
 
@@ -231,9 +319,8 @@ def audio_features(media: DataFrame, window: int = 256) -> DataFrame:
             out = {k: [] for k in ("media_id", "window_idx", "ts_ms",
                                    "n_samples", "sum_abs", "max_abs")}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                n, rate = _audio_meta(payload)
-                samples = ((int(mid) * 31
-                            + np.arange(n, dtype=np.int64)) % 256) - 128
+                rate, samples = _audio_samples(mid, payload)
+                n = len(samples)
                 for wi in range(0, (n + window - 1) // window):
                     seg = np.abs(samples[wi * window:(wi + 1) * window])
                     out["media_id"].append(mid)

@@ -1191,3 +1191,69 @@ def test_canonical_selection_prefers_quality_over_id(spark):
     out2 = {r["doc_id"]: r for r in dedup.canonical_selection(
         dup, dedup.ngram_jaccard_pairs(dup, threshold=0.15), q2).collect()}
     assert out2[5]["is_kept"] and not out2[6]["is_kept"]
+
+
+def test_native_uncompressed_codecs(spark):
+    """Real (not FAKE*) uncompressed formats decode natively through
+    the same Arrow pipelines: BMP + binary-PPM image metadata, PCM WAV
+    samples (stdlib wave), and YUV4MPEG2 frame demux. Compressed
+    formats still raise NotImplementedError."""
+    import io
+    import struct
+    import wave as wavemod
+
+    import pytest as _pytest
+
+    # --- BMP (BITMAPINFOHEADER) + PPM with a comment
+    bmp = (b"BM" + struct.pack("<IHHI", 122, 0, 0, 122)
+           + struct.pack("<iiHH", 40, 0, 0, 0)[:4]
+           + struct.pack("<ii", 17, -9)          # width 17, top-down 9
+           + b"\x00" * 64)
+    ppm = b"P6\n# a comment\n  23 7\n255\n" + b"\x00" * (23 * 7 * 3)
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(bmp)), (2, "image", bytearray(ppm))],
+        multimodal.MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in
+           multimodal.decode_media(media).collect()}
+    assert (got[1]["width"], got[1]["height"], got[1]["format"]) == \
+        (17, 9, "bmp")
+    assert (got[2]["width"], got[2]["height"], got[2]["format"]) == \
+        (23, 7, "ppm")
+
+    # --- 16-bit stereo WAV: channel 0 drives the integer features
+    buf = io.BytesIO()
+    with wavemod.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        frames = b"".join(struct.pack("<hh", v, -1000)
+                          for v in (100, -200, 300, -50))
+        w.writeframes(frames)
+    wav = buf.getvalue()
+    am = spark.createDataFrame([(7, "audio", bytearray(wav))],
+                               multimodal.MEDIA_SCHEMA)
+    feats = multimodal.audio_features(am, window=256).collect()
+    assert len(feats) == 1
+    r = feats[0]
+    assert r["n_samples"] == 4
+    assert r["sum_abs"] == 100 + 200 + 300 + 50
+    assert r["max_abs"] == 300
+
+    # --- y4m: 4x2 4:2:0, 3 frames at 10 fps -> frame size 12 bytes
+    fsize = 4 * 2 * 3 // 2
+    y4m = b"YUV4MPEG2 W4 H2 F10:1 Ip A1:1 C420\n" + b"".join(
+        b"FRAME\n" + bytes([i]) * fsize for i in range(3))
+    vm = spark.createDataFrame([(9, "video", bytearray(y4m))],
+                               multimodal.MEDIA_SCHEMA)
+    frames = sorted((r["frame_idx"], r["ts_ms"], bytes(r["frame"]))
+                    for r in multimodal.sample_frames(
+                        vm, every_nth=2, max_frames=8).collect())
+    assert frames == [(0, 0, bytes([0]) * fsize),
+                      (2, 200, bytes([2]) * fsize)]
+
+    # --- compressed formats still refuse honestly
+    jpeg = spark.createDataFrame(
+        [(3, "image", bytearray(b"\xff\xd8\xff\xe0JFIF" + b"\x00" * 20))],
+        multimodal.MEDIA_SCHEMA)
+    with _pytest.raises(Exception, match="NotImplementedError|PIL"):
+        multimodal.decode_media(jpeg).collect()
