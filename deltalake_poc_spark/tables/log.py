@@ -155,6 +155,7 @@ class TableLog:
     LOG_DIR = "_log"
     DATA_DIR = "data"
     CHANGES_DIR = "_changes"
+    STAGING_DIR = "_staging"
 
     CHECKPOINT_EVERY = 100
 
@@ -189,7 +190,7 @@ class TableLog:
 
     def new_data_file_dir(self) -> str:
         """A unique staging directory for Spark to write new data files into."""
-        return os.path.join(self.root, "_staging", uuid.uuid4().hex)
+        return os.path.join(self.root, self.STAGING_DIR, uuid.uuid4().hex)
 
     # -- log reading ----------------------------------------------------------
 

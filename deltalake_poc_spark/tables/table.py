@@ -1387,6 +1387,21 @@ class VersionedTable:
                     shutil.rmtree(os.path.join(dv_root, name),
                                   ignore_errors=True)
                     deleted.append(rel)
+        # staging dirs abandoned by crashed writers (a crash between
+        # the staging write and the commit leaves <root>/_staging/<id>
+        # with full data files): age by mtime like the other orphans —
+        # fresh dirs of in-flight writers are never swept
+        staging_root = os.path.join(self.log.root, TableLog.STAGING_DIR)
+        if os.path.isdir(staging_root):
+            for name in os.listdir(staging_root):
+                if _orphan_expired(os.path.join(staging_root, name)):
+                    shutil.rmtree(os.path.join(staging_root, name),
+                                  ignore_errors=True)
+                    deleted.append(f"{TableLog.STAGING_DIR}/{name}")
+            try:
+                os.rmdir(staging_root)  # remove the parent if now empty
+            except OSError:
+                pass
         changes_root = os.path.join(self.log.root, TableLog.CHANGES_DIR)
         if os.path.isdir(changes_root):
             for name in os.listdir(changes_root):

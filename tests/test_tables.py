@@ -632,3 +632,33 @@ def test_bloom_columns_follow_rename_and_optimize(spark, tmp_path):
     assert len(t.files_matching(pred, snap2)) <= len(snap2.files)
     got = t.read(where=pred).collect()
     assert len(got) == 1 and got[0]["id"] == 42
+
+
+def test_vacuum_sweeps_orphaned_staging(spark, tmp_path):
+    """A writer that crashes between the staging write and the commit
+    leaves <root>/_staging/<uuid> with full data files; VACUUM ages
+    those by mtime like other orphans — expired ones are deleted,
+    fresh ones (an in-flight writer) survive."""
+    import os
+    import time
+
+    schema = StructType([StructField("id", LongType())])
+    t = VersionedTable.create(spark, str(tmp_path / "vs"), schema)
+    t.write(spark.range(5).select(F.col("id")), "append")
+
+    stale = t.log.new_data_file_dir()
+    fresh = t.log.new_data_file_dir()
+    for d in (stale, fresh):
+        os.makedirs(d)
+        with open(os.path.join(d, "part-orphan.parquet"), "wb") as fh:
+            fh.write(b"x" * 10)
+    old = time.time() - 10 * 24 * 3600
+    os.utime(stale, (old, old))
+    os.utime(os.path.join(stale, "part-orphan.parquet"), (old, old))
+
+    deleted = t.vacuum(retention_hours=168.0)
+    assert any(p.startswith("_staging/") for p in deleted), deleted
+    assert not os.path.isdir(stale)
+    assert os.path.isdir(fresh), "in-flight writer's staging was swept"
+    # table still reads fine
+    assert t.read().count() == 5
