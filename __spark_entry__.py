@@ -62,6 +62,15 @@ def _event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return Q.event_stats(load_table(spark, sf_dir, "events"))
 
 
+def _cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-analytics cohort matrix: users bucketed by
+    first-activity week (integer weeks since 2024-01-01 — engine-
+    portable, no week-start convention), counted at each later active
+    week offset. Two exchanges end-to-end: DISTINCT (user, week) then
+    the cohort min-window rides the same user_id partitioning."""
+    return Q.cohort_retention(load_table(spark, sf_dir, "events"))
+
+
 def _analytics_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys = {
         "customer": "c_custkey",
@@ -1566,6 +1575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_rollup": _sketch_rollup,                     # HLL union rollup (new r5)
         "wal_cdc_pipeline": _wal_cdc_pipeline,               # LIVE postgres WAL CDC (new r5)
         "canonical_selection": _canonical_selection,         # quality-aware dedup (new r5)
+        "cohort_retention": _cohort_retention,               # retention matrix (new r5)
         # --- stale: newest driver row r2
         "customers_without_orders": _customers_without_orders,  # anti join
         "change_type_counts": _change_type_counts,           # A6
@@ -1605,10 +1615,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q6_forecast_revenue": _q6_forecast_revenue,         # selective scan-agg
         "q3_shipping_priority": _q3_shipping_priority,       # 3-way join top-k
         "q5_local_supplier": _q5_local_supplier_volume,      # 5-way join bcast dims
-        "asof_join": _asof_join,                             # as-of join (custom op)
         # --- positions 51+: outside the driver's 50-query gate window
         # (driver-green in r4, code untouched this round; still
         # oracle-checked by pytest + bench)
+        "asof_join": _asof_join,                             # as-of join (r3-green)
         "range_join": _range_join,                           # band/range join (r3-green)
         "event_windows": _event_windows,                     # windowed agg (r3-green)
         "user_sessions": _user_sessions,                     # sessionization (r3-green)
@@ -3569,6 +3579,23 @@ def oracle_sql() -> dict[str, str]:
                         * 100 + 0.5) AS BIGINT) AS acctbal_cents
             FROM customer
             WHERE c_custkey <= 40 AND c_custkey % 7 <> 0
+        """,
+        # cohort_retention: integer week buckets, min-over-user cohort
+        "cohort_retention": """
+            WITH uw AS (
+                SELECT DISTINCT user_id,
+                       CAST(FLOOR(date_diff('day', DATE '2024-01-01',
+                                            CAST(ts AS DATE)) / 7)
+                            AS BIGINT) AS week
+                FROM events WHERE ts IS NOT NULL
+            ), c AS (
+                SELECT user_id, week,
+                       MIN(week) OVER (PARTITION BY user_id) AS cohort_week
+                FROM uw
+            )
+            SELECT cohort_week, week - cohort_week AS week_offset,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM c GROUP BY cohort_week, week - cohort_week
         """,
         # sketch_rollup: exact per-source + corpus token distincts (the
         # HLL sketch path is self-checking inside the Spark query; the

@@ -362,3 +362,38 @@ def scalar_showcase(events: DataFrame) -> DataFrame:
         F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("event_day"),
         F.unix_millis(F.col("ts")).alias("ts_ms"),
     )
+
+
+def cohort_retention(events: DataFrame,
+                     epoch: str = "2024-01-01") -> DataFrame:
+    """Cohort retention matrix — the classic product-analytics shape
+    (users grouped by first-activity week; how many are still active
+    k weeks later).
+
+    Week numbering is pure integer arithmetic (days since ``epoch``
+    DIV 7) rather than date_trunc('week', ...): engines disagree on
+    week-start conventions, integer division they cannot.
+
+    Scale shape: events collapse to DISTINCT (user, week) first —
+    the retention matrix is computed over user-weeks, not raw events;
+    the cohort week is a min-window over each user's (already tiny)
+    week set, which rides the same user_id shuffle the distinct
+    produced, so the whole query is two exchanges end-to-end.
+    """
+    from pyspark.sql import Window
+
+    week = F.floor(
+        F.datediff(F.to_date("ts"), F.lit(epoch).cast("date")) / 7
+    ).cast("long")
+    user_weeks = (
+        events.select(F.col("user_id"), week.alias("week"))
+        .filter(F.col("week").isNotNull())
+        .distinct()
+    )
+    cohort = F.min("week").over(Window.partitionBy("user_id"))
+    return (
+        user_weeks.withColumn("cohort_week", cohort)
+        .groupBy("cohort_week",
+                 (F.col("week") - F.col("cohort_week")).alias("week_offset"))
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )

@@ -96,3 +96,31 @@ def test_inspect_helpers(spark, tmp_path):
     assert [r["_change_type"] for r in tl] == [
         "insert", "update_postimage", "update_preimage"]
     assert tl[0]["_commit_version"] == 1
+
+
+def test_cohort_retention_matrix(spark):
+    """Planted cohorts: users 1/2 first active week 0, user 3 first
+    active week 1; user 1 returns in weeks 1 and 3, user 2 never
+    returns, user 3 returns in week 2 (offset 1). Duplicate events in
+    one week count once."""
+    from datetime import datetime
+
+    from deltalake_poc_spark.analytics.queries import cohort_retention
+
+    def ev(i, uid, day):
+        return (i, datetime(2024, 1, 1 + day), uid, "click", 1.0, "{}")
+
+    rows = [
+        ev(0, 1, 0), ev(1, 1, 1),          # u1 week 0 twice
+        ev(2, 2, 2),                        # u2 week 0
+        ev(3, 1, 7), ev(4, 1, 22),          # u1 weeks 1 and 3
+        ev(5, 3, 8),                        # u3 first seen week 1
+        ev(6, 3, 15),                       # u3 week 2 (offset 1)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    got = {(r["cohort_week"], r["week_offset"]): r["n_users"]
+           for r in cohort_retention(df).collect()}
+    assert got == {(0, 0): 2, (0, 1): 1, (0, 3): 1,
+                   (1, 0): 1, (1, 1): 1}
