@@ -1547,19 +1547,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ORDER MATTERS: the driver's correctness gate checks the FIRST 50
     entries in dict insertion order. Round-5 rotation rule (freshness:
     no registered query's newest driver row may age past two rounds):
-    the window holds (a) every query whose code CHANGED this round
+    the window holds (a) the 7 queries whose code CHANGED this round
     (source_overlap's new integer columns, mixture_sample's
     overflow-safe thresholds, chunk_dedup's empty-doc guard,
     bloom_lookup over the distributed bloom build, q11/q15 over the
     scratch-cache registry, incremental_dedup's seeded-store fixture),
-    (b) the NEW pq_stream_ingest, and (c) all 41 stale queries — the
-    five whose newest row is r2 (customers_without_orders,
-    change_type_counts, intersect_keys, string_funcs, date_parts) and
-    the 36 whose newest row is r3.
-    Rotated to positions 51+: only queries driver-green in r4 whose
-    code is untouched this round. Every registered query, in or out of
-    the window, is still oracle-checked by tests/test_entry_oracle.py
-    and timed+oracled by bench.py.
+    (b) the 6 NEW r5 queries (pq_stream_ingest, span_dedup,
+    sketch_rollup, wal_cdc_pipeline, canonical_selection,
+    cohort_retention), and (c) the 5 r2-stale queries
+    (customers_without_orders, change_type_counts, intersect_keys,
+    string_funcs, date_parts) plus 32 of the 36 r3-stale ones.
+    Rotated to positions 51+: queries driver-green in r4 with
+    untouched code, plus four r3-green displaced by the new queries
+    (asof_join, range_join, event_windows, user_sessions — two rounds
+    old at r5, so still fresh; they must re-window by r6). Every
+    registered query, in or out of the window, is still oracle-checked
+    by tests/test_entry_oracle.py and timed+oracled by bench.py.
     """
     return {
         # --- changed or new this round (8 + 1 spare slot)
