@@ -374,26 +374,31 @@ def cohort_retention(events: DataFrame,
     DIV 7) rather than date_trunc('week', ...): engines disagree on
     week-start conventions, integer division they cannot.
 
-    Scale shape: events collapse to DISTINCT (user, week) first —
-    the retention matrix is computed over user-weeks, not raw events;
-    the cohort week is a min-window over each user's (already tiny)
-    week set, which rides the same user_id shuffle the distinct
-    produced, so the whole query is two exchanges end-to-end.
+    Scale shape: ONE user_id shuffle builds each user's distinct week
+    SET (collect_set combines map-side, so the exchange carries
+    per-task week sets, not raw events), the cohort week is a
+    row-local array_min over that set, and the matrix is one more
+    grouped count — two exchanges end-to-end, pinned in
+    tests/test_plans.py. (A DISTINCT (user, week) + min-window
+    formulation costs a third exchange: the distinct hashes on both
+    columns, the window re-hashes on user_id alone.) Each user
+    contributes each (cohort, offset) cell at most once by
+    construction, so the final count needs no distinct.
     """
-    from pyspark.sql import Window
-
     week = F.floor(
         F.datediff(F.to_date("ts"), F.lit(epoch).cast("date")) / 7
     ).cast("long")
-    user_weeks = (
-        events.select(F.col("user_id"), week.alias("week"))
-        .filter(F.col("week").isNotNull())
-        .distinct()
+    per_user = (
+        events.select(F.col("user_id"), week.alias("__w"))
+        .filter(F.col("__w").isNotNull())
+        .groupBy("user_id")
+        .agg(F.collect_set("__w").alias("__weeks"))
     )
-    cohort = F.min("week").over(Window.partitionBy("user_id"))
     return (
-        user_weeks.withColumn("cohort_week", cohort)
+        per_user.select(
+            F.array_min("__weeks").alias("cohort_week"),
+            F.explode("__weeks").alias("week"))
         .groupBy("cohort_week",
                  (F.col("week") - F.col("cohort_week")).alias("week_offset"))
-        .agg(F.countDistinct("user_id").alias("n_users"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
     )

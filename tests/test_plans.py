@@ -231,14 +231,24 @@ def test_new_r5_ops_stay_jvm_and_shuffle_lean(spark):
     — the spread() scan repartition, the window-HASH rank (uniform md5
     keys, skew-free), and ONE doc_id exchange that both the island
     window and BOTH span aggregates reuse (doc_id is a subset of every
-    later grouping key, so no further exchange is planned). No Python
-    eval anywhere."""
-    plan = plan_of(spark, "span_dedup")
-    assert "EvalPython" not in plan
-    assert "CartesianProduct" not in plan
-    n = len([l for l in plan.splitlines()
-             if l.strip().startswith("(") and "Exchange" in l])
-    assert n <= 3, f"span_dedup: {n} exchanges\n{plan[:800]}"
+    later grouping key, so no further exchange is planned).
+    cohort_retention is two shuffles (user_id set-build with map-side
+    collect_set combine, then the matrix aggregate — the docstring's
+    claim, pinned). No Python eval or cartesian anywhere in the new
+    analytics plans."""
+    def shuffle_count(plan):
+        return len([l for l in plan.splitlines()
+                    if l.strip().startswith("(") and "Exchange" in l])
+
+    for q, max_ex in (("span_dedup", 3), ("cohort_retention", 2),
+                      ("canonical_selection", None),
+                      ("sketch_rollup", None)):
+        plan = plan_of(spark, q)
+        assert "EvalPython" not in plan, q
+        assert "CartesianProduct" not in plan, q
+        if max_ex is not None:
+            n = shuffle_count(plan)
+            assert n <= max_ex, f"{q}: {n} exchanges\n{plan[:800]}"
     """q11/q15 persist a slim diamond-reuse aggregate; the scratch
     registry must release the PREVIOUS invocation's cache on each new
     build, so repeated invocation in one session holds the persistent-
