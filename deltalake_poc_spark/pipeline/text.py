@@ -498,12 +498,20 @@ def sketch_distinct_rollup(docs: DataFrame, strata_col: str = "source",
         .select("__strata", F.explode_outer("__t").alias("token"))
         .filter(F.col("token").isNotNull() & (F.col("token") != ""))
     )
-    per = (toks.groupBy("__strata")
-           .agg(F.count(F.lit(1)).cast("long").alias("n_tokens"),
-                F.countDistinct("token").alias("distinct_tokens"),
-                F.hll_sketch_agg("token").alias("__sk"),
-                F.hll_sketch_estimate(
-                    F.hll_sketch_agg("token")).alias("__est")))
+    from deltalake_poc_spark.analytics.scratch import scratch_persist
+
+    # the per-stratum aggregate feeds the eager self-checks AND the
+    # returned plan: scratch-persist it (released on the next
+    # invocation) so the token explode+aggregate runs once, not three
+    # times (tiny frame — one row per stratum)
+    per = scratch_persist(
+        "text.sketch_rollup.per",
+        toks.groupBy("__strata")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_tokens"),
+             F.countDistinct("token").alias("distinct_tokens"),
+             F.hll_sketch_agg("token").alias("__sk"),
+             F.hll_sketch_estimate(
+                 F.hll_sketch_agg("token")).alias("__est")))
     # self-check 1: per-stratum estimate within tolerance of exact
     rows = per.select("__strata", "n_tokens", "distinct_tokens",
                       "__est", "__sk").collect()
