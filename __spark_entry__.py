@@ -71,6 +71,15 @@ def _cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return Q.cohort_retention(load_table(spark, sf_dir, "events"))
 
 
+def _funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential funnel over events (view -> click -> purchase, each
+    step strictly after the user's previous-step completion): one
+    user_id shuffle collecting slim (ts, type) pairs, then row-local
+    HOF folds — no per-stage self-join. The oracle computes the same
+    strict-order minima with a join per stage."""
+    return Q.funnel_counts(load_table(spark, sf_dir, "events"))
+
+
 def _analytics_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys = {
         "customer": "c_custkey",
@@ -1579,6 +1588,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wal_cdc_pipeline": _wal_cdc_pipeline,               # LIVE postgres WAL CDC (new r5)
         "canonical_selection": _canonical_selection,         # quality-aware dedup (new r5)
         "cohort_retention": _cohort_retention,               # retention matrix (new r5)
+        "funnel_steps": _funnel_steps,                       # sequential funnel (new r5)
         # --- stale: newest driver row r2
         "customers_without_orders": _customers_without_orders,  # anti join
         "change_type_counts": _change_type_counts,           # A6
@@ -1613,7 +1623,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "version_diff_keys": _version_diff_keys,             # U3 P6
         "text_quality": _text_quality,                       # quality scoring
         "lang_id": _lang_id,                                 # language ID
-        "doc_fingerprint": _doc_fingerprint,                 # fingerprinting
         "q1_pricing_summary": _q1_pricing_summary,           # wide-scan computed agg
         "q6_forecast_revenue": _q6_forecast_revenue,         # selective scan-agg
         "q3_shipping_priority": _q3_shipping_priority,       # 3-way join top-k
@@ -1621,6 +1630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- positions 51+: outside the driver's 50-query gate window
         # (driver-green in r4, code untouched this round; still
         # oracle-checked by pytest + bench)
+        "doc_fingerprint": _doc_fingerprint,                 # fingerprinting (r3-green)
         "asof_join": _asof_join,                             # as-of join (r3-green)
         "range_join": _range_join,                           # band/range join (r3-green)
         "event_windows": _event_windows,                     # windowed agg (r3-green)
@@ -3582,6 +3592,29 @@ def oracle_sql() -> dict[str, str]:
                         * 100 + 0.5) AS BIGINT) AS acctbal_cents
             FROM customer
             WHERE c_custkey <= 40 AND c_custkey % 7 <> 0
+        """,
+        # funnel_steps: strict-order minima, one self-join per stage
+        "funnel_steps": """
+            WITH u1 AS (
+                SELECT user_id, MIN(ts) AS t1 FROM events
+                WHERE event_type = 'view' GROUP BY user_id
+            ), u2 AS (
+                SELECT e.user_id, MIN(e.ts) AS t2
+                FROM events e JOIN u1 USING (user_id)
+                WHERE e.event_type = 'click' AND e.ts > u1.t1
+                GROUP BY e.user_id
+            ), u3 AS (
+                SELECT e.user_id, MIN(e.ts) AS t3
+                FROM events e JOIN u2 USING (user_id)
+                WHERE e.event_type = 'purchase' AND e.ts > u2.t2
+                GROUP BY e.user_id
+            )
+            SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM u1)
+                       AS step_1_users,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM u2)
+                       AS step_2_users,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM u3)
+                       AS step_3_users
         """,
         # cohort_retention: integer week buckets, min-over-user cohort
         "cohort_retention": """

@@ -402,3 +402,48 @@ def cohort_retention(events: DataFrame,
                  (F.col("week") - F.col("cohort_week")).alias("week_offset"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
     )
+
+
+def funnel_counts(events: DataFrame,
+                  steps: tuple = ("view", "click", "purchase"),
+                  ) -> DataFrame:
+    """Sequential funnel: how many users completed step k of the
+    ordered ``steps``, where each step must happen STRICTLY AFTER the
+    user's completion of the previous one (min-timestamp semantics:
+    t1 = first 'view'; t2 = first 'click' with ts > t1; ...).
+
+    Scale shape: events filter to the funnel types at the scan, ONE
+    user_id shuffle collects each user's slim (ts_us, type) pairs
+    (map-side combinable list agg; per-user state bounded by that
+    user's funnel events), and the step timestamps fold ROW-LOCALLY
+    over the collected array — no per-step join or re-scan, unlike
+    the self-join-per-stage SQL formulation the oracle uses.
+
+    Returns one row: (step_1_users, step_2_users, ... ) as longs.
+    """
+    per_user = (
+        events.filter(F.col("event_type").isin(*steps))
+        .select(F.col("user_id"),
+                F.struct(F.unix_micros("ts").alias("ts"),
+                         F.col("event_type").alias("t")).alias("__e"))
+        .groupBy("user_id")
+        .agg(F.collect_list("__e").alias("__evs"))
+    )
+    out = per_user
+    prev_col = None
+    for k, s in enumerate(steps, start=1):
+        arr = F.col("__evs")
+        if prev_col is None:
+            matches = F.filter(arr, lambda e: e["t"] == s)
+        else:
+            p = F.col(prev_col)
+            matches = F.filter(
+                arr, lambda e: (e["t"] == s) & (e["ts"] > p))
+        out = out.withColumn(f"__t{k}",
+                             F.array_min(F.transform(matches,
+                                                     lambda e: e["ts"])))
+        prev_col = f"__t{k}"
+    return out.agg(*[
+        F.count(F.col(f"__t{k}")).cast("long").alias(f"step_{k}_users")
+        for k in range(1, len(steps) + 1)
+    ])

@@ -124,3 +124,33 @@ def test_cohort_retention_matrix(spark):
            for r in cohort_retention(df).collect()}
     assert got == {(0, 0): 2, (0, 1): 1, (0, 3): 1,
                    (1, 0): 1, (1, 1): 1}
+
+
+def test_funnel_counts_strict_ordering(spark):
+    """Funnel steps require strictly increasing timestamps: a user who
+    clicked BEFORE viewing does not reach step 2; one who did
+    view < click < purchase reaches step 3; equal timestamps do not
+    advance the funnel."""
+    from datetime import datetime
+
+    from deltalake_poc_spark.analytics.queries import funnel_counts
+
+    def ev(i, uid, minute, etype):
+        return (i, datetime(2024, 1, 1, 0, minute), uid, etype, 1.0, "{}")
+
+    rows = [
+        # u1: full funnel in order
+        ev(0, 1, 0, "view"), ev(1, 1, 5, "click"), ev(2, 1, 9, "purchase"),
+        # u2: clicked before viewing -> stops at step 1
+        ev(3, 2, 3, "click"), ev(4, 2, 7, "view"),
+        # u3: view then click, purchase at the SAME ts as click -> step 2
+        ev(5, 3, 1, "view"), ev(6, 3, 4, "click"), ev(7, 3, 4, "purchase"),
+        # u4: never viewed
+        ev(8, 4, 2, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    r = funnel_counts(df).collect()[0]
+    assert (r["step_1_users"], r["step_2_users"], r["step_3_users"]) == \
+        (3, 2, 1)
