@@ -662,3 +662,73 @@ def test_vacuum_sweeps_orphaned_staging(spark, tmp_path):
     assert os.path.isdir(fresh), "in-flight writer's staging was swept"
     # table still reads fine
     assert t.read().count() == 5
+
+
+def test_model_based_random_op_sequences(spark, tmp_path):
+    """Model-based check of the whole table lifecycle: a seeded random
+    sequence of append / overwrite / delete / update / restore /
+    optimize commits runs against BOTH the VersionedTable and a plain
+    in-memory multiset model; after every commit the table must read
+    back exactly the model, and at the end EVERY version must
+    time-travel to the model state recorded when it was committed
+    (optimize included — it must never change logical content).
+    Three seeds x 18 commits each."""
+    import random
+    from collections import Counter
+
+    def rows_multiset(df):
+        return Counter((r["id"], r["name"], r["email"])
+                       for r in df.collect())
+
+    for seed in (7, 23, 99):
+        rnd = random.Random(seed)
+        t = VersionedTable.create(
+            spark, str(tmp_path / f"model{seed}"), SCHEMA)
+        model: Counter = Counter()
+        next_id = 0
+        by_version = {t.version(): Counter(model)}
+
+        def fresh_rows(n):
+            nonlocal next_id
+            out = []
+            for _ in range(n):
+                out.append((next_id, f"n{next_id}", f"e{next_id}@x"))
+                next_id += 1
+            return out
+
+        for _step in range(18):
+            op = rnd.choice(
+                ["append", "append", "overwrite", "delete", "update",
+                 "restore", "optimize"])
+            if op == "append":
+                rows = fresh_rows(rnd.randrange(1, 6))
+                t.write(make_df(spark, rows), "append")
+                model.update(rows)
+            elif op == "overwrite":
+                rows = fresh_rows(rnd.randrange(1, 4))
+                t.write(make_df(spark, rows), "overwrite")
+                model = Counter(rows)
+            elif op == "delete":
+                cut = rnd.randrange(0, max(next_id, 1))
+                t.delete(f"id >= {cut}")
+                model = Counter({r: c for r, c in model.items()
+                                 if r[0] < cut})
+            elif op == "update":
+                cut = rnd.randrange(0, max(next_id, 1))
+                t.update({"email": F.lit("upd@x")}, f"id = {cut}")
+                model = Counter({
+                    ((r[0], r[1], "upd@x") if r[0] == cut else r): c
+                    for r, c in model.items()})
+            elif op == "restore":
+                target = rnd.choice(sorted(by_version))
+                t.restore(target)
+                model = Counter(by_version[target])
+            else:
+                t.optimize(target_file_rows=1000)
+            by_version[t.version()] = Counter(model)
+            assert rows_multiset(t.read()) == model, \
+                f"seed {seed} after {op} v{t.version()}"
+
+        for v, expect in by_version.items():
+            assert rows_multiset(t.read(version=v)) == expect, \
+                f"seed {seed} time travel v{v}"
