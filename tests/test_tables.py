@@ -732,3 +732,64 @@ def test_model_based_random_op_sequences(spark, tmp_path):
         for v, expect in by_version.items():
             assert rows_multiset(t.read(version=v)) == expect, \
                 f"seed {seed} time travel v{v}"
+
+
+def test_model_based_cdf_reconstructs_every_commit(spark, tmp_path):
+    """Change-data-feed completeness under a random op sequence: for
+    EVERY commit of a seeded append/delete/update run, the CDF rows at
+    that version must equal the op's expected change multiset
+    (insert rows for appends, delete rows for matched deletes,
+    pre+post image pairs for updates) — no missing, duplicated, or
+    misattributed changes anywhere in the log."""
+    import random
+    from collections import Counter
+
+    rnd = random.Random(31)
+    t = VersionedTable.create(
+        spark, str(tmp_path / "cdfmodel"), SCHEMA,
+        properties={"enableChangeDataFeed": "true"})
+    model: dict[int, tuple] = {}
+    next_id = 0
+    expected: dict[int, Counter] = {}
+
+    for _step in range(15):
+        op = rnd.choice(["append", "append", "delete", "update"])
+        if op == "append":
+            rows = []
+            for _ in range(rnd.randrange(1, 5)):
+                rows.append((next_id, f"n{next_id}", f"e{next_id}@x"))
+                next_id += 1
+            t.write(make_df(spark, rows), "append")
+            for r in rows:
+                model[r[0]] = r
+            expected[t.version()] = Counter(
+                ("insert",) + r for r in rows)
+        elif op == "delete":
+            cut = rnd.randrange(0, max(next_id, 1))
+            doomed = [r for i, r in model.items() if i >= cut]
+            t.delete(f"id >= {cut}")
+            for r in doomed:
+                del model[r[0]]
+            expected[t.version()] = Counter(
+                ("delete",) + r for r in doomed)
+        else:
+            k = rnd.randrange(0, max(next_id, 1))
+            t.update({"email": F.lit("upd@x")}, f"id = {k}")
+            changes: Counter = Counter()
+            if k in model:
+                old = model[k]
+                new = (old[0], old[1], "upd@x")
+                if old != new:
+                    changes[("update_preimage",) + old] += 1
+                    changes[("update_postimage",) + new] += 1
+                    model[k] = new
+            expected[t.version()] = changes
+
+    cdf = t.read_change_feed(starting_version=0)
+    got: dict[int, Counter] = {}
+    for r in cdf.collect():
+        got.setdefault(r["_commit_version"], Counter())[
+            (r["_change_type"], r["id"], r["name"], r["email"])] += 1
+    for v, exp in expected.items():
+        assert got.get(v, Counter()) == exp, f"version {v}"
+    assert set(got) <= set(expected), "changes at unexpected versions"
