@@ -71,6 +71,28 @@ def _cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return Q.cohort_retention(load_table(spark, sf_dir, "events"))
 
 
+def _props_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured analytics: the events table's ``props`` JSON
+    column is extracted at scan time (get_json_object — one parse per
+    row, pushed into the same projection as the other columns) and
+    aggregated by a derived bucket with exact integer measures. The
+    oracle re-extracts with DuckDB's JSON functions — engine-portable
+    JSON semantics on the gate."""
+    from deltalake_poc_spark.analytics.money import units
+
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select((k % 10).alias("k_bucket"),
+                  units("value").alias("__v"))
+        .filter(F.col("k_bucket").isNotNull())
+        .groupBy("k_bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"),
+             F.sum("__v").alias("sum_value_units"),
+             F.max("__v").alias("max_value_units"))
+    )
+
+
 def _skewed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe two-stage aggregation as a gate query: lineitem's
     l_returnflag has THREE values — every reducer key is hot — so the
@@ -1619,6 +1641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": _cohort_retention,               # retention matrix (new r5)
         "funnel_steps": _funnel_steps,                       # sequential funnel (new r5)
         "skewed_agg": _skewed_agg,                           # salted hot-key agg (new r5)
+        "props_analytics": _props_analytics,                 # JSON extraction agg (new r5)
         # --- stale: newest driver row r2
         "customers_without_orders": _customers_without_orders,  # anti join
         "change_type_counts": _change_type_counts,           # A6
@@ -1651,7 +1674,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_cube": _order_cube,                           # CUBE subtotals
         "price_ranks": _price_ranks,                         # rank/ntile windows
         "version_diff_keys": _version_diff_keys,             # U3 P6
-        "lang_id": _lang_id,                                 # language ID
         "q1_pricing_summary": _q1_pricing_summary,           # wide-scan computed agg
         "q6_forecast_revenue": _q6_forecast_revenue,         # selective scan-agg
         "q3_shipping_priority": _q3_shipping_priority,       # 3-way join top-k
@@ -1659,6 +1681,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- positions 51+: outside the driver's 50-query gate window
         # (driver-green in r4, code untouched this round; still
         # oracle-checked by pytest + bench)
+        "lang_id": _lang_id,                                 # language ID (r3-green)
         "text_quality": _text_quality,                       # quality scoring (r3-green)
         "doc_fingerprint": _doc_fingerprint,                 # fingerprinting (r3-green)
         "asof_join": _asof_join,                             # as-of join (r3-green)
@@ -3622,6 +3645,19 @@ def oracle_sql() -> dict[str, str]:
                         * 100 + 0.5) AS BIGINT) AS acctbal_cents
             FROM customer
             WHERE c_custkey <= 40 AND c_custkey % 7 <> 0
+        """,
+        # props_analytics: JSON extraction + exact integer measures
+        "props_analytics": """
+            SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10
+                       AS k_bucket,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS sum_value_units,
+                   CAST(MAX(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS max_value_units
+            FROM events
+            WHERE json_extract_string(props, '$.k') IS NOT NULL
+            GROUP BY 1
         """,
         # skewed_agg: plain GROUP BY — the salted two-stage path must
         # reproduce it bit-for-bit (exact integer units)
