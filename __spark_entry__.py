@@ -1612,15 +1612,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     overflow-safe thresholds, chunk_dedup's empty-doc guard,
     bloom_lookup over the distributed bloom build, q11/q15 over the
     scratch-cache registry, incremental_dedup's seeded-store fixture),
-    (b) the 6 NEW r5 queries (pq_stream_ingest, span_dedup,
+    (b) the 9 NEW r5 queries (pq_stream_ingest, span_dedup,
     sketch_rollup, wal_cdc_pipeline, canonical_selection,
-    cohort_retention), and (c) the 5 r2-stale queries
-    (customers_without_orders, change_type_counts, intersect_keys,
-    string_funcs, date_parts) plus 32 of the 36 r3-stale ones.
+    cohort_retention, funnel_steps, skewed_agg, props_analytics), and
+    (c) the 5 r2-stale queries (customers_without_orders,
+    change_type_counts, intersect_keys, string_funcs, date_parts)
+    plus 29 of the 36 r3-stale ones.
     Rotated to positions 51+: queries driver-green in r4 with
-    untouched code, plus four r3-green displaced by the new queries
-    (asof_join, range_join, event_windows, user_sessions — two rounds
-    old at r5, so still fresh; they must re-window by r6). Every
+    untouched code, plus seven r3-green displaced by the new queries
+    (asof_join, range_join, event_windows, user_sessions,
+    doc_fingerprint, text_quality, lang_id — two rounds old at r5, so
+    still fresh; they must re-window by r6). Every
     registered query, in or out of the window, is still oracle-checked
     by tests/test_entry_oracle.py and timed+oracled by bench.py.
     """
