@@ -1086,23 +1086,45 @@ def _wal_cdc_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     if pglive.available():
         pg = pglive.EphemeralPostgres()
         slot = f"slot_{tbl}"
-        pg.sql(f"CREATE TABLE public.{tbl} (id BIGINT PRIMARY KEY, "
-               f"name TEXT, mkt TEXT, acctbal DOUBLE PRECISION);"
-               f"SELECT pg_create_logical_replication_slot("
-               f"'{slot}', 'test_decoding');")
-        values = ", ".join(
-            f"({i}, '{q(n)}', '{q(m)}', {b!r})" for i, n, m, b in rows)
-        pg.sql(f"INSERT INTO public.{tbl} VALUES {values};")
-        pg.sql(f"UPDATE public.{tbl} SET acctbal = acctbal + 100 "
-               f"WHERE id % 3 = 0;")
-        pg.sql(f"DELETE FROM public.{tbl} WHERE id % 7 = 0;")
-        raw = pg.sql(
-            f"SELECT lsn::text, xid::text, data FROM "
-            f"pg_logical_slot_get_changes('{slot}', NULL, NULL);",
-            sep="\x1f")
-        changes = [l.split("\x1f", 2) for l in raw.splitlines() if l]
-        pg.sql(f"SELECT pg_drop_replication_slot('{slot}');"
-               f"DROP TABLE public.{tbl};")
+        # Sweep slots/tables leaked by earlier crashed runs FIRST: with
+        # max_replication_slots=8, leaked slots would eventually brick
+        # the gate on this machine and pin WAL retention meanwhile.
+        pg.sql("SELECT pg_drop_replication_slot(slot_name) "
+               "FROM pg_replication_slots "
+               "WHERE slot_name LIKE 'slot_wal_gate_%' "
+               "AND active = false;")
+        pg.sql(r"""DO $$
+            DECLARE t text;
+            BEGIN
+              FOR t IN SELECT tablename FROM pg_tables
+                       WHERE schemaname = 'public'
+                       AND tablename LIKE 'wal_gate_%'
+              LOOP EXECUTE format('DROP TABLE public.%I', t);
+              END LOOP;
+            END $$;""")
+        try:
+            pg.sql(f"CREATE TABLE public.{tbl} (id BIGINT PRIMARY KEY, "
+                   f"name TEXT, mkt TEXT, acctbal DOUBLE PRECISION);"
+                   f"SELECT pg_create_logical_replication_slot("
+                   f"'{slot}', 'test_decoding');")
+            values = ", ".join(
+                f"({i}, '{q(n)}', '{q(m)}', {b!r})" for i, n, m, b in rows)
+            pg.sql(f"INSERT INTO public.{tbl} VALUES {values};")
+            pg.sql(f"UPDATE public.{tbl} SET acctbal = acctbal + 100 "
+                   f"WHERE id % 3 = 0;")
+            pg.sql(f"DELETE FROM public.{tbl} WHERE id % 7 = 0;")
+            raw = pg.sql(
+                f"SELECT lsn::text, xid::text, data FROM "
+                f"pg_logical_slot_get_changes('{slot}', NULL, NULL);",
+                sep="\x1f")
+            changes = [l.split("\x1f", 2) for l in raw.splitlines() if l]
+        finally:
+            # guarded drops: either statement may find nothing to drop
+            # (e.g. the CREATE itself failed) — never raise from here
+            pg.sql(f"SELECT pg_drop_replication_slot(slot_name) "
+                   f"FROM pg_replication_slots "
+                   f"WHERE slot_name = '{slot}';"
+                   f"DROP TABLE IF EXISTS public.{tbl};")
     else:
         # synthesized test_decoding lines: the exact ops the live
         # server would emit, same decoder and downstream path
@@ -1605,91 +1627,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
     ORDER MATTERS: the driver's correctness gate checks the FIRST 50
-    entries in dict insertion order. Round-5 rotation rule (freshness:
+    entries in dict insertion order. Round-6 rotation (freshness rule:
     no registered query's newest driver row may age past two rounds):
-    the window holds (a) the 7 queries whose code CHANGED this round
-    (source_overlap's new integer columns, mixture_sample's
-    overflow-safe thresholds, chunk_dedup's empty-doc guard,
-    bloom_lookup over the distributed bloom build, q11/q15 over the
-    scratch-cache registry, incremental_dedup's seeded-store fixture),
-    (b) the 9 NEW r5 queries (pq_stream_ingest, span_dedup,
-    sketch_rollup, wal_cdc_pipeline, canonical_selection,
-    cohort_retention, funnel_steps, skewed_agg, props_analytics), and
-    (c) the 5 r2-stale queries (customers_without_orders,
-    change_type_counts, intersect_keys, string_funcs, date_parts)
-    plus 29 of the 36 r3-stale ones.
-    Rotated to positions 51+: queries driver-green in r4 with
-    untouched code, plus seven r3-green displaced by the new queries
-    (asof_join, range_join, event_windows, user_sessions,
-    doc_fingerprint, text_quality, lang_id — two rounds old at r5, so
-    still fresh; they must re-window by r6). Every
-    registered query, in or out of the window, is still oracle-checked
-    by tests/test_entry_oracle.py and timed+oracled by bench.py.
+    the window holds (a) the 7 queries whose newest driver row is r3
+    — asof_join, range_join, event_windows, user_sessions,
+    doc_fingerprint, text_quality, lang_id — at the rotation limit
+    and due now, (b) the 3 queries whose CODE changed this round, all
+    hash-preserving fixes re-verified by the driver on principle
+    (wal_cdc_pipeline: replication-slot try/finally + stale-slot
+    sweep; canonical_selection: LEFT-join quality so unscored
+    documents keep their row; funnel_steps: whale-safe running-min
+    window formulation replacing the per-user collect_list), and
+    (c) 40 of the 43 r4-green queries. The 3 r4-green queries
+    deferred to keep the window at exactly 50 — corpus_sample,
+    bpe_token_stats, pack_sequences, chosen because their code is
+    untouched since r4 and they are re-oracle-checked locally every
+    session by tests/test_entry_oracle.py — MUST head the r7 window,
+    followed by the 47 r5-green queries: 3 + 47 = exactly the next
+    50, so the two-round alternation stays closed. Every registered
+    query, in or out of the window, is oracle-checked by
+    tests/test_entry_oracle.py and timed+oracled by bench.py.
     """
     return {
-        # --- changed or new this round (8 + 1 spare slot)
-        "mixture_sample": _mixture_sample,                   # domain mixing
-        "source_overlap": _source_overlap,                   # overlap matrix
-        "chunk_dedup": _chunk_dedup,                         # chunk-level dedup
-        "bloom_lookup": _bloom_lookup,                       # bloom skipping
-        "q11_important_parts": _q11_important_parts,         # fraction HAVING
-        "q15_top_supplier": _q15_top_supplier,               # view + max probe
-        "incremental_dedup": _incremental_dedup,             # signature store
-        "pq_stream_ingest": _pq_stream_ingest,               # streaming PQ ingest (new r5)
-        "span_dedup": _span_dedup,                           # repeated substrings (new r5)
-        "sketch_rollup": _sketch_rollup,                     # HLL union rollup (new r5)
-        "wal_cdc_pipeline": _wal_cdc_pipeline,               # LIVE postgres WAL CDC (new r5)
-        "canonical_selection": _canonical_selection,         # quality-aware dedup (new r5)
-        "cohort_retention": _cohort_retention,               # retention matrix (new r5)
-        "funnel_steps": _funnel_steps,                       # sequential funnel (new r5)
-        "skewed_agg": _skewed_agg,                           # salted hot-key agg (new r5)
-        "props_analytics": _props_analytics,                 # JSON extraction agg (new r5)
-        # --- stale: newest driver row r2
-        "customers_without_orders": _customers_without_orders,  # anti join
-        "change_type_counts": _change_type_counts,           # A6
-        "intersect_keys": _intersect_keys,                   # INTERSECT
-        "string_funcs": _string_funcs,                       # string surface
-        "date_parts": _date_parts,                           # date extraction
-        # --- stale: newest driver row r3
-        "time_travel_diff": _time_travel_diff,               # S6 U3
-        "tf_idf": _tf_idf,                                   # corpus TF-IDF
-        "dedup_exact_groups": _dedup_exact_groups,           # exact dedup
-        "ngram_jaccard": _ngram_jaccard,                     # n-gram Jaccard pairs
-        "dedup_group_assign": _dedup_group_assign,           # connected components
-        "top_tokens": _top_tokens,                           # token counting
-        "doc_chunks": _doc_chunks,                           # chunking w/ overlap
-        "scrub_pii": _scrub_pii,                             # PII scrubbing
-        "embedding_topk": _embedding_topk,                   # brute-force ANN baseline
-        "priority_stats": _priority_stats,                   # A5 P8
-        "event_stats": _event_stats,                         # A7
-        "customer_order_lists": _customer_order_lists,       # array_agg
-        "scalar_showcase": _scalar_showcase,                 # F2-F10
-        "suppliers_with_lineitems": _suppliers_with_lineitems,  # semi join
-        "top_value_events": _top_value_events,               # O1 O4
-        "inventory_status": _inventory_status,               # F8
-        "customer_order_summary": _customer_order_summary,   # J1 A2 F10
-        "product_popularity": _product_popularity,           # J2 A3 O1
-        "order_line_summary": _order_line_summary,           # J3 A4
-        "order_analytics": _order_analytics,                 # A1 F9
-        "analytics_summary": _analytics_summary,             # A8 A9 U1
-        "order_rollup": _order_rollup,                       # ROLLUP subtotals
-        "order_cube": _order_cube,                           # CUBE subtotals
-        "price_ranks": _price_ranks,                         # rank/ntile windows
-        "version_diff_keys": _version_diff_keys,             # U3 P6
-        "q1_pricing_summary": _q1_pricing_summary,           # wide-scan computed agg
-        "q6_forecast_revenue": _q6_forecast_revenue,         # selective scan-agg
-        "q3_shipping_priority": _q3_shipping_priority,       # 3-way join top-k
-        "q5_local_supplier": _q5_local_supplier_volume,      # 5-way join bcast dims
-        # --- positions 51+: outside the driver's 50-query gate window
-        # (driver-green in r4, code untouched this round; still
-        # oracle-checked by pytest + bench)
-        "lang_id": _lang_id,                                 # language ID (r3-green)
-        "text_quality": _text_quality,                       # quality scoring (r3-green)
-        "doc_fingerprint": _doc_fingerprint,                 # fingerprinting (r3-green)
-        "asof_join": _asof_join,                             # as-of join (r3-green)
-        "range_join": _range_join,                           # band/range join (r3-green)
-        "event_windows": _event_windows,                     # windowed agg (r3-green)
-        "user_sessions": _user_sessions,                     # sessionization (r3-green)
+        # --- due now: newest driver row r3 (rotation limit)
+        "lang_id": _lang_id,                                 # language ID
+        "text_quality": _text_quality,                       # quality scoring
+        "doc_fingerprint": _doc_fingerprint,                 # fingerprinting
+        "asof_join": _asof_join,                             # as-of join
+        "range_join": _range_join,                           # band/range join
+        "event_windows": _event_windows,                     # windowed agg
+        "user_sessions": _user_sessions,                     # sessionization
+        # --- code changed this round (hash-preserving fixes; driver
+        # re-verifies rather than trusting the local oracle alone)
+        "wal_cdc_pipeline": _wal_cdc_pipeline,               # LIVE postgres WAL CDC
+        "canonical_selection": _canonical_selection,         # quality-aware dedup
+        "funnel_steps": _funnel_steps,                       # sequential funnel
+        # --- newest driver row r4
         "q2_min_cost_supplier": _q2_min_cost_supplier,       # correlated min
         "q4_order_priority": _q4_order_priority,             # EXISTS semi join
         "q8_market_share": _q8_market_share,                 # share quotient
@@ -1724,15 +1697,66 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_topk": _pq_topk,                                 # PQ/ADC ANN
         "embedding_neardup": _embedding_neardup,             # cosine near-dup pairs
         "multimodal_decode": _multimodal_decode,             # binary decode + resize
-        "corpus_sample": _corpus_sample,                     # deterministic sampling
-        "bpe_token_stats": _bpe_token_stats,                 # token budgeting
         "corpus_pipeline": _corpus_pipeline,                 # filter+dedup+sample+budget
         "quality_classifier": _quality_classifier,           # distilled quality filter
-        "pack_sequences": _pack_sequences,                   # fixed-budget packing
         "repetition_signals": _repetition_signals,           # Gopher repetition stats
         "decontaminate": _decontaminate,                     # benchmark n-gram overlap
         "winnow_dedup": _winnow_dedup,                       # MOSS winnowing spans
         "dv_pipeline": _dv_pipeline,                         # deletion vectors e2e
+        # --- positions 51+: outside the driver's 50-query gate window.
+        # FIRST the 3 r4-green deferrals (they MUST head r7's window),
+        # then the 47 r5-green queries (due r7): 3 + 47 = the exact
+        # next 50.
+        "corpus_sample": _corpus_sample,                     # deterministic sampling (r4-green, r7 window head)
+        "bpe_token_stats": _bpe_token_stats,                 # token budgeting (r4-green, r7 window head)
+        "pack_sequences": _pack_sequences,                   # fixed-budget packing (r4-green, r7 window head)
+        "mixture_sample": _mixture_sample,                   # domain mixing
+        "source_overlap": _source_overlap,                   # overlap matrix
+        "chunk_dedup": _chunk_dedup,                         # chunk-level dedup
+        "bloom_lookup": _bloom_lookup,                       # bloom skipping
+        "q11_important_parts": _q11_important_parts,         # fraction HAVING
+        "q15_top_supplier": _q15_top_supplier,               # view + max probe
+        "incremental_dedup": _incremental_dedup,             # signature store
+        "pq_stream_ingest": _pq_stream_ingest,               # streaming PQ ingest
+        "span_dedup": _span_dedup,                           # repeated substrings
+        "sketch_rollup": _sketch_rollup,                     # HLL union rollup
+        "cohort_retention": _cohort_retention,               # retention matrix
+        "skewed_agg": _skewed_agg,                           # salted hot-key agg
+        "props_analytics": _props_analytics,                 # JSON extraction agg
+        "customers_without_orders": _customers_without_orders,  # anti join
+        "change_type_counts": _change_type_counts,           # A6
+        "intersect_keys": _intersect_keys,                   # INTERSECT
+        "string_funcs": _string_funcs,                       # string surface
+        "date_parts": _date_parts,                           # date extraction
+        "time_travel_diff": _time_travel_diff,               # S6 U3
+        "tf_idf": _tf_idf,                                   # corpus TF-IDF
+        "dedup_exact_groups": _dedup_exact_groups,           # exact dedup
+        "ngram_jaccard": _ngram_jaccard,                     # n-gram Jaccard pairs
+        "dedup_group_assign": _dedup_group_assign,           # connected components
+        "top_tokens": _top_tokens,                           # token counting
+        "doc_chunks": _doc_chunks,                           # chunking w/ overlap
+        "scrub_pii": _scrub_pii,                             # PII scrubbing
+        "embedding_topk": _embedding_topk,                   # brute-force ANN baseline
+        "priority_stats": _priority_stats,                   # A5 P8
+        "event_stats": _event_stats,                         # A7
+        "customer_order_lists": _customer_order_lists,       # array_agg
+        "scalar_showcase": _scalar_showcase,                 # F2-F10
+        "suppliers_with_lineitems": _suppliers_with_lineitems,  # semi join
+        "top_value_events": _top_value_events,               # O1 O4
+        "inventory_status": _inventory_status,               # F8
+        "customer_order_summary": _customer_order_summary,   # J1 A2 F10
+        "product_popularity": _product_popularity,           # J2 A3 O1
+        "order_line_summary": _order_line_summary,           # J3 A4
+        "order_analytics": _order_analytics,                 # A1 F9
+        "analytics_summary": _analytics_summary,             # A8 A9 U1
+        "order_rollup": _order_rollup,                       # ROLLUP subtotals
+        "order_cube": _order_cube,                           # CUBE subtotals
+        "price_ranks": _price_ranks,                         # rank/ntile windows
+        "version_diff_keys": _version_diff_keys,             # U3 P6
+        "q1_pricing_summary": _q1_pricing_summary,           # wide-scan computed agg
+        "q6_forecast_revenue": _q6_forecast_revenue,         # selective scan-agg
+        "q3_shipping_priority": _q3_shipping_priority,       # 3-way join top-k
+        "q5_local_supplier": _q5_local_supplier_volume,      # 5-way join bcast dims
     }
 
 

@@ -23,7 +23,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .money import dec_avg, dec_sum
@@ -412,38 +412,53 @@ def funnel_counts(events: DataFrame,
     user's completion of the previous one (min-timestamp semantics:
     t1 = first 'view'; t2 = first 'click' with ts > t1; ...).
 
-    Scale shape: events filter to the funnel types at the scan, ONE
-    user_id shuffle collects each user's slim (ts_us, type) pairs
-    (map-side combinable list agg; per-user state bounded by that
-    user's funnel events), and the step timestamps fold ROW-LOCALLY
-    over the collected array — no per-step join or re-scan, unlike
-    the self-join-per-stage SQL formulation the oracle uses.
+    Scale shape: events filter to the funnel types at the scan, then
+    ONE user_id shuffle feeds a chain of RUNNING-MIN window functions
+    over (user_id ORDER BY ts): step k's candidate timestamps are the
+    step-k events strictly later than the running minimum of step
+    k-1's candidates over EARLIER rows (rows frame to -1 preserves
+    the strictly-after semantics at timestamp ties), and each user's
+    t_k is the plain min of those candidates. WindowExec sorts
+    externally (spills) and running frames keep O(1) state per row,
+    so a bot/whale user with millions of events costs disk, never
+    executor memory — unlike a per-user collect_list, whose task
+    state grows with the hottest user. The follow-up groupBy(user_id)
+    reuses the window's hash partitioning (no second exchange).
+
+    Why the running min converges to the true t_{k-1}: candidates
+    only exist at timestamps >= the true value, and once the true
+    t_{k-1} row has passed, the running min equals it — so every
+    step-k event after t_{k-1} tests against exactly t_{k-1}, and no
+    earlier event can falsely qualify (any running value present
+    before then is >= its own row's timestamp).
 
     Returns one row: (step_1_users, step_2_users, ... ) as longs.
     """
-    per_user = (
+    base = (
         events.filter(F.col("event_type").isin(*steps))
-        .select(F.col("user_id"),
-                F.struct(F.unix_micros("ts").alias("ts"),
-                         F.col("event_type").alias("t")).alias("__e"))
-        .groupBy("user_id")
-        .agg(F.collect_list("__e").alias("__evs"))
+        .select(F.col("user_id"), F.unix_micros("ts").alias("__ts"),
+                F.col("event_type").alias("__t"))
     )
-    out = per_user
-    prev_col = None
+    w_prev = (Window.partitionBy("user_id").orderBy("__ts")
+              .rowsBetween(Window.unboundedPreceding, -1))
+    out = base
+    prev_run = None
     for k, s in enumerate(steps, start=1):
-        arr = F.col("__evs")
-        if prev_col is None:
-            matches = F.filter(arr, lambda e: e["t"] == s)
+        if prev_run is None:
+            cand = F.when(F.col("__t") == s, F.col("__ts"))
         else:
-            p = F.col(prev_col)
-            matches = F.filter(
-                arr, lambda e: (e["t"] == s) & (e["ts"] > p))
-        out = out.withColumn(f"__t{k}",
-                             F.array_min(F.transform(matches,
-                                                     lambda e: e["ts"])))
-        prev_col = f"__t{k}"
-    return out.agg(*[
+            cand = F.when(
+                (F.col("__t") == s) & (F.col("__ts") > F.col(prev_run)),
+                F.col("__ts"))
+        out = out.withColumn(f"__c{k}", cand)
+        if k < len(steps):
+            prev_run = f"__r{k}"
+            out = out.withColumn(prev_run, F.min(f"__c{k}").over(w_prev))
+    per_user = out.groupBy("user_id").agg(*[
+        F.min(f"__c{k}").alias(f"__t{k}")
+        for k in range(1, len(steps) + 1)
+    ])
+    return per_user.agg(*[
         F.count(F.col(f"__t{k}")).cast("long").alias(f"step_{k}_users")
         for k in range(1, len(steps) + 1)
     ])

@@ -47,14 +47,30 @@ _FLOAT_TYPES = {"real", "double precision", "numeric"}
 _OPS = {"INSERT": "c", "UPDATE": "u", "DELETE": "d"}
 
 
+_TZ_SUFFIX_RE = re.compile(r"(?P<sign>[+-])(?P<h>\d{2})(?::(?P<m>\d{2}))?"
+                           r"(?::(?P<s>\d{2}))?$")
+
+
 def _ts_micros(text: str) -> int:
-    """'2024-01-01 10:00:00[.ffffff]' -> epoch µs (PG session TZ is
-    the server's; test setup pins UTC)."""
+    """'2024-01-01 10:00:00[.ffffff][+HH[:MM[:SS]]]' -> epoch µs.
+
+    timestamptz output carries the session-TZ offset ('+00' under the
+    fixture's pinned UTC, but any offset parses); plain timestamp has
+    none and is taken as UTC (the fixture pins the session TZ)."""
+    offset_us = 0
+    m = _TZ_SUFFIX_RE.search(text)
+    if m is not None:
+        sign = -1 if m.group("sign") == "-" else 1
+        offset_us = sign * 1_000_000 * (
+            int(m.group("h")) * 3600 + int(m.group("m") or 0) * 60
+            + int(m.group("s") or 0))
+        text = text[:m.start()]
     for fmt in ("%Y-%m-%d %H:%M:%S.%f", "%Y-%m-%d %H:%M:%S"):
         try:
             dt = datetime.datetime.strptime(text, fmt)
             return int(dt.replace(
-                tzinfo=datetime.timezone.utc).timestamp() * 1_000_000)
+                tzinfo=datetime.timezone.utc).timestamp()
+                * 1_000_000) - offset_us
         except ValueError:
             continue
     raise ValueError(f"unparseable timestamp {text!r}")
@@ -125,14 +141,18 @@ def wal_to_kafka_messages(changes, source_name: str = "pgwal",
     {key, value, topic, partition, offset}. The LSN (a 64-bit WAL
     position, strictly increasing within the slot) becomes the Kafka
     offset, so the applier's latest-event-per-key ordering
-    (source_lsn, offset) is the true commit order."""
+    (source_lsn, offset) is the true commit order.
+
+    An UPDATE that CHANGES the replica-identity key is split into a
+    delete of the old key followed by an insert of the new key — the
+    same two-event model Debezium emits for key changes — so the
+    per-key MERGE downstream retires the old-key row instead of
+    leaving it stale. (test_decoding surfaces the old key as the
+    ``old-key:`` before-image exactly when it differs or REPLICA
+    IDENTITY FULL is set.)"""
     out = []
-    for lsn, xid, data in changes:
-        parsed = parse_wal_line(data)
-        if parsed is None:
-            continue  # BEGIN/COMMIT markers carry no row data
-        schema, table, op, before, after = parsed
-        lsn_i = _lsn_int(lsn) if isinstance(lsn, str) else int(lsn)
+
+    def emit(schema, table, op, before, after, lsn_i, xid):
         now_ms = lsn_i  # deterministic envelope ts; the engine keys
         # ordering off source.lsn + offset, never ts_ms
         payload = {
@@ -148,7 +168,7 @@ def wal_to_kafka_messages(changes, source_name: str = "pgwal",
                 "xmin": None,
             },
         }
-        row = (after or before or {})
+        row = (before if op == "d" else after) or {}
         key = ({"payload": {key_col: row.get(key_col)}}
                if key_col in row else None)
         out.append({
@@ -158,6 +178,22 @@ def wal_to_kafka_messages(changes, source_name: str = "pgwal",
             "partition": 0,
             "offset": lsn_i,
         })
+
+    for lsn, xid, data in changes:
+        parsed = parse_wal_line(data)
+        if parsed is None:
+            continue  # BEGIN/COMMIT markers carry no row data
+        schema, table, op, before, after = parsed
+        lsn_i = _lsn_int(lsn) if isinstance(lsn, str) else int(lsn)
+        if (op == "u" and before is not None and key_col in before
+                and before.get(key_col) != (after or {}).get(key_col)):
+            # key change: retire the old key, then create the new one
+            # (both at this LSN; keys differ, so per-key ordering and
+            # the applier's latest-per-key dedup are unharmed)
+            emit(schema, table, "d", before, None, lsn_i, xid)
+            emit(schema, table, "c", None, after, lsn_i, xid)
+        else:
+            emit(schema, table, op, before, after, lsn_i, xid)
     return out
 
 

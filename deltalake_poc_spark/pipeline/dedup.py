@@ -684,12 +684,20 @@ def canonical_selection(docs: DataFrame, pairs: DataFrame,
                 F.coalesce("group_id", F.col("doc_id")).alias("group_id"))
     )
     qz = quality.select("doc_id", F.col("z").alias("__z"))
+    # LEFT join: a document with no quality row must not vanish from
+    # the output (the docstring's one-row-per-document contract).
+    # Quality-less members rank below every scored member (z -> -inf);
+    # an all-unscored group falls back to min(doc_id) via the same
+    # (z, -doc_id) struct order.
     best = (
-        assign.join(qz, "doc_id")
+        assign.join(qz, "doc_id", "left")
         .groupBy("group_id")
         .agg(F.max_by(
             F.col("doc_id"),
-            F.struct(F.col("__z"), (-F.col("doc_id")).alias("__nid")))
+            F.struct(
+                F.coalesce(F.col("__z"),
+                           F.lit(float("-inf"))).alias("__z"),
+                (-F.col("doc_id")).alias("__nid")))
             .alias("keep_doc_id"),
             F.count(F.lit(1)).cast("long").alias("n_members"))
     )

@@ -299,6 +299,54 @@ def test_pgwal_line_parser():
     assert op == "d" and before == {"id": 7} and after is None
 
 
+def test_pgwal_timestamptz_offsets():
+    """timestamptz output carries the session-TZ offset suffix
+    ('2024-01-01 10:00:00+00'); the decoder must normalize any offset
+    to epoch µs instead of failing the whole WAL batch."""
+    from deltalake_poc_spark.cdc.pgwal import _value
+
+    utc = 1704103200000000  # 2024-01-01 10:00:00 UTC
+    t = "timestamp with time zone"
+    assert _value(t, "'2024-01-01 10:00:00+00'") == utc
+    assert _value(t, "'2024-01-01 10:00:00.25+00'") == utc + 250_000
+    # +05:30 session zone: local 15:30 is the same UTC instant
+    assert _value(t, "'2024-01-01 15:30:00+05:30'") == utc
+    # negative offset: local 02:00 at -08 is 10:00 UTC
+    assert _value(t, "'2024-01-01 02:00:00-08'") == utc
+    # plain timestamp (no offset) still parses as UTC
+    assert _value("timestamp without time zone",
+                  "'2024-01-01 10:00:00'") == utc
+
+
+def test_pgwal_key_change_update_splits_delete_insert():
+    """An UPDATE that changes the replica-identity key becomes
+    delete(old key) + insert(new key) — Debezium's key-change model —
+    so the per-key MERGE retires the old-key row. A REPLICA IDENTITY
+    FULL update that keeps the key stays one 'u' event."""
+    from deltalake_poc_spark.cdc.pgwal import wal_to_kafka_messages
+
+    changes = [
+        ("0/1000", "9", "table public.c: UPDATE: old-key: id[bigint]:7 "
+                        "new-tuple: id[bigint]:8 name[text]:'n'"),
+        ("0/2000", "10", "table public.c: UPDATE: old-key: "
+                         "id[bigint]:8 name[text]:'n' "
+                         "new-tuple: id[bigint]:8 name[text]:'m'"),
+    ]
+    msgs = wal_to_kafka_messages(changes)
+    ops = [json.loads(m["value"])["payload"]["op"] for m in msgs]
+    keys = [json.loads(m["key"])["payload"]["id"] for m in msgs]
+    assert ops == ["d", "c", "u"]
+    assert keys == [7, 8, 8]
+    d_payload = json.loads(msgs[0]["value"])["payload"]
+    c_payload = json.loads(msgs[1]["value"])["payload"]
+    assert d_payload["before"] == {"id": 7} and d_payload["after"] is None
+    assert c_payload["before"] is None
+    assert c_payload["after"] == {"id": 8, "name": "n"}
+    # same-key full-identity update: unchanged single event, new image
+    u_payload = json.loads(msgs[2]["value"])["payload"]
+    assert u_payload["after"] == {"id": 8, "name": "m"}
+
+
 def test_pgwal_messages_reuse_debezium_parse(spark):
     """Adapter output satisfies parse_debezium's Kafka contract: op
     mapping, lsn-as-offset ordering, topic naming, key payload."""

@@ -154,3 +154,39 @@ def test_funnel_counts_strict_ordering(spark):
     r = funnel_counts(df).collect()[0]
     assert (r["step_1_users"], r["step_2_users"], r["step_3_users"]) == \
         (3, 2, 1)
+
+
+def test_funnel_counts_whale_user_bounded_state(spark):
+    """Whale/bot safety: the funnel must not hold a user's full event
+    list in one aggregation buffer. A user with 50k clicks BEFORE
+    their first view (so no bounded min-k per step could shortcut it)
+    still funnels correctly through the running-min window
+    formulation, and the plan shows WindowExec + plain hash
+    aggregation — no ObjectHashAggregate/collect_list whose state
+    grows with the hottest user."""
+    from deltalake_poc_spark.analytics.queries import funnel_counts
+
+    clicks = spark.range(50_000).select(
+        F.col("id").alias("event_id"),
+        F.timestamp_micros(F.col("id")).alias("ts"),
+        F.lit(7).alias("user_id"),
+        F.lit("click").alias("event_type"),
+        F.lit(1.0).alias("value"), F.lit("{}").alias("props"))
+    late = spark.createDataFrame(
+        [(90_000, datetime.datetime(2024, 1, 1, 0, 0, 1), 7, "view",
+          1.0, "{}"),
+         (90_001, datetime.datetime(2024, 1, 1, 0, 0, 2), 7, "click",
+          1.0, "{}"),
+         (90_002, datetime.datetime(2024, 1, 1, 0, 0, 3), 7, "purchase",
+          1.0, "{}")],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string")
+    df = clicks.unionByName(late)
+    q = funnel_counts(df)
+    r = q.collect()[0]
+    assert (r["step_1_users"], r["step_2_users"], r["step_3_users"]) == \
+        (1, 1, 1), "only the click strictly after the view advances"
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan
+    assert "collect_list" not in plan
+    assert "ObjectHashAggregate" not in plan

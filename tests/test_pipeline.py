@@ -1193,6 +1193,39 @@ def test_canonical_selection_prefers_quality_over_id(spark):
     assert out2[5]["is_kept"] and not out2[6]["is_kept"]
 
 
+def test_canonical_selection_keeps_quality_less_docs(spark):
+    """One row per document even when the quality frame is missing
+    some (or all) members: unscored docs rank below any scored member
+    of their group; an all-unscored group falls back to min(doc_id).
+    (Regression: the earlier inner join silently dropped them.)"""
+    base = "the quick brown fox jumps over the lazy dog near the river"
+    rows = [
+        (1, base + " aa"),
+        (2, base + " bb"),
+        (3, base + " cc"),
+        (9, "a completely unrelated singleton document right here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    from deltalake_poc_spark.pipeline.text import quality_classifier
+
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.15)
+    # quality covers only doc 2 of the {1,2,3} group and nothing else
+    q = (quality_classifier(docs).select("doc_id", "z")
+         .filter(F.col("doc_id") == 2))
+    out = {r["doc_id"]: r for r in
+           dedup.canonical_selection(docs, pairs, q).collect()}
+    assert set(out) == {1, 2, 3, 9}, "every document keeps its row"
+    assert all(out[d]["keep_doc_id"] == 2 for d in (1, 2, 3)), \
+        "the only scored member wins its group"
+    # singleton with no quality row keeps itself
+    assert out[9]["is_kept"] and out[9]["keep_doc_id"] == 9
+    # empty quality frame: min(doc_id) fallback everywhere
+    out2 = {r["doc_id"]: r for r in dedup.canonical_selection(
+        docs, pairs, q.filter(F.lit(False))).collect()}
+    assert set(out2) == {1, 2, 3, 9}
+    assert all(out2[d]["keep_doc_id"] == 1 for d in (1, 2, 3))
+
+
 def test_native_uncompressed_codecs(spark):
     """Real (not FAKE*) uncompressed formats decode natively through
     the same Arrow pipelines: BMP + binary-PPM image metadata, PCM WAV
