@@ -36,10 +36,13 @@ import re
 _LINE_RE = re.compile(
     r"^table (?P<schema>[^.]+)\.(?P<table>[^:]+): "
     r"(?P<op>INSERT|UPDATE|DELETE): (?P<rest>.*)$")
-# name[type]:value — value is a single-quoted literal ('' escapes a
-# quote) or a bare token (numbers, true/false, null, unchanged-toast)
+# name[type]:value — name is a bare or double-quoted identifier (""
+# escapes a quote), type may carry array brackets ("integer[]"), value
+# is a single-quoted literal ('' escapes a quote) or a bare token
+# (numbers, true/false, null, unchanged-toast-datum)
 _COL_RE = re.compile(
-    r"(?P<name>\w+)\[(?P<type>[^\]]+)\]:"
+    r"(?P<name>\w+|\"(?:[^\"]|\"\")*\")"
+    r"\[(?P<type>[^\]]+(?:\[\])?)\]:"
     r"(?P<lit>'(?:[^']|'')*'|[^\s]+)")
 
 _INT_TYPES = {"smallint", "integer", "bigint", "oid"}
@@ -77,9 +80,20 @@ def _ts_micros(text: str) -> int:
 
 
 def _value(col_type: str, lit: str):
-    """Decode one test_decoding literal into its Debezium JSON value."""
+    """Decode one test_decoding literal into its Debezium JSON value.
+
+    Parse-or-explicit-reject: the unchanged-TOAST marker raises (a
+    row image holding it is NOT a full after-image — silently writing
+    the sentinel string into a snapshot would corrupt the column;
+    callers wanting TOAST support must use REPLICA IDENTITY FULL).
+    Array (``integer[]``) and other untyped values pass through in
+    their PostgreSQL text form, losslessly."""
     if lit == "null":
         return None
+    if lit == "unchanged-toast-datum":
+        raise ValueError(
+            f"unchanged TOAST datum for {col_type} column: the row "
+            f"image is incomplete (set REPLICA IDENTITY FULL upstream)")
     quoted = lit.startswith("'")
     text = lit[1:-1].replace("''", "'") if quoted else lit
     if col_type in _INT_TYPES:
@@ -96,14 +110,46 @@ def _value(col_type: str, lit: str):
     return text
 
 
+def _scan_cols(segment: str, stop: str | None = None):
+    """STRICT left-to-right column tokenizer: every non-space span
+    must be a well-formed ``name[type]:value`` column (or the ``stop``
+    marker) — anything else raises instead of silently dropping the
+    column (a dropped column would corrupt the downstream MERGE row
+    image). Quoted literals absorb spaces/markers, so a text value
+    containing ``new-tuple:`` cannot derail an UPDATE split.
+
+    Returns (cols, remainder-after-stop-marker | None).
+    """
+    out: dict = {}
+    pos, n = 0, len(segment)
+    while pos < n:
+        if segment[pos] == " ":
+            pos += 1
+            continue
+        if stop is not None and segment.startswith(stop, pos):
+            return out, segment[pos + len(stop):]
+        m = _COL_RE.match(segment, pos)
+        if m is None:
+            raise ValueError(
+                f"undecodable test_decoding column at "
+                f"{segment[pos:pos + 60]!r}")
+        name = m.group("name")
+        if name.startswith('"'):
+            name = name[1:-1].replace('""', '"')
+        out[name] = _value(m.group("type"), m.group("lit"))
+        pos = m.end()
+    return out, None
+
+
 def _cols(segment: str) -> dict:
-    return {m.group("name"): _value(m.group("type"), m.group("lit"))
-            for m in _COL_RE.finditer(segment)}
+    return _scan_cols(segment)[0]
 
 
 def parse_wal_line(line: str):
     """One decoded WAL data line -> (schema, table, op, before, after)
-    or None for non-row lines (BEGIN/COMMIT/messages)."""
+    or None for non-row lines (BEGIN/COMMIT/messages). Malformed row
+    lines raise ValueError (explicit reject, never a silent drop or a
+    mangled row image)."""
     m = _LINE_RE.match(line)
     if m is None:
         return None
@@ -120,9 +166,12 @@ def parse_wal_line(line: str):
         # UPDATE: "old-key: ... new-tuple: ..." only when the replica
         # identity changed (or FULL); otherwise just the new tuple
         if rest.startswith("old-key:"):
-            old_part, new_part = rest.split("new-tuple:", 1)
-            before = _cols(old_part[len("old-key:"):])
-            after = _cols(new_part)
+            before, after_part = _scan_cols(
+                rest[len("old-key:"):], stop="new-tuple:")
+            if after_part is None:
+                raise ValueError(
+                    f"UPDATE with old-key but no new-tuple: {line!r}")
+            after = _cols(after_part)
         else:
             after = _cols(rest)
     return m.group("schema"), m.group("table"), op, before, after
