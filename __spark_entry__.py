@@ -1086,21 +1086,28 @@ def _wal_cdc_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     if pglive.available():
         pg = pglive.EphemeralPostgres()
         slot = f"slot_{tbl}"
-        # Sweep slots/tables leaked by earlier crashed runs FIRST: with
-        # max_replication_slots=8, leaked slots would eventually brick
-        # the gate on this machine and pin WAL retention meanwhile.
+        # Sweep slots leaked by earlier CRASHED runs (kill -9 skips the
+        # finally below): with max_replication_slots=8, leaked slots
+        # would eventually brick the gate on this machine and pin WAL
+        # retention meanwhile. Pressure-gated (>= 4 slots) so a normal
+        # CONCURRENT invocation — whose test_decoding slot is idle
+        # between psql calls — is never swept out from under it.
         pg.sql("SELECT pg_drop_replication_slot(slot_name) "
                "FROM pg_replication_slots "
-               "WHERE slot_name LIKE 'slot_wal_gate_%' "
-               "AND active = false;")
+               "WHERE slot_name LIKE 'slot_wal_gate_%' AND active = false "
+               "AND (SELECT count(*) FROM pg_replication_slots) >= 4;")
         pg.sql(r"""DO $$
             DECLARE t text;
             BEGIN
-              FOR t IN SELECT tablename FROM pg_tables
-                       WHERE schemaname = 'public'
-                       AND tablename LIKE 'wal_gate_%'
-              LOOP EXECUTE format('DROP TABLE public.%I', t);
-              END LOOP;
+              IF (SELECT count(*) FROM pg_tables
+                  WHERE schemaname = 'public'
+                  AND tablename LIKE 'wal_gate_%') >= 8 THEN
+                FOR t IN SELECT tablename FROM pg_tables
+                         WHERE schemaname = 'public'
+                         AND tablename LIKE 'wal_gate_%'
+                LOOP EXECUTE format('DROP TABLE public.%I', t);
+                END LOOP;
+              END IF;
             END $$;""")
         try:
             pg.sql(f"CREATE TABLE public.{tbl} (id BIGINT PRIMARY KEY, "

@@ -117,7 +117,14 @@ def main() -> None:
                 "pmod(xxhash64(rep, i), 2) = 0 THEN x ELSE -x END "
                 "AS FLOAT))"
             )).alias("embedding"),
-            "label"),
+            # labels are cluster/blocking ids: a bigger corpus has
+            # proportionally more clusters, so replicas get disjoint
+            # label spaces (keeping them shared makes within-block
+            # candidate generation quadratic across replicas AND lets
+            # the ~N(0, 1/sqrt(dim)) tail of decorrelated cosines leak
+            # past moderate thresholds at the 10^7-candidate scale —
+            # both measured before this offset existed)
+            (F.col("label") + rep * 1000).alias("label")),
         "embeddings", 4)
 
     write(

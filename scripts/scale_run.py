@@ -32,6 +32,11 @@ QUERIES = [
 SF_SMALL = os.environ.get("SPARK_GRAFT_SCALE_SMALL", "/root/testdata/sf0.1")
 SF_BIG = os.environ.get("SPARK_GRAFT_SCALE_OUT", "/root/repo/.scale/sf1")
 REPS = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "2"))
+RATIO = int(os.environ.get("SPARK_GRAFT_SCALE_RATIO", "10"))
+OUT_JSON = os.environ.get("SPARK_GRAFT_SCALE_JSON",
+                          "/root/repo/SCALE_RUN.json")
+if os.environ.get("SPARK_GRAFT_SCALE_QUERIES"):
+    QUERIES = os.environ["SPARK_GRAFT_SCALE_QUERIES"].split(",")
 
 
 def _steal() -> int:
@@ -65,7 +70,9 @@ def main() -> None:
     for name in QUERIES:
         fn = qs[name]
         entry: dict[str, dict] = {}
-        for label, sf_dir in (("sf0.1", SF_SMALL), ("sf1", SF_BIG)):
+        small_label = os.path.basename(os.path.normpath(SF_SMALL))
+        big_label = os.path.basename(os.path.normpath(SF_BIG))
+        for label, sf_dir in ((small_label, SF_SMALL), (big_label, SF_BIG)):
             times, rows = [], None
             for rep in range(REPS):
                 s0 = _steal()
@@ -82,20 +89,21 @@ def main() -> None:
                       flush=True)
             entry[label] = {"times": times, "min": min(times),
                             "rows": rows}
-        ratio = entry["sf1"]["min"] / max(entry["sf0.1"]["min"], 1e-9)
-        row_ratio = (entry["sf1"]["rows"] /
-                     max(entry["sf0.1"]["rows"], 1))
+        ratio = entry[big_label]["min"] / max(entry[small_label]["min"],
+                                              1e-9)
+        row_ratio = (entry[big_label]["rows"] /
+                     max(entry[small_label]["rows"], 1))
         entry["time_ratio"] = round(ratio, 2)
         entry["row_ratio"] = round(row_ratio, 2)
         results[name] = entry
         print(json.dumps({"q": name, "time_ratio": entry["time_ratio"],
                           "row_ratio": entry["row_ratio"]}), flush=True)
 
-    out = {"replicas": 10, "cpus": int(cpus), "reps": REPS,
-           "queries": results}
-    with open("/root/repo/SCALE_RUN.json", "w") as fh:
+    out = {"data_ratio": RATIO, "small": SF_SMALL, "big": SF_BIG,
+           "cpus": int(cpus), "reps": REPS, "queries": results}
+    with open(OUT_JSON, "w") as fh:
         json.dump(out, fh, indent=1)
-    print("WROTE /root/repo/SCALE_RUN.json", flush=True)
+    print(f"WROTE {OUT_JSON}", flush=True)
 
 
 if __name__ == "__main__":
