@@ -6,8 +6,19 @@
   CDCApplier output written via spark JDBC. Plain reads mirror
   ``spark.read.jdbc``. The generated postgresql-dialect statements
   are validated against a LIVE PostgreSQL 15 server
-  (tests/test_live_postgres.py); only the JDBC transport itself
-  remains env-blocked (no postgres JDBC jar in the Spark runtime).
+  (tests/test_live_postgres.py). The JDBC *transport* itself
+  (real java.sql connections from executor tasks) is validated
+  against a live HiveServer2 endpoint served by this same engine
+  (``start_thrift_server`` below + tests/test_jdbc_transport.py):
+  unpartitioned and bound-partitioned ``jdbc_read`` both run the
+  full driver->DriverManager->executor path with the hive-jdbc
+  driver that ships in the Spark runtime. Only the *write* leg of
+  the stock JDBC sink cannot run against that endpoint — hive-jdbc
+  2.3 throws SQLFeatureNotSupportedException from the
+  addBatch/executeBatch calls JdbcUtils.savePartition requires —
+  and no postgres/mysql driver jar exists in this environment, so
+  ``jdbc_write`` against a server that accepts batched inserts
+  remains env-blocked (pinned in tests/test_jdbc_transport.py).
 - Raw-parquet read (S16): the notebook's DuckDB-over-parquet path
   (cells 43-48) bypasses the transaction log and therefore sees
   removed/uncommitted files — provided for parity, with the same
@@ -25,10 +36,13 @@ def jdbc_read(spark: SparkSession, url: str, table: str,
               user: str | None = None, password: str | None = None,
               partition_column: str | None = None,
               lower_bound: int | None = None, upper_bound: int | None = None,
-              num_partitions: int | None = None) -> DataFrame:
+              num_partitions: int | None = None,
+              driver: str | None = None) -> DataFrame:
     """Parallel JDBC read (predicate-partitioned when bounds given —
     without them the read is single-task, which does not scale)."""
     reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    if driver is not None:
+        reader = reader.option("driver", driver)
     if user is not None:
         reader = reader.option("user", user)
     if password is not None:
@@ -44,12 +58,21 @@ def jdbc_read(spark: SparkSession, url: str, table: str,
 
 
 def jdbc_write(df: DataFrame, url: str, table: str, mode: str = "append",
-               user: str | None = None, password: str | None = None) -> None:
+               user: str | None = None, password: str | None = None,
+               driver: str | None = None,
+               create_table_column_types: str | None = None) -> None:
     """JDBC sink. For upsert semantics, land into a staging table and
     MERGE DB-side, or write the CDCApplier snapshot with
     mode='overwrite' (truncate) — per-row ON CONFLICT from executors
-    (the reference's approach) does not scale past one connection."""
+    (the reference's approach) does not scale past one connection.
+    ``create_table_column_types`` overrides the dialect's DDL types
+    for servers whose type names differ (e.g. ``"v STRING"``)."""
     writer = df.write.format("jdbc").option("url", url).option("dbtable", table)
+    if driver is not None:
+        writer = writer.option("driver", driver)
+    if create_table_column_types is not None:
+        writer = writer.option("createTableColumnTypes",
+                               create_table_column_types)
     if user is not None:
         writer = writer.option("user", user)
     if password is not None:
@@ -221,6 +244,66 @@ def jdbc_upsert(df: DataFrame, url: str, table: str,
         seq.append(stmts["delete"])
     seq.append(stmts["drop_staging"])
     jdbc_execute(df.sparkSession, url, seq, user=user, password=password)
+
+
+_THRIFT_URL: str | None = None
+
+
+def start_thrift_server(spark: SparkSession, port: int | None = None) -> str:
+    """Expose the session's catalog over HiveServer2 Thrift JDBC and
+    return the ``jdbc:hive2://`` URL (the Spark-native analog of the
+    reference keeping Postgres mirrors for BI clients,
+    database.py:161-196: any JDBC client — beeline, JDBC BI tools, or
+    another Spark via ``jdbc_read`` — can query engine output live).
+
+    Once per JVM: HiveThriftServer2 registers global state, so a
+    second call returns the first URL. Side effects, both documented
+    contracts of serving JDBC from a live session:
+
+    - the returned URL carries
+      ``?spark.sql.ansi.doubleQuotedIdentifiers=true`` so the
+      double-quoted column lists Spark's stock JDBC dialect generates
+      parse as identifiers in every server-side connection session
+      (without it they parse as string LITERALS and the read silently
+      returns column names as data — each Thrift connection gets a
+      fresh session state, so a runtime conf.set on the serving
+      session does not reach clients);
+    - the Derby metastore HiveServer2 requires lands under
+      ``derby.system.home`` — callers (tests) point that at a scratch
+      dir via System property before first start.
+
+    Serving shares the session's task slots: a client running N
+    parallel JDBC partitions needs N free cores on top of its own, so
+    keep client-side ``numPartitions`` below ``local[K]`` (on a real
+    cluster the server is its own application and this is moot).
+    """
+    global _THRIFT_URL
+    if _THRIFT_URL is not None:
+        return _THRIFT_URL
+    if port is None:
+        import socket
+
+        s = socket.socket()
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+        s.close()
+    jvm = spark._jvm
+    jvm.java.lang.System.setProperty("hive.server2.thrift.port", str(port))
+    # Session close runs Hive's unCacheDataNucleusClassLoaders
+    # housekeeping, which spins up a fresh HMS handler; when that
+    # fails (embedded Derby, second in-JVM handler) RetryingHMSHandler
+    # retry-sleeps ~20 s PER CONNECTION CLOSE with the defaults
+    # (10 × 2 s). The handler is pure housekeeping here — fail fast.
+    jvm.java.lang.System.setProperty("hive.hmshandler.retry.attempts", "1")
+    jvm.java.lang.System.setProperty("hive.hmshandler.retry.interval", "0s")
+    jvm.org.apache.spark.sql.hive.thriftserver.HiveThriftServer2.startWithContext(
+        spark._jsparkSession.sqlContext())
+    _THRIFT_URL = (f"jdbc:hive2://localhost:{port}/default"
+                   "?spark.sql.ansi.doubleQuotedIdentifiers=true")
+    return _THRIFT_URL
+
+
+HIVE_JDBC_DRIVER = "org.apache.hive.jdbc.HiveDriver"
 
 
 def read_raw_parquet(spark: SparkSession, table_root: str) -> DataFrame:
