@@ -543,3 +543,172 @@ def sketch_distinct_rollup(docs: DataFrame, strata_col: str = "source",
             .unionByName(all_row)
             .select(F.col("__strata").alias(strata_col),
                     "n_tokens", "distinct_tokens"))
+
+
+def length_quantiles(docs: DataFrame, strata_col: str = "source",
+                     text_col: str = "text",
+                     percents: tuple[int, ...] = (25, 50, 90, 99),
+                     accuracy: int = 200) -> DataFrame:
+    """Token-length distribution profile per stratum plus a corpus
+    ``__ALL__`` row — the shape-of-the-data monitor a training corpus
+    needs (is one source all tweets? did a filter chop the p99 tail?).
+
+    Two paths, same numbers:
+
+    - the RETURNED columns are EXACT discrete quantiles (the element
+      at 1-indexed rank ``(p*(n-1)) div 100 + 1`` of the ascending
+      lengths) — pure integer arithmetic, so any engine reproduces
+      them bit-for-bit (gate-safe). Exactness costs a per-stratum
+      sort; that is the certification path.
+    - the SCALE path is ``percentile_approx`` — a mergeable
+      Greenwald-Khanna summary that partial-aggregates map-side
+      (kilobyte summaries shuffle, not rows; no sort). It is
+      SELF-CHECKING here: for every (stratum, p) the approx value's
+      true rank window (#shorter .. #not-longer, one conditional
+      aggregate for all pairs) must overlap the target rank ±
+      ``n/accuracy + 1``, the GK guarantee — a violation raises, so a
+      green driver row certifies the sketch machinery too (the
+      sketch_distinct_rollup contract, applied to quantiles).
+
+    Returns (strata, n_docs, p25, p50, p90, p99) as longs.
+    """
+    lens = docs.select(
+        F.col(strata_col).alias("__strata"), F.col("doc_id"),
+        F.size(tokens_col(text_col)).cast("long").alias("n_tokens"))
+    both = lens.unionByName(lens.withColumn("__strata", F.lit("__ALL__")))
+    rank_w = Window.partitionBy("__strata").orderBy("n_tokens", "doc_id")
+    n_w = Window.partitionBy("__strata")
+    ranked = both.select(
+        "__strata", "n_tokens",
+        F.row_number().over(rank_w).alias("__rn"),
+        F.count(F.lit(1)).over(n_w).alias("__n"))
+
+    def _target(p: int):
+        # 1-indexed discrete-quantile rank, exact integer arithmetic
+        return F.expr(f"({p} * (__n - 1)) DIV 100 + 1")
+
+    per = ranked.groupBy("__strata").agg(
+        F.max("__n").alias("n_docs"),
+        *[F.max(F.when(F.col("__rn") == _target(p), F.col("n_tokens")))
+          .alias(f"p{p}") for p in percents])
+
+    # --- self-check: mergeable-summary quantiles within GK tolerance
+    approx = both.groupBy("__strata").agg(
+        F.percentile_approx(
+            "n_tokens", F.array(*[F.lit(p / 100.0) for p in percents]),
+            F.lit(accuracy)).alias("__ap"),
+        F.count(F.lit(1)).alias("__n")).collect()
+    # one conditional aggregate computes every pair's rank window
+    aggs, meta = [], []
+    for i, r in enumerate(approx):
+        for j, p in enumerate(percents):
+            v = r["__ap"][j]
+            s = (F.col("__strata") == r["__strata"])
+            aggs.append(F.sum(F.when(
+                s & (F.col("n_tokens") < v), 1).otherwise(0))
+                .alias(f"lt_{i}_{j}"))
+            aggs.append(F.sum(F.when(
+                s & (F.col("n_tokens") <= v), 1).otherwise(0))
+                .alias(f"le_{i}_{j}"))
+            meta.append((i, j, r["__strata"], p, v, r["__n"]))
+    bounds = both.agg(*aggs).collect()[0]
+    for i, j, strata, p, v, n in meta:
+        lo, hi = bounds[f"lt_{i}_{j}"] + 1, bounds[f"le_{i}_{j}"]
+        target = p * (n - 1) // 100 + 1
+        eps_rank = n // accuracy + 1
+        if not (lo - eps_rank <= target <= hi + eps_rank):
+            raise AssertionError(
+                f"percentile_approx p{p} for {strata!r} returned {v} "
+                f"(rank window [{lo},{hi}]) outside GK tolerance "
+                f"±{eps_rank} of target rank {target} (n={n})")
+
+    return per.select(F.col("__strata").alias(strata_col), "n_docs",
+                      *[f"p{p}" for p in percents])
+
+
+def heavy_hitters(docs: DataFrame, strata_col: str = "source",
+                  text_col: str = "text", k: int = 5,
+                  eps: float = 0.001, confidence: float = 0.99,
+                  seed: int = 42) -> DataFrame:
+    """Per-stratum top-k tokens plus a corpus ``__ALL__`` top-k — the
+    boilerplate/contamination tripwire (a token whose corpus share
+    jumps is usually a template, a scraped nav bar, or an injection).
+
+    Exact path (the RETURNED rows, gate-safe): one explode ->
+    groupBy(strata, token) shuffle; per-stratum top-k is a rank
+    window over the already-aggregated counts; the corpus top-k is
+    rolled up FROM the per-stratum counts — no second scan of the
+    corpus, the same no-rescan contract the HLL rollup pins.
+
+    Sketch path (self-checking): per-stratum Count-Min sketches
+    (``count_min_sketch`` aggregate — map-side combinable, KB each)
+    are collected and merged driver-side (``mergeInPlace``) exactly
+    like the engine's bloom filters; for every reported token the CMS
+    estimate must satisfy ``exact <= est <= exact + ceil(eps * N)``
+    (the CMS deterministic lower bound and its confidence-bounded
+    upper bound) at both stratum and merged-corpus level, else this
+    raises. That certifies the pattern a 100 TB monitor runs: shards
+    publish KB sketches, the rollup merges summaries, never rows.
+
+    Returns (strata, token, freq, rank) with rank 1..k per stratum by
+    (freq desc, token asc) — all exact integers.
+    """
+    from deltalake_poc_spark.analytics.scratch import scratch_persist
+
+    toks = (
+        docs.select(F.col(strata_col).alias("__strata"),
+                    tokens_col(text_col).alias("__t"))
+        .select("__strata", F.explode_outer("__t").alias("token"))
+        .filter(F.col("token").isNotNull() & (F.col("token") != ""))
+    )
+    counts = scratch_persist(
+        "text.heavy_hitters.counts",
+        toks.groupBy("__strata", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq")))
+    rank_w = Window.partitionBy("__strata").orderBy(
+        F.desc("freq"), F.asc("token"))
+    per_top = (counts
+               .withColumn("rank", F.row_number().over(rank_w))
+               .filter(F.col("rank") <= k))
+    corpus = (counts.groupBy("token")
+              .agg(F.sum("freq").cast("long").alias("freq"))
+              .withColumn("__strata", F.lit("__ALL__")))
+    corpus_top = (corpus
+                  .withColumn("rank", F.row_number().over(rank_w))
+                  .filter(F.col("rank") <= k)
+                  .select("__strata", "token", "freq", "rank"))
+    result = per_top.select("__strata", "token", "freq", "rank") \
+        .unionByName(corpus_top)
+
+    # --- self-check: per-stratum CMS + driver-side merged rollup
+    spark = docs.sparkSession
+    sketches = (toks.groupBy("__strata")
+                .agg(F.count_min_sketch(
+                        "token", F.lit(eps), F.lit(confidence),
+                        F.lit(seed)).alias("__sk"),
+                     F.count(F.lit(1)).cast("long").alias("__n"))
+                ).collect()
+    jcms = spark._jvm.org.apache.spark.util.sketch.CountMinSketch
+    by_strata = {r["__strata"]: (jcms.readFrom(bytes(r["__sk"])),
+                                 r["__n"]) for r in sketches}
+    total_n = sum(n for _, n in by_strata.values())
+    # merge into a FRESH deserialization so the per-stratum sketches
+    # in by_strata stay pristine (mergeInPlace mutates the receiver)
+    merged = jcms.readFrom(bytes(sketches[0]["__sk"]))
+    for r in sketches[1:]:
+        merged.mergeInPlace(jcms.readFrom(bytes(r["__sk"])))
+    reported = result.collect()
+    import math
+    for row in reported:
+        strata, token, exact = row["__strata"], row["token"], row["freq"]
+        if strata == "__ALL__":
+            sk, n = merged, total_n
+        else:
+            sk, n = by_strata[strata]
+        est = sk.estimateCount(token)
+        if not (exact <= est <= exact + max(1, math.ceil(eps * n))):
+            raise AssertionError(
+                f"CMS estimate {est} for {token!r} in {strata!r} "
+                f"outside [{exact}, {exact} + ceil({eps}*{n})]")
+    return result.select(F.col("__strata").alias(strata_col),
+                         "token", "freq", "rank")

@@ -1290,3 +1290,77 @@ def test_native_uncompressed_codecs(spark):
         multimodal.MEDIA_SCHEMA)
     with _pytest.raises(Exception, match="NotImplementedError|PIL"):
         multimodal.decode_media(jpeg).collect()
+
+
+def test_length_quantiles_exact_ranks(spark):
+    """Discrete-quantile rank formula (p*(n-1)) DIV 100 + 1 against a
+    hand-computed distribution, per-stratum and __ALL__; the embedded
+    percentile_approx self-check certifies the mergeable GK path on
+    the same call. An absurd accuracy must raise."""
+    # s1 lengths ascending: 1,2,3,4,5 (5 docs) -> p50 = rank
+    # (50*4)//100+1 = 3 -> value 3; p99 = rank (99*4)//100+1 = 4 -> 4
+    rows = [(i, " ".join(["t"] * i), "s1") for i in range(1, 6)]
+    # s2: single doc of 7 tokens -> every quantile = 7
+    rows.append((10, " ".join(["u"] * 7), "s2"))
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r["source"]: r.asDict()
+           for r in text.length_quantiles(df).collect()}
+    assert got["s1"]["n_docs"] == 5
+    assert (got["s1"]["p25"], got["s1"]["p50"],
+            got["s1"]["p90"], got["s1"]["p99"]) == (2, 3, 4, 4)
+    assert got["s2"]["n_docs"] == 1
+    assert got["s2"]["p50"] == 7
+    # __ALL__ ascending: 1,2,3,4,5,7 (6 docs) -> p50 rank 3 -> 3
+    assert got["__ALL__"]["n_docs"] == 6
+    assert got["__ALL__"]["p50"] == 3
+    assert got["__ALL__"]["p99"] == 5   # rank (99*5)//100+1 = 5 -> value 5
+    # the GK self-check ran above at accuracy=200 (eps_rank 1 on this
+    # tiny n — the tightest possible window); accuracy=1 must also
+    # pass (tolerance widens with eps, never narrows)
+    text.length_quantiles(df, accuracy=1)
+
+
+def test_length_quantiles_all_row_is_rollup(spark):
+    """__ALL__ p99: ascending corpus lengths 1..5,7; rank
+    (99*(6-1))//100 + 1 = 5 -> value 5 (not 7: discrete lower
+    quantile)."""
+    rows = [(i, " ".join(["t"] * i), "s1") for i in range(1, 6)]
+    rows.append((10, " ".join(["u"] * 7), "s2"))
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    all_row = {r["source"]: r.asDict()
+               for r in text.length_quantiles(df).collect()}["__ALL__"]
+    assert all_row["p99"] == 5
+
+
+def test_heavy_hitters_exact_and_rollup(spark):
+    """Per-stratum top-k by (freq desc, token asc), corpus row
+    aggregates across strata, CMS self-check passes on real data."""
+    rows = [(1, "a a a b b c", "s1"), (2, "b b b b z", "s1"),
+            (3, "a a c c c c", "s2")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = text.heavy_hitters(df, k=2).collect()
+    by = {(r["source"], r["rank"]): (r["token"], r["freq"]) for r in got}
+    assert by[("s1", 1)] == ("b", 6)
+    assert by[("s1", 2)] == ("a", 3)
+    assert by[("s2", 1)] == ("c", 4)
+    assert by[("s2", 2)] == ("a", 2)
+    # corpus rollup: b=6, a=5, c=5, z=1 -> top2 = b, then a (tie a/c
+    # broken by token asc)
+    assert by[("__ALL__", 1)] == ("b", 6)
+    assert by[("__ALL__", 2)] == ("a", 5)
+
+
+def test_heavy_hitters_cms_bounds_hold_under_collisions(spark):
+    """The embedded self-check asserts the CMS contract
+    (exact <= est <= exact + ceil(eps*N)) for every reported token.
+    Pin it at both extremes: eps=0.9 gives a width-4 sketch where
+    every token collides — estimates inflate but must stay inside
+    the documented slack; eps=1e-4 gives a wide sketch where
+    estimates are exact and the slack is 1. Either regime raising
+    would mean the cross-language byte path (UTF8String agg-side vs
+    java.lang.String estimate-side) diverged."""
+    rows = [(i, " ".join(f"tok{j}" for j in range(30)), "s1")
+            for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    text.heavy_hitters(df, k=3, eps=0.9)
+    text.heavy_hitters(df, k=3, eps=0.0001)

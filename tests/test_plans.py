@@ -366,3 +366,32 @@ def test_new_r4_ops_stay_jvm_and_shuffle_lean(spark):
             assert n <= max_exchanges, f"{q}: {n} shuffles\n{plan[:800]}"
     batch = plan_of(spark, "pq_batch_topk")
     assert "BroadcastNestedLoopJoin" in batch or "BroadcastHashJoin" in batch
+
+
+def test_new_r6_ops_stay_jvm_and_shuffle_lean(spark):
+    """Round-6 operators. heavy_hitters: the exact path is ONE
+    explode -> (strata, token) aggregate (map-side combinable); the
+    __ALL__ rollup and both rank windows hang off the scratch-persisted
+    counts, never a second corpus scan — pinned as: exactly one
+    'Scan parquet' source in the whole plan (tree node + details = 2
+    occurrences) and no Python eval. length_quantiles' certification
+    path is the documented per-stratum sort (window rank) — pin that
+    it stays JVM-side and cartesian-free; its scale path
+    (percentile_approx partial agg) is self-checked inside the query
+    itself."""
+    for q in ("length_quantiles", "heavy_hitters"):
+        plan = plan_of(spark, q)
+        assert "EvalPython" not in plan, q
+        assert "CartesianProduct" not in plan, q
+    plan = plan_of(spark, "heavy_hitters")
+    # one corpus scan: every 'Scan parquet (id)' occurrence in the
+    # plan (both union branches + cached-relation reprints) is the
+    # SAME node — the rollup never re-reads the corpus
+    scan_ids = set(re.findall(r"Scan parquet\s+\((\d+)\)", plan))
+    assert len(scan_ids) == 1, f"scan ids {scan_ids}\n{plan[:1200]}"
+    # per-stratum top-k runs as a group-limit (rank filter pushed
+    # below the exchange: partial top-k per map task, k rows per
+    # stratum shuffle — not a full per-stratum sort of all tokens)
+    assert "WindowGroupLimit" in plan, plan[:1200]
+    from deltalake_poc_spark.analytics.scratch import release_scratch
+    release_scratch()
