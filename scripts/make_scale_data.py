@@ -83,7 +83,13 @@ def main() -> None:
         # R-way row explosion with no shuffle of the base table
         return load_table(spark, SRC, name).crossJoin(F.broadcast(reps))
 
+    # file counts scale with the replica factor (targeting ~100-200 MB
+    # per file at any REPLICAS) so the write shuffle stays wide and
+    # reads get enough splits without relying on row-group splitting
+    filemult = max(1, min(16, REPLICAS // 10))
+
     def write(df, name, files):
+        files = min(256, files * filemult)
         path = os.path.join(OUT, f"{name}.parquet")
         shutil.rmtree(path, ignore_errors=True)
         (df.repartition(files).write.mode("overwrite").parquet(path))
