@@ -80,8 +80,13 @@ def main() -> None:
 
     def fan(name):
         # replicate via a broadcast cross join against the replica ids:
-        # R-way row explosion with no shuffle of the base table
-        return load_table(spark, SRC, name).crossJoin(F.broadcast(reps))
+        # R-way row explosion. The base tables are single parquet files,
+        # so without a repartition the whole explosion (and any per-row
+        # transform above it) runs in ONE task — spread the tiny base
+        # across the cores first so the fan-out parallelizes.
+        return (load_table(spark, SRC, name)
+                .repartition(int(cpus))
+                .crossJoin(F.broadcast(reps)))
 
     # file counts scale with the replica factor (targeting ~100-200 MB
     # per file at any REPLICAS) so the write shuffle stays wide and

@@ -52,9 +52,14 @@ def main() -> None:
 
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     os.environ.setdefault("SPARK_DRIVER_MEMORY", "24g")
+    # at the 1000x tier a 32-partition shuffle holds ~100M gram rows
+    # per partition; widen so per-task spill stays bounded (AQE
+    # coalesces the small stages back down, so the extra partitions
+    # cost nothing at the sf0.1 side)
+    shuffle = int(os.environ.get("SPARK_GRAFT_SCALE_SHUFFLE", cpus))
     spark = get_spark(EngineConfig(
         app_name="scale_run", master=f"local[{cpus}]",
-        shuffle_partitions=int(cpus)))
+        shuffle_partitions=shuffle))
 
     import __spark_entry__ as entrymod
 
