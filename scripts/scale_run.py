@@ -57,9 +57,15 @@ def main() -> None:
     # coalesces the small stages back down, so the extra partitions
     # cost nothing at the sf0.1 side)
     shuffle = int(os.environ.get("SPARK_GRAFT_SCALE_SHUFFLE", cpus))
+    # zstd shuffle/spill compression: the 1000x tier's shuffles (600M-row
+    # fact joins, 3B-token gram explosions) are disk-bound on this VM —
+    # zstd roughly halves spill bytes vs lz4 for these token-heavy rows,
+    # which is the difference between fitting the scratch disk and ENOSPC.
     spark = get_spark(EngineConfig(
         app_name="scale_run", master=f"local[{cpus}]",
-        shuffle_partitions=shuffle))
+        shuffle_partitions=shuffle,
+        extra_conf={"spark.io.compression.codec":
+                    os.environ.get("SPARK_GRAFT_SCALE_CODEC", "zstd")}))
 
     import __spark_entry__ as entrymod
 
@@ -77,23 +83,14 @@ def main() -> None:
         entry: dict[str, dict] = {}
         small_label = os.path.basename(os.path.normpath(SF_SMALL))
         big_label = os.path.basename(os.path.normpath(SF_BIG))
-        for label, sf_dir in ((small_label, SF_SMALL), (big_label, SF_BIG)):
-            times, rows = [], None
-            for rep in range(REPS):
-                s0 = _steal()
-                t0 = time.time()
-                df = fn(spark, sf_dir)
-                df.write.format("noop").mode("overwrite").save()
-                dt = time.time() - t0
-                times.append(round(dt, 3))
-                if rows is None:
-                    rows = df.count()
-                print(json.dumps({"q": name, "sf": label, "rep": rep,
-                                  "sec": round(dt, 3),
-                                  "steal_jiffies": _steal() - s0}),
-                      flush=True)
-            entry[label] = {"times": times, "min": min(times),
-                            "rows": rows}
+        try:
+            _run_one(spark, fn, entry, small_label, big_label)
+        except Exception as exc:  # e.g. scratch-disk ENOSPC at a tier
+            entry["error"] = f"{type(exc).__name__}: {exc}"[:500]
+            results[name] = entry
+            print(json.dumps({"q": name, "error": entry["error"][:200]}),
+                  flush=True)
+            continue
         ratio = entry[big_label]["min"] / max(entry[small_label]["min"],
                                               1e-9)
         row_ratio = (entry[big_label]["rows"] /
@@ -109,6 +106,27 @@ def main() -> None:
     with open(OUT_JSON, "w") as fh:
         json.dump(out, fh, indent=1)
     print(f"WROTE {OUT_JSON}", flush=True)
+
+
+def _run_one(spark, fn, entry, small_label, big_label) -> None:
+    name = fn.__name__.lstrip("_")
+    for label, sf_dir in ((small_label, SF_SMALL), (big_label, SF_BIG)):
+        times, rows = [], None
+        for rep in range(REPS):
+            s0 = _steal()
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+            times.append(round(dt, 3))
+            if rows is None:
+                rows = df.count()
+            print(json.dumps({"q": name, "sf": label, "rep": rep,
+                              "sec": round(dt, 3),
+                              "steal_jiffies": _steal() - s0}),
+                  flush=True)
+        entry[label] = {"times": times, "min": min(times),
+                        "rows": rows}
 
 
 if __name__ == "__main__":
