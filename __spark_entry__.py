@@ -836,6 +836,31 @@ def _dedup_group_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_groups(docs, ngram_jaccard_pairs(docs, threshold=0.15))
 
 
+def _dedup_groups_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DISTRIBUTED connected-components regime, oracle-gated.
+
+    ``connected_components`` picks between driver union-find (small
+    pair sets) and iterative min-label propagation (join + min-agg per
+    round, O(component diameter) rounds) by edge count; at the gate's
+    corpus size every query lands in the driver regime, so without
+    this entry the regime a 100 TB corpus's pair set actually uses
+    (the 1000x derivative's 2.6M edges cross the 1M threshold —
+    SCALE.md) would only ever be exercised by local tests. Forcing
+    ``driver_threshold=0`` runs the propagation loop here, and the
+    oracle — the SAME transitive-closure recursive CTE as
+    dedup_group_assign — pins that both regimes produce the identical
+    assignment. Reference parity: duplicate-group closure semantics
+    per SURVEY §2 dedup suite (no reference counterpart; Spark-native
+    design)."""
+    from deltalake_poc_spark.pipeline.dedup import (
+        dedup_groups, ngram_jaccard_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_groups(docs, ngram_jaccard_pairs(docs, threshold=0.15),
+                        driver_threshold=0)
+
+
 def _minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH candidates, verified with exact Jaccard >= 0.3.
 
@@ -1661,8 +1686,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     entries in dict insertion order. Freshness rule: a query checked
     at round N must be re-checked by round N+3 (window capacity 50 x
     3 rounds = 150 >= the 102 registered queries, so the rule stays
-    satisfiable). Round-6 window: (a) the 2 NEW queries
-    (length_quantiles, heavy_hitters — never driver-checked), (b) the
+    satisfiable). Round-6 window: (a) the 3 NEW queries
+    (length_quantiles, heavy_hitters, dedup_groups_distributed —
+    never driver-checked), (b) the
     7 queries whose newest driver row is r3 — asof_join, range_join,
     event_windows, user_sessions, doc_fingerprint, text_quality,
     lang_id — at the rotation limit and due now, (c) the 3 queries
@@ -1671,14 +1697,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     replication-slot try/finally + stale-slot sweep;
     canonical_selection: LEFT-join quality so unscored documents keep
     their row; funnel_steps: whale-safe running-min window
-    formulation replacing the per-user collect_list), and (d) 38 of
-    the 43 r4-green queries. The 5 r4-green deferrals — corpus_sample,
-    bpe_token_stats, pack_sequences, winnow_dedup, dv_pipeline, all
-    code-untouched since r4 and re-oracle-checked locally every
-    session by tests/test_entry_oracle.py — MUST head the r7 window;
-    r7 = those 5 + 45 of the 47 r5-green; the remaining 2 r5-green
-    (q3_shipping_priority, q5_local_supplier — the dict's tail
-    marker) land in r8, exactly at the limit. Every registered query,
+    formulation replacing the per-user collect_list), and (d) 37 of
+    the 43 r4-green queries. The 6 r4-green deferrals — corpus_sample,
+    bpe_token_stats, pack_sequences, winnow_dedup, dv_pipeline,
+    decontaminate — all code-untouched since r4 and re-oracle-checked
+    locally every session by tests/test_entry_oracle.py — MUST head
+    the r7 window (r4 -> r7 is exactly the freshness limit);
+    r7 = those 6 + 44 of the 47 r5-green; the remaining 3 r5-green
+    (q6_forecast_revenue, q3_shipping_priority, q5_local_supplier —
+    the dict's tail) land in r8, exactly at the limit. Every
+    registered query,
     in or out of the window, is oracle-checked by
     tests/test_entry_oracle.py and timed+oracled by bench.py.
     """
@@ -1686,6 +1714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new this round (never driver-checked -> window head)
         "length_quantiles": _length_quantiles,               # mergeable quantile profile
         "heavy_hitters": _heavy_hitters,                     # count-min top-k rollup
+        "dedup_groups_distributed": _dedup_groups_distributed,  # distributed CC regime
         # --- due now: newest driver row r3 (rotation limit)
         "lang_id": _lang_id,                                 # language ID
         "text_quality": _text_quality,                       # quality scoring
@@ -1792,9 +1821,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "price_ranks": _price_ranks,                         # rank/ntile windows
         "version_diff_keys": _version_diff_keys,             # U3 P6
         "q1_pricing_summary": _q1_pricing_summary,           # wide-scan computed agg
-        "q6_forecast_revenue": _q6_forecast_revenue,         # selective scan-agg
-        # --- r8 section: the 2 r5-green queries r7's window can't fit
+        # --- r8 section: the 3 r5-green queries r7's window can't fit
         # (r5 -> r8 = the freshness limit; MUST be in r8's window)
+        "q6_forecast_revenue": _q6_forecast_revenue,         # selective scan-agg
         "q3_shipping_priority": _q3_shipping_priority,       # 3-way join top-k
         "q5_local_supplier": _q5_local_supplier_volume,      # 5-way join bcast dims
     }
@@ -2173,6 +2202,48 @@ def _pq_batch_oracle() -> str:
                 PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) AS rk
             FROM resc) WHERE rk <= 5
     """
+
+
+# Transitive-closure connected-components oracle, shared by BOTH
+# regimes of the engine's connected_components (driver union-find in
+# dedup_group_assign, forced min-label propagation in
+# dedup_groups_distributed): the assignment is regime-independent by
+# contract, so both gate queries must hash-match this one SQL.
+_CC_ORACLE_SQL = """
+    WITH RECURSIVE toks AS (
+        SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents
+    ), grams AS (
+        SELECT doc_id,
+               list_distinct([t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+                              FOR i IN range(len(t) - 2)]) AS gs
+        FROM toks WHERE len(t) >= 3
+    ), posting AS (
+        SELECT doc_id, len(gs) AS n_grams, unnest(gs) AS gram FROM grams
+    ), pr AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.n_grams AS na, b.n_grams AS nb, COUNT(*) AS shared
+        FROM posting a JOIN posting b
+          ON a.gram = b.gram AND a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4
+        HAVING ROUND(COUNT(*) / (a.n_grams + b.n_grams - COUNT(*)), 4) >= 0.15
+    ), edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pr
+        UNION
+        SELECT doc_b, doc_a FROM pr
+    ), reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        WHERE e.b <> r.a
+    ), comp AS (
+        SELECT a AS doc_id, least(a, MIN(b)) AS group_id
+        FROM reach GROUP BY a
+    )
+    SELECT d.doc_id,
+           COALESCE(c.group_id, d.doc_id) AS keep_doc_id,
+           d.doc_id = COALESCE(c.group_id, d.doc_id) AS is_kept
+    FROM documents d LEFT JOIN comp c USING (doc_id)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3184,41 +3255,8 @@ def oracle_sql() -> dict[str, str]:
             WHERE l_shipdate >= TIMESTAMP '2001-01-01'
         """,
         "simhash_dedup": _simhash_oracle_sql(max_hamming=3),
-        "dedup_group_assign": """
-            WITH RECURSIVE toks AS (
-                SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents
-            ), grams AS (
-                SELECT doc_id,
-                       list_distinct([t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
-                                      FOR i IN range(len(t) - 2)]) AS gs
-                FROM toks WHERE len(t) >= 3
-            ), posting AS (
-                SELECT doc_id, len(gs) AS n_grams, unnest(gs) AS gram FROM grams
-            ), pr AS (
-                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                       a.n_grams AS na, b.n_grams AS nb, COUNT(*) AS shared
-                FROM posting a JOIN posting b
-                  ON a.gram = b.gram AND a.doc_id < b.doc_id
-                GROUP BY 1, 2, 3, 4
-                HAVING ROUND(COUNT(*) / (a.n_grams + b.n_grams - COUNT(*)), 4) >= 0.15
-            ), edges AS (
-                SELECT doc_a AS a, doc_b AS b FROM pr
-                UNION
-                SELECT doc_b, doc_a FROM pr
-            ), reach(a, b) AS (
-                SELECT a, b FROM edges
-                UNION
-                SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
-                WHERE e.b <> r.a
-            ), comp AS (
-                SELECT a AS doc_id, least(a, MIN(b)) AS group_id
-                FROM reach GROUP BY a
-            )
-            SELECT d.doc_id,
-                   COALESCE(c.group_id, d.doc_id) AS keep_doc_id,
-                   d.doc_id = COALESCE(c.group_id, d.doc_id) AS is_kept
-            FROM documents d LEFT JOIN comp c USING (doc_id)
-        """,
+        "dedup_group_assign": _CC_ORACLE_SQL,
+        "dedup_groups_distributed": _CC_ORACLE_SQL,
         "quality_classifier": """
             WITH f AS (
                 SELECT doc_id,

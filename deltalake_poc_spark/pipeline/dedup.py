@@ -642,10 +642,17 @@ def connected_components(pairs: DataFrame, max_iterations: int = 20,
         edges.unpersist()
 
 
-def dedup_groups(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+def dedup_groups(docs: DataFrame, pairs: DataFrame,
+                 driver_threshold: int = 1_000_000) -> DataFrame:
     """Final dedup decision from near-dup pairs: every doc mapped to
-    its group keeper; docs in no pair keep themselves."""
-    comp = connected_components(pairs)
+    its group keeper; docs in no pair keep themselves.
+
+    ``driver_threshold`` passes through to
+    :func:`connected_components`; 0 forces the distributed min-label
+    regime regardless of edge count (the regime a 100 TB corpus's
+    pair set lands in), which must produce the identical assignment.
+    """
+    comp = connected_components(pairs, driver_threshold=driver_threshold)
     return (
         docs.select("doc_id")
         .join(comp, "doc_id", "left")
