@@ -526,17 +526,37 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
         ])).alias("chunk_idx", "chunk"),
     )
     a, b = chunks.alias("a"), chunks.alias("b")
-    cands = (
+    # Verify-then-dedup, never dedup-then-verify: blocking candidates
+    # crowd quadratically with corpus size (at 5M docs the 16-bit
+    # buckets average ~76 members -> ~760M candidate rows), so the
+    # hamming verdict must be computed WHERE the join emits rows —
+    # inside the join stage, before any further exchange. Only the
+    # passing pairs (linear-ish) reach the dropDuplicates shuffle; a
+    # dedup of the raw candidates is the same rows shuffled twice and
+    # ENOSPC'd the 1000x derivative run (SCALE.md).
+    #
+    # The coalesce is load-bearing, not defensive: a bare
+    # ``a.simhash ^ b.simhash`` in the (pushed-into-join) filter is
+    # null-INtolerant, so Catalyst infers IsNotNull(simhash) and
+    # pushes that constraint below the Project into both scans —
+    # where ``simhash`` is still the full tokenize/hash/majority
+    # expression, now evaluated a SECOND time per row as a filter
+    # (measured 8x wall on sf0.1). coalesce is null-tolerant, so no
+    # constraint is inferred and the signature is computed once.
+    # Semantics are unchanged: a null signature (null text) explodes
+    # to null chunks, and null equi-join keys never match, so no
+    # null-sig row reaches this condition anyway.
+    ham = F.bit_count(F.coalesce(F.col("a.simhash"), F.lit(0)).bitwiseXOR(
+        F.coalesce(F.col("b.simhash"), F.lit(0))))
+    return (
         a.join(b, (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
                & (F.col("a.chunk") == F.col("b.chunk"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
-                F.col("a.simhash").alias("sa"), F.col("b.simhash").alias("sb"))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"), ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
-    return (cands.select("doc_a", "doc_b", ham.alias("hamming"))
-            .filter(F.col("hamming") <= max_hamming))
 
 
 # -------------------------------------------------- duplicate-group closure
