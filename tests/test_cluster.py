@@ -1,0 +1,111 @@
+"""Distributed k-means + SemDeDup semantic dedup
+(deltalake_poc_spark/pipeline/cluster.py).
+
+The gate queries (kmeans_clusters, semantic_dedup) hash-match a
+DuckDB oracle that re-runs both Lloyd rounds; these tests pin the
+properties the oracle cannot see: partition invariance, the
+empty-cluster rule, the argmin tie rule, and the plan shape of the
+within-cluster pair join."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from deltalake_poc_spark.pipeline import cluster as C
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def test_kmeans_fit_partition_invariant(spark, emb):
+    """Exact int64 centroid sums are associative: any partitioning of
+    the input produces bit-identical centroids."""
+    a = C.kmeans_fit(emb, k=4, iters=2)
+    b = C.kmeans_fit(emb.repartition(7), k=4, iters=2)
+    c = C.kmeans_fit(emb.coalesce(1), k=4, iters=2)
+    assert a == b == c
+
+
+def test_kmeans_empty_cluster_keeps_previous_centroid(spark):
+    """A centroid that loses every member survives unchanged (the
+    oracle mirrors this with LEFT JOIN + COALESCE)."""
+    rows = [(0, [0.0, 0.0]), (1, [0.001, 0.0]), (2, [10.0, 10.0])]
+    rows += [(i, [10.0, 10.0]) for i in range(3, 20)]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    cents = C.kmeans_fit(df, k=3, iters=1)
+    # init c1 = vec 1's quantized vector with n=1; vec 1 itself sits
+    # nearer c0=[0,0]... no: vec 1 is nearest its own centroid. Build
+    # the empty case explicitly instead: after one round every point
+    # at [10,10] goes to c2 and vecs 0,1 keep c0/c1 — so make vec 1
+    # EQUAL to vec 0 and check the tie rule empties c1.
+    rows2 = [(0, [0.0, 0.0]), (1, [0.0, 0.0]), (2, [10.0, 10.0])]
+    rows2 += [(i, [10.0, 10.0]) for i in range(3, 20)]
+    df2 = spark.createDataFrame(rows2,
+                                "vec_id: long, embedding: array<float>")
+    cents2 = C.kmeans_fit(df2, k=3, iters=1)
+    # both zero-vectors tie between identical centroids c0/c1 ->
+    # first-min sends them to c0; c1 keeps its initial (vec 1, n=1)
+    assert cents2[1] == ([0, 0], 1)
+    assert cents2[0] == ([0, 0], 2)
+    # and the non-degenerate frame distributes every member somewhere
+    assert sum(n for _, n in cents) == 20
+
+
+def test_assign_tie_rule_lowest_cluster(spark):
+    """Equal distances resolve to the lowest cluster id (the oracle's
+    ROW_NUMBER ORDER BY d, cid)."""
+    df = spark.createDataFrame([(7, [1.0, 1.0])],
+                               "vec_id: long, embedding: array<float>")
+    q = df.select(C.quantize_expr("embedding").alias("__q"))
+    same = ([C.QUANT_SCALE, C.QUANT_SCALE], 1)
+    got = q.select(C.assign_expr(F.col("__q"), [same, same, same])
+                   .alias("cl")).collect()[0]["cl"]
+    assert got == 0
+
+
+def test_semantic_dedup_contract(spark, emb):
+    out = C.semantic_dedup(emb, k=8, iters=2, threshold=0.4)
+    rows = out.collect()
+    n = emb.count()
+    assert len(rows) == n                          # one row per vector
+    assert len({r["vec_id"] for r in rows}) == n
+    by_id = {r["vec_id"]: r for r in rows}
+    for r in rows:
+        assert r["is_kept"] == (r["vec_id"] == r["keep_vec_id"])
+        keeper = by_id[r["keep_vec_id"]]
+        assert keeper["is_kept"]                   # keeper keeps itself
+        assert keeper["keep_vec_id"] == r["keep_vec_id"]
+        assert r["keep_vec_id"] <= r["vec_id"]     # min-id keeper
+        # a keeper outside your cluster is impossible: pairs are
+        # within-cluster only, so components stay within-cluster
+        assert keeper["cluster"] == r["cluster"]
+
+
+def test_semantic_pairs_plan_shape(spark, emb):
+    """The pair join must broadcast-or-shuffle on the cluster key with
+    the cosine verdict evaluated on join output — never as an
+    IsNotNull constraint pushed into the scans re-evaluating the
+    quantize/fold expressions per row (the simhash lesson, SCALE.md),
+    and never a cartesian."""
+    cents = C.kmeans_fit(emb, k=8, iters=2)
+    p = C.semantic_neardup_pairs(emb, cents, threshold=0.4)
+    plan = p._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "isnotnull(transform" not in plan
+    assert "isnotnull(aggregate" not in plan
+
+
+def test_quantize_matches_money_convention(spark):
+    """floor(x*2^20 + 0.5), not round(): .5 cases land deterministically
+    upward in every engine."""
+    df = spark.createDataFrame(
+        [(0, [0.5 / C.QUANT_SCALE, -0.5 / C.QUANT_SCALE, 1.0])],
+        "vec_id: long, embedding: array<float>")
+    got = df.select(C.quantize_expr("embedding").alias("q")
+                    ).collect()[0]["q"]
+    assert got == [1, 0, C.QUANT_SCALE]
