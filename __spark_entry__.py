@@ -1379,6 +1379,31 @@ _KMEANS_K = 8
 _KMEANS_ITERS = 2
 _SEMDEDUP_TAU = 0.4
 
+_N_SHARDS = 16
+
+
+def _shard_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle for training export: every
+    document's (shard, position) derives from salted quadratic-Lehmer
+    hashes of doc_id — reproducible across runs, partitionings, and
+    engines; the oracle recomputes the ENTIRE layout with ROW_NUMBER
+    over the same integer mixes."""
+    from deltalake_poc_spark.pipeline.shard import shard_plan
+
+    return shard_plan(load_table(spark, sf_dir, "documents"),
+                      n_shards=_N_SHARDS,
+                      payload_cols=("source", "n_chars"))
+
+
+def _shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard export manifest: row count, exact int64 order-hash
+    checksum (layout verification without payload reads), token-proxy
+    totals for balance monitoring."""
+    from deltalake_poc_spark.pipeline.shard import shard_manifest
+
+    return shard_manifest(load_table(spark, sf_dir, "documents"),
+                          n_shards=_N_SHARDS, token_col="n_chars")
+
 
 def _kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Lloyd k-means, hash-matched as an ITERATIVE
@@ -1752,6 +1777,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new this round (never driver-checked -> window head)
         "kmeans_clusters": _kmeans_clusters,                 # iterative Lloyd k-means
         "semantic_dedup": _semantic_dedup,                   # SemDeDup over clusters
+        "shard_layout": _shard_layout,                       # deterministic global shuffle
+        "shard_manifest": _shard_manifest,                   # export manifest rollup
         "length_quantiles": _length_quantiles,               # mergeable quantile profile
         "heavy_hitters": _heavy_hitters,                     # count-min top-k rollup
         "dedup_groups_distributed": _dedup_groups_distributed,  # distributed CC regime
@@ -2249,6 +2276,53 @@ def _pq_batch_oracle() -> str:
 # dedup_group_assign, forced min-label propagation in
 # dedup_groups_distributed): the assignment is regime-independent by
 # contract, so both gate queries must hash-match this one SQL.
+def _shard_hash_cte() -> str:
+    """Both salted quadratic-Lehmer mixes of doc_id in plain SQL
+    (bucket -> shard choice, ord -> within-shard order); mirrors
+    pipeline/sample.py:key_bucket exactly."""
+    M = 2**31 - 1
+    return f"""sh0 AS (
+            SELECT doc_id, source, n_chars,
+                   doc_id % {M} AS h0,
+                   (doc_id + 1000003) % {M} AS g0
+            FROM documents
+        ), sh1 AS (
+            SELECT *, (h0*h0 + 48271*h0 + 11) % {M} AS h1,
+                      (g0*g0 + 48271*g0 + 11) % {M} AS g1
+            FROM sh0
+        ), sh AS (
+            SELECT doc_id, source, n_chars,
+                   CAST(((h1*h1 + 48271*h1 + 17) % {M}) % {_N_SHARDS}
+                        AS INTEGER) AS shard,
+                   (g1*g1 + 48271*g1 + 17) % {M} AS ord
+            FROM sh1
+        )"""
+
+
+def _shard_layout_oracle() -> str:
+    return f"""
+        WITH {_shard_hash_cte()}
+        SELECT doc_id, source, n_chars, shard,
+               CAST(ROW_NUMBER() OVER (PARTITION BY shard
+                                       ORDER BY ord ASC, doc_id ASC) - 1
+                    AS BIGINT) AS pos
+        FROM sh
+    """
+
+
+def _shard_manifest_oracle() -> str:
+    return f"""
+        WITH {_shard_hash_cte()}
+        SELECT shard,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(ord) AS BIGINT) AS order_checksum,
+               CAST(SUM(n_chars) AS BIGINT) AS n_tokens
+        FROM sh
+        GROUP BY shard
+        ORDER BY shard
+    """
+
+
 def _kmeans_cte_prefix() -> str:
     """Chained-CTE recompute of the deterministic Lloyd k-means in
     pipeline/cluster.py: quantize -> init from the k lowest vec_ids ->
@@ -2428,6 +2502,8 @@ def oracle_sql() -> dict[str, str]:
         "ivf_topk": _ivf_oracle(),
         "kmeans_clusters": _kmeans_clusters_oracle(),
         "semantic_dedup": _semantic_dedup_oracle(),
+        "shard_layout": _shard_layout_oracle(),
+        "shard_manifest": _shard_manifest_oracle(),
         "pq_topk": _pq_oracle(),
         "pq_stream_ingest": _pq_encode_oracle(),
         "pq_batch_topk": _pq_batch_oracle(),
