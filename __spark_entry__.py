@@ -1434,6 +1434,32 @@ def _semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                           threshold=_SEMDEDUP_TAU)
 
 
+def _pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA by power iteration, hash-matched end-to-end:
+    one exploded-moment pass builds exact int64 Σqqᵀ/Σq, the centered
+    eigen-solve runs in exact big-integer arithmetic (max-norm
+    rescaling, integer rounding — zero floats), and every vector's
+    projection onto the top component is an exact int64. The oracle
+    replays the full chain in HUGEINT CTEs — moments, all twelve
+    matvec rounds, projection."""
+    from deltalake_poc_spark.pipeline.pca import pca_project
+
+    return pca_project(load_table(spark, sf_dir, "embeddings"), iters=12)
+
+
+def _hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining over the k-means clusters:
+    per anchor, the most-similar non-near-duplicate in its cluster —
+    one map-side-combinable max_by over the within-cluster pairs. The
+    oracle replays the clustering and picks the same negatives with a
+    ROW_NUMBER window (ties: lowest candidate id)."""
+    from deltalake_poc_spark.pipeline.cluster import hard_negatives
+
+    return hard_negatives(load_table(spark, sf_dir, "embeddings"),
+                          k=_KMEANS_K, iters=_KMEANS_ITERS,
+                          dup_threshold=0.99)
+
+
 def _embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from deltalake_poc_spark.pipeline.similarity import cosine_topk
 
@@ -1747,9 +1773,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     entries in dict insertion order. Freshness rule: a query checked
     at round N must be re-checked by round N+3 (window capacity 50 x
     3 rounds = 150 >= the 102 registered queries, so the rule stays
-    satisfiable at 105 registered). Round-6 window: (a) the 5 NEW
-    queries (kmeans_clusters, semantic_dedup, length_quantiles,
-    heavy_hitters, dedup_groups_distributed — never driver-checked),
+    satisfiable at 109 registered). Round-6 window: (a) the 9 NEW
+    queries, never driver-checked (kmeans_clusters, semantic_dedup,
+    shard_layout, shard_manifest, hard_negatives, pca_project,
+    length_quantiles, heavy_hitters, dedup_groups_distributed),
     (b) the 7 queries whose newest driver row is r3 — asof_join,
     range_join, event_windows, user_sessions, doc_fingerprint,
     text_quality, lang_id — at the rotation limit and due now, (c)
@@ -1758,20 +1785,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     replication-slot try/finally + stale-slot sweep;
     canonical_selection: LEFT-join quality so unscored documents keep
     their row; funnel_steps: whale-safe running-min window
-    formulation replacing the per-user collect_list), and (d) 35 of
-    the 43 r4-green queries. The 8 r4-green deferrals —
+    formulation replacing the per-user collect_list), and (d) 31 of
+    the 43 r4-green queries. The 12 r4-green deferrals —
     corpus_sample, bpe_token_stats, pack_sequences, winnow_dedup,
     dv_pipeline, decontaminate, quality_classifier,
-    repetition_signals — all code-untouched since r4 and
+    repetition_signals, corpus_pipeline, multimodal_decode,
+    embedding_neardup, pq_topk — all code-untouched since r4 and
     re-oracle-checked locally every session by
     tests/test_entry_oracle.py — MUST head the r7 window (r4 -> r7 is
-    exactly the freshness limit); r7 = those 8 + 42 of the 47
-    r5-green; the remaining 5 r5-green (version_diff_keys,
-    q1_pricing_summary, q6_forecast_revenue, q3_shipping_priority,
-    q5_local_supplier — the dict's tail) land in r8, exactly at the
-    limit. Every registered query, in or out of the window, is
-    oracle-checked by tests/test_entry_oracle.py and timed+oracled by
-    bench.py.
+    exactly the freshness limit); r7 = those 12 + 38 of the 47
+    r5-green; the remaining 9 r5-green (the dict's tail, ending
+    q5_local_supplier) land in r8, exactly at the limit. Every
+    registered query, in or out of the window, is oracle-checked by
+    tests/test_entry_oracle.py and timed+oracled by bench.py.
     """
     return {
         # --- new this round (never driver-checked -> window head)
@@ -1779,6 +1805,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": _semantic_dedup,                   # SemDeDup over clusters
         "shard_layout": _shard_layout,                       # deterministic global shuffle
         "shard_manifest": _shard_manifest,                   # export manifest rollup
+        "hard_negatives": _hard_negatives,                   # contrastive mining
+        "pca_project": _pca_project,                         # exact power-iteration PCA
         "length_quantiles": _length_quantiles,               # mergeable quantile profile
         "heavy_hitters": _heavy_hitters,                     # count-min top-k rollup
         "dedup_groups_distributed": _dedup_groups_distributed,  # distributed CC regime
@@ -2276,6 +2304,99 @@ def _pq_batch_oracle() -> str:
 # dedup_group_assign, forced min-label propagation in
 # dedup_groups_distributed): the assignment is regime-independent by
 # contract, so both gate queries must hash-match this one SQL.
+def _pca_oracle() -> str:
+    """HUGEINT replay of pipeline/pca.py: quantize, exact moments via
+    a dim² generate_series cross, C = n·M − S·Sᵀ, six exact-integer
+    power-iteration rounds (max-norm, sign·((2|w|·2^20 + m) // 2m)),
+    exact projection. `//` runs on non-negative operands only, where
+    truncation IS floor in every engine."""
+    dim, Q = _EMB_DIM, 1 << 20
+    scale = float(Q)
+    iters = 12
+    parts = [f"""pq AS MATERIALIZED (
+            SELECT vec_id,
+                   list_transform(embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE) * {scale!r} + 0.5)
+                                 AS BIGINT)) AS e
+            FROM embeddings
+        ), cnt AS MATERIALIZED (
+            SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM pq
+        ), mom AS MATERIALIZED (
+            SELECT i.i AS i, j.j AS j,
+                   CAST(SUM(e[i.i] * e[j.j]) AS HUGEINT) AS m
+            FROM pq, generate_series(1, {dim}) i(i),
+                 generate_series(1, {dim}) j(j)
+            GROUP BY i.i, j.j
+        ), sv AS MATERIALIZED (
+            SELECT i.i AS i, CAST(SUM(e[i.i]) AS HUGEINT) AS s
+            FROM pq, generate_series(1, {dim}) i(i)
+            GROUP BY i.i
+        ), cm AS MATERIALIZED (
+            SELECT m.i, m.j, (SELECT n FROM cnt) * m.m - a.s * b.s AS c
+            FROM mom m JOIN sv a ON a.i = m.i JOIN sv b ON b.i = m.j
+        ), v0 AS MATERIALIZED (
+            SELECT i.i AS i, CAST({Q} AS HUGEINT) AS v
+            FROM generate_series(1, {dim}) i(i)
+        )"""]
+    for t in range(1, iters + 1):
+        parts.append(f"""w{t} AS MATERIALIZED (
+            SELECT c.i, SUM(c.c * v.v) AS w
+            FROM cm c JOIN v{t - 1} v ON c.j = v.i GROUP BY c.i
+        ), m{t} AS MATERIALIZED (
+            SELECT MAX(ABS(w)) AS m FROM w{t}
+        ), v{t} AS MATERIALIZED (
+            SELECT w.i,
+                   CAST(CASE WHEN mx.m = 0 THEN 0
+                        ELSE (CASE WHEN w.w < 0 THEN -1 ELSE 1 END)
+                             * ((2 * ABS(w.w) * {Q} + mx.m)
+                                // (2 * mx.m))
+                        END AS HUGEINT) AS v
+            FROM w{t} w, m{t} mx
+        )""")
+    ctes = ",\n        ".join(parts)
+    return f"""
+        WITH {ctes}
+        SELECT p.vec_id,
+               CAST(SUM(p.e[v.i] * CAST(v.v AS BIGINT)) AS BIGINT)
+                   AS pc1_score
+        FROM pq p, v{iters} v
+        GROUP BY p.vec_id
+    """
+
+
+def _hard_negatives_oracle() -> str:
+    dot = " + ".join(f"a.e[{i}] * b.e[{i}]"
+                     for i in range(1, _EMB_DIM + 1))
+    return f"""
+        WITH {_kmeans_cte_prefix()},
+        mem AS (
+            SELECT v.vec_id, v.e, v.n2, m.cl
+            FROM qn v JOIN af m USING (vec_id)
+        ), pr AS (
+            SELECT a.vec_id AS va, b.vec_id AS vb,
+                   ROUND(CAST({dot} AS DOUBLE)
+                         / (sqrt(CAST(a.n2 AS DOUBLE))
+                            * sqrt(CAST(b.n2 AS DOUBLE))),
+                         4) AS cosine
+            FROM mem a JOIN mem b
+              ON a.cl = b.cl AND a.vec_id < b.vec_id
+        ), bopairs AS (
+            SELECT va AS anchor, vb AS cand, cosine FROM pr
+            WHERE cosine < 0.99
+            UNION ALL
+            SELECT vb, va, cosine FROM pr WHERE cosine < 0.99
+        ), ranked AS (
+            SELECT anchor, cand, cosine,
+                   ROW_NUMBER() OVER (PARTITION BY anchor
+                                      ORDER BY cosine DESC, cand ASC)
+                       AS rn
+            FROM bopairs
+        )
+        SELECT anchor AS vec_id, cand AS neg_id, cosine
+        FROM ranked WHERE rn = 1
+    """
+
+
 def _shard_hash_cte() -> str:
     """Both salted quadratic-Lehmer mixes of doc_id in plain SQL
     (bucket -> shard choice, ord -> within-shard order); mirrors
@@ -2346,11 +2467,11 @@ def _kmeans_cte_prefix() -> str:
         return "\n               + ".join(terms)
 
     def assign(tag: str, cents: str) -> str:
-        return f"""a{tag} AS (
+        return f"""a{tag} AS MATERIALIZED (
             SELECT v.vec_id, c.cid,
                    {dist('v', 'c')} AS d
             FROM q v CROSS JOIN {cents} c
-        ), a{tag}m AS (
+        ), a{tag}m AS MATERIALIZED (
             SELECT vec_id, cid AS cl FROM (
                 SELECT vec_id, cid,
                        ROW_NUMBER() OVER (PARTITION BY vec_id
@@ -2359,7 +2480,7 @@ def _kmeans_cte_prefix() -> str:
         )"""
 
     sums_list = ", ".join(f"SUM(v.e[{i}])" for i in range(1, dim + 1))
-    parts = [f"""q AS (
+    parts = [f"""q AS MATERIALIZED (
             SELECT vec_id,
                    list_transform(embedding,
                        x -> CAST(floor(CAST(x AS DOUBLE) * {scale!r} + 0.5)
@@ -2373,17 +2494,17 @@ def _kmeans_cte_prefix() -> str:
     for it in range(1, iters + 1):
         prev = f"c{it - 1}"
         parts.append(assign(str(it), prev))
-        parts.append(f"""u{it} AS (
+        parts.append(f"""u{it} AS MATERIALIZED (
             SELECT m.cl AS cid, COUNT(*) AS n, [{sums_list}] AS s
             FROM a{it}m m JOIN q v USING (vec_id) GROUP BY m.cl
-        ), c{it} AS (
+        ), c{it} AS MATERIALIZED (
             SELECT p.cid, COALESCE(u.s, p.s) AS s, COALESCE(u.n, p.n) AS n
             FROM {prev} p LEFT JOIN u{it} u USING (cid)
         )""")
     parts.append(assign("fin", f"c{iters}"))
-    parts.append("""af AS (
+    parts.append("""af AS MATERIALIZED (
             SELECT vec_id, cl FROM afinm
-        ), qn AS (
+        ), qn AS MATERIALIZED (
             SELECT vec_id, e,
                    CAST(list_sum(list_transform(e, x -> x * x)) AS BIGINT) AS n2
             FROM q
@@ -2504,6 +2625,8 @@ def oracle_sql() -> dict[str, str]:
         "semantic_dedup": _semantic_dedup_oracle(),
         "shard_layout": _shard_layout_oracle(),
         "shard_manifest": _shard_manifest_oracle(),
+        "hard_negatives": _hard_negatives_oracle(),
+        "pca_project": _pca_oracle(),
         "pq_topk": _pq_oracle(),
         "pq_stream_ingest": _pq_encode_oracle(),
         "pq_batch_topk": _pq_batch_oracle(),

@@ -226,6 +226,47 @@ def semantic_neardup_pairs(emb: DataFrame,
     )
 
 
+def hard_negatives(emb: DataFrame, k: int = 8, iters: int = 2,
+                   dup_threshold: float = 0.99,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """Contrastive-training hard-negative mining: for every anchor
+    vector, the most similar OTHER vector in its k-means cluster that
+    is not a near-duplicate (cosine < ``dup_threshold``) — the
+    classic in-batch-negatives upgrade (cluster = the candidate pool,
+    so mining stays linear exactly like SemDeDup's pair search).
+
+    Returns (vec_id, neg_id, cosine); vectors whose cluster holds no
+    eligible candidate are absent. One max_by per anchor — no
+    per-anchor sort; ties break to the lowest candidate id via the
+    (cosine, -neg_id) struct order."""
+    cents = kmeans_fit(emb, k=k, iters=iters, id_col=id_col,
+                       vec_col=vec_col)
+    pairs = semantic_neardup_pairs(emb, cents, threshold=-1.0,
+                                   id_col=id_col, vec_col=vec_col)
+    # one pass over the (a<b) pair join, each pair feeding BOTH
+    # anchors via a 2-element explode — a unionAll of two projections
+    # would re-run the whole join; explode_outer, not explode, keeps
+    # InferFiltersFromGenerate from re-evaluating the array (the
+    # documented Generate idiom)
+    both = (pairs.filter(F.col("cosine") < dup_threshold)
+            .select(F.explode_outer(F.array(
+                F.struct(F.col("vec_a").alias("anchor"),
+                         F.col("vec_b").alias("cand"), F.col("cosine")),
+                F.struct(F.col("vec_b").alias("anchor"),
+                         F.col("vec_a").alias("cand"), F.col("cosine"))))
+                .alias("e"))
+            .select("e.anchor", "e.cand", "e.cosine"))
+    return (both.groupBy("anchor")
+            .agg(F.max_by(F.struct(F.col("cand"), F.col("cosine")),
+                          F.struct(F.col("cosine"),
+                                   (-F.col("cand")).alias("nid")))
+                 .alias("best"))
+            .select(F.col("anchor").alias(id_col),
+                    F.col("best.cand").alias("neg_id"),
+                    F.col("best.cosine").alias("cosine")))
+
+
 def semantic_dedup(emb: DataFrame, k: int = 8, iters: int = 2,
                    threshold: float = 0.7,
                    id_col: str = "vec_id",

@@ -100,6 +100,19 @@ def test_semantic_pairs_plan_shape(spark, emb):
     assert "isnotnull(aggregate" not in plan
 
 
+def test_hard_negatives_contract(spark, emb):
+    out = C.hard_negatives(emb, k=8, iters=2, dup_threshold=0.99)
+    rows = out.collect()
+    cl = {r["vec_id"]: r["cluster"]
+          for r in C.kmeans_assign(
+              emb, C.kmeans_fit(emb, k=8, iters=2)).collect()}
+    assert rows  # every non-singleton cluster yields anchors
+    for r in rows:
+        assert r["neg_id"] != r["vec_id"]
+        assert cl[r["neg_id"]] == cl[r["vec_id"]]   # in-cluster mining
+        assert r["cosine"] < 0.99
+
+
 def test_quantize_matches_money_convention(spark):
     """floor(x*2^20 + 0.5), not round(): .5 cases land deterministically
     upward in every engine."""
