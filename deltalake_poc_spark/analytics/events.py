@@ -79,7 +79,14 @@ def user_sessions(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     gap to the previous event of the same user exceeds ``gap_minutes``.
     Classic two-window formulation — lag to flag boundaries, running
     sum to number sessions, then one aggregation. Shuffles once on
-    user_id; both window functions share that partitioning."""
+    user_id; both window functions share that partitioning.
+
+    Whale users (one key with millions of events) degrade to one slow
+    task, not an OOM: lag(1) and the running sum are streaming window
+    frames over a spill-backed partition buffer
+    (ExternalAppendOnlyUnsafeRowArray), so per-task memory stays
+    bounded while the whale's events sort externally — pinned by
+    tests/test_cdc_queries.py::test_user_sessions_whale_user."""
     gap_ms = gap_minutes * 60 * 1000
     w = Window.partitionBy("user_id").orderBy("ts_ms")
     # explicit ROWS frame: Spark's default for sum-over-orderBy is

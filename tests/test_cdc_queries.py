@@ -190,3 +190,32 @@ def test_funnel_counts_whale_user_bounded_state(spark):
     assert "Window" in plan
     assert "collect_list" not in plan
     assert "ObjectHashAggregate" not in plan
+
+
+def test_user_sessions_whale_user(spark):
+    """A single user with 200k events (every other key tiny) must
+    sessionize correctly and within one spill-backed task — the skew
+    shape a bot/whale account creates at corpus scale. Expected
+    output computed analytically: events every 10 s with a >30 min
+    jump every 1000 events -> 200 sessions of exactly 1000 events."""
+    from deltalake_poc_spark.analytics.events import user_sessions
+
+    n, block = 200_000, 1000
+    ev = (spark.range(0, n, 1, 8)
+          .select(F.lit(9).alias("user_id"),
+                  F.timestamp_millis(
+                      (F.col("id") * 10_000)
+                      + (F.col("id") / block).cast("long") * 7_200_000)
+                  .alias("ts"),
+                  F.lit(1.0).alias("value"))
+          .unionAll(spark.range(100, 150)
+                    .select(F.col("id").alias("user_id"),
+                            F.timestamp_millis(F.col("id")).alias("ts"),
+                            F.lit(1.0).alias("value"))))
+    out = user_sessions(ev, gap_minutes=30)
+    whale = out.filter(F.col("user_id") == 9)
+    rows = whale.collect()
+    assert len(rows) == n // block
+    assert all(r["n_events"] == block for r in rows)
+    tiny = out.filter(F.col("user_id") != 9)
+    assert tiny.count() == 50  # each tiny user: 1 session

@@ -7,6 +7,9 @@ The reader was itself validated against delta-spark-written fixtures
 (/root/reference/deltalake/*, tests/test_deltareader.py), so
 export -> replay closes the loop without the delta-spark package
 (unavailable in this env; DuckDB's delta extension needs a download).
+Re-checked round 6 (2026-08-15): `INSTALL delta` still fails with a
+download error and `import deltalake` still unresolvable — the
+foreign-client read remains environment-blocked, not a code gap.
 """
 
 from __future__ import annotations
