@@ -1419,6 +1419,23 @@ def _kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                           k=_KMEANS_K, iters=_KMEANS_ITERS)
 
 
+def _kmeans_ivf_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME iterative Lloyd contract as ``kmeans_clusters``, but at
+    k=64 = cluster.TWO_LEVEL_MIN_K — forcing every assignment (both
+    Lloyd rounds and the final profile) through the EXACT two-level
+    pruned search (√k coarse pivots + triangle-inequality cell skip,
+    centroids shipped as one broadcast row). The oracle is the plain
+    flat-argmin Lloyd at k=64: hash equality IS the proof that the
+    pruned search changes nothing — the property that lets SemDeDup
+    grow k ∝ n (k≈n/10⁴) without the O(n·k) flat assignment wall
+    measured in SCALE.md (746 s at k=800, sf10)."""
+    from deltalake_poc_spark.pipeline.cluster import (TWO_LEVEL_MIN_K,
+                                                      kmeans_profile)
+
+    return kmeans_profile(load_table(spark, sf_dir, "embeddings"),
+                          k=TWO_LEVEL_MIN_K, iters=_KMEANS_ITERS)
+
+
 def _semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (arXiv:2303.09540): k-means clusters as the blocking
     structure, exact int64-dot cosine pairs WITHIN clusters only,
@@ -1772,11 +1789,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ORDER MATTERS: the driver's correctness gate checks the FIRST 50
     entries in dict insertion order. Freshness rule: a query checked
     at round N must be re-checked by round N+3 (window capacity 50 x
-    3 rounds = 150 >= the 102 registered queries, so the rule stays
-    satisfiable at 109 registered). Round-6 window: (a) the 9 NEW
-    queries, never driver-checked (kmeans_clusters, semantic_dedup,
-    shard_layout, shard_manifest, hard_negatives, pca_project,
-    length_quantiles, heavy_hitters, dedup_groups_distributed),
+    3 rounds = 150 >= the registered count, so the rule stays
+    satisfiable at 110 registered). Round-6 window: (a) the 10 NEW
+    queries, never driver-checked (kmeans_clusters,
+    kmeans_ivf_clusters, semantic_dedup, shard_layout,
+    shard_manifest, hard_negatives, pca_project, length_quantiles,
+    heavy_hitters, dedup_groups_distributed),
     (b) the 7 queries whose newest driver row is r3 — asof_join,
     range_join, event_windows, user_sessions, doc_fingerprint,
     text_quality, lang_id — at the rotation limit and due now, (c)
@@ -1785,16 +1803,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     replication-slot try/finally + stale-slot sweep;
     canonical_selection: LEFT-join quality so unscored documents keep
     their row; funnel_steps: whale-safe running-min window
-    formulation replacing the per-user collect_list), and (d) 31 of
-    the 43 r4-green queries. The 12 r4-green deferrals —
-    corpus_sample, bpe_token_stats, pack_sequences, winnow_dedup,
-    dv_pipeline, decontaminate, quality_classifier,
+    formulation replacing the per-user collect_list), and (d) 30 of
+    the 43 r4-green queries. The 13 r4-green deferrals —
+    ivf_topk, corpus_sample, bpe_token_stats, pack_sequences,
+    winnow_dedup, dv_pipeline, decontaminate, quality_classifier,
     repetition_signals, corpus_pipeline, multimodal_decode,
     embedding_neardup, pq_topk — all code-untouched since r4 and
     re-oracle-checked locally every session by
     tests/test_entry_oracle.py — MUST head the r7 window (r4 -> r7 is
-    exactly the freshness limit); r7 = those 12 + 38 of the 47
-    r5-green; the remaining 9 r5-green (the dict's tail, ending
+    exactly the freshness limit); r7 = those 13 + 37 of the 47
+    r5-green; the remaining 10 r5-green (the dict's tail, ending
     q5_local_supplier) land in r8, exactly at the limit. Every
     registered query, in or out of the window, is oracle-checked by
     tests/test_entry_oracle.py and timed+oracled by bench.py.
@@ -1802,6 +1820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- new this round (never driver-checked -> window head)
         "kmeans_clusters": _kmeans_clusters,                 # iterative Lloyd k-means
+        "kmeans_ivf_clusters": _kmeans_ivf_clusters,         # two-level pruned assignment
         "semantic_dedup": _semantic_dedup,                   # SemDeDup over clusters
         "shard_layout": _shard_layout,                       # deterministic global shuffle
         "shard_manifest": _shard_manifest,                   # export manifest rollup
@@ -1854,7 +1873,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dedup": _simhash_dedup,                     # SimHash, full SQL oracle
         "pq_batch_topk": _pq_batch_topk,                     # batch PQ ANN
         "ann_lsh_topk": _ann_lsh_topk,                       # LSH ANN, full SQL oracle
-        "ivf_topk": _ivf_topk,                               # pivot IVF, full SQL oracle
+        # --- positions 51+: outside the driver's 50-query gate
+        # window. FIRST the 13 r4-green deferrals (they MUST head
+        # r7's window — see the freshness plan in the docstring):
+        "ivf_topk": _ivf_topk,                               # pivot IVF, full SQL oracle (r4-green, r7 window head)
         "pq_topk": _pq_topk,                                 # PQ/ADC ANN
         "embedding_neardup": _embedding_neardup,             # cosine near-dup pairs
         "multimodal_decode": _multimodal_decode,             # binary decode + resize
@@ -1862,11 +1884,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": _quality_classifier,           # distilled quality filter
         "repetition_signals": _repetition_signals,           # Gopher repetition stats
         "decontaminate": _decontaminate,                     # benchmark n-gram overlap
-        # --- positions 51+: outside the driver's 50-query gate window.
-        # FIRST the 5 r4-green deferrals (they MUST head r7's window),
-        # then the 47 r5-green queries: 5 + 45 of those = r7's 50; the
-        # remaining 2 r5-green (r8 section marker below) go to r8 —
-        # r5 -> r8 is exactly the freshness limit, still legal.
         "corpus_sample": _corpus_sample,                     # deterministic sampling (r4-green, r7 window head)
         "bpe_token_stats": _bpe_token_stats,                 # token budgeting (r4-green, r7 window head)
         "pack_sequences": _pack_sequences,                   # fixed-budget packing (r4-green, r7 window head)
@@ -2444,7 +2461,7 @@ def _shard_manifest_oracle() -> str:
     """
 
 
-def _kmeans_cte_prefix() -> str:
+def _kmeans_cte_prefix(k: int | None = None) -> str:
     """Chained-CTE recompute of the deterministic Lloyd k-means in
     pipeline/cluster.py: quantize -> init from the k lowest vec_ids ->
     ``iters`` rounds of (assign, update). Exactness contract (mirrors
@@ -2456,7 +2473,8 @@ def _kmeans_cte_prefix() -> str:
 
     Ends with ``af`` = (vec_id, cl) final assignment and ``qn`` =
     (vec_id, e, n2) quantized vectors with exact squared norms."""
-    k, iters, dim = _KMEANS_K, _KMEANS_ITERS, _EMB_DIM
+    k = _KMEANS_K if k is None else k
+    iters, dim = _KMEANS_ITERS, _EMB_DIM
     scale = float(1 << 20)
 
     def dist(v: str, c: str) -> str:
@@ -2512,9 +2530,9 @@ def _kmeans_cte_prefix() -> str:
     return ",\n        ".join(parts)
 
 
-def _kmeans_clusters_oracle() -> str:
+def _kmeans_clusters_oracle(k: int | None = None) -> str:
     return f"""
-        WITH {_kmeans_cte_prefix()}
+        WITH {_kmeans_cte_prefix(k)}
         SELECT m.cl AS cluster,
                COUNT(*) AS n_members,
                CAST(SUM(CAST(list_sum(v.e) AS BIGINT)) AS BIGINT)
@@ -2622,6 +2640,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": _ann_lsh_oracle(),
         "ivf_topk": _ivf_oracle(),
         "kmeans_clusters": _kmeans_clusters_oracle(),
+        "kmeans_ivf_clusters": _kmeans_clusters_oracle(k=64),
         "semantic_dedup": _semantic_dedup_oracle(),
         "shard_layout": _shard_layout_oracle(),
         "shard_manifest": _shard_manifest_oracle(),

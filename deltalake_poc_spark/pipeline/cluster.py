@@ -44,20 +44,43 @@ partial aggregation — k·dim·cores bytes, not data-sized; the
 within-cluster self-join shuffles once on cluster id (size the
 cluster count so clusters stay ~10³-10⁴ members); duplicate-group
 closure reuses :func:`..dedup.connected_components` (bounded driver
-union-find with a distributed min-label fallback). For corpora where
-k itself is large (10⁵+), the flat argmin-over-k expression should be
-replaced by a two-level quantizer (coarse pivots then refine within
-the probed shard — the IVF pattern in pipeline/similarity.py); k is
-the knob this module deliberately exposes.
+union-find with a distributed min-label fallback).
+
+Because SemDeDup grows k with the corpus (k ≈ n/10⁴), the flat
+argmin-over-k assignment is O(n·k·dim) — quadratic in n once k ∝ n,
+and the measured wall at the SCALE.md sf10 tier (k=800: 746 s fit)
+is exactly that law. Above ``TWO_LEVEL_MIN_K`` centroids, assignment
+therefore switches to an EXACT two-level search: ~√k coarse pivots
+are fitted driver-side over the k centroids (k·dim doubles — KB-MB,
+never data-sized), each centroid joins its nearest pivot's cell, and
+per row the fold visits cells guarded by the triangle inequality
+(d(q,c) ≥ d(q,pivot) − cell_radius), seeding the running best from
+the nearest pivot's cell so almost every other cell prunes. The
+pivots affect WHICH distances get evaluated, never their values —
+the per-centroid distance fold is the same expression in the same
+order as the flat path, the pruning bound is strict-with-epsilon
+(conservative: a borderline cell is scanned, never skipped), and the
+(distance, cid) min reproduces the flat tie rule — so the result is
+bit-identical to the flat argmin and the DuckDB oracle contract
+below is untouched. The centroid set rides to executors as ONE
+broadcast row (a nested cells column), not a k·dim-literal
+expression tree, keeping plan size constant in k.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+import math
+
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 QUANT_SCALE = 1 << 20  # float -> exact integer grid; 2^20·2^23 docs
 # of ±1-ish components keeps every sum far inside int64
+
+TWO_LEVEL_MIN_K = 64  # below this the flat k-literal argmin is cheaper
+# than a broadcast join + pivot search (and the oracle-gated queries
+# at k=8 keep their historical plan shape)
 
 
 def quantize_expr(vec_col: Column | str) -> Column:
@@ -108,6 +131,139 @@ def assign_expr(qcol: Column, centroids: list[tuple[list[int], int]]) -> Column:
     return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
 
+def _dist2(qcol: Column, c: Column) -> Column:
+    """Squared distance fold — the EXACT expression ``assign_expr``
+    uses per centroid (same operand order, same casts), so two-level
+    and flat assignment produce bit-identical doubles."""
+    return F.aggregate(
+        F.zip_with(qcol, c,
+                   lambda x, y: (x.cast("double") - y)
+                   * (x.cast("double") - y)),
+        F.lit(0.0), lambda acc, t: acc + t)
+
+
+def _coarse_cells(
+        centroids: list[tuple[list[int], int]], m: int | None = None,
+        iters: int = 4) -> list[tuple[list[float], float, list[tuple[int, list[float]]]]]:
+    """Driver-side coarse quantizer over the k centroid means:
+    ~√k pivots via a few numpy Lloyd rounds (k·dim doubles — KB-MB at
+    any corpus size; k=10⁵·dim=64 is 51 MB and a few matmuls).
+
+    Returns [(pivot, radius, [(cid, centroid_mean), ...]), ...] with
+    empty cells dropped. Pivot quality affects only how much the
+    triangle-inequality bound prunes — NEVER the assignment result —
+    so numpy's fp behavior needs no cross-engine determinism. The
+    member centroid means are the same Python ``s / n`` doubles
+    ``_centroid_lit`` embeds, and the radius is inflated by 1e-9
+    relative so fp rounding can only make pruning more conservative."""
+    import numpy as np
+
+    means_py = [[s / n for s in sums] for sums, n in centroids]
+    x = np.asarray(means_py, dtype=np.float64)
+    k = len(centroids)
+    if m is None:
+        m = max(2, math.isqrt(k))
+    m = min(m, k)
+    piv = x[:m].copy()
+
+    def _assign() -> "np.ndarray":
+        d2 = ((x * x).sum(1)[:, None] + (piv * piv).sum(1)[None, :]
+              - 2.0 * (x @ piv.T))
+        return d2.argmin(1)
+
+    for _ in range(iters):
+        a = _assign()
+        for j in range(m):
+            sel = x[a == j]
+            if len(sel):
+                piv[j] = sel.mean(0)
+    a = _assign()
+    cells = []
+    for j in range(m):
+        idx = [int(i) for i in np.nonzero(a == j)[0]]
+        if not idx:
+            continue
+        rad = max(math.sqrt(sum((means_py[i][d] - piv[j][d]) ** 2
+                                for d in range(x.shape[1]))) for i in idx)
+        cells.append((piv[j].tolist(), rad * (1.0 + 1e-9) + 1e-12,
+                      [(i, means_py[i]) for i in idx]))
+    return cells
+
+
+_CELLS_SCHEMA = T.StructType([T.StructField("__cells", T.ArrayType(
+    T.StructType([
+        T.StructField("p", T.ArrayType(T.DoubleType(), False), False),
+        T.StructField("r", T.DoubleType(), False),
+        T.StructField("ms", T.ArrayType(T.StructType([
+            T.StructField("cid", T.IntegerType(), False),
+            T.StructField("c", T.ArrayType(T.DoubleType(), False), False),
+        ]), False), False),
+    ]), False), False)])
+
+
+def _cells_df(spark: SparkSession, cells) -> DataFrame:
+    """The coarse-quantizer structure as ONE broadcastable row — data,
+    not a k·dim-literal expression tree, so analysis/codegen cost
+    stays constant in k (the janino lesson in ``assign_expr``, one
+    level up)."""
+    row = [(p, r, [(cid, c) for cid, c in ms]) for p, r, ms in cells]
+    return spark.createDataFrame([(row,)], _CELLS_SCHEMA)
+
+
+def assign_over_cells(qcol: Column, cells: Column) -> Column:
+    """Exact nearest-centroid id via the two-level pruned search.
+
+    Per row: distances to the ~√k pivots; the nearest pivot's cell is
+    scanned in full to seed the running best; every cell then folds
+    under the triangle-inequality guard lb = max(0, √pd − r)², scanned
+    only when lb·(1−1e-9) ≤ best (strict-greater skip ⇒ equal-bound
+    cells are scanned, preserving the lowest-cid tie rule; the 1e-9
+    slack absorbs sqrt rounding and can only cause extra scans). The
+    pivot-distance array is evaluated ONCE by threading it through a
+    1-element-array transform — referencing a computed array from
+    several sub-expressions would otherwise inline and re-evaluate it
+    (the documented HOF-recompute trap)."""
+    def best_in(ms: Column) -> Column:
+        return F.array_min(F.transform(
+            ms, lambda mem: F.struct(_dist2(qcol, mem["c"]).alias("d"),
+                                     mem["cid"].alias("cid"))))
+
+    pd = F.transform(cells, lambda cell: _dist2(qcol, cell["p"]))
+
+    def inner(pdv: Column) -> Column:
+        j = F.array_position(pdv, F.array_min(pdv)).cast("int")
+        seed = best_in(F.element_at(cells, j)["ms"])
+        zipped = F.zip_with(
+            cells, pdv,
+            lambda cell, d: F.struct(d.alias("pd"), cell["r"].alias("r"),
+                                     cell["ms"].alias("ms")))
+
+        def step(acc: Column, cell: Column) -> Column:
+            g = F.greatest(F.sqrt(cell["pd"]) - cell["r"], F.lit(0.0))
+            return F.when(g * g * F.lit(1.0 - 1e-9) > acc["d"], acc) \
+                    .otherwise(F.least(acc, best_in(cell["ms"])))
+
+        return F.aggregate(zipped, seed, step)
+
+    best = F.element_at(F.transform(F.array(pd), inner), 1)
+    return best["cid"].cast("int")
+
+
+def with_cluster(df: DataFrame, centroids: list[tuple[list[int], int]],
+                 qname: str = "__q", out: str = "__cl") -> DataFrame:
+    """``df`` + nearest-centroid column, picking the assignment
+    strategy by k: flat literal argmin below ``TWO_LEVEL_MIN_K``
+    (cheaper, and keeps the oracle-gated k=8 plans unchanged), exact
+    pruned two-level above — same values either way."""
+    if len(centroids) < TWO_LEVEL_MIN_K:
+        return df.withColumn(out, assign_expr(F.col(qname), centroids))
+    cdf = _cells_df(df.sparkSession, _coarse_cells(centroids))
+    return (df.crossJoin(F.broadcast(cdf))
+            .withColumn(out, assign_over_cells(F.col(qname),
+                                               F.col("__cells")))
+            .drop("__cells"))
+
+
 def kmeans_fit(emb: DataFrame, k: int = 8, iters: int = 2,
                id_col: str = "vec_id",
                vec_col: str = "embedding") -> list[tuple[list[int], int]]:
@@ -129,14 +285,13 @@ def kmeans_fit(emb: DataFrame, k: int = 8, iters: int = 2,
     k = len(cents)  # fewer rows than k: cluster over what exists
     dim = len(cents[0][0])
     for _ in range(iters):
-        cl = assign_expr(F.col("__q"), cents)
         # per-dimension exact int64 sums as dim narrow aggregates in
         # ONE map-side-combinable groupBy (k rows out). NOT a
         # posexplode over __q: a Generate whose required output
         # includes the assignment column re-evaluates that whole
         # HOF fold per exploded row — dim× the work (measured 10 s
         # vs 1.6 s at sf0.1).
-        upd = (q.select(cl.alias("__cl"), "__q")
+        upd = (with_cluster(q, cents).select("__cl", "__q")
                .groupBy("__cl")
                .agg(F.count(F.lit(1)).alias("__n"),
                     *[F.sum(F.col("__q")[d]).alias(f"__s{d}")
@@ -153,10 +308,11 @@ def kmeans_fit(emb: DataFrame, k: int = 8, iters: int = 2,
 def kmeans_assign(emb: DataFrame, centroids: list[tuple[list[int], int]],
                   id_col: str = "vec_id",
                   vec_col: str = "embedding") -> DataFrame:
-    """(id, cluster) for every vector — one row-local projection."""
+    """(id, cluster) for every vector — one row-local projection (plus
+    a single broadcast row when k triggers the two-level path)."""
     q = emb.select(F.col(id_col), quantize_expr(vec_col).alias("__q"))
-    return q.select(id_col, assign_expr(F.col("__q"), centroids)
-                    .alias("cluster"))
+    return (with_cluster(q, centroids)
+            .select(id_col, F.col("__cl").alias("cluster")))
 
 
 def kmeans_profile(emb: DataFrame, k: int = 8, iters: int = 2,
@@ -170,8 +326,8 @@ def kmeans_profile(emb: DataFrame, k: int = 8, iters: int = 2,
                        vec_col=vec_col)
     q = emb.select(F.col(id_col).alias("__id"),
                    quantize_expr(vec_col).alias("__q"))
-    cl = assign_expr(F.col("__q"), cents)
-    return (q.select(cl.alias("cluster"), "__q")
+    return (with_cluster(q, cents)
+            .select(F.col("__cl").alias("cluster"), "__q")
             .groupBy("cluster")
             .agg(F.count(F.lit(1)).cast("long").alias("n_members"),
                  F.sum(F.aggregate(F.col("__q"), F.lit(0).cast("long"),
@@ -200,10 +356,10 @@ def semantic_neardup_pairs(emb: DataFrame,
     q = quantize_expr(vec_col)
     n2 = F.aggregate(F.transform(F.col("__q"), lambda x: x * x),
                      F.lit(0).cast("long"), lambda a, x: a + x)
-    base = (spread(emb.select(F.col(id_col), q.alias("__q")))
+    base = (with_cluster(spread(emb.select(F.col(id_col), q.alias("__q"))),
+                         centroids)
             .select(F.col(id_col), "__q",
-                    assign_expr(F.col("__q"), centroids).alias("cluster"),
-                    n2.alias("__n2")))
+                    F.col("__cl").alias("cluster"), n2.alias("__n2")))
     a, b = base.alias("a"), base.alias("b")
     zero = F.array().cast("array<bigint>")
     dot = F.aggregate(

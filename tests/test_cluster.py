@@ -113,6 +113,65 @@ def test_hard_negatives_contract(spark, emb):
         assert r["cosine"] < 0.99
 
 
+def test_two_level_assignment_bit_identical_to_flat(spark, emb):
+    """The k ≥ TWO_LEVEL_MIN_K pruned two-level search must be EXACT:
+    same cluster for every vector as the flat argmin (same distance
+    folds, conservative triangle-inequality skip, same tie rule) —
+    this is what keeps the DuckDB oracle valid above the threshold."""
+    cents = C.kmeans_fit(emb, k=C.TWO_LEVEL_MIN_K, iters=2)
+    assert len(cents) == C.TWO_LEVEL_MIN_K
+    q = emb.select("vec_id", C.quantize_expr("embedding").alias("__q"))
+    flat = q.select("vec_id",
+                    C.assign_expr(F.col("__q"), cents).alias("flat"))
+    two = C.kmeans_assign(emb, cents)
+    got = flat.join(two, "vec_id")
+    assert got.filter(F.col("flat") != F.col("cluster")).count() == 0
+    assert got.count() == emb.count()
+
+
+def test_two_level_fit_matches_flat_fit(spark, emb):
+    """Lloyd iterations routed through the two-level path converge to
+    bit-identical centroids (exact int64 sums + identical argmin)."""
+    cents_two = C.kmeans_fit(emb, k=C.TWO_LEVEL_MIN_K, iters=2)
+    orig = C.TWO_LEVEL_MIN_K
+    C.TWO_LEVEL_MIN_K = 10 ** 9  # force the flat literal path
+    try:
+        cents_flat = C.kmeans_fit(emb, k=orig, iters=2)
+    finally:
+        C.TWO_LEVEL_MIN_K = orig
+    assert cents_two == cents_flat
+
+
+def test_two_level_plan_is_broadcast_not_literal(spark, emb):
+    """Above the threshold the centroid set must travel as ONE
+    broadcast row, not a k·dim literal tree: the plan carries a
+    broadcast join and NO per-centroid literal arrays (constant plan
+    size in k is the janino lesson one level up)."""
+    cents = C.kmeans_fit(emb, k=C.TWO_LEVEL_MIN_K, iters=2)
+    out = C.kmeans_assign(emb, cents)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # the flat path would embed ~k*dim literal doubles; the two-level
+    # plan string must stay small
+    assert len(plan) < 200_000
+
+
+def test_coarse_cells_partition_every_centroid(spark):
+    """Every centroid lands in exactly one cell, radii cover members."""
+    import random
+
+    rnd = random.Random(7)
+    cents = [([int(rnd.uniform(-1, 1) * C.QUANT_SCALE)
+               for _ in range(8)], 1) for _ in range(100)]
+    cells = C._coarse_cells(cents)
+    seen = sorted(cid for _, _, ms in cells for cid, _ in ms)
+    assert seen == list(range(100))
+    for pivot, rad, ms in cells:
+        for _, mean in ms:
+            d = sum((a - b) ** 2 for a, b in zip(mean, pivot)) ** 0.5
+            assert d <= rad
+
+
 def test_quantize_matches_money_convention(spark):
     """floor(x*2^20 + 0.5), not round(): .5 cases land deterministically
     upward in every engine."""
