@@ -1755,6 +1755,87 @@ def _mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                           weights=_MIXTURE_WEIGHTS)
 
 
+_DSIR_TARGET = "src0"   # designated high-quality target domain
+_DSIR_BUCKETS = 1024
+_DSIR_BUDGET = 100
+
+
+def _dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023, arXiv:2302.03169): score
+    every document by the add-1-smoothed log-likelihood ratio of its
+    hashed unigram+bigram bag under the target domain vs the raw
+    corpus, return the ``budget`` most target-like (ties: lowest
+    doc_id). One KB-sized profile shuffle + a broadcast log-ratio row
+    + a map-only scoring pass — the shape that scales the paper to
+    trillion-token corpora. The oracle recomputes the full chain
+    (portable polynomial gram hash, dense bucket profile, ln ratios,
+    canonical sorted-bucket fold) from the raw parquet; ROUND(·,4)
+    absorbs ≤1-ulp cross-engine ln() differences, pinned by the
+    margin-invariant test in tests/test_entry_oracle.py."""
+    from deltalake_poc_spark.pipeline.sample import dsir_select
+
+    return dsir_select(load_table(spark, sf_dir, "documents"),
+                       target_source=_DSIR_TARGET, budget=_DSIR_BUDGET,
+                       n_buckets=_DSIR_BUCKETS)
+
+
+def _dsir_oracle() -> str:
+    B, tgt, budget = _DSIR_BUCKETS, _DSIR_TARGET, _DSIR_BUDGET
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, source, string_split(trim(text), ' ') AS t
+            FROM documents
+        ), grams AS (
+            SELECT doc_id, source,
+                   list_concat(t,
+                       CASE WHEN len(t) >= 2 THEN
+                           [t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))]
+                       ELSE [] END) AS gs
+            FROM toks
+        ), bs AS (
+            SELECT doc_id, source,
+                   list_transform(gs, g ->
+                       list_reduce(
+                           list_prepend(CAST(0 AS BIGINT),
+                               list_transform(range(1, length(g) + 1),
+                                   i -> CAST(ascii(substring(g, i, 1))
+                                             AS BIGINT))),
+                           (acc, x) -> (acc * 139 + x) % 2147483647)
+                       % {B}) AS bks
+            FROM grams
+        ), prof AS (
+            SELECT bk AS bucket, COUNT(*) AS cr,
+                   SUM(CASE WHEN source = '{tgt}' THEN 1 ELSE 0 END) AS ct
+            FROM (SELECT source, unnest(bks) AS bk FROM bs)
+            GROUP BY bk
+        ), dense AS (
+            SELECT r.b AS bucket, COALESCE(p.ct, 0) AS ct,
+                   COALESCE(p.cr, 0) AS cr
+            FROM (SELECT unnest(range(0, {B})) AS b) r
+            LEFT JOIN prof p ON p.bucket = r.b
+        ), tot AS (
+            SELECT SUM(cr) AS rr, SUM(ct) AS tt FROM dense
+        ), warr AS (
+            SELECT list(
+                ln((CAST(ct + 1 AS DOUBLE) / CAST(tt + {B} AS DOUBLE))
+                   / (CAST(cr + 1 AS DOUBLE) / CAST(rr + {B} AS DOUBLE)))
+                ORDER BY bucket) AS wa
+            FROM dense, tot
+        ), scored AS (
+            SELECT doc_id, source,
+                   ROUND(list_reduce(
+                       list_prepend(CAST(0.0 AS DOUBLE),
+                           list_transform(list_sort(bks),
+                               bb -> wa[CAST(bb AS INT) + 1])),
+                       (acc, x) -> acc + x), 4) AS dsir_logw
+            FROM bs, warr
+        )
+        SELECT doc_id, source, dsir_logw FROM scored
+        ORDER BY dsir_logw DESC, doc_id
+        LIMIT {budget}
+    """
+
+
 def _chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document chunk-level dedup with reconstruction
     (RefinedWeb-style): 32-token chunks, first occurrence by
@@ -1790,9 +1871,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     entries in dict insertion order. Freshness rule: a query checked
     at round N must be re-checked by round N+3 (window capacity 50 x
     3 rounds = 150 >= the registered count, so the rule stays
-    satisfiable at 110 registered). Round-6 window: (a) the 10 NEW
+    satisfiable at 111 registered). Round-6 window: (a) the 11 NEW
     queries, never driver-checked (kmeans_clusters,
-    kmeans_ivf_clusters, semantic_dedup, shard_layout,
+    kmeans_ivf_clusters, dsir_select, semantic_dedup, shard_layout,
     shard_manifest, hard_negatives, pca_project, length_quantiles,
     heavy_hitters, dedup_groups_distributed),
     (b) the 7 queries whose newest driver row is r3 — asof_join,
@@ -1803,17 +1884,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     replication-slot try/finally + stale-slot sweep;
     canonical_selection: LEFT-join quality so unscored documents keep
     their row; funnel_steps: whale-safe running-min window
-    formulation replacing the per-user collect_list), and (d) 30 of
-    the 43 r4-green queries. The 13 r4-green deferrals —
-    ivf_topk, corpus_sample, bpe_token_stats, pack_sequences,
-    winnow_dedup, dv_pipeline, decontaminate, quality_classifier,
-    repetition_signals, corpus_pipeline, multimodal_decode,
-    embedding_neardup, pq_topk — all code-untouched since r4 and
-    re-oracle-checked locally every session by
-    tests/test_entry_oracle.py — MUST head the r7 window (r4 -> r7 is
-    exactly the freshness limit); r7 = those 13 + 37 of the 47
-    r5-green; the remaining 10 r5-green (the dict's tail, ending
-    q5_local_supplier) land in r8, exactly at the limit. Every
+    formulation replacing the per-user collect_list), and (d) 29 of
+    the 43 r4-green queries. The 14 r4-green deferrals —
+    ann_lsh_topk, ivf_topk, corpus_sample, bpe_token_stats,
+    pack_sequences, winnow_dedup, dv_pipeline, decontaminate,
+    quality_classifier, repetition_signals, corpus_pipeline,
+    multimodal_decode, embedding_neardup, pq_topk — all
+    code-untouched since r4 and re-oracle-checked locally every
+    session by tests/test_entry_oracle.py — MUST head the r7 window
+    (r4 -> r7 is exactly the freshness limit); r7 = those 14 + 36 of
+    the 47 r5-green; the remaining 11 r5-green (the dict's tail,
+    ending q5_local_supplier) land in r8, exactly at the limit. Every
     registered query, in or out of the window, is oracle-checked by
     tests/test_entry_oracle.py and timed+oracled by bench.py.
     """
@@ -1821,6 +1902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new this round (never driver-checked -> window head)
         "kmeans_clusters": _kmeans_clusters,                 # iterative Lloyd k-means
         "kmeans_ivf_clusters": _kmeans_ivf_clusters,         # two-level pruned assignment
+        "dsir_select": _dsir_select,                         # DSIR importance selection
         "semantic_dedup": _semantic_dedup,                   # SemDeDup over clusters
         "shard_layout": _shard_layout,                       # deterministic global shuffle
         "shard_manifest": _shard_manifest,                   # export manifest rollup
@@ -1872,10 +1954,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup": _minhash_dedup,                     # MinHash+LSH vs exact oracle
         "simhash_dedup": _simhash_dedup,                     # SimHash, full SQL oracle
         "pq_batch_topk": _pq_batch_topk,                     # batch PQ ANN
-        "ann_lsh_topk": _ann_lsh_topk,                       # LSH ANN, full SQL oracle
         # --- positions 51+: outside the driver's 50-query gate
-        # window. FIRST the 13 r4-green deferrals (they MUST head
+        # window. FIRST the 14 r4-green deferrals (they MUST head
         # r7's window — see the freshness plan in the docstring):
+        "ann_lsh_topk": _ann_lsh_topk,                       # LSH ANN, full SQL oracle (r4-green, r7 window head)
         "ivf_topk": _ivf_topk,                               # pivot IVF, full SQL oracle (r4-green, r7 window head)
         "pq_topk": _pq_topk,                                 # PQ/ADC ANN
         "embedding_neardup": _embedding_neardup,             # cosine near-dup pairs
@@ -2641,6 +2723,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_topk": _ivf_oracle(),
         "kmeans_clusters": _kmeans_clusters_oracle(),
         "kmeans_ivf_clusters": _kmeans_clusters_oracle(k=64),
+        "dsir_select": _dsir_oracle(),
         "semantic_dedup": _semantic_dedup_oracle(),
         "shard_layout": _shard_layout_oracle(),
         "shard_manifest": _shard_manifest_oracle(),

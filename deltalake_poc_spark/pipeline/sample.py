@@ -150,3 +150,129 @@ def mixture_sample(docs: DataFrame, token_budget: int,
                 F.col("__strata").alias(strata_col), "n_tokens")
     )
     return out
+
+
+# ------------------------------------------------------------------ DSIR
+
+DSIR_HASH_BASE = 139       # matches dedup.py gram_hash (SQL-recomputable)
+DSIR_HASH_MOD = 2147483647  # PORTABLE_HASH_MOD
+
+
+def dsir_weights(docs: DataFrame, target_source: str,
+                 n_buckets: int = 1024,
+                 id_col: str = "doc_id", text_col: str = "text",
+                 source_col: str = "source",
+                 rounded: bool = True) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al.
+    2023, arXiv:2302.03169, public paper): score every document by how
+    much more likely its hashed n-gram bag is under a TARGET domain's
+    unigram+bigram distribution than under the raw corpus's.
+
+    log w(x) = Σ_gram [ ln p_target(bucket(gram)) − ln p_raw(bucket) ]
+
+    with add-1-smoothed bucket probabilities p(b) = (c_b + 1)/(total +
+    B). This is the paper's exact recipe (hashed n-gram features,
+    bag-of-buckets product of Bernoulli/multinomial ratios), which it
+    scales to trillion-token corpora precisely because of the shape
+    used here:
+
+    - ONE map-side-combinable groupBy builds the raw+target bucket
+      profiles — at most ``n_buckets`` rows out, KB-sized at any
+      corpus size (the only shuffle in the whole operator);
+    - the per-bucket log-ratio table rides back as ONE broadcast row
+      (the same broadcast-cells idiom as pipeline/cluster.py — data,
+      not a B-literal expression tree);
+    - per-document scoring is a row-local fold — a map-only pass, so
+      the scoring stage is embarrassingly parallel at 100 TB.
+
+    Cross-engine determinism: grams are hashed with the 31-bit
+    polynomial rolling hash (base 139 mod 2³¹−1 — the dedup.py
+    gram_hash convention, recomputable in SQL); the per-document sum
+    folds the per-occurrence log-ratios in SORTED-bucket order
+    (left-assoc from 0.0), so both engines add the same doubles in
+    the same sequence; ln() may differ by ≤1 ulp between engines,
+    which ROUND(·, 4) absorbs — pinned by the same margin-invariant
+    test tf_idf uses (tests/test_entry_oracle.py).
+
+    Returns (id, source, dsir_logw) — or the unrounded ``dsir_raw``
+    when ``rounded=False`` (for the margin test)."""
+    B, MOD, BASE = int(n_buckets), DSIR_HASH_MOD, DSIR_HASH_BASE
+    spark = docs.sparkSession
+
+    toks = F.split(F.trim(F.col(text_col)), " ")
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.zip_with(F.slice(toks, 1, F.size(toks) - 1),
+                   F.slice(toks, 2, F.size(toks) - 1),
+                   lambda a, b: F.concat(a, F.lit(" "), b))
+    ).otherwise(F.array().cast("array<string>"))
+    grams = F.concat(toks, bigrams)
+
+    def bucket(g: Column) -> Column:
+        return F.aggregate(
+            F.split(g, ""), F.lit(0).cast("long"),
+            lambda acc, c: (acc * BASE + F.ascii(c)) % MOD) % B
+
+    base = docs.select(F.col(id_col), F.col(source_col),
+                       F.transform(grams, bucket).alias("__bs"))
+
+    # profile: ONE shuffle, ≤B rows out, map-side combined. The
+    # posting explode goes through _explode_posting (explode_outer +
+    # output-column filter) so InferFiltersFromGenerate cannot clone
+    # the full tokenize+hash transform into a pre-Generate scan filter
+    # (the documented 2-3x generator tax).
+    from .dedup import _explode_posting
+
+    prof = (_explode_posting(base, "__bs", "__b", keys=(source_col,))
+            .select("__b", (F.col(source_col) == target_source)
+                    .cast("long").alias("__t"))
+            .groupBy("__b")
+            .agg(F.count(F.lit(1)).alias("__cr"), F.sum("__t").alias("__ct")))
+    # dense per-bucket log-ratio array in bucket order; R/T totals via
+    # a whole-frame window over the already-tiny aggregate (no extra
+    # pass). Buckets absent from the profile are unreachable by any
+    # document (every doc gram IS in the raw profile), so the LEFT
+    # join default only keeps positions aligned.
+    from pyspark.sql import Window
+    w_all = Window.partitionBy()
+    ratio = (spark.range(B).select(F.col("id").alias("__b"))
+             .join(prof, "__b", "left")
+             .select("__b", F.coalesce("__cr", F.lit(0)).alias("__cr"),
+                     F.coalesce("__ct", F.lit(0)).alias("__ct"))
+             .withColumn("__R", F.sum("__cr").over(w_all))
+             .withColumn("__T", F.sum("__ct").over(w_all))
+             .select("__b", F.log(
+                 ((F.col("__ct") + 1).cast("double")
+                  / (F.col("__T") + B).cast("double"))
+                 / ((F.col("__cr") + 1).cast("double")
+                    / (F.col("__R") + B).cast("double"))).alias("__w")))
+    warr = ratio.agg(F.transform(
+        F.array_sort(F.collect_list(F.struct("__b", "__w"))),
+        lambda s: s["__w"]).alias("__wa"))
+
+    # row-local scoring: canonical (sorted-bucket, left-assoc) fold
+    logw = F.aggregate(
+        F.array_sort(F.col("__bs")), F.lit(0.0),
+        lambda acc, b: acc + F.element_at(F.col("__wa"),
+                                          b.cast("int") + 1))
+    out_col = (F.round(logw, 4).alias("dsir_logw") if rounded
+               else logw.alias("dsir_raw"))
+    return (base.crossJoin(F.broadcast(warr))
+            .select(F.col(id_col), F.col(source_col), out_col))
+
+
+def dsir_select(docs: DataFrame, target_source: str, budget: int,
+                n_buckets: int = 1024, id_col: str = "doc_id",
+                text_col: str = "text",
+                source_col: str = "source") -> DataFrame:
+    """The ``budget`` most target-like documents by DSIR weight
+    (ties: lowest id). orderBy+limit compiles to TakeOrderedAndProject
+    — per-partition top-k then a k-row merge, never a global sort —
+    so selection stays distributed at any corpus size (the O1-O4
+    top-k shape; at 100 TB one would typically instead threshold on a
+    weight quantile, a row-local filter — both are linear)."""
+    w = dsir_weights(docs, target_source, n_buckets=n_buckets,
+                     id_col=id_col, text_col=text_col,
+                     source_col=source_col)
+    return (w.orderBy(F.col("dsir_logw").desc(), F.col(id_col))
+            .limit(int(budget)))

@@ -67,6 +67,46 @@ def test_tf_idf_ln_agreement_pinned(spark, sf):
 
 
 @pytest.mark.parametrize("sf", ["sf0.001", "sf0.01", "sf0.1"])
+def test_dsir_ln_agreement_pinned(spark, sf):
+    """dsir_select hashes on ROUND(Σ per-gram ln-ratio, 4): both
+    engines fold the same doubles in the same (sorted-bucket,
+    left-assoc) order, so only ≤1-ulp ln() differences can diverge —
+    harmless unless an unrounded sum sits on a .xxxx5 boundary. Pin
+    (1) the oracle comparison, (2) the margin invariant, at every SF
+    (measured margins ≥ 4.9e-5 — 3+ decades above the ~1e-12
+    accumulated-ulp scale)."""
+    from pyspark.sql import functions as F
+
+    from deltalake_poc_spark.analytics.io import load_table
+    from deltalake_poc_spark.pipeline.sample import dsir_weights
+
+    sf_dir = f"/root/testdata/{sf}"
+    compare_to_oracle(QUERIES["dsir_select"](spark, sf_dir),
+                      ORACLES["dsir_select"], sf_dir)
+
+    un = dsir_weights(load_table(spark, sf_dir, "documents"), "src0",
+                      n_buckets=1024, rounded=False)
+    near = (un.select((F.col("dsir_raw") * 10_000).alias("s"))
+            .select(F.abs(F.col("s") - F.floor("s") - 0.5).alias("m"))
+            .agg(F.min("m")).collect()[0][0])
+    assert near > 1e-8, f"dsir sum within {near} of a 4dp boundary"
+
+
+def test_dsir_selects_target_domain(spark):
+    """Semantic sanity: the target domain's own documents must be
+    heavily over-represented in the selection (the paper's premise —
+    target-like data scores high). src0 is 1/20 of the corpus; demand
+    >3x over-representation among the selected 100."""
+    from deltalake_poc_spark.pipeline.sample import dsir_select
+    from deltalake_poc_spark.analytics.io import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    sel = dsir_select(docs, "src0", budget=100).collect()
+    n_target = sum(1 for r in sel if r["source"] == "src0")
+    assert n_target >= 15, n_target
+
+
+@pytest.mark.parametrize("sf", ["sf0.001", "sf0.01", "sf0.1"])
 def test_quality_classifier_margins_pinned(spark, sf):
     """quality_classifier's keep decides on the raw margin z
     (bit-deterministic double chain), but z and score are ROUNDED

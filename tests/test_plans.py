@@ -395,3 +395,20 @@ def test_new_r6_ops_stay_jvm_and_shuffle_lean(spark):
     assert "WindowGroupLimit" in plan, plan[:1200]
     from deltalake_poc_spark.analytics.scratch import release_scratch
     release_scratch()
+
+
+def test_dsir_plan_shape(spark):
+    """dsir_select stays on the 100 TB rails: the log-ratio table
+    rides back as a broadcast (never a shuffled join against the
+    corpus), selection compiles to TakeOrderedAndProject (partial
+    top-k per partition, k-row merge — no global sort), the posting
+    explode pays the generator exactly once (no tokenize+hash
+    transform cloned into a scan Filter — the InferFiltersFromGenerate
+    tax), and everything is JVM-side."""
+    plan = plan_of(spark, "dsir_select", mode="simple")
+    assert "TakeOrderedAndProject" in plan, plan[:800]
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert not any("transform(" in ln and "Filter" in ln
+                   for ln in plan.splitlines()), "generator cloned into filter"
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
