@@ -1422,13 +1422,15 @@ def _kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _kmeans_ivf_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SAME iterative Lloyd contract as ``kmeans_clusters``, but at
     k=64 = cluster.TWO_LEVEL_MIN_K — forcing every assignment (both
-    Lloyd rounds and the final profile) through the EXACT two-level
-    pruned search (√k coarse pivots + triangle-inequality cell skip,
-    centroids shipped as one broadcast row). The oracle is the plain
-    flat-argmin Lloyd at k=64: hash equality IS the proof that the
-    pruned search changes nothing — the property that lets SemDeDup
-    grow k ∝ n (k≈n/10⁴) without the O(n·k) flat assignment wall
-    measured in SCALE.md (746 s at k=800, sf10)."""
+    Lloyd rounds and the final profile) through the large-k production
+    path (Arrow-batched vectorized brute force; identical arithmetic
+    in identical order, see cluster._assign_arrow). The oracle is the
+    plain flat-argmin Lloyd at k=64: hash equality IS the proof that
+    the fast path changes nothing — the property that lets SemDeDup
+    grow k ∝ n (k≈n/10⁴) without the interpreted-HOF assignment wall
+    measured in SCALE.md (746 s at k=800, sf10). The exact two-level
+    pruned search (the zero-Python JVM alternative) is pinned
+    bit-identical in tests/test_cluster.py."""
     from deltalake_poc_spark.pipeline.cluster import (TWO_LEVEL_MIN_K,
                                                       kmeans_profile)
 

@@ -46,25 +46,24 @@ cluster count so clusters stay ~10³-10⁴ members); duplicate-group
 closure reuses :func:`..dedup.connected_components` (bounded driver
 union-find with a distributed min-label fallback).
 
-Because SemDeDup grows k with the corpus (k ≈ n/10⁴), the flat
-argmin-over-k assignment is O(n·k·dim) — quadratic in n once k ∝ n,
-and the measured wall at the SCALE.md sf10 tier (k=800: 746 s fit)
-is exactly that law. Above ``TWO_LEVEL_MIN_K`` centroids, assignment
-therefore switches to an EXACT two-level search: ~√k coarse pivots
-are fitted driver-side over the k centroids (k·dim doubles — KB-MB,
-never data-sized), each centroid joins its nearest pivot's cell, and
-per row the fold visits cells guarded by the triangle inequality
-(d(q,c) ≥ d(q,pivot) − cell_radius), seeding the running best from
-the nearest pivot's cell so almost every other cell prunes. The
-pivots affect WHICH distances get evaluated, never their values —
-the per-centroid distance fold is the same expression in the same
-order as the flat path, the pruning bound is strict-with-epsilon
-(conservative: a borderline cell is scanned, never skipped), and the
-(distance, cid) min reproduces the flat tie rule — so the result is
-bit-identical to the flat argmin and the DuckDB oracle contract
-below is untouched. The centroid set rides to executors as ONE
-broadcast row (a nested cells column), not a k·dim-literal
-expression tree, keeping plan size constant in k.
+Because SemDeDup grows k with the corpus (k ≈ n/10⁴), assignment cost
+dominates once k is large, and the flat HOF argmin pays interpreted
+lambda steps for every one of its k·dim operations per row (measured
+~250 s per assignment pass at k=800 over 200k vectors, SCALE.md).
+Above ``TWO_LEVEL_MIN_K`` centroids, :func:`with_cluster` therefore
+switches to an Arrow-batched vectorized brute force that performs the
+IDENTICAL arithmetic in the identical order (dim-ascending
+accumulation, first-min ties) at memory bandwidth — bit-identical
+results, so the DuckDB oracle contract below is untouched; the
+centroid matrix is a task-local k·dim float64 array, never
+data-sized. An exact triangle-inequality two-level search (√k coarse
+pivots, broadcast cell structure, conservative strict-with-epsilon
+pruning bound) is also provided as the zero-Python JVM-side
+alternative — equally bit-identical, but measurement shows distance
+concentration defeats its pruning on near-iid embeddings (795.8 of
+800 centroids still evaluated), so it only pays off on corpora with
+real cluster structure. All three modes are interchangeable at any
+point because none of them changes a single output bit.
 """
 
 from __future__ import annotations
@@ -249,14 +248,79 @@ def assign_over_cells(qcol: Column, cells: Column) -> Column:
     return best["cid"].cast("int")
 
 
+def _assign_arrow(df: DataFrame, centroids: list[tuple[list[int], int]],
+                  qname: str = "__q", out: str = "__cl") -> DataFrame:
+    """Arrow-batched brute-force assignment — the large-k production
+    path. BIT-IDENTICAL to the flat fold: squared-difference terms are
+    elementwise IEEE float64 ops accumulated in the SAME dim-ascending
+    left-assoc order (``acc += diff²`` per dimension — numpy never
+    reorders an explicit accumulation loop and fuses no FMA), argmin
+    takes the FIRST minimum = lowest cid, and the quantized int64
+    inputs are exactly representable as float64 (|q| ≈ 2²⁰ ≪ 2⁵³).
+
+    Why this beats the JVM paths at large k: the HOF fold interprets
+    k·dim lambda steps per row (~µs-scale each — measured ~250 s per
+    assignment pass at k=800 over 200k rows), and measured pruning on
+    embedding-style data is nil (795.8 of 800 centroids evaluated —
+    distance concentration defeats the triangle inequality on
+    near-iid vectors; see SCALE.md). The vectorized loop does the
+    same arithmetic at memory bandwidth: the centroid matrix is a
+    task-local k·dim float64 array (50 MB even at k=10⁵), and row
+    blocks are sized so the rows×k accumulator stays ≤ ~256 MB."""
+    import numpy as np
+
+    means = np.asarray([[s / n for s in sums] for sums, n in centroids],
+                       dtype=np.float64)
+    k, dim = means.shape
+    max_rows = max(1, (32 << 20) // k)  # rows×k accumulator ≤ 256 MB
+    out_schema = T.StructType(list(df.schema.fields)
+                              + [T.StructField(out, T.IntegerType(), False)])
+
+    def fn(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                yield pdf.assign(**{out: np.empty(0, dtype=np.int32)})
+                continue
+            q = np.stack(pdf[qname].to_numpy()).astype(np.float64)
+            cls = np.empty(n, dtype=np.int32)
+            for lo in range(0, n, max_rows):
+                hi = min(lo + max_rows, n)
+                acc = np.zeros((hi - lo, k))
+                for d in range(dim):
+                    diff = q[lo:hi, d, None] - means[None, :, d]
+                    acc += diff * diff
+                cls[lo:hi] = acc.argmin(1)
+            yield pdf.assign(**{out: cls})
+
+    return df.mapInPandas(fn, schema=out_schema)
+
+
 def with_cluster(df: DataFrame, centroids: list[tuple[list[int], int]],
-                 qname: str = "__q", out: str = "__cl") -> DataFrame:
-    """``df`` + nearest-centroid column, picking the assignment
-    strategy by k: flat literal argmin below ``TWO_LEVEL_MIN_K``
-    (cheaper, and keeps the oracle-gated k=8 plans unchanged), exact
-    pruned two-level above — same values either way."""
-    if len(centroids) < TWO_LEVEL_MIN_K:
+                 qname: str = "__q", out: str = "__cl",
+                 mode: str = "auto") -> DataFrame:
+    """``df`` + nearest-centroid column. Every mode produces
+    bit-identical values (same fold order, same first-min tie rule) —
+    the mode only picks the execution strategy:
+
+    - ``flat``: k·dim-literal HOF argmin — fastest for small k, and
+      the historical plan shape the k=8 oracle gates pin;
+    - ``arrow``: Arrow-batched vectorized brute force — the large-k
+      production path (see :func:`_assign_arrow`);
+    - ``twolevel``: the exact pruned pivot search — the zero-Python
+      JVM-side alternative; wins only when the corpus is genuinely
+      clustered so the triangle inequality actually prunes (measured:
+      nil pruning on iid-style embeddings, SCALE.md);
+    - ``auto``: flat below ``TWO_LEVEL_MIN_K``, arrow at or above."""
+    k = len(centroids)
+    if mode == "auto":
+        mode = "flat" if k < TWO_LEVEL_MIN_K else "arrow"
+    if mode == "flat":
         return df.withColumn(out, assign_expr(F.col(qname), centroids))
+    if mode == "arrow":
+        return _assign_arrow(df, centroids, qname=qname, out=out)
+    if mode != "twolevel":
+        raise ValueError(f"unknown assignment mode {mode!r}")
     cdf = _cells_df(df.sparkSession, _coarse_cells(centroids))
     return (df.crossJoin(F.broadcast(cdf))
             .withColumn(out, assign_over_cells(F.col(qname),

@@ -113,44 +113,49 @@ def test_hard_negatives_contract(spark, emb):
         assert r["cosine"] < 0.99
 
 
-def test_two_level_assignment_bit_identical_to_flat(spark, emb):
-    """The k ≥ TWO_LEVEL_MIN_K pruned two-level search must be EXACT:
-    same cluster for every vector as the flat argmin (same distance
-    folds, conservative triangle-inequality skip, same tie rule) —
-    this is what keeps the DuckDB oracle valid above the threshold."""
+def test_all_assignment_modes_bit_identical(spark, emb):
+    """flat / arrow / twolevel must agree on EVERY vector: identical
+    fold order and tie rule make them interchangeable, which is what
+    keeps the DuckDB oracle valid above the auto threshold."""
     cents = C.kmeans_fit(emb, k=C.TWO_LEVEL_MIN_K, iters=2)
     assert len(cents) == C.TWO_LEVEL_MIN_K
     q = emb.select("vec_id", C.quantize_expr("embedding").alias("__q"))
-    flat = q.select("vec_id",
-                    C.assign_expr(F.col("__q"), cents).alias("flat"))
-    two = C.kmeans_assign(emb, cents)
-    got = flat.join(two, "vec_id")
-    assert got.filter(F.col("flat") != F.col("cluster")).count() == 0
-    assert got.count() == emb.count()
+    cols = {}
+    for mode in ("flat", "arrow", "twolevel"):
+        cols[mode] = (C.with_cluster(q, cents, mode=mode)
+                      .select("vec_id", F.col("__cl").alias(mode)))
+    j = cols["flat"].join(cols["arrow"], "vec_id") \
+                    .join(cols["twolevel"], "vec_id")
+    assert j.count() == emb.count()
+    assert j.filter((F.col("flat") != F.col("arrow"))
+                    | (F.col("flat") != F.col("twolevel"))).count() == 0
 
 
-def test_two_level_fit_matches_flat_fit(spark, emb):
-    """Lloyd iterations routed through the two-level path converge to
-    bit-identical centroids (exact int64 sums + identical argmin)."""
-    cents_two = C.kmeans_fit(emb, k=C.TWO_LEVEL_MIN_K, iters=2)
+def test_auto_fit_matches_flat_fit(spark, emb):
+    """Lloyd iterations routed through the auto (arrow) path converge
+    to bit-identical centroids (exact int64 sums + identical argmin)."""
+    cents_auto = C.kmeans_fit(emb, k=C.TWO_LEVEL_MIN_K, iters=2)
     orig = C.TWO_LEVEL_MIN_K
     C.TWO_LEVEL_MIN_K = 10 ** 9  # force the flat literal path
     try:
         cents_flat = C.kmeans_fit(emb, k=orig, iters=2)
     finally:
         C.TWO_LEVEL_MIN_K = orig
-    assert cents_two == cents_flat
+    assert cents_auto == cents_flat
 
 
 def test_two_level_plan_is_broadcast_not_literal(spark, emb):
-    """Above the threshold the centroid set must travel as ONE
-    broadcast row, not a k·dim literal tree: the plan carries a
-    broadcast join and NO per-centroid literal arrays (constant plan
-    size in k is the janino lesson one level up)."""
+    """In twolevel mode the centroid set must travel as ONE broadcast
+    row, not a k·dim literal tree: the plan carries a broadcast join,
+    NO per-centroid literal arrays, and NO Python stage (it is the
+    zero-Python JVM path; constant plan size in k is the janino
+    lesson one level up)."""
     cents = C.kmeans_fit(emb, k=C.TWO_LEVEL_MIN_K, iters=2)
-    out = C.kmeans_assign(emb, cents)
+    q = emb.select("vec_id", C.quantize_expr("embedding").alias("__q"))
+    out = C.with_cluster(q, cents, mode="twolevel")
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
     # the flat path would embed ~k*dim literal doubles; the two-level
     # plan string must stay small
     assert len(plan) < 200_000
