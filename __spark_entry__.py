@@ -1757,6 +1757,69 @@ def _mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                           weights=_MIXTURE_WEIGHTS)
 
 
+_BM25_QUERY = "fast table scan query"
+_BM25_K = 25
+
+
+def _bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 lexical retrieval: top-k documents for a fixed
+    query (Lucene-style robust idf, k1=1.2, b=0.75). Two map-only
+    corpus passes around ONE map-side-combined stats row (N, total
+    length, per-term dfs — a few longs at any corpus size) broadcast
+    back for row-local scoring, finished by TakeOrderedAndProject.
+    The oracle recomputes the identical fixed-order float chain from
+    the raw parquet; ROUND(·,4) + the margin-invariant test absorb
+    ≤1-ulp ln() differences."""
+    from deltalake_poc_spark.pipeline.retrieval import bm25_topk
+
+    return bm25_topk(load_table(spark, sf_dir, "documents"),
+                     query=_BM25_QUERY, k=_BM25_K)
+
+
+def _bm25_oracle() -> str:
+    terms = sorted(set(_BM25_QUERY.split()))
+    tf_sel = ",\n                   ".join(
+        f"len(list_filter(t, x -> x = '{t}')) AS tf{i}"
+        for i, t in enumerate(terms))
+    df_sel = ",\n                   ".join(
+        f"SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(terms)))
+    d = "CAST({} AS DOUBLE)"
+    avgdl = f"({d.format('tl')} / {d.format('n')})"
+    parts = []
+    for i in range(len(terms)):
+        idf = (f"ln(({d.format('n')} - {d.format(f'df{i}')} + "
+               f"{d.format('0.5')}) / ({d.format(f'df{i}')} + "
+               f"{d.format('0.5')}) + {d.format('1.0')})")
+        tf = d.format(f"tf{i}")
+        denom = (f"({tf} + ({d.format('1.2')} * ({d.format('1.0')} - "
+                 f"{d.format('0.75')} + {d.format('0.75')} * "
+                 f"({d.format('l')} / {avgdl}))))")
+        parts.append(f"{idf} * (({tf} * ({d.format('1.2')} + "
+                     f"{d.format('1.0')})) / {denom})")
+    chain = d.format("0.0")
+    for p in parts:
+        chain = f"({chain} + {p})"
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(trim(text), ' ') AS t
+            FROM documents
+        ), base AS (
+            SELECT doc_id, len(t) AS l,
+                   {tf_sel}
+            FROM toks
+        ), stats AS (
+            SELECT COUNT(*) AS n, SUM(l) AS tl,
+                   {df_sel}
+            FROM base
+        )
+        SELECT doc_id, ROUND({chain}, 4) AS bm25
+        FROM base, stats
+        ORDER BY bm25 DESC, doc_id
+        LIMIT {_BM25_K}
+    """
+
+
 _DSIR_TARGET = "src0"   # designated high-quality target domain
 _DSIR_BUCKETS = 1024
 _DSIR_BUDGET = 100
@@ -1873,11 +1936,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     entries in dict insertion order. Freshness rule: a query checked
     at round N must be re-checked by round N+3 (window capacity 50 x
     3 rounds = 150 >= the registered count, so the rule stays
-    satisfiable at 111 registered). Round-6 window: (a) the 11 NEW
+    satisfiable at 112 registered). Round-6 window: (a) the 12 NEW
     queries, never driver-checked (kmeans_clusters,
-    kmeans_ivf_clusters, dsir_select, semantic_dedup, shard_layout,
-    shard_manifest, hard_negatives, pca_project, length_quantiles,
-    heavy_hitters, dedup_groups_distributed),
+    kmeans_ivf_clusters, dsir_select, bm25_search, semantic_dedup,
+    shard_layout, shard_manifest, hard_negatives, pca_project,
+    length_quantiles, heavy_hitters, dedup_groups_distributed),
     (b) the 7 queries whose newest driver row is r3 — asof_join,
     range_join, event_windows, user_sessions, doc_fingerprint,
     text_quality, lang_id — at the rotation limit and due now, (c)
@@ -1886,16 +1949,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     replication-slot try/finally + stale-slot sweep;
     canonical_selection: LEFT-join quality so unscored documents keep
     their row; funnel_steps: whale-safe running-min window
-    formulation replacing the per-user collect_list), and (d) 29 of
-    the 43 r4-green queries. The 14 r4-green deferrals —
-    ann_lsh_topk, ivf_topk, corpus_sample, bpe_token_stats,
+    formulation replacing the per-user collect_list), and (d) 28 of
+    the 43 r4-green queries. The 15 r4-green deferrals —
+    pq_batch_topk, ann_lsh_topk, ivf_topk, corpus_sample, bpe_token_stats,
     pack_sequences, winnow_dedup, dv_pipeline, decontaminate,
     quality_classifier, repetition_signals, corpus_pipeline,
     multimodal_decode, embedding_neardup, pq_topk — all
     code-untouched since r4 and re-oracle-checked locally every
     session by tests/test_entry_oracle.py — MUST head the r7 window
-    (r4 -> r7 is exactly the freshness limit); r7 = those 14 + 36 of
-    the 47 r5-green; the remaining 11 r5-green (the dict's tail,
+    (r4 -> r7 is exactly the freshness limit); r7 = those 15 + 35 of
+    the 47 r5-green; the remaining 12 r5-green (the dict's tail,
     ending q5_local_supplier) land in r8, exactly at the limit. Every
     registered query, in or out of the window, is oracle-checked by
     tests/test_entry_oracle.py and timed+oracled by bench.py.
@@ -1905,6 +1968,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_clusters": _kmeans_clusters,                 # iterative Lloyd k-means
         "kmeans_ivf_clusters": _kmeans_ivf_clusters,         # two-level pruned assignment
         "dsir_select": _dsir_select,                         # DSIR importance selection
+        "bm25_search": _bm25_search,                         # Okapi BM25 retrieval
         "semantic_dedup": _semantic_dedup,                   # SemDeDup over clusters
         "shard_layout": _shard_layout,                       # deterministic global shuffle
         "shard_manifest": _shard_manifest,                   # export manifest rollup
@@ -1955,10 +2019,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_drift": _token_drift,                         # corpus drift
         "minhash_dedup": _minhash_dedup,                     # MinHash+LSH vs exact oracle
         "simhash_dedup": _simhash_dedup,                     # SimHash, full SQL oracle
-        "pq_batch_topk": _pq_batch_topk,                     # batch PQ ANN
         # --- positions 51+: outside the driver's 50-query gate
-        # window. FIRST the 14 r4-green deferrals (they MUST head
+        # window. FIRST the 15 r4-green deferrals (they MUST head
         # r7's window — see the freshness plan in the docstring):
+        "pq_batch_topk": _pq_batch_topk,                     # batch PQ ANN (r4-green, r7 window head)
         "ann_lsh_topk": _ann_lsh_topk,                       # LSH ANN, full SQL oracle (r4-green, r7 window head)
         "ivf_topk": _ivf_topk,                               # pivot IVF, full SQL oracle (r4-green, r7 window head)
         "pq_topk": _pq_topk,                                 # PQ/ADC ANN
@@ -2726,6 +2790,7 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_clusters": _kmeans_clusters_oracle(),
         "kmeans_ivf_clusters": _kmeans_clusters_oracle(k=64),
         "dsir_select": _dsir_oracle(),
+        "bm25_search": _bm25_oracle(),
         "semantic_dedup": _semantic_dedup_oracle(),
         "shard_layout": _shard_layout_oracle(),
         "shard_manifest": _shard_manifest_oracle(),

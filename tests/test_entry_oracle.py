@@ -92,6 +92,47 @@ def test_dsir_ln_agreement_pinned(spark, sf):
     assert near > 1e-8, f"dsir sum within {near} of a 4dp boundary"
 
 
+@pytest.mark.parametrize("sf", ["sf0.001", "sf0.01", "sf0.1"])
+def test_bm25_ln_agreement_pinned(spark, sf):
+    """bm25_search hashes on ROUND(fixed-order float chain, 4); the
+    only cross-engine wiggle is ≤1-ulp ln() per idf. Pin the oracle
+    comparison AND the margin invariant at every SF (measured margins
+    ≥ 2e-5)."""
+    from pyspark.sql import functions as F
+
+    from deltalake_poc_spark.analytics.io import load_table
+    from deltalake_poc_spark.pipeline.retrieval import bm25_topk
+
+    sf_dir = f"/root/testdata/{sf}"
+    compare_to_oracle(QUERIES["bm25_search"](spark, sf_dir),
+                      ORACLES["bm25_search"], sf_dir)
+
+    un = bm25_topk(load_table(spark, sf_dir, "documents"),
+                   "fast table scan query", rounded=False)
+    near = (un.select((F.col("bm25_raw") * 10_000).alias("s"))
+            .select(F.abs(F.col("s") - F.floor("s") - 0.5).alias("m"))
+            .agg(F.min("m")).collect()[0][0])
+    assert near > 1e-8, f"bm25 score within {near} of a 4dp boundary"
+
+
+def test_bm25_ranks_term_density(spark):
+    """Semantic sanity on a hand-built corpus: a short document made
+    of query terms must outrank a long document that mentions one
+    term once, and a no-term document scores 0."""
+    from deltalake_poc_spark.pipeline.retrieval import bm25_topk
+
+    rows = [
+        (0, "fast table fast scan query table"),
+        (1, "the quick brown fox jumps over a lazy dog near a table"),
+        (2, "nothing relevant here at all"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id: long, text: string")
+    got = {r["doc_id"]: r["bm25"]
+           for r in bm25_topk(docs, "fast table scan query",
+                              k=3).collect()}
+    assert got[0] > got[1] > got[2] == 0.0
+
+
 def test_dsir_selects_target_domain(spark):
     """Semantic sanity: the target domain's own documents must be
     heavily over-represented in the selection (the paper's premise —

@@ -412,3 +412,20 @@ def test_dsir_plan_shape(spark):
     assert not any("transform(" in ln and "Filter" in ln
                    for ln in plan.splitlines()), "generator cloned into filter"
     assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_bm25_plan_shape(spark):
+    """bm25_search stays on its 100 TB rails: per-term tfs are
+    row-local (no explode/Generate at all), the stats row comes back
+    as a broadcast, selection is TakeOrderedAndProject, everything
+    JVM-side, and both corpus passes prune to the two columns they
+    need."""
+    plan = plan_of(spark, "bm25_search", mode="simple")
+    assert "TakeOrderedAndProject" in plan, plan[:800]
+    assert "Generate" not in plan
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+    fplan = plan_of(spark, "bm25_search")
+    assert re.search(r"ReadSchema: struct<doc_id:bigint,text:string>",
+                     fplan), "scan not pruned to (doc_id, text)"
