@@ -1757,6 +1757,57 @@ def _mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                           weights=_MIXTURE_WEIGHTS)
 
 
+def _lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM perplexity quality scoring (CCNet-style filter):
+    add-one-smoothed in-corpus bigram model, per-document per-token
+    negative log-likelihood. Vocabulary-bounded count shuffles, a
+    broadcast log-prob map, map-only scoring in canonical
+    sorted-bigram fold order. The oracle retrains the identical model
+    and refolds the identical doubles from the raw parquet."""
+    from deltalake_poc_spark.pipeline.text import lm_bigram_score
+
+    return lm_bigram_score(load_table(spark, sf_dir, "documents"))
+
+
+def _lm_perplexity_oracle() -> str:
+    return """
+        WITH toks AS (
+            SELECT doc_id, string_split(trim(text), ' ') AS t
+            FROM documents
+        ), bg AS (
+            SELECT doc_id,
+                   CASE WHEN len(t) >= 2 THEN
+                       [t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))]
+                   ELSE [] END AS bs
+            FROM toks
+        ), uni AS (
+            SELECT w, COUNT(*) AS cu
+            FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w
+        ), vv AS (
+            SELECT COUNT(*) AS v FROM uni
+        ), bc AS (
+            SELECT b, COUNT(*) AS cb
+            FROM (SELECT unnest(bs) AS b FROM bg) GROUP BY b
+        ), lnp AS (
+            SELECT b, ln(CAST(cb + 1 AS DOUBLE)
+                         / CAST(cu + v AS DOUBLE)) AS lp
+            FROM bc JOIN uni ON split_part(b, ' ', 1) = w, vv
+        ), mm AS (
+            SELECT map(list(b ORDER BY b), list(lp ORDER BY b)) AS m
+            FROM lnp
+        )
+        SELECT doc_id, CAST(len(bs) AS BIGINT) AS n_bigrams,
+               CASE WHEN len(bs) = 0 THEN CAST(0.0 AS DOUBLE)
+               ELSE ROUND((-(list_reduce(
+                   list_prepend(CAST(0.0 AS DOUBLE),
+                       list_transform(list_sort(bs), k -> m[k][1])),
+                   (a, x) -> a + x))) / CAST(len(bs) AS DOUBLE), 4)
+               END AS nll_token
+        FROM bg, mm
+        ORDER BY doc_id
+    """
+
+
 _BM25_QUERY = "fast table scan query"
 _BM25_K = 25
 
@@ -1936,11 +1987,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     entries in dict insertion order. Freshness rule: a query checked
     at round N must be re-checked by round N+3 (window capacity 50 x
     3 rounds = 150 >= the registered count, so the rule stays
-    satisfiable at 112 registered). Round-6 window: (a) the 12 NEW
+    satisfiable at 113 registered). Round-6 window: (a) the 13 NEW
     queries, never driver-checked (kmeans_clusters,
-    kmeans_ivf_clusters, dsir_select, bm25_search, semantic_dedup,
-    shard_layout, shard_manifest, hard_negatives, pca_project,
-    length_quantiles, heavy_hitters, dedup_groups_distributed),
+    kmeans_ivf_clusters, dsir_select, bm25_search, lm_perplexity,
+    semantic_dedup, shard_layout, shard_manifest, hard_negatives,
+    pca_project, length_quantiles, heavy_hitters,
+    dedup_groups_distributed),
     (b) the 7 queries whose newest driver row is r3 — asof_join,
     range_join, event_windows, user_sessions, doc_fingerprint,
     text_quality, lang_id — at the rotation limit and due now, (c)
@@ -1949,16 +2001,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     replication-slot try/finally + stale-slot sweep;
     canonical_selection: LEFT-join quality so unscored documents keep
     their row; funnel_steps: whale-safe running-min window
-    formulation replacing the per-user collect_list), and (d) 28 of
-    the 43 r4-green queries. The 15 r4-green deferrals —
-    pq_batch_topk, ann_lsh_topk, ivf_topk, corpus_sample, bpe_token_stats,
+    formulation replacing the per-user collect_list), and (d) 27 of
+    the 43 r4-green queries. The 16 r4-green deferrals —
+    simhash_dedup, pq_batch_topk, ann_lsh_topk, ivf_topk,
+    corpus_sample, bpe_token_stats,
     pack_sequences, winnow_dedup, dv_pipeline, decontaminate,
     quality_classifier, repetition_signals, corpus_pipeline,
     multimodal_decode, embedding_neardup, pq_topk — all
     code-untouched since r4 and re-oracle-checked locally every
     session by tests/test_entry_oracle.py — MUST head the r7 window
-    (r4 -> r7 is exactly the freshness limit); r7 = those 15 + 35 of
-    the 47 r5-green; the remaining 12 r5-green (the dict's tail,
+    (r4 -> r7 is exactly the freshness limit); r7 = those 16 + 34 of
+    the 47 r5-green; the remaining 13 r5-green (the dict's tail,
     ending q5_local_supplier) land in r8, exactly at the limit. Every
     registered query, in or out of the window, is oracle-checked by
     tests/test_entry_oracle.py and timed+oracled by bench.py.
@@ -1969,6 +2022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_ivf_clusters": _kmeans_ivf_clusters,         # two-level pruned assignment
         "dsir_select": _dsir_select,                         # DSIR importance selection
         "bm25_search": _bm25_search,                         # Okapi BM25 retrieval
+        "lm_perplexity": _lm_perplexity,                     # bigram-LM quality scoring
         "semantic_dedup": _semantic_dedup,                   # SemDeDup over clusters
         "shard_layout": _shard_layout,                       # deterministic global shuffle
         "shard_manifest": _shard_manifest,                   # export manifest rollup
@@ -2018,10 +2072,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features": _audio_features,                   # audio windows
         "token_drift": _token_drift,                         # corpus drift
         "minhash_dedup": _minhash_dedup,                     # MinHash+LSH vs exact oracle
-        "simhash_dedup": _simhash_dedup,                     # SimHash, full SQL oracle
         # --- positions 51+: outside the driver's 50-query gate
-        # window. FIRST the 15 r4-green deferrals (they MUST head
+        # window. FIRST the 16 r4-green deferrals (they MUST head
         # r7's window — see the freshness plan in the docstring):
+        "simhash_dedup": _simhash_dedup,                     # SimHash, full SQL oracle (r4-green, r7 window head)
         "pq_batch_topk": _pq_batch_topk,                     # batch PQ ANN (r4-green, r7 window head)
         "ann_lsh_topk": _ann_lsh_topk,                       # LSH ANN, full SQL oracle (r4-green, r7 window head)
         "ivf_topk": _ivf_topk,                               # pivot IVF, full SQL oracle (r4-green, r7 window head)
@@ -2791,6 +2845,7 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_ivf_clusters": _kmeans_clusters_oracle(k=64),
         "dsir_select": _dsir_oracle(),
         "bm25_search": _bm25_oracle(),
+        "lm_perplexity": _lm_perplexity_oracle(),
         "semantic_dedup": _semantic_dedup_oracle(),
         "shard_layout": _shard_layout_oracle(),
         "shard_manifest": _shard_manifest_oracle(),

@@ -712,3 +712,79 @@ def heavy_hitters(docs: DataFrame, strata_col: str = "source",
                 f"outside [{exact}, {exact} + ceil({eps}*{n})]")
     return result.select(F.col("__strata").alias(strata_col),
                          "token", "freq", "rank")
+
+
+# --------------------------------------------------------- bigram LM
+
+def lm_bigram_score(docs: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text",
+                    rounded: bool = True) -> DataFrame:
+    """Per-document bigram-LM negative log-likelihood — the classic
+    perplexity quality filter (CCNet / LLaMA-style: score text against
+    an n-gram language model; unusually-high NLL = boilerplate, noise,
+    wrong language). The model here is add-one-smoothed bigrams
+    TRAINED ON THE CORPUS ITSELF:
+
+        p(w2|w1) = (c(w1 w2) + 1) / (c(w1) + V)
+        nll_token(d) = − Σ_i ln p(tok_i | tok_{i-1}) / (|d| − 1)
+
+    Scale shape: ONE map-side-combined shuffle each for unigram and
+    bigram counts (bounded by the observed vocabulary, not the
+    corpus); the log-prob table rides back as ONE broadcast map;
+    scoring is a map-only row-local fold. At 100 TB the production
+    variant scores against a FIXED reference LM (the CCNet pattern —
+    the model is KB-GB and broadcastable no matter how big the scored
+    corpus is); training in-corpus at that scale means capping the
+    vocabulary (top-K by count) and pruning rare bigrams — both just
+    filters on the count aggregates upstream of the same broadcast.
+
+    Cross-engine determinism: every count is an exact integer; each
+    document folds its ln-probabilities in SORTED-bigram left-assoc
+    order from 0.0 (both engines add the same doubles in the same
+    sequence); ROUND(·,4) absorbs ≤1-ulp ln() differences (margin
+    test pinned alongside tf_idf's). Docs with <2 tokens score 0.0.
+
+    Returns (id, n_bigrams, nll_token) — unrounded ``nll_raw`` when
+    ``rounded=False`` (for the margin test)."""
+    from .dedup import _explode_posting
+
+    toks = tokens_col(text_col)
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.zip_with(F.slice(toks, 1, F.size(toks) - 1),
+                   F.slice(toks, 2, F.size(toks) - 1),
+                   lambda a, b: F.concat(a, F.lit(" "), b))
+    ).otherwise(F.array().cast("array<string>"))
+    base = docs.select(F.col(id_col), toks.alias("__t"),
+                       bigrams.alias("__bg"))
+
+    uni = (_explode_posting(base, "__t", "__w", keys=())
+           .groupBy("__w").agg(F.count(F.lit(1)).alias("__cu")))
+    vocab = uni.agg(F.count(F.lit(1)).alias("__v"))
+    bic = (_explode_posting(base, "__bg", "__b", keys=())
+           .groupBy("__b").agg(F.count(F.lit(1)).alias("__cb")))
+    lnp = (bic
+           .join(uni, F.substring_index(F.col("__b"), " ", 1)
+                 == F.col("__w"))
+           .crossJoin(F.broadcast(vocab))
+           .select("__b", F.log(
+               (F.col("__cb") + 1).cast("double")
+               / (F.col("__cu") + F.col("__v")).cast("double"))
+               .alias("__lp")))
+    lm = lnp.agg(F.map_from_entries(
+        F.collect_list(F.struct("__b", "__lp"))).alias("__m"))
+
+    total = F.aggregate(
+        F.array_sort(F.col("__bg")), F.lit(0.0),
+        lambda acc, k: acc + F.element_at(F.col("__m"), k))
+    n_bg = F.size("__bg")
+    nll = (-total) / n_bg.cast("double")
+    out_col = (F.when(n_bg == 0, F.lit(0.0))
+               .otherwise(F.round(nll, 4)).alias("nll_token")
+               if rounded else
+               F.when(n_bg == 0, F.lit(0.0))
+               .otherwise(nll).alias("nll_raw"))
+    return (base.crossJoin(F.broadcast(lm))
+            .select(F.col(id_col), n_bg.cast("long").alias("n_bigrams"),
+                    out_col)
+            .orderBy(id_col))

@@ -133,6 +133,45 @@ def test_bm25_ranks_term_density(spark):
     assert got[0] > got[1] > got[2] == 0.0
 
 
+@pytest.mark.parametrize("sf", ["sf0.001", "sf0.01", "sf0.1"])
+def test_lm_perplexity_ln_agreement_pinned(spark, sf):
+    """lm_perplexity hashes on ROUND(−Σ ln p / n, 4) with the sum
+    folded in sorted-bigram order; pin the oracle comparison and the
+    rounding-margin invariant at every SF."""
+    from pyspark.sql import functions as F
+
+    from deltalake_poc_spark.analytics.io import load_table
+    from deltalake_poc_spark.pipeline.text import lm_bigram_score
+
+    sf_dir = f"/root/testdata/{sf}"
+    compare_to_oracle(QUERIES["lm_perplexity"](spark, sf_dir),
+                      ORACLES["lm_perplexity"], sf_dir)
+
+    un = (lm_bigram_score(load_table(spark, sf_dir, "documents"),
+                          rounded=False)
+          .filter(F.col("n_bigrams") > 0))
+    near = (un.select((F.col("nll_raw") * 10_000).alias("s"))
+            .select(F.abs(F.col("s") - F.floor("s") - 0.5).alias("m"))
+            .agg(F.min("m")).collect()[0][0])
+    assert near > 1e-8, f"nll within {near} of a 4dp boundary"
+
+
+def test_lm_perplexity_flags_disfluent_text(spark):
+    """Semantic sanity: a document of common in-distribution bigrams
+    must score (much) lower NLL than a document of never-seen word
+    orderings over the same vocabulary — the property perplexity
+    filters rely on."""
+    from deltalake_poc_spark.pipeline.text import lm_bigram_score
+
+    rows = [(i, "the cat sat on the mat and the dog sat on the rug")
+            for i in range(10)]
+    rows.append((10, "rug the on dog mat cat the sat and on the"))
+    docs = spark.createDataFrame(rows, "doc_id: long, text: string")
+    got = {r["doc_id"]: r["nll_token"]
+           for r in lm_bigram_score(docs).collect()}
+    assert got[10] > got[0] + 1.0
+
+
 def test_dsir_selects_target_domain(spark):
     """Semantic sanity: the target domain's own documents must be
     heavily over-represented in the selection (the paper's premise —

@@ -17,6 +17,9 @@ message takes. Contract pinned:
 
 from __future__ import annotations
 
+import calendar
+from datetime import timezone
+
 import json
 
 import pytest
@@ -104,7 +107,14 @@ def test_envelope_parse_roundtrip(spark, data):
         assert r["table_name"] == "public." + want["source"]["table"]
         assert r["source_lsn"] == want["source"]["lsn"]
         assert r["source_txid"] == want["source"]["txId"]
-        assert int(r["event_timestamp"].timestamp() * 1000) == want["ts_ms"]
+        # exact ms from the datetime fields — .timestamp()*1000 is a
+        # float round-trip that truncates (hypothesis found
+        # ts_ms=542004925341 -> ...340.9999 -> int() off by one; the
+        # parsed datetime itself was exact, microsecond=341000)
+        ts = r["event_timestamp"].replace(tzinfo=timezone.utc)
+        got_ms = (calendar.timegm(ts.timetuple()) * 1000
+                  + ts.microsecond // 1000)
+        assert got_ms == want["ts_ms"]
         for col, image in (("before_data", want["before"]),
                            ("after_data", want["after"])):
             if image is None:

@@ -429,3 +429,16 @@ def test_bm25_plan_shape(spark):
     fplan = plan_of(spark, "bm25_search")
     assert re.search(r"ReadSchema: struct<doc_id:bigint,text:string>",
                      fplan), "scan not pruned to (doc_id, text)"
+
+
+def test_lm_perplexity_plan_shape(spark):
+    """lm_perplexity's model table must come back as broadcasts (the
+    scored corpus is never shuffled), the posting explodes must not
+    pay the InferFiltersFromGenerate generator tax, and the whole
+    plan stays JVM-side and cartesian-free."""
+    plan = plan_of(spark, "lm_perplexity", mode="simple")
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+    assert not any("transform(" in ln and "Filter" in ln
+                   for ln in plan.splitlines()), "generator cloned into filter"
