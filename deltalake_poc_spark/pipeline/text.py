@@ -730,17 +730,30 @@ def lm_bigram_score(docs: DataFrame, id_col: str = "doc_id",
 
     Scale shape: ONE map-side-combined shuffle each for unigram and
     bigram counts (bounded by the observed vocabulary, not the
-    corpus); the log-prob table rides back as ONE broadcast map;
-    scoring is a map-only row-local fold. At 100 TB the production
-    variant scores against a FIXED reference LM (the CCNet pattern —
-    the model is KB-GB and broadcastable no matter how big the scored
-    corpus is); training in-corpus at that scale means capping the
-    vocabulary (top-K by count) and pruning rare bigrams — both just
-    filters on the count aggregates upstream of the same broadcast.
+    corpus); the log-prob table is BROADCAST-JOINED onto the exploded
+    per-document bigrams (never a data-sized shuffle of the model
+    side), then one groupBy(doc) reassembles per-document scores. At
+    100 TB the production variant scores against a FIXED reference LM
+    (the CCNet pattern — the model is KB-GB and broadcastable no
+    matter how big the scored corpus is); training in-corpus at that
+    scale means capping the vocabulary (top-K by count) and pruning
+    rare bigrams — both just filters on the count aggregates upstream
+    of the same broadcast.
+
+    Why a join and not a broadcast MAP column: Spark's ``element_at``
+    on a map is a LINEAR scan of the map's key array per lookup
+    (ArrayBasedMapData carries no hash index), so map-lookup scoring
+    degrades O(model_size) per gram — measured 40x+ super-linear on
+    the 10x derivative whose rotation-renamed vocabulary grows the
+    model 10x. The broadcast hash join does the same lookup against a
+    real hash table.
 
     Cross-engine determinism: every count is an exact integer; each
-    document folds its ln-probabilities in SORTED-bigram left-assoc
-    order from 0.0 (both engines add the same doubles in the same
+    document folds its ln-probabilities in SORTED-(bigram, lp)
+    left-assoc order from 0.0 (collect_list order is nondeterministic,
+    so the collected (bigram, lp) structs are array_sort'ed first —
+    duplicate bigrams carry identical lp, so the value sequence is
+    total-ordered and both engines add the same doubles in the same
     sequence); ROUND(·,4) absorbs ≤1-ulp ln() differences (margin
     test pinned alongside tf_idf's). Docs with <2 tokens score 0.0.
 
@@ -771,20 +784,24 @@ def lm_bigram_score(docs: DataFrame, id_col: str = "doc_id",
                (F.col("__cb") + 1).cast("double")
                / (F.col("__cu") + F.col("__v")).cast("double"))
                .alias("__lp")))
-    lm = lnp.agg(F.map_from_entries(
-        F.collect_list(F.struct("__b", "__lp"))).alias("__m"))
-
-    total = F.aggregate(
-        F.array_sort(F.col("__bg")), F.lit(0.0),
-        lambda acc, k: acc + F.element_at(F.col("__m"), k))
-    n_bg = F.size("__bg")
+    # broadcast-hash-join the model onto the exploded doc bigrams,
+    # then reassemble per doc with a canonical sorted fold
+    posting = _explode_posting(base, "__bg", "__b", keys=(id_col,))
+    scored = (posting.join(F.broadcast(lnp), "__b")
+              .groupBy(id_col)
+              .agg(F.array_sort(
+                  F.collect_list(F.struct("__b", "__lp"))).alias("__e")))
+    total = F.aggregate(F.col("__e"), F.lit(0.0),
+                        lambda acc, s: acc + s["__lp"])
+    n_bg = F.coalesce(F.size("__e"), F.lit(0))
     nll = (-total) / n_bg.cast("double")
     out_col = (F.when(n_bg == 0, F.lit(0.0))
                .otherwise(F.round(nll, 4)).alias("nll_token")
                if rounded else
                F.when(n_bg == 0, F.lit(0.0))
                .otherwise(nll).alias("nll_raw"))
-    return (base.crossJoin(F.broadcast(lm))
+    return (base.select(id_col)
+            .join(scored, id_col, "left")  # zero-bigram docs keep rows
             .select(F.col(id_col), n_bg.cast("long").alias("n_bigrams"),
                     out_col)
             .orderBy(id_col))
