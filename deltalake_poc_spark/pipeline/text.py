@@ -718,7 +718,8 @@ def heavy_hitters(docs: DataFrame, strata_col: str = "source",
 
 def lm_bigram_score(docs: DataFrame, id_col: str = "doc_id",
                     text_col: str = "text",
-                    rounded: bool = True) -> DataFrame:
+                    rounded: bool = True, min_count: int = 1,
+                    broadcast_model: bool = True) -> DataFrame:
     """Per-document bigram-LM negative log-likelihood — the classic
     perplexity quality filter (CCNet / LLaMA-style: score text against
     an n-gram language model; unusually-high NLL = boilerplate, noise,
@@ -757,6 +758,16 @@ def lm_bigram_score(docs: DataFrame, id_col: str = "doc_id",
     sequence); ROUND(·,4) absorbs ≤1-ulp ln() differences (margin
     test pinned alongside tf_idf's). Docs with <2 tokens score 0.0.
 
+    The two scale knobs the 100 TB docstring above promises are real
+    parameters: ``min_count`` prunes bigrams seen fewer times from
+    the MODEL — a pruned (or never-seen) bigram falls back to the
+    add-one unseen probability 1/(c(w1)+V), so min_count=1 is
+    bit-identical to the unpruned model and larger values only shrink
+    the model table (classic n-gram pruning); ``broadcast_model=False``
+    drops the broadcast hint on the model join so AQE picks the
+    strategy — required once the in-corpus model outgrows broadcast
+    range (measured at the 1000× tier, SCALE.md).
+
     Returns (id, n_bigrams, nll_token) — unrounded ``nll_raw`` when
     ``rounded=False`` (for the margin test)."""
     from .dedup import _explode_posting
@@ -776,7 +787,9 @@ def lm_bigram_score(docs: DataFrame, id_col: str = "doc_id",
     vocab = uni.agg(F.count(F.lit(1)).alias("__v"))
     bic = (_explode_posting(base, "__bg", "__b", keys=())
            .groupBy("__b").agg(F.count(F.lit(1)).alias("__cb")))
-    lnp = (bic
+    kept = bic if min_count <= 1 else bic.filter(
+        F.col("__cb") >= int(min_count))
+    lnp = (kept
            .join(uni, F.substring_index(F.col("__b"), " ", 1)
                  == F.col("__w"))
            .crossJoin(F.broadcast(vocab))
@@ -784,10 +797,28 @@ def lm_bigram_score(docs: DataFrame, id_col: str = "doc_id",
                (F.col("__cb") + 1).cast("double")
                / (F.col("__cu") + F.col("__v")).cast("double"))
                .alias("__lp")))
-    # broadcast-hash-join the model onto the exploded doc bigrams,
-    # then reassemble per doc with a canonical sorted fold
+    model = F.broadcast(lnp) if broadcast_model else lnp
+    # hash-join the model onto the exploded doc bigrams, then
+    # reassemble per doc with a canonical sorted fold
     posting = _explode_posting(base, "__bg", "__b", keys=(id_col,))
-    scored = (posting.join(F.broadcast(lnp), "__b")
+    if min_count <= 1:
+        # every observed bigram is in the unpruned model: inner join
+        hit = posting.join(model, "__b")
+    else:
+        # pruned bigrams fall back to the add-one unseen probability
+        # 1/(c(w1)+V) — the same number the model would give cb=0
+        uni1 = F.broadcast(uni.select(F.col("__w").alias("__w1"),
+                                      F.col("__cu").alias("__cu1")))
+        hit = (posting.join(model, "__b", "left")
+               .join(uni1, F.substring_index(F.col("__b"), " ", 1)
+                     == F.col("__w1"))
+               .crossJoin(F.broadcast(vocab))
+               .select(id_col, "__b", F.coalesce(
+                   F.col("__lp"),
+                   F.log(F.lit(1.0)
+                         / (F.col("__cu1") + F.col("__v"))
+                         .cast("double"))).alias("__lp")))
+    scored = (hit
               .groupBy(id_col)
               .agg(F.array_sort(
                   F.collect_list(F.struct("__b", "__lp"))).alias("__e")))

@@ -156,6 +156,79 @@ def test_lm_perplexity_ln_agreement_pinned(spark, sf):
     assert near > 1e-8, f"nll within {near} of a 4dp boundary"
 
 
+def test_lm_perplexity_pruned_model_vs_oracle(spark):
+    """The min_count pruning knob (the 100 TB model-size lever) stays
+    oracle-exact: pruned bigrams fall back to the add-one unseen
+    probability 1/(c(w1)+V), recomputed here in DuckDB with the same
+    sorted-fold order. Also pins that broadcast_model=False changes
+    nothing (AQE picks the strategy, values identical)."""
+    import duckdb
+
+    from deltalake_poc_spark.analytics.io import load_table
+    from deltalake_poc_spark.pipeline.text import lm_bigram_score
+
+    sf_dir = "/root/testdata/sf0.01"
+    mc = 3
+    got = (lm_bigram_score(load_table(spark, sf_dir, "documents"),
+                           min_count=mc, broadcast_model=False)
+           .toPandas())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/documents.parquet')")
+    want = con.execute(f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(trim(text), ' ') AS t
+            FROM documents
+        ), bg AS (
+            SELECT doc_id,
+                   CASE WHEN len(t) >= 2 THEN
+                       [t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))]
+                   ELSE [] END AS bs
+            FROM toks
+        ), uni AS (
+            SELECT w, COUNT(*) AS cu
+            FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w
+        ), vv AS (SELECT COUNT(*) AS v FROM uni
+        ), bc AS (
+            SELECT b, COUNT(*) AS cb
+            FROM (SELECT unnest(bs) AS b FROM bg) GROUP BY b
+        ), lnp AS (
+            SELECT b, ln(CAST(cb + 1 AS DOUBLE)
+                         / CAST(cu + v AS DOUBLE)) AS lp
+            FROM bc JOIN uni ON split_part(b, ' ', 1) = w, vv
+            WHERE cb >= {mc}
+        ), mm AS (
+            SELECT map(list(b ORDER BY b), list(lp ORDER BY b)) AS m
+            FROM lnp
+        ), um AS (
+            SELECT map(list(w ORDER BY w), list(cu ORDER BY w)) AS u
+            FROM uni
+        )
+        SELECT doc_id, CAST(len(bs) AS BIGINT) AS n_bigrams,
+               CASE WHEN len(bs) = 0 THEN CAST(0.0 AS DOUBLE)
+               ELSE ROUND((-(list_reduce(
+                   list_prepend(CAST(0.0 AS DOUBLE),
+                       list_transform(list_sort(bs), k ->
+                           COALESCE(m[k][1],
+                               ln(CAST(1.0 AS DOUBLE)
+                                  / CAST(u[split_part(k, ' ', 1)][1] + v
+                                         AS DOUBLE))))),
+                   (a, x) -> a + x))) / CAST(len(bs) AS DOUBLE), 4)
+               END AS nll_token
+        FROM bg, mm, um, vv
+        ORDER BY doc_id
+    """).df()
+    got = got.sort_values("doc_id").reset_index(drop=True)
+    want = want.sort_values("doc_id").reset_index(drop=True) \
+               .astype(got.dtypes.to_dict())
+    assert got.equals(want)
+    # pruning must actually change SOME scores vs the unpruned model
+    # (otherwise mc=3 tested nothing on this corpus)
+    base = (lm_bigram_score(load_table(spark, sf_dir, "documents"))
+            .toPandas().sort_values("doc_id").reset_index(drop=True))
+    assert not base["nll_token"].equals(got["nll_token"])
+
+
 def test_lm_perplexity_flags_disfluent_text(spark):
     """Semantic sanity: a document of common in-distribution bigrams
     must score (much) lower NLL than a document of never-seen word
