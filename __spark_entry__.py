@@ -1757,6 +1757,136 @@ def _mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                           weights=_MIXTURE_WEIGHTS)
 
 
+def _dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test split by salted quadratic
+    key hash — row-local, partition-independent, engine-reproducible.
+    Gate = per-(source, split) doc counts and char sums; the oracle
+    re-derives every assignment from the same integer arithmetic."""
+    from deltalake_poc_spark.pipeline.sample import dataset_split
+
+    return (dataset_split(load_table(spark, sf_dir, "documents"))
+            .groupBy("source", "split")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum("n_chars").alias("chars"))
+            .orderBy("source", "split"))
+
+
+def _split_safety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-aware (leakage-safe) splitting: near-dup components
+    (exact n-gram Jaccard pairs -> connected components) are assigned
+    to splits BY THEIR KEEPER's hash, so no near-dup pair can straddle
+    train/test. Gate = per-split doc/group counts plus the recomputed
+    crossing-pair count (0 by construction); the oracle rebuilds the
+    transitive closure with a recursive CTE, re-hashes the keepers,
+    and must land on the identical counts and the identical zero."""
+    from deltalake_poc_spark.pipeline.dedup import ngram_jaccard_pairs
+    from deltalake_poc_spark.pipeline.sample import leakage_safe_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.15)
+    sp = leakage_safe_split(docs, pairs)
+    crossing = (
+        pairs
+        .join(sp.select(F.col("doc_id").alias("doc_a"),
+                        F.col("split").alias("__sa")), "doc_a")
+        .join(sp.select(F.col("doc_id").alias("doc_b"),
+                        F.col("split").alias("__sb")), "doc_b")
+        .filter(F.col("__sa") != F.col("__sb"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cross_pairs")))
+    return (sp.groupBy("split")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.countDistinct("keep_doc_id").cast("long")
+                 .alias("n_groups"))
+            .crossJoin(F.broadcast(crossing))
+            .orderBy("split"))
+
+
+def _dataset_split_oracle() -> str:
+    M = 2147483647
+    return f"""
+        WITH r AS (
+            SELECT source, n_chars, (doc_id + 17) % {M} AS h0
+            FROM documents
+        ), r1 AS (
+            SELECT source, n_chars,
+                   (h0*h0 + 48271*h0 + 11) % {M} AS h1 FROM r
+        ), h AS (
+            SELECT source, n_chars,
+                   ((h1*h1 + 48271*h1 + 17) % {M}) % 100 AS b FROM r1
+        )
+        SELECT source,
+               CASE WHEN b < 90 THEN 'train'
+                    WHEN b < 95 THEN 'val' ELSE 'test' END AS split,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS chars
+        FROM h
+        GROUP BY 1, 2
+        ORDER BY source, split
+    """
+
+
+def _split_safety_oracle() -> str:
+    M = 2147483647
+    return f"""
+        WITH RECURSIVE toks AS (
+            SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents
+        ), grams AS (
+            SELECT doc_id,
+                   list_distinct([t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+                                  FOR i IN range(len(t) - 2)]) AS gs
+            FROM toks WHERE len(t) >= 3
+        ), posting AS (
+            SELECT doc_id, len(gs) AS n_grams, unnest(gs) AS gram FROM grams
+        ), pr AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM posting a JOIN posting b
+              ON a.gram = b.gram AND a.doc_id < b.doc_id
+            GROUP BY 1, 2, a.n_grams, b.n_grams
+            HAVING ROUND(COUNT(*) / (a.n_grams + b.n_grams - COUNT(*)), 4)
+                   >= 0.15
+        ), edges AS (
+            SELECT doc_a AS a, doc_b AS b FROM pr
+            UNION
+            SELECT doc_b, doc_a FROM pr
+        ), reach(a, b) AS (
+            SELECT a, b FROM edges
+            UNION
+            SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+            WHERE e.b <> r.a
+        ), comp AS (
+            SELECT a AS doc_id, least(a, MIN(b)) AS group_id
+            FROM reach GROUP BY a
+        ), assign AS (
+            SELECT d.doc_id, COALESCE(c.group_id, d.doc_id) AS keeper
+            FROM documents d LEFT JOIN comp c USING (doc_id)
+        ), hh AS (
+            SELECT doc_id, keeper, (keeper + 17) % {M} AS h0 FROM assign
+        ), h1 AS (
+            SELECT doc_id, keeper,
+                   (h0*h0 + 48271*h0 + 11) % {M} AS h1v FROM hh
+        ), sp AS (
+            SELECT doc_id, keeper,
+                   CASE WHEN ((h1v*h1v + 48271*h1v + 17) % {M}) % 100 < 90
+                            THEN 'train'
+                        WHEN ((h1v*h1v + 48271*h1v + 17) % {M}) % 100 < 95
+                            THEN 'val'
+                        ELSE 'test' END AS split
+            FROM h1
+        ), cx AS (
+            SELECT COUNT(*) AS n FROM pr
+            JOIN sp a ON pr.doc_a = a.doc_id
+            JOIN sp b ON pr.doc_b = b.doc_id
+            WHERE a.split <> b.split
+        )
+        SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(DISTINCT keeper) AS BIGINT) AS n_groups,
+               (SELECT CAST(n AS BIGINT) FROM cx) AS cross_pairs
+        FROM sp
+        GROUP BY split
+        ORDER BY split
+    """
+
+
 def _lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram-LM perplexity quality scoring (CCNet-style filter):
     add-one-smoothed in-corpus bigram model, per-document per-token
@@ -1987,12 +2117,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     entries in dict insertion order. Freshness rule: a query checked
     at round N must be re-checked by round N+3 (window capacity 50 x
     3 rounds = 150 >= the registered count, so the rule stays
-    satisfiable at 113 registered). Round-6 window: (a) the 13 NEW
+    satisfiable at 115 registered). Round-6 window: (a) the 15 NEW
     queries, never driver-checked (kmeans_clusters,
     kmeans_ivf_clusters, dsir_select, bm25_search, lm_perplexity,
-    semantic_dedup, shard_layout, shard_manifest, hard_negatives,
-    pca_project, length_quantiles, heavy_hitters,
-    dedup_groups_distributed),
+    dataset_split, split_safety, semantic_dedup, shard_layout,
+    shard_manifest, hard_negatives, pca_project, length_quantiles,
+    heavy_hitters, dedup_groups_distributed),
     (b) the 7 queries whose newest driver row is r3 — asof_join,
     range_join, event_windows, user_sessions, doc_fingerprint,
     text_quality, lang_id — at the rotation limit and due now, (c)
@@ -2001,17 +2131,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     replication-slot try/finally + stale-slot sweep;
     canonical_selection: LEFT-join quality so unscored documents keep
     their row; funnel_steps: whale-safe running-min window
-    formulation replacing the per-user collect_list), and (d) 27 of
-    the 43 r4-green queries. The 16 r4-green deferrals —
-    simhash_dedup, pq_batch_topk, ann_lsh_topk, ivf_topk,
-    corpus_sample, bpe_token_stats,
+    formulation replacing the per-user collect_list), and (d) 25 of
+    the 43 r4-green queries. The 18 r4-green deferrals —
+    token_drift, minhash_dedup, simhash_dedup, pq_batch_topk,
+    ann_lsh_topk, ivf_topk, corpus_sample, bpe_token_stats,
     pack_sequences, winnow_dedup, dv_pipeline, decontaminate,
     quality_classifier, repetition_signals, corpus_pipeline,
     multimodal_decode, embedding_neardup, pq_topk — all
     code-untouched since r4 and re-oracle-checked locally every
     session by tests/test_entry_oracle.py — MUST head the r7 window
-    (r4 -> r7 is exactly the freshness limit); r7 = those 16 + 34 of
-    the 47 r5-green; the remaining 13 r5-green (the dict's tail,
+    (r4 -> r7 is exactly the freshness limit); r7 = those 18 + 32 of
+    the 47 r5-green; the remaining 15 r5-green (the dict's tail,
     ending q5_local_supplier) land in r8, exactly at the limit. Every
     registered query, in or out of the window, is oracle-checked by
     tests/test_entry_oracle.py and timed+oracled by bench.py.
@@ -2023,6 +2153,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select": _dsir_select,                         # DSIR importance selection
         "bm25_search": _bm25_search,                         # Okapi BM25 retrieval
         "lm_perplexity": _lm_perplexity,                     # bigram-LM quality scoring
+        "dataset_split": _dataset_split,                     # deterministic train/val/test
+        "split_safety": _split_safety,                       # dedup-aware leak-free split
         "semantic_dedup": _semantic_dedup,                   # SemDeDup over clusters
         "shard_layout": _shard_layout,                       # deterministic global shuffle
         "shard_manifest": _shard_manifest,                   # export manifest rollup
@@ -2070,11 +2202,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdf_changes": _cdf_changes,                         # S8 M1 M3
         "frame_sample": _frame_sample,                       # video frames
         "audio_features": _audio_features,                   # audio windows
-        "token_drift": _token_drift,                         # corpus drift
-        "minhash_dedup": _minhash_dedup,                     # MinHash+LSH vs exact oracle
         # --- positions 51+: outside the driver's 50-query gate
-        # window. FIRST the 16 r4-green deferrals (they MUST head
+        # window. FIRST the 18 r4-green deferrals (they MUST head
         # r7's window — see the freshness plan in the docstring):
+        "token_drift": _token_drift,                         # corpus drift (r4-green, r7 window head)
+        "minhash_dedup": _minhash_dedup,                     # MinHash+LSH vs exact oracle (r4-green, r7 window head)
         "simhash_dedup": _simhash_dedup,                     # SimHash, full SQL oracle (r4-green, r7 window head)
         "pq_batch_topk": _pq_batch_topk,                     # batch PQ ANN (r4-green, r7 window head)
         "ann_lsh_topk": _ann_lsh_topk,                       # LSH ANN, full SQL oracle (r4-green, r7 window head)
@@ -2846,6 +2978,8 @@ def oracle_sql() -> dict[str, str]:
         "dsir_select": _dsir_oracle(),
         "bm25_search": _bm25_oracle(),
         "lm_perplexity": _lm_perplexity_oracle(),
+        "dataset_split": _dataset_split_oracle(),
+        "split_safety": _split_safety_oracle(),
         "semantic_dedup": _semantic_dedup_oracle(),
         "shard_layout": _shard_layout_oracle(),
         "shard_manifest": _shard_manifest_oracle(),

@@ -276,3 +276,56 @@ def dsir_select(docs: DataFrame, target_source: str, budget: int,
                      source_col=source_col)
     return (w.orderBy(F.col("dsir_logw").desc(), F.col(id_col))
             .limit(int(budget)))
+
+
+# ---------------------------------------------------------- splitting
+
+def dataset_split(df: DataFrame, weights: tuple[int, ...] = (90, 5, 5),
+                  names: tuple[str, ...] = ("train", "val", "test"),
+                  key_col: str = "doc_id", salt: int = 17) -> DataFrame:
+    """Deterministic train/val/test assignment: bucket the stable key
+    with the quadratic hash (salted so it is independent of the
+    sampling operators' selections) and cut cumulative integer-weight
+    thresholds. Row-local — no shuffle, no state; re-running the job,
+    re-sharding the cluster, or re-deriving the split in another
+    engine yields the identical assignment. Adds a ``split`` column."""
+    if len(weights) != len(names) or not weights:
+        raise ValueError("weights and names must align")
+    total = int(sum(weights))
+    b = key_bucket(key_col, salt) % total
+    expr = None
+    cum = 0
+    for w, nm in zip(weights, names):
+        cum += int(w)
+        expr = (F.when(b < cum, nm) if expr is None
+                else expr.when(b < cum, nm))
+    return df.withColumn("split", expr)
+
+
+def leakage_safe_split(docs: DataFrame, pairs: DataFrame,
+                       weights: tuple[int, ...] = (90, 5, 5),
+                       names: tuple[str, ...] = ("train", "val", "test"),
+                       id_col: str = "doc_id",
+                       salt: int = 17) -> DataFrame:
+    """Dedup-AWARE dataset split: a plain per-document hash split
+    leaks near-duplicates across the train/test boundary (the classic
+    contamination bug — the model 'memorizes' test documents from
+    their training-set near-copies). Here every near-dup component
+    (connected components over ``pairs``) is split BY ITS KEEPER's
+    hash, so whole duplicate groups land in one split and zero pairs
+    straddle splits BY CONSTRUCTION — the ``split_safety`` gate query
+    recomputes the crossing count (and the oracle recomputes it from
+    the transitive closure) to hold that at 0.
+
+    Scale shape: the pair set and component assignment are the same
+    machinery the dedup operators already run at corpus scale
+    (bounded driver union-find / distributed min-label); the split
+    itself is one hash on the keeper column — row-local.
+
+    Returns (id, keep_doc_id, split)."""
+    from .dedup import dedup_groups
+
+    groups = dedup_groups(docs, pairs)
+    return dataset_split(groups.select(id_col, "keep_doc_id"),
+                         weights=weights, names=names,
+                         key_col="keep_doc_id", salt=salt)

@@ -245,6 +245,48 @@ def test_lm_perplexity_flags_disfluent_text(spark):
     assert got[10] > got[0] + 1.0
 
 
+def test_leakage_safe_split_vs_naive(spark):
+    """On a corpus engineered so near-dup pairs straddle a naive hash
+    split, leakage_safe_split must yield ZERO crossing pairs while the
+    naive per-document split provably leaks — the contamination bug
+    the operator exists to kill. Split sizes stay ~90/5/5."""
+    from pyspark.sql import functions as F
+
+    from deltalake_poc_spark.pipeline.dedup import ngram_jaccard_pairs
+    from deltalake_poc_spark.pipeline.sample import (dataset_split,
+                                                     leakage_safe_split)
+
+    # 200 documents in 100 near-identical pairs (i, i+1000)
+    rows = []
+    for i in range(100):
+        body = f"alpha bravo charlie delta echo foxtrot golf {i} " * 3
+        rows.append((i, body + "hotel"))
+        rows.append((i + 1000, body + "india"))
+    docs = spark.createDataFrame(rows, "doc_id: long, text: string")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.15)
+    assert pairs.count() >= 100
+
+    def crossing(split_df):
+        return (pairs
+                .join(split_df.select(F.col("doc_id").alias("doc_a"),
+                                      F.col("split").alias("sa")), "doc_a")
+                .join(split_df.select(F.col("doc_id").alias("doc_b"),
+                                      F.col("split").alias("sb")), "doc_b")
+                .filter(F.col("sa") != F.col("sb")).count())
+
+    naive = dataset_split(docs)
+    safe = leakage_safe_split(docs, pairs)
+    assert crossing(naive) > 0          # the bug is real on this corpus
+    assert crossing(safe) == 0          # and the operator kills it
+    sizes = {r["split"]: r["n"] for r in
+             safe.groupBy("split").agg(F.count(F.lit(1)).alias("n"))
+             .collect()}
+    assert sizes.get("train", 0) > sizes.get("val", 0)
+    assert sizes.get("train", 0) > sizes.get("test", 0)
+    # every doc exactly once, keeper shared within pairs
+    assert sum(sizes.values()) == 200
+
+
 def test_dsir_selects_target_domain(spark):
     """Semantic sanity: the target domain's own documents must be
     heavily over-represented in the selection (the paper's premise —
