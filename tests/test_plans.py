@@ -442,3 +442,18 @@ def test_lm_perplexity_plan_shape(spark):
     assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
     assert not any("transform(" in ln and "Filter" in ln
                    for ln in plan.splitlines()), "generator cloned into filter"
+
+
+def test_split_ops_plan_shape(spark):
+    """dataset_split's assignment is row-local ahead of one partial
+    aggregate (the hash is pure projection — no join, no window);
+    split_safety composes the dedup pair machinery without cartesians
+    or Python and broadcasts the 1-row crossing count back."""
+    plan = plan_of(spark, "dataset_split", mode="simple")
+    assert "EvalPython" not in plan
+    assert "Join" not in plan          # hash + groupBy only
+    assert "Window" not in plan
+    plan2 = plan_of(spark, "split_safety", mode="simple")
+    assert "EvalPython" not in plan2
+    assert "CartesianProduct" not in plan2
+    assert "BroadcastExchange" in plan2 or "BroadcastNestedLoopJoin" in plan2
