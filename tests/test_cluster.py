@@ -177,6 +177,35 @@ def test_coarse_cells_partition_every_centroid(spark):
             assert d <= rad
 
 
+def test_coarse_pruning_stats_go_no_go(spark):
+    """coarse_pruning_stats is the documented go/no-go check for the
+    twolevel mode: on data with REAL cluster structure the triangle
+    inequality prunes most centroid evaluations; on iid-style data it
+    prunes nearly nothing (the SCALE.md measurement) — the diagnostic
+    must expose that difference so the caller picks arrow instead."""
+    import random
+
+    rnd = random.Random(11)
+    dim, k = 16, 64
+    # clustered world: 64 well-separated centers, queries near centers
+    centers = [[rnd.uniform(-1, 1) * 10 for _ in range(dim)]
+               for _ in range(k)]
+    cents = [([int(v * C.QUANT_SCALE) for v in c], 1) for c in centers]
+    sample = [[v / 1.0 + rnd.gauss(0, 0.01) for v in rnd.choice(centers)]
+              for _ in range(200)]
+    clustered = C.coarse_pruning_stats(cents, sample)
+    assert clustered["frac_of_flat"] < 0.35, clustered
+
+    # iid world: everything concentrated at similar distances
+    iid_cents = [([int(rnd.gauss(0, 1) * C.QUANT_SCALE)
+                   for _ in range(dim)], 1) for _ in range(k)]
+    iid_sample = [[rnd.gauss(0, 1) for _ in range(dim)]
+                  for _ in range(200)]
+    iid = C.coarse_pruning_stats(iid_cents, iid_sample)
+    assert iid["frac_of_flat"] > 0.5, iid
+    assert iid["frac_of_flat"] > 2 * clustered["frac_of_flat"]
+
+
 def test_quantize_matches_money_convention(spark):
     """floor(x*2^20 + 0.5), not round(): .5 cases land deterministically
     upward in every engine."""
