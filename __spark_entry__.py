@@ -1088,6 +1088,7 @@ def _wal_cdc_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     literal -> WAL text -> JSON -> double bit-for-bit. Money exits as
     exact integer cents per the gate rule."""
     import tempfile
+    import time
     import uuid
 
     from deltalake_poc_spark.cdc import CDCApplier
@@ -1107,32 +1108,44 @@ def _wal_cdc_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     def q(s: str) -> str:
         return s.replace("'", "''")
 
-    tbl = f"wal_gate_{uuid.uuid4().hex[:8]}"
+    # Epoch-stamped names (wal_gate_<epoch>_<hex>): the leak sweeps
+    # below only touch objects older than _WAL_SWEEP_AGE_S, so a
+    # CONCURRENT invocation — whose slot is inactive between psql
+    # statements but only seconds old — can never be swept out from
+    # under it. Only a crashed/hung run (kill -9 skips the finally)
+    # leaves an object that old, and sweeping those is the point:
+    # with max_replication_slots=8 leaked slots would eventually
+    # brick the gate on this machine and pin WAL retention meanwhile.
+    _WAL_SWEEP_AGE_S = 600
+    tbl = f"wal_gate_{int(time.time())}_{uuid.uuid4().hex[:8]}"
     if pglive.available():
         pg = pglive.EphemeralPostgres()
         slot = f"slot_{tbl}"
-        # Sweep slots leaked by earlier CRASHED runs (kill -9 skips the
-        # finally below): with max_replication_slots=8, leaked slots
-        # would eventually brick the gate on this machine and pin WAL
-        # retention meanwhile. Pressure-gated (>= 4 slots) so a normal
-        # CONCURRENT invocation — whose test_decoding slot is idle
-        # between psql calls — is never swept out from under it.
-        pg.sql("SELECT pg_drop_replication_slot(slot_name) "
-               "FROM pg_replication_slots "
-               "WHERE slot_name LIKE 'slot_wal_gate_%' AND active = false "
-               "AND (SELECT count(*) FROM pg_replication_slots) >= 4;")
-        pg.sql(r"""DO $$
+        # slot_wal_gate_<epoch>_<hex> -> part 4 is the epoch; legacy
+        # pre-epoch names (no numeric part) can only be crashed-run
+        # leftovers from old builds, so they are swept unconditionally.
+        pg.sql(f"""SELECT pg_drop_replication_slot(slot_name)
+               FROM pg_replication_slots
+               WHERE slot_name LIKE 'slot_wal_gate_%' AND active = false
+               AND CASE WHEN split_part(slot_name, '_', 4) ~ '^[0-9]+$'
+                        THEN split_part(slot_name, '_', 4)::bigint
+                             < extract(epoch from now())::bigint
+                               - {_WAL_SWEEP_AGE_S}
+                        ELSE true END;""")
+        pg.sql(f"""DO $$
             DECLARE t text;
             BEGIN
-              IF (SELECT count(*) FROM pg_tables
-                  WHERE schemaname = 'public'
-                  AND tablename LIKE 'wal_gate_%') >= 8 THEN
-                FOR t IN SELECT tablename FROM pg_tables
-                         WHERE schemaname = 'public'
-                         AND tablename LIKE 'wal_gate_%'
-                LOOP EXECUTE format('DROP TABLE public.%I', t);
-                END LOOP;
-              END IF;
+              FOR t IN SELECT tablename FROM pg_tables
+                       WHERE schemaname = 'public'
+                       AND tablename LIKE 'wal_gate_%'
+                       AND CASE WHEN split_part(tablename, '_', 3)
+                                     ~ '^[0-9]+$'
+                                THEN split_part(tablename, '_', 3)::bigint
+                                     < extract(epoch from now())::bigint
+                                       - {_WAL_SWEEP_AGE_S}
+                                ELSE true END
+              LOOP EXECUTE format('DROP TABLE public.%I', t);
+              END LOOP;
             END $$;""")
         try:
             pg.sql(f"CREATE TABLE public.{tbl} (id BIGINT PRIMARY KEY, "
@@ -2890,8 +2903,8 @@ def _semantic_dedup_oracle() -> str:
             FROM mem a JOIN mem b
               ON a.cl = b.cl AND a.vec_id < b.vec_id
             WHERE ROUND(CAST({dot} AS DOUBLE)
-                        / (sqrt(CAST(a.n2 AS DOUBLE))
-                           * sqrt(CAST(b.n2 AS DOUBLE))),
+                        / (sqrt(CAST(greatest(a.n2, 1) AS DOUBLE))
+                           * sqrt(CAST(greatest(b.n2, 1) AS DOUBLE))),
                         4) >= {_SEMDEDUP_TAU!r}
         ), edges AS (
             SELECT va AS x, vb AS y FROM pr
@@ -4134,14 +4147,27 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY cosine DESC, e.vec_id ASC
             LIMIT 10
         """,
+        # the CASE mirrors the engine's zero-norm guard (dedup.py):
+        # an all-zero vector scores cosine 0 (pairs with nothing)
+        # instead of NaN, which both engines order above every double.
         "embedding_neardup": """
+            WITH v AS (
+                SELECT vec_id, label, embedding::DOUBLE[] AS e,
+                       CASE WHEN list_dot_product(embedding::DOUBLE[],
+                                                  embedding::DOUBLE[]) = 0
+                            THEN 1.0
+                            ELSE sqrt(list_dot_product(embedding::DOUBLE[],
+                                                       embedding::DOUBLE[]))
+                       END AS nrm
+                FROM embeddings
+            )
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-                   ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
-                                                b.embedding::DOUBLE[]), 4) AS cosine
-            FROM embeddings a JOIN embeddings b
+                   ROUND(list_dot_product(a.e, b.e) / (a.nrm * b.nrm),
+                         4) AS cosine
+            FROM v a JOIN v b
               ON a.label = b.label AND a.vec_id < b.vec_id
-            WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
-                                               b.embedding::DOUBLE[]), 4) >= 0.4
+            WHERE ROUND(list_dot_product(a.e, b.e) / (a.nrm * b.nrm),
+                        4) >= 0.4
         """,
         "scalar_showcase": """
             SELECT event_id,

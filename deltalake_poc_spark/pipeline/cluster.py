@@ -476,10 +476,18 @@ def semantic_neardup_pairs(emb: DataFrame,
         F.zip_with(F.coalesce(F.col("a.__q"), zero),
                    F.coalesce(F.col("b.__q"), zero), lambda x, y: x * y),
         F.lit(0).cast("long"), lambda acc, x: acc + x)
+    # greatest(n2, 1): a zero-norm quantized vector (all |x| < 2^-21)
+    # would make the quotient 0/0 = NaN, and Spark orders NaN ABOVE
+    # every double, so `cosine >= threshold` would spuriously pass and
+    # mark the zero vector a near-dup of its whole cluster. With the
+    # guard its dot is 0 so cosine = 0 and it pairs with nothing; the
+    # oracle applies the same greatest() to stay bit-identical.
     cos = F.round(
         dot.cast("double")
-        / (F.sqrt(F.coalesce(F.col("a.__n2"), F.lit(1)).cast("double"))
-           * F.sqrt(F.coalesce(F.col("b.__n2"), F.lit(1)).cast("double"))),
+        / (F.sqrt(F.greatest(F.coalesce(F.col("a.__n2"), F.lit(1)),
+                             F.lit(1)).cast("double"))
+           * F.sqrt(F.greatest(F.coalesce(F.col("b.__n2"), F.lit(1)),
+                               F.lit(1)).cast("double"))),
         4)
     return (
         a.join(b, (F.col("a.cluster") == F.col("b.cluster"))

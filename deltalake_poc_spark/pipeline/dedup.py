@@ -783,8 +783,15 @@ def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.9,
     computed with zip_with/aggregate in double precision — built-in
     functions only, identical fold order to the DuckDB oracle."""
     d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    norm = F.sqrt(F.aggregate(F.transform(d, lambda x: x * x),
-                              F.lit(0.0), lambda acc, x: acc + x))
+    # norm 0 -> 1: an all-zero embedding would otherwise make the
+    # quotient 0/0 = NaN, which Spark orders ABOVE every double, so
+    # `cosine >= threshold` would spuriously mark the zero vector a
+    # near-dup of its whole block. With the guard its dot is 0, so
+    # cosine = 0 and it pairs with nothing (oracle carries the same
+    # zero-norm CASE).
+    raw_norm = F.sqrt(F.aggregate(F.transform(d, lambda x: x * x),
+                                  F.lit(0.0), lambda acc, x: acc + x))
+    norm = F.when(raw_norm == 0, F.lit(1.0)).otherwise(raw_norm)
     # norms are computed ONCE per vector (n), not per pair (n²)
     base = spread(emb).select("vec_id", d.alias("v"), norm.alias("nrm"),
                               *([F.col(block_col)] if block_col else []))

@@ -688,6 +688,12 @@ def heavy_hitters(docs: DataFrame, strata_col: str = "source",
                         F.lit(seed)).alias("__sk"),
                      F.count(F.lit(1)).cast("long").alias("__n"))
                 ).collect()
+    if not sketches:
+        # empty / whitespace-only corpus: zero tokens means zero
+        # sketch rows AND zero reported rows — nothing to cross-check,
+        # and sketches[0] below would IndexError.
+        return result.select(F.col("__strata").alias(strata_col),
+                             "token", "freq", "rank")
     jcms = spark._jvm.org.apache.spark.util.sketch.CountMinSketch
     by_strata = {r["__strata"]: (jcms.readFrom(bytes(r["__sk"])),
                                  r["__n"]) for r in sketches}
@@ -824,7 +830,13 @@ def lm_bigram_score(docs: DataFrame, id_col: str = "doc_id",
                   F.collect_list(F.struct("__b", "__lp"))).alias("__e")))
     total = F.aggregate(F.col("__e"), F.lit(0.0),
                         lambda acc, s: acc + s["__lp"])
-    n_bg = F.coalesce(F.size("__e"), F.lit(0))
+    # explicit isNull branch, not coalesce(size(...)): size(NULL) is
+    # NULL only under ANSI mode / legacy.sizeOfNull=false; on stock
+    # Spark 3.x defaults it is -1 and coalesce would never fire,
+    # emitting (n_bigrams=-1, NULL score) for zero-bigram docs. This
+    # form is config-independent.
+    n_bg = (F.when(F.col("__e").isNull(), F.lit(0))
+            .otherwise(F.size("__e")))
     nll = (-total) / n_bg.cast("double")
     out_col = (F.when(n_bg == 0, F.lit(0.0))
                .otherwise(F.round(nll, 4)).alias("nll_token")

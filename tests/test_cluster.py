@@ -100,6 +100,23 @@ def test_semantic_pairs_plan_shape(spark, emb):
     assert "isnotnull(aggregate" not in plan
 
 
+def test_semantic_pairs_zero_norm_vector_pairs_with_nothing(spark):
+    """A zero-norm quantized vector (all |x| < 2^-21) must NOT be
+    marked a near-dup of its whole cluster: unguarded, its cosine is
+    0/0 = NaN and Spark orders NaN above every double, so
+    `cosine >= threshold` passes. greatest(n2, 1) maps it to cosine
+    0 instead (ADVICE r6); the DuckDB oracle carries the same
+    guard."""
+    rows = [(0, [1.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 0.0]),
+            (3, [1e-9, -1e-9])]                 # sub-quantum -> __q = 0
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    cents = C.kmeans_fit(df, k=1, iters=1)
+    got = C.semantic_neardup_pairs(df, cents, threshold=0.7).collect()
+    pairs = {(r["vec_a"], r["vec_b"]) for r in got}
+    assert pairs == {(0, 1)}
+    assert all(r["cosine"] == r["cosine"] for r in got)  # no NaN
+
+
 def test_hard_negatives_contract(spark, emb):
     out = C.hard_negatives(emb, k=8, iters=2, dup_threshold=0.99)
     rows = out.collect()

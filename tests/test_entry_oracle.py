@@ -229,6 +229,32 @@ def test_lm_perplexity_pruned_model_vs_oracle(spark):
     assert not base["nll_token"].equals(got["nll_token"])
 
 
+def test_lm_zero_bigram_docs_config_independent(spark):
+    """Docs with <2 tokens must score (n_bigrams=0, nll=0.0) under
+    EVERY size(NULL) regime — ANSI (NULL) and legacy sizeOfNull (-1).
+    ADVICE r6: the old coalesce(size(__e), 0) only worked because
+    this repo's Spark returns NULL; on stock 3.x defaults size(NULL)
+    is -1 and zero-bigram docs emitted (n_bigrams=-1, NULL score)."""
+    from deltalake_poc_spark.pipeline.text import lm_bigram_score
+
+    docs = spark.createDataFrame(
+        [(1, "hello world again"), (2, "solo"), (3, "")],
+        "doc_id: long, text: string")
+    old_ansi = spark.conf.get("spark.sql.ansi.enabled")
+    try:
+        for ansi, legacy in (("true", "false"), ("false", "true")):
+            spark.conf.set("spark.sql.ansi.enabled", ansi)
+            spark.conf.set("spark.sql.legacy.sizeOfNull", legacy)
+            got = {r["doc_id"]: (r["n_bigrams"], r["nll_token"])
+                   for r in lm_bigram_score(docs).collect()}
+            assert got[2] == (0, 0.0), (ansi, legacy, got)
+            assert got[3] == (0, 0.0), (ansi, legacy, got)
+            assert got[1][0] == 2
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", old_ansi)
+        spark.conf.unset("spark.sql.legacy.sizeOfNull")
+
+
 def test_lm_perplexity_flags_disfluent_text(spark):
     """Semantic sanity: a document of common in-distribution bigrams
     must score (much) lower NLL than a document of never-seen word

@@ -233,6 +233,24 @@ def test_embedding_neardup(spark):
     assert (0, 3) not in pairs  # blocking excludes cross-label pairs
 
 
+def test_embedding_neardup_zero_vector_pairs_with_nothing(spark):
+    """An all-zero embedding must NOT be flagged a near-dup of its
+    whole block: unguarded, its cosine is 0/0 = NaN and Spark orders
+    NaN above every double, so `cosine >= threshold` passes. The
+    norm guard maps it to cosine 0 instead (ADVICE r6)."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),
+        (1, [1.0, 0.0, 0.0, 0.0], 0),      # true dup of 0
+        (2, [0.0, 0.0, 0.0, 0.0], 0),      # zero vector, same block
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    got = dedup.embedding_neardup_pairs(emb, threshold=0.9).collect()
+    pairs = {(r["vec_a"], r["vec_b"]) for r in got}
+    assert pairs == {(0, 1)}
+    assert all(r["cosine"] == r["cosine"] for r in got)  # no NaN
+
+
 def test_cosine_topk(spark):
     rows = [(i, [float(i == j) for j in range(4)], 0) for i in range(4)]
     rows.append((9, [0.9, 0.1, 0.0, 0.0], 0))
@@ -1364,3 +1382,14 @@ def test_heavy_hitters_cms_bounds_hold_under_collisions(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string, source string")
     text.heavy_hitters(df, k=3, eps=0.9)
     text.heavy_hitters(df, k=3, eps=0.0001)
+
+
+def test_heavy_hitters_empty_corpus_returns_empty(spark):
+    """Zero tokens -> zero sketch rows: the CMS self-check must skip
+    (sketches[0] would IndexError), returning an empty result with
+    the contract schema (ADVICE r6)."""
+    rows = [(1, "   ", "s1"), (2, "", "s2"), (3, None, "s1")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = text.heavy_hitters(df, k=3)
+    assert got.collect() == []
+    assert got.columns == ["source", "token", "freq", "rank"]
