@@ -2123,6 +2123,132 @@ def _multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-image decode gate, lossless leg: synthesize a
+    deterministic grayscale pattern per document, encode it as PNG
+    (pipeline/codecs/png.py — stdlib zlib + numpy, cycling through
+    all five scanline filters by doc_id), decode it back through
+    multimodal.image_features, and emit exact integer pixel stats.
+    PNG is lossless, so the DuckDB oracle recomputes sum/min/max
+    straight from the pattern formula — the decode path (zlib
+    inflate, filter reconstruction, stat fold) must be bit-perfect
+    to hash-match. Pattern: p(i, j) = (doc_id*31 + i*7 + j*3) % 256,
+    dims from n_chars. 100 TB shape: two chained mapInPandas stages,
+    per-row Python, zero shuffle."""
+    from deltalake_poc_spark.pipeline import multimodal
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        from deltalake_poc_spark.pipeline.codecs.png import encode_png
+
+        for pdf in batches:
+            payloads = []
+            for did, nc in zip(pdf["doc_id"], pdf["n_chars"]):
+                w, h = int(nc) % 24 + 8, int(nc) % 16 + 8
+                i, j = np.mgrid[0:h, 0:w]
+                px = ((int(did) * 31 + i * 7 + j * 3) % 256).astype(np.uint8)
+                payloads.append(encode_png(px, filter_type=int(did) % 5))
+            yield pd.DataFrame({
+                "media_id": pdf["doc_id"].astype("int64"),
+                "payload": payloads,
+            })
+
+    from deltalake_poc_spark.pipeline.dedup import spread
+
+    # spread BEFORE synth too: the docs scan is one file -> one
+    # partition, and zlib-encoding 5k images on one core serializes
+    # the whole first stage
+    media = spread(docs).mapInPandas(synth, "media_id long, payload binary")
+    return (multimodal.image_features(media)
+            .select("media_id", "width", "height", "channels",
+                    "sum_px", "min_px", "max_px")
+            .orderBy("media_id"))
+
+
+def _jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-image decode gate, lossy leg: per document,
+    synthesize an RGB gradient, encode baseline JPEG at quality 85
+    (pipeline/codecs/jpeg.py — JFIF/Annex-K, alternating 4:4:4 and
+    4:2:0 chroma subsampling by doc_id), full-decode (Huffman +
+    dequant + IDCT + upsample + YCbCr->RGB), and SELF-CHECK inside
+    the worker: decoded dims must match exactly and PSNR vs the
+    source pattern must clear 30 dB, else the task raises and the
+    gate fails loudly (the heavy_hitters CMS-self-check pattern for
+    values SQL cannot recompute). The oracle checks the
+    SQL-derivable surface: dims, channels, format."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+    def synth_roundtrip(batches):
+        import numpy as np
+        import pandas as pd
+
+        from deltalake_poc_spark.pipeline.codecs.jpeg import encode_jpeg
+        from deltalake_poc_spark.pipeline.multimodal import decode_pixels
+
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "width", "height",
+                                   "channels", "format", "psnr_ge_30")}
+            def tri(x):
+                # continuous triangle wave 0..255 — no 255->0 cliff,
+                # so the q85 roundtrip stays comfortably above the
+                # PSNR floor even under 4:2:0 chroma subsampling
+                # (sawtooth % 256 edges ring below 30 dB)
+                return np.abs((x % 510) - 255).astype(np.uint8)
+
+            for did, nc in zip(pdf["doc_id"], pdf["n_chars"]):
+                did, nc = int(did), int(nc)
+                w, h = nc % 40 + 16, nc % 24 + 16
+                i, j = np.mgrid[0:h, 0:w]
+                img = np.stack([tri(did * 31 + i * 3 + j),
+                                tri(did * 17 + i + j * 2),
+                                tri(did * 7 + i * 2 + j * 3)], -1)
+                enc = encode_jpeg(img, quality=85,
+                                  subsampling="4:2:0" if did % 2
+                                  else "4:4:4")
+                dec, fmt = decode_pixels(enc)
+                if dec.shape != img.shape:
+                    raise AssertionError(
+                        f"doc {did}: decoded shape {dec.shape} != "
+                        f"{img.shape}")
+                mse = float(np.mean((dec.astype(np.float64)
+                                     - img.astype(np.float64)) ** 2))
+                psnr = 99.0 if mse == 0 else \
+                    10 * np.log10(255.0 ** 2 / mse)
+                if psnr < 30.0:
+                    raise AssertionError(
+                        f"doc {did}: JPEG roundtrip PSNR {psnr:.1f} dB "
+                        f"< 30 — decoder is mangling pixels")
+                out["media_id"].append(did)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["channels"].append(3)
+                out["format"].append(fmt)
+                out["psnr_ge_30"].append(True)
+            yield pd.DataFrame({
+                "media_id": pd.Series(out["media_id"], dtype="int64"),
+                "width": pd.Series(out["width"], dtype="int32"),
+                "height": pd.Series(out["height"], dtype="int32"),
+                "channels": pd.Series(out["channels"], dtype="int32"),
+                "format": pd.Series(out["format"], dtype="object"),
+                "psnr_ge_30": pd.Series(out["psnr_ge_30"], dtype="bool"),
+            })
+
+    from deltalake_poc_spark.pipeline.dedup import spread
+
+    # spread: the sf docs table is one parquet file -> one partition;
+    # without the round-robin exchange the whole encode+decode loop
+    # runs on a single core (measured 29s -> ~2s at sf0.1)
+    return (spread(docs).mapInPandas(
+        synth_roundtrip,
+        "media_id long, width int, height int, channels int, "
+        "format string, psnr_ge_30 boolean")
+        .orderBy("media_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
@@ -2130,161 +2256,152 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     entries in dict insertion order. Freshness rule: a query checked
     at round N must be re-checked by round N+3 (window capacity 50 x
     3 rounds = 150 >= the registered count, so the rule stays
-    satisfiable at 115 registered). Round-6 window: (a) the 15 NEW
-    queries, never driver-checked (kmeans_clusters,
-    kmeans_ivf_clusters, dsir_select, bm25_search, lm_perplexity,
-    dataset_split, split_safety, semantic_dedup, shard_layout,
-    shard_manifest, hard_negatives, pca_project, length_quantiles,
-    heavy_hitters, dedup_groups_distributed),
-    (b) the 7 queries whose newest driver row is r3 — asof_join,
-    range_join, event_windows, user_sessions, doc_fingerprint,
-    text_quality, lang_id — at the rotation limit and due now, (c)
-    the 3 queries whose CODE changed this round, all hash-preserving
-    fixes re-verified by the driver on principle (wal_cdc_pipeline:
-    replication-slot try/finally + stale-slot sweep;
-    canonical_selection: LEFT-join quality so unscored documents keep
-    their row; funnel_steps: whale-safe running-min window
-    formulation replacing the per-user collect_list), and (d) 25 of
-    the 43 r4-green queries. The 18 r4-green deferrals —
-    token_drift, minhash_dedup, simhash_dedup, pq_batch_topk,
-    ann_lsh_topk, ivf_topk, corpus_sample, bpe_token_stats,
-    pack_sequences, winnow_dedup, dv_pipeline, decontaminate,
-    quality_classifier, repetition_signals, corpus_pipeline,
-    multimodal_decode, embedding_neardup, pq_topk — all
-    code-untouched since r4 and re-oracle-checked locally every
-    session by tests/test_entry_oracle.py — MUST head the r7 window
-    (r4 -> r7 is exactly the freshness limit); r7 = those 18 + 32 of
-    the 47 r5-green; the remaining 15 r5-green (the dict's tail,
-    ending q5_local_supplier) land in r8, exactly at the limit. Every
+    satisfiable at 117 registered). Round-7 window: (a) the 18
+    queries whose newest driver row is r4 — r4 -> r7 is exactly the
+    freshness limit, so they head the window; (b) the 2 NEW queries,
+    never driver-checked (png_decode, jpeg_decode — the real
+    compressed-image codec gates); (c) the 4 r6-green queries whose
+    CODE changed this round, all hash-preserving edge-case fixes the
+    driver re-verifies on principle (semantic_dedup +
+    embedding_neardup-adjacent zero-norm cosine guard, lm_perplexity
+    size(NULL) config independence, heavy_hitters empty-corpus
+    guard, wal_cdc_pipeline epoch-stamped age-gated slot sweep);
+    and (d) 26 of the 47 r5-green queries, in prior dict order. The
+    remaining 21 r5-green sit immediately after position 50 (dict
+    tail head, embedding_topk .. q5_local_supplier) and MUST be in
+    r8's window (r5 -> r8 is the limit); r8 = those 21 + 29 of the
+    46 r6-green, r9 = the other 17 r6-green + 33 r7-green. Every
     registered query, in or out of the window, is oracle-checked by
     tests/test_entry_oracle.py and timed+oracled by bench.py.
     """
     return {
-        # --- new this round (never driver-checked -> window head)
-        "kmeans_clusters": _kmeans_clusters,                 # iterative Lloyd k-means
-        "kmeans_ivf_clusters": _kmeans_ivf_clusters,         # two-level pruned assignment
-        "dsir_select": _dsir_select,                         # DSIR importance selection
-        "bm25_search": _bm25_search,                         # Okapi BM25 retrieval
-        "lm_perplexity": _lm_perplexity,                     # bigram-LM quality scoring
-        "dataset_split": _dataset_split,                     # deterministic train/val/test
-        "split_safety": _split_safety,                       # dedup-aware leak-free split
-        "semantic_dedup": _semantic_dedup,                   # SemDeDup over clusters
-        "shard_layout": _shard_layout,                       # deterministic global shuffle
-        "shard_manifest": _shard_manifest,                   # export manifest rollup
-        "hard_negatives": _hard_negatives,                   # contrastive mining
-        "pca_project": _pca_project,                         # exact power-iteration PCA
-        "length_quantiles": _length_quantiles,               # mergeable quantile profile
-        "heavy_hitters": _heavy_hitters,                     # count-min top-k rollup
-        "dedup_groups_distributed": _dedup_groups_distributed,  # distributed CC regime
-        # --- due now: newest driver row r3 (rotation limit)
-        "lang_id": _lang_id,                                 # language ID
-        "text_quality": _text_quality,                       # quality scoring
-        "doc_fingerprint": _doc_fingerprint,                 # fingerprinting
-        "asof_join": _asof_join,                             # as-of join
-        "range_join": _range_join,                           # band/range join
-        "event_windows": _event_windows,                     # windowed agg
-        "user_sessions": _user_sessions,                     # sessionization
-        # --- code changed this round (hash-preserving fixes; driver
-        # re-verifies rather than trusting the local oracle alone)
-        "wal_cdc_pipeline": _wal_cdc_pipeline,               # LIVE postgres WAL CDC
-        "canonical_selection": _canonical_selection,         # quality-aware dedup
-        "funnel_steps": _funnel_steps,                       # sequential funnel
-        # --- newest driver row r4
-        "q2_min_cost_supplier": _q2_min_cost_supplier,       # correlated min
-        "q4_order_priority": _q4_order_priority,             # EXISTS semi join
-        "q8_market_share": _q8_market_share,                 # share quotient
-        "q13_cust_distribution": _q13_cust_distribution,     # outer-join hist
-        "q16_supplier_cnt": _q16_supplier_cnt,               # anti + distinct
-        "q17_small_qty_revenue": _q17_small_qty_revenue,     # correlated avg
-        "q18_large_volume": _q18_large_volume,               # IN group-having
-        "q21_waiting_suppliers": _q21_waiting_suppliers,     # semi+anti self
-        "q22_idle_customers": _q22_idle_customers,           # scalar avg + anti
-        "delta_read": _delta_read,                           # Delta-protocol interop
-        "delta_dv_read": _delta_dv_read,                     # standard deletion vectors
-        "stats_moments": _stats_moments,                     # percentile/stddev/corr
-        "cdc_pipeline": _cdc_pipeline,                       # S14 P1-P9 J4 J5 M1 M3
-        "skipping_read": _skipping_read,                     # data skipping e2e
-        "q7_volume_shipping": _q7_volume_shipping,           # dual-nation join
-        "q9_product_revenue": _q9_product_revenue,           # nation/year rollup
-        "q10_returned_items": _q10_returned_items,           # returns top-k
-        "q12_priority_lateness": _q12_priority_lateness,     # conditional agg
-        "q14_promo_revenue": _q14_promo_revenue,             # promo share
-        "q19_bracket_revenue": _q19_bracket_revenue,         # OR brackets
-        "q20_promo_suppliers": _q20_promo_suppliers,         # nested semi
-        "mv_refresh": _mv_refresh,                           # T7 S5 S11
-        "cdf_changes": _cdf_changes,                         # S8 M1 M3
-        "frame_sample": _frame_sample,                       # video frames
-        "audio_features": _audio_features,                   # audio windows
-        # --- positions 51+: outside the driver's 50-query gate
-        # window. FIRST the 18 r4-green deferrals (they MUST head
-        # r7's window — see the freshness plan in the docstring):
-        "token_drift": _token_drift,                         # corpus drift (r4-green, r7 window head)
-        "minhash_dedup": _minhash_dedup,                     # MinHash+LSH vs exact oracle (r4-green, r7 window head)
-        "simhash_dedup": _simhash_dedup,                     # SimHash, full SQL oracle (r4-green, r7 window head)
-        "pq_batch_topk": _pq_batch_topk,                     # batch PQ ANN (r4-green, r7 window head)
-        "ann_lsh_topk": _ann_lsh_topk,                       # LSH ANN, full SQL oracle (r4-green, r7 window head)
-        "ivf_topk": _ivf_topk,                               # pivot IVF, full SQL oracle (r4-green, r7 window head)
-        "pq_topk": _pq_topk,                                 # PQ/ADC ANN
-        "embedding_neardup": _embedding_neardup,             # cosine near-dup pairs
-        "multimodal_decode": _multimodal_decode,             # binary decode + resize
-        "corpus_pipeline": _corpus_pipeline,                 # filter+dedup+sample+budget
-        "quality_classifier": _quality_classifier,           # distilled quality filter
-        "repetition_signals": _repetition_signals,           # Gopher repetition stats
-        "decontaminate": _decontaminate,                     # benchmark n-gram overlap
-        "corpus_sample": _corpus_sample,                     # deterministic sampling (r4-green, r7 window head)
-        "bpe_token_stats": _bpe_token_stats,                 # token budgeting (r4-green, r7 window head)
-        "pack_sequences": _pack_sequences,                   # fixed-budget packing (r4-green, r7 window head)
-        "winnow_dedup": _winnow_dedup,                       # MOSS winnowing spans (r4-green, r7 window head)
-        "dv_pipeline": _dv_pipeline,                         # deletion vectors e2e (r4-green, r7 window head)
-        "mixture_sample": _mixture_sample,                   # domain mixing
-        "source_overlap": _source_overlap,                   # overlap matrix
-        "chunk_dedup": _chunk_dedup,                         # chunk-level dedup
-        "bloom_lookup": _bloom_lookup,                       # bloom skipping
-        "q11_important_parts": _q11_important_parts,         # fraction HAVING
-        "q15_top_supplier": _q15_top_supplier,               # view + max probe
-        "incremental_dedup": _incremental_dedup,             # signature store
-        "pq_stream_ingest": _pq_stream_ingest,               # streaming PQ ingest
-        "span_dedup": _span_dedup,                           # repeated substrings
-        "sketch_rollup": _sketch_rollup,                     # HLL union rollup
-        "cohort_retention": _cohort_retention,               # retention matrix
-        "skewed_agg": _skewed_agg,                           # salted hot-key agg
-        "props_analytics": _props_analytics,                 # JSON extraction agg
-        "customers_without_orders": _customers_without_orders,  # anti join
-        "change_type_counts": _change_type_counts,           # A6
-        "intersect_keys": _intersect_keys,                   # INTERSECT
-        "string_funcs": _string_funcs,                       # string surface
-        "date_parts": _date_parts,                           # date extraction
-        "time_travel_diff": _time_travel_diff,               # S6 U3
-        "tf_idf": _tf_idf,                                   # corpus TF-IDF
-        "dedup_exact_groups": _dedup_exact_groups,           # exact dedup
-        "ngram_jaccard": _ngram_jaccard,                     # n-gram Jaccard pairs
-        "dedup_group_assign": _dedup_group_assign,           # connected components
-        "top_tokens": _top_tokens,                           # token counting
-        "doc_chunks": _doc_chunks,                           # chunking w/ overlap
-        "scrub_pii": _scrub_pii,                             # PII scrubbing
-        "embedding_topk": _embedding_topk,                   # brute-force ANN baseline
-        "priority_stats": _priority_stats,                   # A5 P8
-        "event_stats": _event_stats,                         # A7
-        "customer_order_lists": _customer_order_lists,       # array_agg
-        "scalar_showcase": _scalar_showcase,                 # F2-F10
-        "suppliers_with_lineitems": _suppliers_with_lineitems,  # semi join
-        "top_value_events": _top_value_events,               # O1 O4
-        "inventory_status": _inventory_status,               # F8
-        "customer_order_summary": _customer_order_summary,   # J1 A2 F10
-        "product_popularity": _product_popularity,           # J2 A3 O1
-        "order_line_summary": _order_line_summary,           # J3 A4
-        "order_analytics": _order_analytics,                 # A1 F9
-        "analytics_summary": _analytics_summary,             # A8 A9 U1
-        "order_rollup": _order_rollup,                       # ROLLUP subtotals
-        "order_cube": _order_cube,                           # CUBE subtotals
-        "price_ranks": _price_ranks,                         # rank/ntile windows
-        "version_diff_keys": _version_diff_keys,             # U3 P6
-        "q1_pricing_summary": _q1_pricing_summary,           # wide-scan computed agg
-        # --- r8 section: the 3 r5-green queries r7's window can't fit
-        # (r5 -> r8 = the freshness limit; MUST be in r8's window)
-        "q6_forecast_revenue": _q6_forecast_revenue,         # selective scan-agg
-        "q3_shipping_priority": _q3_shipping_priority,       # 3-way join top-k
-        "q5_local_supplier": _q5_local_supplier_volume,      # 5-way join bcast dims
+        # --- r7 window head: the 18 r4-green queries (r4 -> r7 is the
+        # freshness limit)
+        "token_drift": _token_drift,                 # corpus drift
+        "minhash_dedup": _minhash_dedup,             # MinHash+LSH vs exact oracle
+        "simhash_dedup": _simhash_dedup,             # SimHash, full SQL oracle
+        "pq_batch_topk": _pq_batch_topk,             # batch PQ ANN
+        "ann_lsh_topk": _ann_lsh_topk,               # LSH ANN, full SQL oracle
+        "ivf_topk": _ivf_topk,                       # pivot IVF, full SQL oracle
+        "pq_topk": _pq_topk,                         # PQ/ADC ANN
+        "embedding_neardup": _embedding_neardup,     # cosine near-dup pairs
+        "multimodal_decode": _multimodal_decode,     # binary decode + resize
+        "corpus_pipeline": _corpus_pipeline,         # filter+dedup+sample+budget
+        "quality_classifier": _quality_classifier,   # distilled quality filter
+        "repetition_signals": _repetition_signals,   # Gopher repetition stats
+        "decontaminate": _decontaminate,             # benchmark n-gram overlap
+        "corpus_sample": _corpus_sample,             # deterministic sampling
+        "bpe_token_stats": _bpe_token_stats,         # token budgeting
+        "pack_sequences": _pack_sequences,           # fixed-budget packing
+        "winnow_dedup": _winnow_dedup,               # MOSS winnowing spans
+        "dv_pipeline": _dv_pipeline,                 # deletion vectors e2e
+        # --- new this round (never driver-checked)
+        "png_decode": _png_decode,                   # PNG codec, lossless pixel oracle
+        "jpeg_decode": _jpeg_decode,                 # baseline JPEG codec, PSNR self-check
+        # --- code changed this round (hash-preserving edge-case fixes;
+        # driver re-verifies rather than trusting the local oracle)
+        "semantic_dedup": _semantic_dedup,           # SemDeDup over clusters
+        "lm_perplexity": _lm_perplexity,             # bigram-LM quality scoring
+        "heavy_hitters": _heavy_hitters,             # count-min top-k rollup
+        "wal_cdc_pipeline": _wal_cdc_pipeline,       # LIVE postgres WAL CDC
+        # --- 26 of the 47 r5-green (prior dict order)
+        "mixture_sample": _mixture_sample,           # domain mixing
+        "source_overlap": _source_overlap,           # overlap matrix
+        "chunk_dedup": _chunk_dedup,                 # chunk-level dedup
+        "bloom_lookup": _bloom_lookup,               # bloom skipping
+        "q11_important_parts": _q11_important_parts, # fraction HAVING
+        "q15_top_supplier": _q15_top_supplier,       # view + max probe
+        "incremental_dedup": _incremental_dedup,     # signature store
+        "pq_stream_ingest": _pq_stream_ingest,       # streaming PQ ingest
+        "span_dedup": _span_dedup,                   # repeated substrings
+        "sketch_rollup": _sketch_rollup,             # HLL union rollup
+        "cohort_retention": _cohort_retention,       # retention matrix
+        "skewed_agg": _skewed_agg,                   # salted hot-key agg
+        "props_analytics": _props_analytics,         # JSON extraction agg
+        "customers_without_orders": _customers_without_orders, # anti join
+        "change_type_counts": _change_type_counts,   # A6
+        "intersect_keys": _intersect_keys,           # INTERSECT
+        "string_funcs": _string_funcs,               # string surface
+        "date_parts": _date_parts,                   # date extraction
+        "time_travel_diff": _time_travel_diff,       # S6 U3
+        "tf_idf": _tf_idf,                           # corpus TF-IDF
+        "dedup_exact_groups": _dedup_exact_groups,   # exact dedup
+        "ngram_jaccard": _ngram_jaccard,             # n-gram Jaccard pairs
+        "dedup_group_assign": _dedup_group_assign,   # connected components
+        "top_tokens": _top_tokens,                   # token counting
+        "doc_chunks": _doc_chunks,                   # chunking w/ overlap
+        "scrub_pii": _scrub_pii,                     # PII scrubbing
+        # --- positions 51+: outside the driver's 50-query gate window.
+        # FIRST the 21 r5-green that MUST head r8's window (r5 -> r8
+        # is the freshness limit):
+        "embedding_topk": _embedding_topk,           # brute-force ANN baseline
+        "priority_stats": _priority_stats,           # A5 P8
+        "event_stats": _event_stats,                 # A7
+        "customer_order_lists": _customer_order_lists, # array_agg
+        "scalar_showcase": _scalar_showcase,         # F2-F10
+        "suppliers_with_lineitems": _suppliers_with_lineitems, # semi join
+        "top_value_events": _top_value_events,       # O1 O4
+        "inventory_status": _inventory_status,       # F8
+        "customer_order_summary": _customer_order_summary, # J1 A2 F10
+        "product_popularity": _product_popularity,   # J2 A3 O1
+        "order_line_summary": _order_line_summary,   # J3 A4
+        "order_analytics": _order_analytics,         # A1 F9
+        "analytics_summary": _analytics_summary,     # A8 A9 U1
+        "order_rollup": _order_rollup,               # ROLLUP subtotals
+        "order_cube": _order_cube,                   # CUBE subtotals
+        "price_ranks": _price_ranks,                 # rank/ntile windows
+        "version_diff_keys": _version_diff_keys,     # U3 P6
+        "q1_pricing_summary": _q1_pricing_summary,   # wide-scan computed agg
+        "q6_forecast_revenue": _q6_forecast_revenue, # selective scan-agg
+        "q3_shipping_priority": _q3_shipping_priority, # 3-way join top-k
+        "q5_local_supplier": _q5_local_supplier_volume, # 5-way join bcast dims
+        # --- then the 46 r6-green (due r9; r8 takes 29, r9 the rest)
+        "kmeans_clusters": _kmeans_clusters,         # iterative Lloyd k-means
+        "kmeans_ivf_clusters": _kmeans_ivf_clusters, # two-level pruned assignment
+        "dsir_select": _dsir_select,                 # DSIR importance selection
+        "bm25_search": _bm25_search,                 # Okapi BM25 retrieval
+        "dataset_split": _dataset_split,             # deterministic train/val/test
+        "split_safety": _split_safety,               # dedup-aware leak-free split
+        "shard_layout": _shard_layout,               # deterministic global shuffle
+        "shard_manifest": _shard_manifest,           # export manifest rollup
+        "hard_negatives": _hard_negatives,           # contrastive mining
+        "pca_project": _pca_project,                 # exact power-iteration PCA
+        "length_quantiles": _length_quantiles,       # mergeable quantile profile
+        "dedup_groups_distributed": _dedup_groups_distributed, # distributed CC regime
+        "lang_id": _lang_id,                         # language ID
+        "text_quality": _text_quality,               # quality scoring
+        "doc_fingerprint": _doc_fingerprint,         # fingerprinting
+        "asof_join": _asof_join,                     # as-of join
+        "range_join": _range_join,                   # band/range join
+        "event_windows": _event_windows,             # windowed agg
+        "user_sessions": _user_sessions,             # sessionization
+        "canonical_selection": _canonical_selection, # quality-aware dedup
+        "funnel_steps": _funnel_steps,               # sequential funnel
+        "q2_min_cost_supplier": _q2_min_cost_supplier, # correlated min
+        "q4_order_priority": _q4_order_priority,     # EXISTS semi join
+        "q8_market_share": _q8_market_share,         # share quotient
+        "q13_cust_distribution": _q13_cust_distribution, # outer-join hist
+        "q16_supplier_cnt": _q16_supplier_cnt,       # anti + distinct
+        "q17_small_qty_revenue": _q17_small_qty_revenue, # correlated avg
+        "q18_large_volume": _q18_large_volume,       # IN group-having
+        "q21_waiting_suppliers": _q21_waiting_suppliers, # semi+anti self
+        "q22_idle_customers": _q22_idle_customers,   # scalar avg + anti
+        "delta_read": _delta_read,                   # Delta-protocol interop
+        "delta_dv_read": _delta_dv_read,             # standard deletion vectors
+        "stats_moments": _stats_moments,             # percentile/stddev/corr
+        "cdc_pipeline": _cdc_pipeline,               # S14 P1-P9 J4 J5 M1 M3
+        "skipping_read": _skipping_read,             # data skipping e2e
+        "q7_volume_shipping": _q7_volume_shipping,   # dual-nation join
+        "q9_product_revenue": _q9_product_revenue,   # nation/year rollup
+        "q10_returned_items": _q10_returned_items,   # returns top-k
+        "q12_priority_lateness": _q12_priority_lateness, # conditional agg
+        "q14_promo_revenue": _q14_promo_revenue,     # promo share
+        "q19_bracket_revenue": _q19_bracket_revenue, # OR brackets
+        "q20_promo_suppliers": _q20_promo_suppliers, # nested semi
+        "mv_refresh": _mv_refresh,                   # T7 S5 S11
+        "cdf_changes": _cdf_changes,                 # S8 M1 M3
+        "frame_sample": _frame_sample,               # video frames
+        "audio_features": _audio_features,           # audio windows
     }
 
 
@@ -4180,6 +4297,45 @@ def oracle_sql() -> dict[str, str]:
                    strftime(date_trunc('day', ts), '%Y-%m-%d') AS event_day,
                    epoch_ms(ts) AS ts_ms
             FROM events
+        """,
+        # PNG is lossless, so the decoded pixel statistics are
+        # recomputable straight from the pattern formula
+        # p(i,j) = (doc_id*31 + i*7 + j*3) % 256 — constant ranges +
+        # filter because DuckDB's range() takes no lateral column
+        # args (max dim here is 31).
+        "png_decode": """
+            WITH dims AS (
+                SELECT doc_id AS media_id,
+                       CAST(n_chars % 24 + 8 AS INTEGER) AS width,
+                       CAST(n_chars % 16 + 8 AS INTEGER) AS height
+                FROM documents
+            ), px AS (
+                SELECT media_id, width, height,
+                       (media_id * 31 + i.range * 7 + j.range * 3) % 256
+                       AS p
+                FROM dims, range(0, 32) i, range(0, 32) j
+                WHERE i.range < height AND j.range < width
+            )
+            SELECT media_id, width, height,
+                   CAST(1 AS INTEGER) AS channels,
+                   CAST(SUM(p) AS BIGINT) AS sum_px,
+                   CAST(MIN(p) AS INTEGER) AS min_px,
+                   CAST(MAX(p) AS INTEGER) AS max_px
+            FROM px GROUP BY 1, 2, 3
+            ORDER BY media_id
+        """,
+        # JPEG is lossy: SQL checks the derivable surface (dims,
+        # channels, format); pixel fidelity is certified in-worker by
+        # the PSNR >= 30 dB self-check, which raises on failure.
+        "jpeg_decode": """
+            SELECT doc_id AS media_id,
+                   CAST(n_chars % 40 + 16 AS INTEGER) AS width,
+                   CAST(n_chars % 24 + 16 AS INTEGER) AS height,
+                   CAST(3 AS INTEGER) AS channels,
+                   'jpeg' AS format,
+                   TRUE AS psnr_ge_30
+            FROM documents
+            ORDER BY media_id
         """,
         # FAKEIMG payloads are a deterministic function of n_chars
         # (16-byte header: magic + packed w/h), so the whole decode +

@@ -6,14 +6,15 @@ as Arrow-batched pandas iterators over ``mapInPandas`` (the right
 shape for expensive per-row Python: one Python worker per partition,
 columnar Arrow transfer, no per-row overhead).
 
-Codec status: UNCOMPRESSED formats decode NATIVELY (no PIL/ffmpeg
-needed) — BMP and binary-PPM images, PCM WAV audio (stdlib ``wave``),
-and YUV4MPEG2 (y4m) video demux — alongside the deterministic FAKE*
-headers used by the synthetic corpus. COMPRESSED formats (JPEG/PNG,
-MP3/AAC, MP4/H.264) genuinely need PIL/ffmpeg, which are not in this
-container, and raise NotImplementedError; the batch shapes
-(1-to-many Arrow generators) are exactly what those decoders slot
-into.
+Codec status: JPEG (baseline, pipeline/codecs/jpeg.py) and PNG
+(pipeline/codecs/png.py) decode NATIVELY in pure numpy — no PIL on
+the workers — as do the uncompressed formats: BMP and binary-PPM
+images, PCM WAV audio (stdlib ``wave``), YUV4MPEG2 (y4m) video
+demux, and the deterministic FAKE* headers used by the synthetic
+corpus. Remaining compressed formats (MP3/AAC audio, MP4/H.264
+video, progressive JPEG) genuinely need ffmpeg/libjpeg and raise
+NotImplementedError; the batch shapes (1-to-many Arrow generators)
+are exactly what those decoders slot into.
 """
 
 from __future__ import annotations
@@ -90,10 +91,19 @@ def _decode_one(payload: bytes) -> tuple[int, int, str]:
     if payload[:2] == b"P6":
         w, h = _ppm_dims(payload)
         return w, h, "ppm"
-    # compressed formats genuinely need codec libraries
+    if payload[:2] == b"\xff\xd8":
+        from deltalake_poc_spark.pipeline.codecs.jpeg import jpeg_dimensions
+
+        w, h, _ = jpeg_dimensions(payload)
+        return w, h, "jpeg"
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        from deltalake_poc_spark.pipeline.codecs.png import png_dimensions
+
+        w, h, _ = png_dimensions(payload)
+        return w, h, "png"
     raise NotImplementedError(
-        "compressed image formats (JPEG/PNG/...) require PIL; native "
-        "decoders cover BMP, binary PPM, and FAKEIMG1 payloads"
+        "unrecognized image payload; native decoders cover baseline "
+        "JPEG, PNG, BMP, binary PPM, and FAKEIMG1"
     )
 
 
@@ -116,6 +126,105 @@ def decode_media(media: DataFrame) -> DataFrame:
     from deltalake_poc_spark.pipeline.dedup import spread
 
     return spread(media).mapInPandas(decode_batches, DECODED_SCHEMA)
+
+
+def decode_pixels(payload: bytes):
+    """Full pixel decode of one payload to (uint8 array, format).
+    Arrays are (h, w) grayscale or (h, w, channels). Covers baseline
+    JPEG, PNG, 24-bit uncompressed BMP and binary PPM — every format
+    this container can decode without PIL/ffmpeg."""
+    import numpy as np
+
+    if payload[:2] == b"\xff\xd8":
+        from deltalake_poc_spark.pipeline.codecs.jpeg import decode_jpeg
+
+        return decode_jpeg(payload), "jpeg"
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        from deltalake_poc_spark.pipeline.codecs.png import decode_png
+
+        return decode_png(payload), "png"
+    if payload[:2] == b"P6":
+        w, h = _ppm_dims(payload)
+        px = np.frombuffer(payload[-w * h * 3:], np.uint8)
+        return px.reshape(h, w, 3), "ppm"
+    if payload[:2] == b"BM" and len(payload) >= 26:
+        (off,) = struct.unpack_from("<I", payload, 10)
+        w, hh = struct.unpack_from("<ii", payload, 18)
+        (bpp,) = struct.unpack_from("<H", payload, 28)
+        if bpp != 24:
+            raise NotImplementedError(f"{bpp}-bit BMP unsupported")
+        stride = (w * 3 + 3) & ~3  # rows pad to 4 bytes
+        rows = np.frombuffer(payload[off:off + stride * abs(hh)],
+                             np.uint8).reshape(abs(hh), stride)
+        px = rows[:, :w * 3].reshape(abs(hh), w, 3)[..., ::-1]  # BGR->RGB
+        return (px if hh < 0 else px[::-1]).copy(), "bmp"
+    raise NotImplementedError(
+        "unrecognized image payload; pixel decoders cover baseline "
+        "JPEG, PNG, BMP(24), and binary PPM"
+    )
+
+
+IMAGE_FEATURE_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("channels", IntegerType()),
+    StructField("format", StringType()),
+    StructField("n_px", LongType()),
+    StructField("sum_px", LongType()),
+    StructField("min_px", IntegerType()),
+    StructField("max_px", IntegerType()),
+])
+
+
+def image_features(media: DataFrame) -> DataFrame:
+    """FULL image decode to exact integer pixel statistics via
+    mapInPandas — the feature-extraction batch shape with a real
+    codec inside (pipeline/codecs): binary in, per-image numeric
+    rows out. Stats are integers (count/sum/min/max over all
+    channel samples) so they are exact in any engine; for lossless
+    formats (PNG/BMP/PPM) they are SQL-recomputable from the source
+    pattern, which is how the png_decode gate oracles this path.
+
+    100 TB shape: per-row Python work with zero shuffle — scales
+    with executor count. The Huffman scan is the only Python loop;
+    DCT/filter math is vectorized numpy per image."""
+    import numpy as np
+
+    def feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "width", "height",
+                                   "channels", "format", "n_px",
+                                   "sum_px", "min_px", "max_px")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                px, fmt = decode_pixels(payload)
+                h, w = px.shape[:2]
+                ch = 1 if px.ndim == 2 else px.shape[2]
+                flat = px.reshape(-1).astype(np.int64)
+                out["media_id"].append(mid)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["channels"].append(ch)
+                out["format"].append(fmt)
+                out["n_px"].append(int(flat.size))
+                out["sum_px"].append(int(flat.sum()))
+                out["min_px"].append(int(flat.min()))
+                out["max_px"].append(int(flat.max()))
+            yield pd.DataFrame({
+                "media_id": pd.Series(out["media_id"], dtype="int64"),
+                "width": pd.Series(out["width"], dtype="int32"),
+                "height": pd.Series(out["height"], dtype="int32"),
+                "channels": pd.Series(out["channels"], dtype="int32"),
+                "format": pd.Series(out["format"], dtype="object"),
+                "n_px": pd.Series(out["n_px"], dtype="int64"),
+                "sum_px": pd.Series(out["sum_px"], dtype="int64"),
+                "min_px": pd.Series(out["min_px"], dtype="int32"),
+                "max_px": pd.Series(out["max_px"], dtype="int32"),
+            })
+
+    from deltalake_poc_spark.pipeline.dedup import spread
+
+    return spread(media).mapInPandas(feature_batches, IMAGE_FEATURE_SCHEMA)
 
 
 def resize_plan(decoded: DataFrame, max_side: int = 512,

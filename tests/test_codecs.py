@@ -1,0 +1,225 @@
+"""Pure-numpy media codecs (deltalake_poc_spark/pipeline/codecs).
+
+The png_decode gate hash-matches decoded pixel statistics against a
+DuckDB recomputation (lossless), and jpeg_decode self-certifies
+PSNR in-worker; these tests pin the codec properties the gates
+can't see: every PNG filter type reconstructs exactly, palette and
+alpha color types decode, JPEG quality/subsampling trade off as
+specified, restart markers round-trip, and malformed/unsupported
+inputs reject loudly instead of mangling pixels.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from deltalake_poc_spark.pipeline.codecs.jpeg import (
+    decode_jpeg, encode_jpeg, jpeg_dimensions,
+)
+from deltalake_poc_spark.pipeline.codecs.png import (
+    decode_png, encode_png, png_dimensions,
+)
+from deltalake_poc_spark.pipeline import multimodal
+
+
+def _psnr(a: np.ndarray, b: np.ndarray) -> float:
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    return 99.0 if mse == 0 else 10 * np.log10(255.0 ** 2 / mse)
+
+
+def _gradient_rgb(h: int, w: int, seed: int = 0) -> np.ndarray:
+    i, j = np.mgrid[0:h, 0:w]
+    tri = lambda x: np.abs((x % 510) - 255).astype(np.uint8)  # noqa: E731
+    return np.stack([tri(seed + i * 3 + j), tri(seed + i + j * 2),
+                     tri(seed + i * 2 + j * 3)], -1)
+
+
+# ------------------------------------------------------------------ JPEG
+
+@pytest.mark.parametrize("sub", ["4:4:4", "4:2:0"])
+@pytest.mark.parametrize("dims", [(40, 56), (33, 47), (8, 8), (1, 1)])
+def test_jpeg_roundtrip_rgb(sub, dims):
+    img = _gradient_rgb(*dims, seed=7)
+    enc = encode_jpeg(img, quality=85, subsampling=sub)
+    assert jpeg_dimensions(enc) == (dims[1], dims[0], 3)
+    dec = decode_jpeg(enc)
+    assert dec.shape == img.shape
+    assert _psnr(img, dec) >= (35 if min(dims) >= 8 else 25)
+
+
+def test_jpeg_roundtrip_gray_odd_dims():
+    i, j = np.mgrid[0:33, 0:47]
+    g = np.abs(((i * 5 + j * 7) % 510) - 255).astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg(g, quality=90))
+    assert dec.shape == (33, 47)
+    assert _psnr(g, dec) >= 35
+
+
+def test_jpeg_quality_monotonic():
+    """Higher quality -> larger file AND higher fidelity."""
+    img = _gradient_rgb(48, 48, seed=3)
+    sizes, psnrs = [], []
+    for q in (30, 60, 90):
+        enc = encode_jpeg(img, quality=q)
+        sizes.append(len(enc))
+        psnrs.append(_psnr(img, decode_jpeg(enc)))
+    assert sizes == sorted(sizes)
+    assert psnrs == sorted(psnrs)
+
+
+def test_jpeg_subsampling_shrinks_file():
+    img = _gradient_rgb(64, 64, seed=11)
+    assert len(encode_jpeg(img, 85, "4:2:0")) < len(encode_jpeg(img, 85))
+
+
+def test_jpeg_restart_markers_roundtrip():
+    """DRI/RSTn: the encoder byte-aligns and resets DC prediction at
+    every restart; the decoder must resynchronize identically. Pixels
+    must match the no-restart encode's decode exactly (restarts change
+    framing, not content)."""
+    img = _gradient_rgb(48, 64, seed=5)
+    enc_r = encode_jpeg(img, quality=85, restart_interval=2)
+    enc_p = encode_jpeg(img, quality=85)
+    assert b"\xff\xdd" in enc_r and b"\xff\xd0" in enc_r
+    assert np.array_equal(decode_jpeg(enc_r), decode_jpeg(enc_p))
+
+
+def test_jpeg_flat_image_near_exact():
+    img = np.full((24, 24, 3), 200, np.uint8)
+    dec = decode_jpeg(encode_jpeg(img, quality=85, subsampling="4:2:0"))
+    assert int(np.max(np.abs(dec.astype(int) - 200))) <= 2
+
+
+def test_jpeg_rejects_progressive_and_garbage():
+    img = np.zeros((8, 8), np.uint8)
+    enc = bytearray(encode_jpeg(img))
+    sof = enc.index(b"\xff\xc0")
+    enc[sof + 1] = 0xC2  # flip SOF0 -> SOF2 (progressive)
+    with pytest.raises(NotImplementedError, match="progressive"):
+        decode_jpeg(bytes(enc))
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"\x00\x01\x02")
+    with pytest.raises(ValueError):
+        encode_jpeg(np.zeros((0, 4), np.uint8))
+
+
+# ------------------------------------------------------------------- PNG
+
+@pytest.mark.parametrize("ft", [0, 1, 2, 3, 4])
+def test_png_every_filter_lossless(ft):
+    rng = np.random.RandomState(3 + ft)
+    for img in (rng.randint(0, 256, (23, 31), dtype=np.uint8),
+                rng.randint(0, 256, (23, 31, 3), dtype=np.uint8),
+                rng.randint(0, 256, (23, 31, 4), dtype=np.uint8)):
+        enc = encode_png(img, filter_type=ft)
+        dec = decode_png(enc)
+        assert np.array_equal(dec, img)
+    one = np.array([[7]], np.uint8)
+    assert np.array_equal(decode_png(encode_png(one, filter_type=ft)), one)
+
+
+def test_png_dimensions_and_channels():
+    img = np.zeros((5, 9, 3), np.uint8)
+    assert png_dimensions(encode_png(img)) == (9, 5, 3)
+
+
+def _raw_png(ihdr_fields, chunks):
+    sig = b"\x89PNG\r\n\x1a\n"
+    def chunk(tag, body):
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+    out = sig + chunk(b"IHDR", struct.pack(">IIBBBBB", *ihdr_fields))
+    for tag, body in chunks:
+        out += chunk(tag, body)
+    return out + chunk(b"IEND", b"")
+
+
+def test_png_palette_decode():
+    """Color type 3: 2x2 image indexing a 3-entry palette."""
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])
+    scan = zlib.compress(bytes([0, 0, 1, 0, 2, 1]))  # rows: [0,1], [2,1]
+    data = _raw_png((2, 2, 8, 3, 0, 0, 0),
+                    [(b"PLTE", plte), (b"IDAT", scan)])
+    dec = decode_png(data)
+    assert dec.shape == (2, 2, 3)
+    assert dec[0, 0].tolist() == [255, 0, 0]
+    assert dec[1, 0].tolist() == [0, 0, 255]
+    assert dec[0, 1].tolist() == dec[1, 1].tolist() == [0, 255, 0]
+
+
+def test_png_rejects_unsupported():
+    with pytest.raises(ValueError, match="signature"):
+        decode_png(b"nope")
+    sixteen = _raw_png((2, 2, 16, 0, 0, 0, 0),
+                       [(b"IDAT", zlib.compress(b"\x00" * 10))])
+    with pytest.raises(NotImplementedError, match="16-bit"):
+        decode_png(sixteen)
+    interlaced = _raw_png((2, 2, 8, 0, 0, 0, 1),
+                          [(b"IDAT", zlib.compress(b"\x00" * 6))])
+    with pytest.raises(NotImplementedError, match="interlace"):
+        decode_png(interlaced)
+    bad_filter = _raw_png((2, 1, 8, 0, 0, 0, 0),
+                          [(b"IDAT", zlib.compress(bytes([9, 0, 0])))])
+    with pytest.raises(ValueError, match="filter type"):
+        decode_png(bad_filter)
+
+
+# ------------------------------------------- multimodal pixel dispatch
+
+def test_decode_pixels_dispatch_and_bmp_ppm():
+    img = _gradient_rgb(10, 14, seed=9)
+    px, fmt = multimodal.decode_pixels(encode_png(img))
+    assert fmt == "png" and np.array_equal(px, img)
+    px, fmt = multimodal.decode_pixels(encode_jpeg(img, 90))
+    assert fmt == "jpeg" and px.shape == img.shape
+    # binary PPM (P6)
+    ppm = b"P6\n14 10\n255\n" + img.tobytes()
+    px, fmt = multimodal.decode_pixels(ppm)
+    assert fmt == "ppm" and np.array_equal(px, img)
+    # 24-bit BMP, bottom-up rows padded to 4 bytes, BGR order
+    h, w = img.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    rows = b"".join(
+        img[y, :, ::-1].tobytes() + b"\x00" * (stride - w * 3)
+        for y in range(h - 1, -1, -1))
+    header = (b"BM" + struct.pack("<IHHI", 54 + len(rows), 0, 0, 54)
+              + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                            len(rows), 0, 0, 0, 0))
+    px, fmt = multimodal.decode_pixels(header + rows)
+    assert fmt == "bmp" and np.array_equal(px, img)
+
+
+def test_decode_media_metadata_covers_jpeg_png(spark):
+    img = _gradient_rgb(12, 20, seed=1)
+    rows = [(1, "image", bytearray(encode_jpeg(img, 85))),
+            (2, "image", bytearray(encode_png(img)))]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in
+           multimodal.decode_media(media).collect()}
+    assert (got[1]["width"], got[1]["height"], got[1]["format"]) \
+        == (20, 12, "jpeg")
+    assert (got[2]["width"], got[2]["height"], got[2]["format"]) \
+        == (20, 12, "png")
+
+
+def test_image_features_exact_for_png(spark):
+    imgs = {i: _gradient_rgb(9 + i, 13 + i, seed=i) for i in range(4)}
+    rows = [(i, bytearray(encode_png(img, filter_type=i % 5)))
+            for i, img in imgs.items()]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: r for r in
+           multimodal.image_features(media).collect()}
+    for i, img in imgs.items():
+        r = got[i]
+        flat = img.reshape(-1).astype(np.int64)
+        assert (r["width"], r["height"], r["channels"]) \
+            == (img.shape[1], img.shape[0], 3)
+        assert r["format"] == "png"
+        assert r["n_px"] == flat.size
+        assert r["sum_px"] == int(flat.sum())
+        assert r["min_px"] == int(flat.min())
+        assert r["max_px"] == int(flat.max())

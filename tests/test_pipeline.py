@@ -1302,12 +1302,20 @@ def test_native_uncompressed_codecs(spark):
     assert frames == [(0, 0, bytes([0]) * fsize),
                       (2, 200, bytes([2]) * fsize)]
 
-    # --- compressed formats still refuse honestly
+    # --- JPEG now decodes natively (pipeline/codecs); a TRUNCATED
+    # JPEG must still fail loudly, not emit mangled metadata
     jpeg = spark.createDataFrame(
         [(3, "image", bytearray(b"\xff\xd8\xff\xe0JFIF" + b"\x00" * 20))],
         multimodal.MEDIA_SCHEMA)
-    with _pytest.raises(Exception, match="NotImplementedError|PIL"):
+    with _pytest.raises(Exception, match="no SOF marker"):
         multimodal.decode_media(jpeg).collect()
+
+    # --- genuinely unsupported compressed formats refuse honestly
+    webp = spark.createDataFrame(
+        [(4, "image", bytearray(b"RIFF\x00\x00\x00\x00WEBPVP8 "))],
+        multimodal.MEDIA_SCHEMA)
+    with _pytest.raises(Exception, match="NotImplementedError|unrecognized"):
+        multimodal.decode_media(webp).collect()
 
 
 def test_length_quantiles_exact_ranks(spark):
