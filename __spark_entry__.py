@@ -2249,6 +2249,158 @@ def _jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("media_id"))
 
 
+def _image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate IMAGE detection end-to-end: synthesize
+    deterministic grayscale patterns at varying resolutions, encode
+    them as PNG, decode through the real codec, perceptual-hash
+    (multimodal.image_dhash — 8x8 integer block means, 56-bit
+    difference hash), and pair by Hamming <= 6 via the exact 8-bit
+    banding join (multimodal.dhash_pairs). Documents sharing
+    doc_id % 16 render the SAME pattern at DIFFERENT sizes, so the
+    gate proves the resize-robustness property dhash exists for: the
+    block-mean grid collapses renditions to identical (or
+    near-identical, for the perturbed third of bases) hashes. PNG is
+    lossless and every step is integer, so the DuckDB oracle
+    recomputes pixels -> block means -> hash -> all-pairs hamming
+    bit-for-bit."""
+    from deltalake_poc_spark.pipeline import multimodal
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        from deltalake_poc_spark.pipeline.codecs.png import encode_png
+
+        for pdf in batches:
+            payloads = []
+            for did, nc in zip(pdf["doc_id"], pdf["n_chars"]):
+                did, nc = int(did), int(nc)
+                w, h = (nc % 3 + 1) * 8, (nc % 2 + 1) * 8
+                r, c = np.mgrid[0:h, 0:w]
+                bi, bj = (r * 8) // h, (c * 8) // w
+                # quadratic mix: block values must be pseudorandom
+                # per (base, block) — anything linear in the block
+                # index survives dhash's shift invariance and makes
+                # DIFFERENT bases collide (measured: a linear
+                # gradient formula produced 4.8M cross-base pairs at
+                # sf0.1; this one produces ~70k, 41k of them the
+                # intended same-base renditions)
+                s = (did % 199) * 64 + bi * 8 + bj + 1
+                p = (s * s * 48271 % 1000003) % 200 + (r + c) % 3
+                if (did // 199) % 3 == 1:
+                    # a +40 bump on one block: flips at most the two
+                    # comparisons touching block (3,4) -> hamming 1-2
+                    # vs the unperturbed same-base renditions
+                    p = p + 40 * ((bi == 3) & (bj == 4))
+                payloads.append(encode_png(p.astype(np.uint8),
+                                           filter_type=did % 5))
+            yield pd.DataFrame({
+                "media_id": pdf["doc_id"].astype("int64"),
+                "payload": payloads,
+            })
+
+    from deltalake_poc_spark.pipeline.dedup import spread
+
+    media = spread(docs).mapInPandas(synth, "media_id long, payload binary")
+    return (multimodal.dhash_pairs(multimodal.image_dhash(media),
+                                   max_hamming=6)
+            .orderBy("media_a", "media_b"))
+
+
+def _webdataset_rw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset tar-shard round trip — the de-facto container for
+    multimodal training corpora: per document build a 2-member
+    sample (<key>.txt = the UTF-8 text, <key>.png = a deterministic
+    pattern image through the real codec), pack into ustar shards
+    (pipeline/webdataset.pack_shards — one hash-partition exchange,
+    byte-identical across partitionings), unpack via the
+    offset-recording reader, join members back to the source docs
+    and VERIFY every payload in-worker (txt must equal the source
+    bytes, png must re-encode identically; mismatch raises and
+    fails the gate). The oracle checks the SQL-derivable surface:
+    one txt + one png member per key, txt size = strlen(text)."""
+    from deltalake_poc_spark.pipeline import webdataset as W
+    from deltalake_poc_spark.pipeline.dedup import spread
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "n_chars")
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        from deltalake_poc_spark.pipeline.codecs.png import encode_png
+
+        for pdf in batches:
+            keys, txts, pngs, shards = [], [], [], []
+            for did, text, nc in zip(pdf["doc_id"], pdf["text"],
+                                     pdf["n_chars"]):
+                did, nc = int(did), int(nc)
+                w, h = nc % 16 + 8, nc % 12 + 8
+                i, j = np.mgrid[0:h, 0:w]
+                px = ((did * 31 + i * 7 + j * 3) % 256).astype(np.uint8)
+                keys.append(f"{did:08d}")
+                txts.append(("" if text is None else text).encode("utf-8"))
+                pngs.append(encode_png(px, filter_type=did % 5))
+                shards.append(did % 8)
+            yield pd.DataFrame({
+                "shard": pd.Series(shards, dtype="int32"),
+                "key": pd.Series(keys, dtype="object"),
+                "txt": pd.Series(txts, dtype="object"),
+                "png": pd.Series(pngs, dtype="object"),
+            })
+
+    samples = spread(docs).mapInPandas(
+        synth, "shard int, key string, txt binary, png binary")
+    members = W.read_members(W.pack_shards(samples))
+    joined = members.join(
+        docs.select(F.format_string("%08d", F.col("doc_id")).alias("key"),
+                    "doc_id", "text", "n_chars"),
+        "key")
+
+    def verify(batches):
+        import numpy as np
+        import pandas as pd
+
+        from deltalake_poc_spark.pipeline.codecs.png import encode_png
+
+        for pdf in batches:
+            sizes = []
+            for ext, payload, did, text, nc in zip(
+                    pdf["ext"], pdf["payload"], pdf["doc_id"],
+                    pdf["text"], pdf["n_chars"]):
+                did, nc, payload = int(did), int(nc), bytes(payload)
+                if ext == "txt":
+                    want = ("" if text is None else text).encode("utf-8")
+                    if payload != want:
+                        raise AssertionError(
+                            f"doc {did}: txt member diverged after "
+                            f"tar round trip")
+                    sizes.append(len(payload))
+                else:
+                    w, h = nc % 16 + 8, nc % 12 + 8
+                    i, j = np.mgrid[0:h, 0:w]
+                    px = ((did * 31 + i * 7 + j * 3) % 256) \
+                        .astype(np.uint8)
+                    if payload != encode_png(px, filter_type=did % 5):
+                        raise AssertionError(
+                            f"doc {did}: png member diverged after "
+                            f"tar round trip")
+                    sizes.append(None)
+            yield pd.DataFrame({
+                "key": pdf["key"],
+                "ext": pdf["ext"],
+                "checkable_size": pd.Series(sizes, dtype="object"),
+                "ok": pd.Series([True] * len(sizes), dtype="bool"),
+            })
+
+    return (joined.mapInPandas(
+        verify, "key string, ext string, checkable_size long, ok boolean")
+        .orderBy("key", "ext"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
@@ -2256,21 +2408,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     entries in dict insertion order. Freshness rule: a query checked
     at round N must be re-checked by round N+3 (window capacity 50 x
     3 rounds = 150 >= the registered count, so the rule stays
-    satisfiable at 117 registered). Round-7 window: (a) the 18
+    satisfiable at 119 registered). Round-7 window: (a) the 18
     queries whose newest driver row is r4 — r4 -> r7 is exactly the
-    freshness limit, so they head the window; (b) the 2 NEW queries,
+    freshness limit, so they head the window; (b) the 4 NEW queries,
     never driver-checked (png_decode, jpeg_decode — the real
-    compressed-image codec gates); (c) the 4 r6-green queries whose
+    compressed-image codec gates — image_neardup, dhash perceptual
+    image dedup, and webdataset_rw, the tar shard round trip);
+    (c) the 4 r6-green queries whose
     CODE changed this round, all hash-preserving edge-case fixes the
     driver re-verifies on principle (semantic_dedup +
     embedding_neardup-adjacent zero-norm cosine guard, lm_perplexity
     size(NULL) config independence, heavy_hitters empty-corpus
     guard, wal_cdc_pipeline epoch-stamped age-gated slot sweep);
-    and (d) 26 of the 47 r5-green queries, in prior dict order. The
-    remaining 21 r5-green sit immediately after position 50 (dict
-    tail head, embedding_topk .. q5_local_supplier) and MUST be in
-    r8's window (r5 -> r8 is the limit); r8 = those 21 + 29 of the
-    46 r6-green, r9 = the other 17 r6-green + 33 r7-green. Every
+    and (d) 24 of the 47 r5-green queries, in prior dict order. The
+    remaining 23 r5-green sit immediately after position 50 (dict
+    tail head, doc_chunks .. q5_local_supplier) and MUST be in
+    r8's window (r5 -> r8 is the limit); r8 = those 23 + 27 of the
+    46 r6-green, r9 = the other 19 r6-green + 31 r7-green. Every
     registered query, in or out of the window, is oracle-checked by
     tests/test_entry_oracle.py and timed+oracled by bench.py.
     """
@@ -2298,13 +2452,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new this round (never driver-checked)
         "png_decode": _png_decode,                   # PNG codec, lossless pixel oracle
         "jpeg_decode": _jpeg_decode,                 # baseline JPEG codec, PSNR self-check
+        "image_neardup": _image_neardup,             # dhash perceptual image dedup
+        "webdataset_rw": _webdataset_rw,             # tar shard pack/unpack round trip
         # --- code changed this round (hash-preserving edge-case fixes;
         # driver re-verifies rather than trusting the local oracle)
         "semantic_dedup": _semantic_dedup,           # SemDeDup over clusters
         "lm_perplexity": _lm_perplexity,             # bigram-LM quality scoring
         "heavy_hitters": _heavy_hitters,             # count-min top-k rollup
         "wal_cdc_pipeline": _wal_cdc_pipeline,       # LIVE postgres WAL CDC
-        # --- 26 of the 47 r5-green (prior dict order)
+        # --- 24 of the 47 r5-green (prior dict order)
         "mixture_sample": _mixture_sample,           # domain mixing
         "source_overlap": _source_overlap,           # overlap matrix
         "chunk_dedup": _chunk_dedup,                 # chunk-level dedup
@@ -2329,10 +2485,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": _ngram_jaccard,             # n-gram Jaccard pairs
         "dedup_group_assign": _dedup_group_assign,   # connected components
         "top_tokens": _top_tokens,                   # token counting
-        "doc_chunks": _doc_chunks,                   # chunking w/ overlap
-        "scrub_pii": _scrub_pii,                     # PII scrubbing
         # --- positions 51+: outside the driver's 50-query gate window.
-        # FIRST the 21 r5-green that MUST head r8's window (r5 -> r8
+        "doc_chunks": _doc_chunks,                   # chunking w/ overlap (r5-green, r8 window head)
+        "scrub_pii": _scrub_pii,                     # PII scrubbing (r5-green, r8 window head)
+        # FIRST the 23 r5-green that MUST head r8's window (r5 -> r8
         # is the freshness limit):
         "embedding_topk": _embedding_topk,           # brute-force ANN baseline
         "priority_stats": _priority_stats,           # A5 P8
@@ -4323,6 +4479,71 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(p) AS INTEGER) AS max_px
             FROM px GROUP BY 1, 2, 3
             ORDER BY media_id
+        """,
+        # pixels -> 8x8 integer block means -> 56-bit dhash ->
+        # all-pairs hamming: every step is integer arithmetic on a
+        # lossless (PNG) decode, so the whole perceptual-dedup chain
+        # is recomputable. SUM of shifted bits needs the BIGINT cast
+        # (DuckDB SUM(BIGINT) widens to HUGEINT, xor wants BIGINT).
+        "image_neardup": """
+            WITH dims AS (
+                SELECT doc_id AS media_id,
+                       CAST((n_chars % 3 + 1) * 8 AS INTEGER) AS w,
+                       CAST((n_chars % 2 + 1) * 8 AS INTEGER) AS h
+                FROM documents
+            ), px AS (
+                SELECT media_id, w, h,
+                       (r.range * 8) // h AS bi,
+                       (c.range * 8) // w AS bj,
+                       (((media_id % 199) * 64 + ((r.range * 8) // h) * 8
+                         + ((c.range * 8) // w) + 1)
+                        * ((media_id % 199) * 64 + ((r.range * 8) // h) * 8
+                           + ((c.range * 8) // w) + 1)
+                        * 48271 % 1000003) % 200
+                       + (r.range + c.range) % 3
+                       + CASE WHEN (media_id // 199) % 3 = 1
+                               AND (r.range * 8) // h = 3
+                               AND (c.range * 8) // w = 4
+                              THEN 40 ELSE 0 END AS p
+                FROM dims, range(0, 24) r, range(0, 24) c
+                WHERE r.range < h AND c.range < w
+            ), blk AS (
+                SELECT media_id, bi, bj, SUM(p) // COUNT(*) AS d
+                FROM px GROUP BY 1, 2, 3
+            ), bits AS (
+                SELECT a.media_id,
+                       CAST(CASE WHEN b.d > a.d THEN 1 ELSE 0 END
+                            AS BIGINT) << (a.bi * 7 + a.bj) AS bv
+                FROM blk a JOIN blk b
+                  ON a.media_id = b.media_id AND a.bi = b.bi
+                 AND b.bj = a.bj + 1
+            ), hs AS (
+                SELECT media_id, CAST(SUM(bv) AS BIGINT) AS dhash
+                FROM bits GROUP BY media_id
+            )
+            SELECT a.media_id AS media_a, b.media_id AS media_b,
+                   CAST(bit_count(xor(a.dhash, b.dhash)) AS INTEGER)
+                   AS hamming
+            FROM hs a JOIN hs b ON a.media_id < b.media_id
+            WHERE bit_count(xor(a.dhash, b.dhash)) <= 6
+            ORDER BY media_a, media_b
+        """,
+        # tar round trip: SQL checks the member inventory (one txt +
+        # one png per key) and the txt byte size; payload equality
+        # (txt == source bytes, png == deterministic re-encode) is
+        # verified in-worker and raises on divergence. strlen = BYTE
+        # length in DuckDB, matching the tar member size of the UTF-8
+        # payload; png sizes depend on zlib and are NULL here.
+        "webdataset_rw": """
+            SELECT lpad(CAST(doc_id AS VARCHAR), 8, '0') AS key,
+                   'png' AS ext, CAST(NULL AS BIGINT) AS checkable_size,
+                   TRUE AS ok
+            FROM documents
+            UNION ALL
+            SELECT lpad(CAST(doc_id AS VARCHAR), 8, '0'), 'txt',
+                   CAST(strlen(COALESCE(text, '')) AS BIGINT), TRUE
+            FROM documents
+            ORDER BY key, ext
         """,
         # JPEG is lossy: SQL checks the derivable surface (dims,
         # channels, format); pixel fidelity is certified in-worker by

@@ -227,6 +227,116 @@ def image_features(media: DataFrame) -> DataFrame:
     return spread(media).mapInPandas(feature_batches, IMAGE_FEATURE_SCHEMA)
 
 
+DHASH_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("dhash", LongType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+])
+
+DHASH_GRID = 8          # 8x8 block-mean grid
+DHASH_BITS = DHASH_GRID * (DHASH_GRID - 1)  # 56: 7 comparisons/row
+
+
+def image_dhash(media: DataFrame) -> DataFrame:
+    """Perceptual difference-hash over DECODED pixels — the classic
+    near-duplicate-image signature (resize-robust: two renditions of
+    the same picture at different resolutions hash identically or
+    nearly so). Pipeline: full codec decode (decode_pixels) ->
+    integer grayscale ((r+g+b) // channels) -> 8x8 integer block
+    means (pixel (r, c) belongs to block ((r*8) DIV h, (c*8) DIV w);
+    block value = sum DIV count — all integer, so any engine
+    recomputes it exactly) -> 56-bit hash: bit i*7+j set iff
+    block[i][j+1] > block[i][j]. 56 bits (not the classic 64) keeps
+    the hash in a POSITIVE int64, so the SQL oracle can rebuild it
+    with plain shifts — same technique, one fewer comparison per row.
+
+    100 TB shape: map-only mapInPandas, zero shuffle; the hash is
+    8 bytes per image regardless of size."""
+    import numpy as np
+
+    g = DHASH_GRID
+
+    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_id, out_hash, out_w, out_h = [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                px, _ = decode_pixels(payload)
+                h, w = px.shape[:2]
+                if h < g or w < g:
+                    raise ValueError(
+                        f"image {mid}: {w}x{h} smaller than the "
+                        f"{g}x{g} dhash grid")
+                gray = (px.astype(np.int64) if px.ndim == 2
+                        else px.astype(np.int64).sum(-1) // px.shape[2])
+                ridx = (np.arange(h) * g) // h
+                cidx = (np.arange(w) * g) // w
+                sums = np.zeros((g, g), np.int64)
+                cnt = np.zeros((g, g), np.int64)
+                np.add.at(sums, (ridx[:, None], cidx[None, :]), gray)
+                np.add.at(cnt, (ridx[:, None], cidx[None, :]), 1)
+                d = sums // cnt
+                comp = (d[:, 1:] > d[:, :-1]).reshape(-1)
+                dh = 0
+                for k in range(DHASH_BITS):
+                    if comp[k]:
+                        dh |= 1 << k
+                out_id.append(mid)
+                out_hash.append(dh)
+                out_w.append(w)
+                out_h.append(h)
+            yield pd.DataFrame({
+                "media_id": pd.Series(out_id, dtype="int64"),
+                "dhash": pd.Series(out_hash, dtype="int64"),
+                "width": pd.Series(out_w, dtype="int32"),
+                "height": pd.Series(out_h, dtype="int32"),
+            })
+
+    from deltalake_poc_spark.pipeline.dedup import spread
+
+    return spread(media).mapInPandas(hash_batches, DHASH_SCHEMA)
+
+
+def dhash_pairs(hashed: DataFrame, max_hamming: int = 6) -> DataFrame:
+    """Near-duplicate image pairs by dhash Hamming distance <= k,
+    blocked on 8-bit bands (pigeonhole over 7 bands: distance <= 6
+    leaves at least one band identical -> equi-join per band, verify
+    with bit_count(xor), dedup the passing pairs). EXACT blocking —
+    the output is precisely the all-pairs hamming<=k set, which is
+    how the DuckDB oracle recomputes it. Same verify-then-dedup
+    discipline as simhash_pairs (pipeline/dedup.py): the hamming
+    verdict runs inside the join stage so only passing pairs reach
+    the dropDuplicates shuffle. No coalesce guard needed here: dhash
+    is a MATERIALIZED mapInPandas output column, not a re-derivable
+    expression, so Catalyst cannot push its re-evaluation into a
+    scan."""
+    if max_hamming >= DHASH_BITS // 8:
+        n_bands = DHASH_BITS // 8
+        raise ValueError(
+            f"max_hamming {max_hamming} breaks the {n_bands}-band "
+            f"pigeonhole guarantee (needs <= {n_bands - 1})")
+    bands = hashed.select(
+        "media_id", "dhash",
+        F.posexplode(F.array(*[
+            F.shiftrightunsigned(F.col("dhash"), 8 * b)
+            .bitwiseAND(F.lit(0xFF))
+            for b in range(DHASH_BITS // 8)
+        ])).alias("band_idx", "band"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    ham = F.bit_count(F.col("a.dhash").bitwiseXOR(F.col("b.dhash")))
+    return (
+        a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
+               & (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.media_id") < F.col("b.media_id")))
+        .select(F.col("a.media_id").alias("media_a"),
+                F.col("b.media_id").alias("media_b"),
+                ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["media_a", "media_b"])
+    )
+
+
 def resize_plan(decoded: DataFrame, max_side: int = 512,
                 keep_meta: bool = False) -> DataFrame:
     """Compute target dimensions for a bounded-resize (the arithmetic

@@ -1,0 +1,195 @@
+"""WebDataset-style tar shard packing and reading.
+
+The de-facto container for multimodal training corpora is the tar
+shard (WebDataset convention: a sample is the run of consecutive
+members sharing a basename — ``000123.txt``, ``000123.png``,
+``000123.json`` — and a corpus is thousands of such ``.tar`` shards
+streamed round-robin by data loaders). This module packs DataFrame
+rows into POSIX ustar shards and unpacks them back, both as binary
+columns, so the engine can produce/consume the format without
+touching a filesystem API (the bytes go wherever the caller's sink
+writes — a Delta binary column, object storage, a local dir).
+
+The tar layer is hand-rolled (512-byte ustar headers, octal fields,
+8-byte checksum, two zero blocks of trailer) rather than stdlib
+tarfile for one load-bearing reason: the READER records each
+member's absolute byte offset in the shard, which is what makes
+100 TB random access work (an index of (shard, offset, size) lets a
+loader fetch one sample with a byte-range GET; tarfile hides
+offsets). tests/test_webdataset.py cross-validates every written
+shard against stdlib tarfile as an independent referee.
+
+Scale shape: packing is one hash-partition exchange on shard id
+(groupBy -> applyInPandas, one tar per group, members in
+deterministic key order); unpacking is a 1-to-many mapInPandas
+(header walk, zero copies beyond the member slices). Sample
+re-assembly is a groupBy(key) over (key, ext) rows.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType, IntegerType, LongType, StringType, StructField, StructType,
+)
+
+_BLOCK = 512
+
+
+def _tar_header(name: str, size: int) -> bytes:
+    """POSIX ustar header for a regular file, mode 0644, epoch mtime
+    (deterministic: re-running an export must produce byte-identical
+    shards or training runs aren't reproducible)."""
+    nb = name.encode()
+    if len(nb) > 100:
+        raise ValueError(f"member name too long for ustar: {name!r}")
+    h = bytearray(_BLOCK)
+    h[0:len(nb)] = nb
+    h[100:108] = b"0000644\x00"            # mode
+    h[108:116] = b"0000000\x00"            # uid
+    h[116:124] = b"0000000\x00"            # gid
+    h[124:136] = f"{size:011o}".encode() + b"\x00"
+    h[136:148] = b"00000000000\x00"        # mtime = epoch
+    h[148:156] = b" " * 8                  # checksum placeholder
+    h[156] = 0x30                          # typeflag '0' regular
+    h[257:263] = b"ustar\x00"              # magic
+    h[263:265] = b"00"                     # version
+    chk = sum(h)
+    h[148:156] = f"{chk:06o}".encode() + b"\x00 "
+    return bytes(h)
+
+
+def _pad(n: int) -> int:
+    return (-n) % _BLOCK
+
+
+def pack_members(members: list[tuple[str, bytes]]) -> bytes:
+    """One tar shard from (name, payload) members, in the given
+    order, with the standard two-zero-block trailer."""
+    out = bytearray()
+    for name, payload in members:
+        out += _tar_header(name, len(payload))
+        out += payload
+        out += b"\x00" * _pad(len(payload))
+    out += b"\x00" * (2 * _BLOCK)
+    return bytes(out)
+
+
+def iter_members(tar: bytes):
+    """Yield (name, payload_offset, size) walking ustar headers.
+    Rejects malformed shards loudly (truncation, bad checksum) —
+    a corrupt shard must fail the pipeline, not feed garbage
+    samples to training."""
+    pos = 0
+    while pos + _BLOCK <= len(tar):
+        head = tar[pos:pos + _BLOCK]
+        if head == b"\x00" * _BLOCK:
+            return  # trailer
+        stored = int(head[148:156].split(b"\x00")[0].strip() or b"0", 8)
+        computed = sum(head) - sum(head[148:156]) + 8 * 0x20
+        if stored != computed:
+            raise ValueError(f"tar header checksum mismatch at {pos}")
+        name = head[0:100].split(b"\x00")[0].decode()
+        size = int(head[124:136].split(b"\x00")[0].strip(), 8)
+        data_off = pos + _BLOCK
+        if data_off + size > len(tar):
+            raise ValueError(f"truncated member {name!r} at {pos}")
+        yield name, data_off, size
+        pos = data_off + size + _pad(size)
+    raise ValueError("tar shard missing trailer")
+
+
+SHARD_SCHEMA = StructType([
+    StructField("shard", IntegerType()),
+    StructField("tar", BinaryType()),
+    StructField("n_samples", IntegerType()),
+    StructField("n_bytes", LongType()),
+])
+
+MEMBER_SCHEMA = StructType([
+    StructField("shard", IntegerType()),
+    StructField("key", StringType()),
+    StructField("ext", StringType()),
+    StructField("offset", LongType()),
+    StructField("size", LongType()),
+    StructField("payload", BinaryType()),
+])
+
+
+def pack_shards(samples: DataFrame, shard_col: str = "shard",
+                key_col: str = "key") -> DataFrame:
+    """Pack samples into tar shards: one row per shard out. Input
+    rows carry (shard, key) plus any number of BINARY columns — each
+    non-key binary column becomes the member ``<key>.<column name>``.
+    Members are emitted in (key, ext) order so the shard bytes are a
+    pure function of its row set (reproducible across runs and
+    partitionings). The groupBy is the single exchange; each tar is
+    built streaming in one Python worker."""
+    bin_cols = [f.name for f in samples.schema.fields
+                if isinstance(f.dataType, BinaryType)]
+    if not bin_cols:
+        raise ValueError("no binary payload columns to pack")
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        shard = int(pdf[shard_col].iloc[0])
+        members = []
+        for _, row in pdf.sort_values(key_col).iterrows():
+            for ext in sorted(bin_cols):
+                payload = row[ext]
+                if payload is None:
+                    continue
+                members.append((f"{row[key_col]}.{ext}", bytes(payload)))
+        tar = pack_members(members)
+        return pd.DataFrame({
+            "shard": pd.Series([shard], dtype="int32"),
+            "tar": pd.Series([tar], dtype="object"),
+            "n_samples": pd.Series([pdf[key_col].nunique()], dtype="int32"),
+            "n_bytes": pd.Series([len(tar)], dtype="int64"),
+        })
+
+    return samples.groupBy(shard_col).applyInPandas(build, SHARD_SCHEMA)
+
+
+def read_members(shards: DataFrame) -> DataFrame:
+    """Unpack tar shards to one row per member with its absolute
+    byte offset — the index a 100 TB loader uses for byte-range
+    sample fetches. 1-to-many mapInPandas."""
+
+    def unpack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("shard", "key", "ext", "offset",
+                                   "size", "payload")}
+            for shard, tar in zip(pdf["shard"], pdf["tar"]):
+                tar = bytes(tar)
+                for name, off, size in iter_members(tar):
+                    key, _, ext = name.rpartition(".")
+                    out["shard"].append(int(shard))
+                    out["key"].append(key)
+                    out["ext"].append(ext)
+                    out["offset"].append(off)
+                    out["size"].append(size)
+                    out["payload"].append(tar[off:off + size])
+            yield pd.DataFrame({
+                "shard": pd.Series(out["shard"], dtype="int32"),
+                "key": pd.Series(out["key"], dtype="object"),
+                "ext": pd.Series(out["ext"], dtype="object"),
+                "offset": pd.Series(out["offset"], dtype="int64"),
+                "size": pd.Series(out["size"], dtype="int64"),
+                "payload": pd.Series(out["payload"], dtype="object"),
+            })
+
+    return shards.mapInPandas(unpack, MEMBER_SCHEMA)
+
+
+def group_samples(members: DataFrame) -> DataFrame:
+    """Re-assemble samples: (shard, key, exts map<ext, payload>) —
+    what a training loader hands to the collate step."""
+    return (members.groupBy("shard", "key")
+            .agg(F.map_from_entries(
+                F.sort_array(F.collect_list(F.struct("ext", "payload"))))
+                .alias("parts"),
+                F.count(F.lit(1)).cast("int").alias("n_parts")))

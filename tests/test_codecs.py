@@ -206,6 +206,67 @@ def test_decode_media_metadata_covers_jpeg_png(spark):
         == (20, 12, "png")
 
 
+def _pattern_png(base: int, w: int, h: int, bump: bool = False) -> bytes:
+    """Block-constant pseudorandom pattern (the image_neardup gate's
+    formula minus its (r+c)%3 intra-block noise, so block means are
+    EXACTLY resolution-independent here)."""
+    r, c = np.mgrid[0:h, 0:w]
+    bi, bj = (r * 8) // h, (c * 8) // w
+    s = base * 64 + bi * 8 + bj + 1
+    p = (s * s * 48271 % 1000003) % 200
+    if bump:
+        p = p + 40 * ((bi == 3) & (bj == 4))
+    return encode_png(p.astype(np.uint8))
+
+
+def test_image_dhash_resize_invariant(spark):
+    """The point of a perceptual hash: the SAME pattern rendered at
+    8x8, 16x16 and 24x16 must block-mean down to the same 8x8 grid
+    comparisons -> identical dhash. A +40 bump on one interior block
+    flips only the two comparisons that touch it -> hamming 1-2."""
+    rows = [(0, bytearray(_pattern_png(5, 8, 8))),
+            (1, bytearray(_pattern_png(5, 16, 16))),
+            (2, bytearray(_pattern_png(5, 24, 16))),
+            (3, bytearray(_pattern_png(5, 16, 8, bump=True))),
+            (4, bytearray(_pattern_png(9, 16, 16)))]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: r["dhash"]
+           for r in multimodal.image_dhash(media).collect()}
+    assert got[0] == got[1] == got[2]
+    bump_ham = bin(got[0] ^ got[3]).count("1")
+    assert 1 <= bump_ham <= 2
+    assert bin(got[0] ^ got[4]).count("1") > 6  # different base: far
+
+
+def test_dhash_pairs_exact_vs_bruteforce(spark):
+    """The 8-bit banding is pigeonhole-EXACT for hamming <= 6: the
+    pair set must equal brute-force all-pairs popcount."""
+    rng = np.random.RandomState(11)
+    hashes = [int(x) for x in
+              rng.randint(0, 1 << 56, size=40, dtype=np.uint64)]
+    # plant near-dup clusters: copies of hash 0 with 0/1/6/7 flips
+    hashes += [hashes[0], hashes[0] ^ 1, hashes[0] ^ 0b111111,
+               hashes[0] ^ 0b1111111]
+    df = spark.createDataFrame(
+        [(i, h, 8, 8) for i, h in enumerate(hashes)],
+        "media_id long, dhash long, width int, height int")
+    got = {(r["media_a"], r["media_b"]): r["hamming"]
+           for r in multimodal.dhash_pairs(df, max_hamming=6).collect()}
+    want = {}
+    for i in range(len(hashes)):
+        for j in range(i + 1, len(hashes)):
+            hm = bin(hashes[i] ^ hashes[j]).count("1")
+            if hm <= 6:
+                want[(i, j)] = hm
+    assert got == want
+    n = len(hashes)
+    assert (0, n - 4) in got and got[(0, n - 4)] == 0
+    assert got[(0, n - 2)] == 6
+    assert (0, n - 1) not in got  # 7 flips > threshold
+    with pytest.raises(ValueError, match="pigeonhole"):
+        multimodal.dhash_pairs(df, max_hamming=7)
+
+
 def test_image_features_exact_for_png(spark):
     imgs = {i: _gradient_rgb(9 + i, 13 + i, seed=i) for i in range(4)}
     rows = [(i, bytearray(encode_png(img, filter_type=i % 5)))
