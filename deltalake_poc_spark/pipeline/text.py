@@ -848,3 +848,123 @@ def lm_bigram_score(docs: DataFrame, id_col: str = "doc_id",
             .select(F.col(id_col), n_bg.cast("long").alias("n_bigrams"),
                     out_col)
             .orderBy(id_col))
+
+
+def lm_trigram_backoff_score(docs: DataFrame, id_col: str = "doc_id",
+                             text_col: str = "text",
+                             alpha: float = 0.4,
+                             min_count3: int = 1, min_count2: int = 1,
+                             rounded: bool = True) -> DataFrame:
+    """Per-document trigram-LM NLL with STUPID BACKOFF (Brants et
+    al. 2007 — the web-scale smoothing: no discount bookkeeping,
+    just a fixed backoff factor), trained on the corpus itself:
+
+        S(w3|w1 w2) = c(w1w2w3)/c(w1w2)          if c(w1w2w3) > 0
+                    = a * c(w2w3)/c(w2)          elif c(w2w3) > 0
+                    = a^2 * c(w3)/N              otherwise
+        nll_token(d) = - SUM_i ln S(tok_i | ctx) / (|d| - 2)
+
+    Stupid backoff produces SCORES, not normalized probabilities —
+    precisely why it's the scheme used at 100 TB (each level is a
+    plain count ratio; no cross-level normalization pass).
+
+    Scale shape mirrors lm_bigram_score: three vocabulary-bounded
+    count shuffles (tri/bi/uni, all map-side combined) + one 1-row
+    token total; scoring is the exploded per-doc trigrams
+    hash-joined (broadcast) against the tri/bi/uni count tables —
+    the backoff CASE is evaluated per gram from joined counts, so
+    no per-row Python and no model-sized shuffle. Every count is an
+    exact integer and each doc folds ln-scores in sorted order, so
+    the DuckDB oracle recomputes bit-for-bit (ROUND(.,4) absorbs
+    <=1-ulp ln differences). Docs with <3 tokens score 0.0.
+
+    ``min_count3`` / ``min_count2`` prune the trigram / bigram
+    MODEL tables (the 100 TB model-size lever, as in
+    lm_bigram_score) — and they are what makes backoff LIVE when
+    training in-corpus: unpruned, every scored trigram was seen in
+    training and the first branch always wins. A pruned trigram
+    backs off to the bigram level, a pruned bigram to the unigram
+    level. Denominators stay UNPRUNED counts (c(w1w2), c(w2), N are
+    context totals, not model entries)."""
+    from .dedup import _explode_posting
+
+    toks = tokens_col(text_col)
+    n = F.size(toks)
+    trigrams = F.when(
+        n >= 3,
+        F.zip_with(
+            F.zip_with(F.slice(toks, 1, n - 2), F.slice(toks, 2, n - 2),
+                       lambda a, b: F.concat(a, F.lit(" "), b)),
+            F.slice(toks, 3, n - 2),
+            lambda ab, c: F.concat(ab, F.lit(" "), c)),
+    ).otherwise(F.array().cast("array<string>"))
+    bigrams = F.when(
+        n >= 2,
+        F.zip_with(F.slice(toks, 1, n - 1), F.slice(toks, 2, n - 1),
+                   lambda a, b: F.concat(a, F.lit(" "), b)),
+    ).otherwise(F.array().cast("array<string>"))
+    base = docs.select(F.col(id_col), toks.alias("__t"),
+                       bigrams.alias("__bg"), trigrams.alias("__tg"))
+
+    uni = (_explode_posting(base, "__t", "__w", keys=())
+           .groupBy("__w").agg(F.count(F.lit(1)).alias("__cu")))
+    total_n = uni.agg(F.sum("__cu").cast("long").alias("__n"))
+    bic = (_explode_posting(base, "__bg", "__b", keys=())
+           .groupBy("__b").agg(F.count(F.lit(1)).alias("__cb")))
+    tric = (_explode_posting(base, "__tg", "__g", keys=())
+            .groupBy("__g").agg(F.count(F.lit(1)).alias("__ct")))
+
+    posting = _explode_posting(base, "__tg", "__g", keys=(id_col,))
+    w12 = F.substring_index(F.col("__g"), " ", 2)
+    w23 = F.substring_index(F.col("__g"), " ", -2)
+    w3 = F.substring_index(F.col("__g"), " ", -1)
+    kept3 = tric if min_count3 <= 1 else tric.filter(
+        F.col("__ct") >= int(min_count3))
+    kept2 = bic if min_count2 <= 1 else bic.filter(
+        F.col("__cb") >= int(min_count2))
+    ctx12 = F.broadcast(bic.select(F.col("__b").alias("__b12"),
+                                   F.col("__cb").alias("__c12")))
+    back23 = F.broadcast(kept2.select(F.col("__b").alias("__b23"),
+                                      F.col("__cb").alias("__c23")))
+    uni2 = F.broadcast(uni.select(F.col("__w").alias("__w2"),
+                                  F.col("__cu").alias("__cu2")))
+    uni3 = F.broadcast(uni.select(F.col("__w").alias("__w3"),
+                                  F.col("__cu").alias("__cu3")))
+    la = F.lit(float(alpha))
+    hit = (posting
+           .join(F.broadcast(kept3), "__g", "left")
+           .join(ctx12, w12 == F.col("__b12"), "left")
+           .join(back23, w23 == F.col("__b23"), "left")
+           .join(uni2, F.substring_index(w23, " ", 1) == F.col("__w2"))
+           .join(uni3, w3 == F.col("__w3"))
+           .crossJoin(F.broadcast(total_n))
+           .select(
+               id_col, "__g",
+               F.when(F.col("__ct").isNotNull(),
+                      F.log(F.col("__ct").cast("double")
+                            / F.col("__c12").cast("double")))
+               .when(F.col("__c23").isNotNull(),
+                     F.log(la * F.col("__c23").cast("double")
+                           / F.col("__cu2").cast("double")))
+               .otherwise(
+                   F.log(la * la * F.col("__cu3").cast("double")
+                         / F.col("__n").cast("double")))
+               .alias("__lp")))
+    scored = (hit.groupBy(id_col)
+              .agg(F.array_sort(
+                  F.collect_list(F.struct("__g", "__lp"))).alias("__e")))
+    n_tg = (F.when(F.col("__e").isNull(), F.lit(0))
+            .otherwise(F.size("__e")))
+    total = F.aggregate(F.col("__e"), F.lit(0.0),
+                        lambda acc, s: acc + s["__lp"])
+    nll = (-total) / n_tg.cast("double")
+    out_col = (F.when(n_tg == 0, F.lit(0.0))
+               .otherwise(F.round(nll, 4)).alias("nll_token")
+               if rounded else
+               F.when(n_tg == 0, F.lit(0.0))
+               .otherwise(nll).alias("nll_raw"))
+    return (base.select(id_col)
+            .join(scored, id_col, "left")
+            .select(F.col(id_col), n_tg.cast("long").alias("n_trigrams"),
+                    out_col)
+            .orderBy(id_col))

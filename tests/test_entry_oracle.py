@@ -255,6 +255,61 @@ def test_lm_zero_bigram_docs_config_independent(spark):
         spark.conf.unset("spark.sql.legacy.sizeOfNull")
 
 
+def test_lm_trigram_backoff_matches_python_model(spark):
+    """All three stupid-backoff levels fire on this corpus
+    (trigram branch for 'a b c' ct=2 >= mc3; bigram branch for
+    'c a b' whose w23='a b' survives mc2; unigram branch for
+    'b c a'/'a b d' whose w23 counts are pruned) and every score
+    matches an independent pure-Python reference bit-for-bit at
+    4 decimals."""
+    import math
+    from collections import Counter
+
+    from deltalake_poc_spark.pipeline.text import lm_trigram_backoff_score
+
+    rows = [(1, "a b c a b c"), (2, "a b d"), (3, "x"), (4, "")]
+    mc3, mc2, alpha = 2, 2, 0.4
+    # the engine's tokenizer contract is split(trim(text), ' ') —
+    # identical in Spark and DuckDB, and an EMPTY doc yields the
+    # single token '' (so d4 adds one '' to the unigram table and
+    # N; python str.split(' ') reproduces that, str.split() does
+    # not)
+    docs = {i: (t or "").strip().split(" ") for i, t in rows}
+    uni = Counter(w for t in docs.values() for w in t)
+    bi = Counter(" ".join(t[i:i + 2]) for t in docs.values()
+                 for i in range(len(t) - 1))
+    tri = Counter(" ".join(t[i:i + 3]) for t in docs.values()
+                  for i in range(len(t) - 2))
+    n = sum(uni.values())
+
+    def lp(g):
+        w1, w2, w3 = g.split()
+        if tri[g] >= mc3:
+            return math.log(tri[g] / bi[f"{w1} {w2}"])
+        if bi.get(f"{w2} {w3}", 0) >= mc2:
+            return math.log(alpha * bi[f"{w2} {w3}"] / uni[w2])
+        return math.log(alpha * alpha * uni[w3] / n)
+
+    want = {}
+    for i, t in docs.items():
+        gs = sorted(" ".join(t[j:j + 3]) for j in range(len(t) - 2))
+        total = 0.0
+        for g in gs:
+            total += lp(g)
+        want[i] = (len(gs),
+                   0.0 if not gs else round(-total / len(gs), 4))
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    got = {r["doc_id"]: (r["n_trigrams"], r["nll_token"])
+           for r in lm_trigram_backoff_score(
+               df, min_count3=mc3, min_count2=mc2).collect()}
+    assert got == want
+    # sanity on the branch census itself, so corpus drift can't
+    # silently stop exercising a level
+    assert tri["a b c"] >= mc3
+    assert tri["c a b"] < mc3 and bi["a b"] >= mc2
+    assert tri["a b d"] < mc3 and bi.get("b d", 0) < mc2
+
+
 def test_lm_perplexity_flags_disfluent_text(spark):
     """Semantic sanity: a document of common in-distribution bigrams
     must score (much) lower NLL than a document of never-seen word
