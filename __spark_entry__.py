@@ -2263,8 +2263,11 @@ def _jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     the worker: decoded dims must match exactly and PSNR vs the
     source pattern must clear 30 dB, else the task raises and the
     gate fails loudly (the heavy_hitters CMS-self-check pattern for
-    values SQL cannot recompute). The oracle checks the
-    SQL-derivable surface: dims, channels, format."""
+    values SQL cannot recompute). Every 25th doc additionally
+    encodes PROGRESSIVE (SOF2, spectral selection + successive
+    approximation) and asserts the decode equals the baseline decode
+    bit-for-bit. The oracle checks the SQL-derivable surface: dims,
+    channels, format."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
 
     def synth_roundtrip(batches):
@@ -2299,6 +2302,21 @@ def _jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                     raise AssertionError(
                         f"doc {did}: decoded shape {dec.shape} != "
                         f"{img.shape}")
+                if did % 25 == 0:
+                    # progressive (SOF2) leg: same quantized
+                    # coefficients -> the decode must equal the
+                    # baseline decode BIT-FOR-BIT (stronger than the
+                    # PSNR floor); sparse modulus bounds the 2-pass
+                    # encode cost at bench scale
+                    from deltalake_poc_spark.pipeline.codecs.jpeg import \
+                        encode_jpeg_progressive
+                    pdec, _ = decode_pixels(encode_jpeg_progressive(
+                        img, quality=85,
+                        subsampling="4:2:0" if did % 2 else "4:4:4"))
+                    if not np.array_equal(pdec, dec):
+                        raise AssertionError(
+                            f"doc {did}: progressive decode diverged "
+                            f"from baseline")
                 mse = float(np.mean((dec.astype(np.float64)
                                      - img.astype(np.float64)) ** 2))
                 psnr = 99.0 if mse == 0 else \

@@ -1,11 +1,13 @@
-"""Baseline JPEG (ITU-T T.81) codec in pure numpy.
+"""JPEG (ITU-T T.81) codec in pure numpy — baseline AND progressive.
 
 Public-knowledge implementation: JFIF container, sequential baseline
 DCT (SOF0; SOF1 extended-sequential decodes on the same path),
-Huffman entropy coding, Annex K quantization/Huffman tables in the
-encoder, restart-marker (DRI/RSTn) support in the decoder, 4:4:4 /
-4:2:2 / 4:2:0 chroma subsampling. Progressive (SOF2), arithmetic
-coding, 12-bit precision and CMYK are rejected with clear errors.
+progressive DCT (SOF2: spectral selection + successive approximation
+per T.81 G.1/G.2, decode and encode, DC/AC refinement and EOB runs
+included), Huffman entropy coding, Annex K quantization/Huffman
+tables in the baseline encoder, restart-marker (DRI/RSTn) support,
+4:4:4 / 4:2:2 / 4:2:0 chroma subsampling. Arithmetic coding, 12-bit
+precision and CMYK are rejected with clear errors.
 
 Reference parity: the reference's media path hands compressed images
 to a codec library on the worker and keeps (width, height, channels,
@@ -23,6 +25,7 @@ batches — per-row parallel, zero shuffle.
 from __future__ import annotations
 
 import struct
+from collections import Counter
 
 import numpy as np
 
@@ -212,6 +215,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     qtables: dict[int, np.ndarray] = {}
     htables: dict[tuple[int, int], dict] = {}  # (class, id) -> decode table
     frame = None
+    scans: list[dict] = []
     restart_interval = 0
     i = 2
     while i < len(data):
@@ -249,7 +253,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 vals = list(body[j + 17:j + 17 + nv])
                 htables[(tc, th)] = _decode_table(bits, vals)
                 j += 17 + nv
-        elif marker in (0xC0, 0xC1):  # SOF0/SOF1
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/SOF1/SOF2
             prec, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit JPEG unsupported")
@@ -260,26 +264,38 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 cid, hv, tq = body[6 + 3 * c:9 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15,
                               "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker == 0xC2:
-            raise NotImplementedError("progressive JPEG (SOF2) unsupported")
+            frame = {"h": h, "w": w, "comps": comps,
+                     "progressive": marker == 0xC2}
         elif 0xC3 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
             raise NotImplementedError(
                 f"JPEG frame type 0x{marker:02x} unsupported")
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", body, 0)
-        elif marker == 0xDA:  # SOS — baseline: single scan, then done
+        elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("SOS before SOF")
             ns = body[0]
-            scan = {}
+            order, scan = [], {}
             for c in range(ns):
                 cid, tt = body[1 + 2 * c:3 + 2 * c]
+                order.append(cid)
                 scan[cid] = (tt >> 4, tt & 15)  # (dc table, ac table)
-            segs, _ = _split_entropy(data, i)
-            return _decode_scan(frame, scan, qtables, htables, segs,
-                                restart_interval)
+            ss, se, ahal = body[1 + 2 * ns:4 + 2 * ns]
+            segs, end = _split_entropy(data, i)
+            if not frame["progressive"]:
+                # baseline: exactly one scan, then done
+                return _decode_scan(frame, scan, qtables, htables, segs,
+                                    restart_interval)
+            scans.append({"order": order, "tables": scan,
+                          "ss": ss, "se": se,
+                          "ah": ahal >> 4, "al": ahal & 15,
+                          "segs": segs, "ri": restart_interval,
+                          # DHT may be redefined between scans
+                          "ht": dict(htables)})
+            i = end
         # APPn/COM/others: skipped
+    if frame is not None and frame["progressive"] and scans:
+        return _decode_progressive(frame, scans, qtables)
     raise ValueError("no SOS marker found")
 
 
@@ -330,7 +346,15 @@ def _decode_scan(frame, scan, qtables, htables, segs, restart_interval):
                         row = (my * c["v"] + v) * c["bx"] + (mx * c["h"] + hh)
                         c["coef"][row] = blk
             mcu += 1
-    # vectorized tail: dequantize + IDCT + reassemble + upsample
+    return _finish(frame, qtables)
+
+
+def _finish(frame, qtables):
+    """Vectorized tail shared by baseline and progressive paths:
+    dequantize + IDCT + reassemble + upsample + color convert."""
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
     planes = []
     for c in comps:
         q = qtables[c["tq"]]
@@ -352,6 +376,180 @@ def _decode_scan(frame, scan, qtables, htables, segs, restart_interval):
     b = y + 1.772 * (cb - 128)
     return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0,
                    255).astype(np.uint8)
+
+
+def _decode_progressive(frame, scans, qtables):
+    """Progressive (SOF2) reconstruction per T.81 G.2: every scan
+    deposits a spectral band (Ss..Se) at a bit position (successive
+    approximation Ah/Al) into per-component coefficient grids; the
+    shared _finish runs once at the end. DC scans may interleave all
+    components (MCU order); AC scans are single-component in that
+    component's own raster block order. The EOB run and the AC
+    refinement correction-bit walk follow the spec's decode
+    procedures."""
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    by_id = {}
+    for c in comps:
+        c["bx"] = mcux * c["h"]
+        c["by"] = mcuy * c["v"]
+        # non-interleaved scans cover only the REAL block grid of the
+        # component (ceil of its sample dims / 8), not the MCU-padded
+        # grid
+        sw = -(-(w * c["h"]) // hmax)
+        sh = -(-(h * c["v"]) // vmax)
+        c["wb"] = -(-sw // 8)
+        c["hb"] = -(-sh // 8)
+        c["coef"] = np.zeros((c["by"] * c["bx"], 64), np.int64)
+        by_id[c["id"]] = c
+
+    for sc in scans:
+        ss, se, ah, al = sc["ss"], sc["se"], sc["ah"], sc["al"]
+        ht, ri = sc["ht"], sc["ri"]
+        seg_iter = iter(sc["segs"])
+        reader = _BitReader(next(seg_iter))
+        state = {"eobrun": 0,
+                 "pred": {cid: 0 for cid in sc["order"]}}
+
+        def restart():
+            nonlocal reader
+            reader = _BitReader(next(seg_iter))
+            state["eobrun"] = 0
+            state["pred"] = {cid: 0 for cid in sc["order"]}
+
+        if ss == 0:
+            # DC scan (se must be 0): interleaved over all scan comps
+            if se != 0:
+                raise ValueError("DC progressive scan with Se != 0")
+            unit = 0
+            if len(sc["order"]) > 1:
+                for my in range(mcuy):
+                    for mx in range(mcux):
+                        if ri and unit and unit % ri == 0:
+                            restart()
+                        unit += 1
+                        for cid in sc["order"]:
+                            c = by_id[cid]
+                            for v in range(c["v"]):
+                                for hh in range(c["h"]):
+                                    row = ((my * c["v"] + v) * c["bx"]
+                                           + mx * c["h"] + hh)
+                                    _dc_unit(reader, ht, sc, c, row,
+                                             state, ah, al)
+            else:
+                c = by_id[sc["order"][0]]
+                for byy in range(c["hb"]):
+                    for bxx in range(c["wb"]):
+                        if ri and unit and unit % ri == 0:
+                            restart()
+                        unit += 1
+                        _dc_unit(reader, ht, sc, c,
+                                 byy * c["bx"] + bxx, state, ah, al)
+        else:
+            # AC scan: single component, raster order over ITS blocks
+            if len(sc["order"]) != 1:
+                raise ValueError("interleaved AC progressive scan")
+            c = by_id[sc["order"][0]]
+            ac_t = ht.get((1, sc["tables"][c["id"]][1]))
+            unit = 0
+            for byy in range(c["hb"]):
+                for bxx in range(c["wb"]):
+                    if ri and unit and unit % ri == 0:
+                        restart()
+                    unit += 1
+                    blk = c["coef"][byy * c["bx"] + bxx]
+                    if ah == 0:
+                        _ac_first(reader, ac_t, blk, ss, se, al, state)
+                    else:
+                        _ac_refine(reader, ac_t, blk, ss, se, al, state)
+    return _finish(frame, qtables)
+
+
+def _dc_unit(reader, ht, sc, c, row, state, ah, al):
+    blk = c["coef"][row]
+    if ah == 0:
+        dc_t = ht.get((0, sc["tables"][c["id"]][0]))
+        s = reader.decode_huff(dc_t)
+        diff = _extend(reader.receive(s), s) if s else 0
+        state["pred"][c["id"]] += diff
+        blk[0] = state["pred"][c["id"]] << al
+    else:
+        if reader.receive(1):
+            blk[0] |= 1 << al
+
+
+def _ac_first(reader, ac_t, blk, ss, se, al, state):
+    if state["eobrun"] > 0:
+        state["eobrun"] -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = reader.decode_huff(ac_t)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r < 15:
+                state["eobrun"] = (1 << r) - 1
+                if r:
+                    state["eobrun"] += reader.receive(r)
+                return
+            k += 16  # ZRL
+            continue
+        k += r
+        if k > se:
+            raise ValueError("AC band overrun in progressive scan")
+        blk[ZIGZAG[k]] = _extend(reader.receive(s), s) << al
+        k += 1
+
+
+def _ac_refine(reader, ac_t, blk, ss, se, al, state):
+    """T.81 G.2.2 AC successive-approximation refinement: correction
+    bits for already-nonzero coefficients, newly significant
+    coefficients of magnitude 1 placed at run ends. An EOBn covers
+    (1<<r)+bits blocks INCLUDING the current one, whose remaining
+    nonzero-history coefficients still carry correction bits — the
+    tail walk below must run even for EOB0."""
+    p1, m1 = 1 << al, -1 << al
+    k = ss
+    if state["eobrun"] == 0:
+        while k <= se:
+            rs = reader.decode_huff(ac_t)
+            r, s = rs >> 4, rs & 15
+            val = 0
+            if s == 0:
+                if r < 15:
+                    state["eobrun"] = 1 << r
+                    if r:
+                        state["eobrun"] += reader.receive(r)
+                    break
+                # r == 15: skip 16 ZERO-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("bad magnitude in AC refinement")
+                val = p1 if reader.receive(1) else m1
+            while k <= se:
+                z = ZIGZAG[k]
+                if blk[z] != 0:
+                    if reader.receive(1) and (blk[z] & p1) == 0:
+                        blk[z] += p1 if blk[z] >= 0 else m1
+                else:
+                    if r == 0:
+                        if val:
+                            blk[z] = val
+                        k += 1
+                        break
+                    r -= 1
+                k += 1
+    if state["eobrun"] > 0:
+        while k <= se:
+            z = ZIGZAG[k]
+            if blk[z] != 0:
+                if reader.receive(1) and (blk[z] & p1) == 0:
+                    blk[z] += p1 if blk[z] >= 0 else m1
+            k += 1
+        state["eobrun"] -= 1
 
 
 # --------------------------------------------------------------- encode
@@ -449,15 +647,11 @@ def _pad_to(plane: np.ndarray, bh: int, bw_: int) -> np.ndarray:
     return np.pad(plane, ((0, bh - h), (0, bw_ - w)), mode="edge")
 
 
-def encode_jpeg(img: np.ndarray, quality: int = 85,
-                subsampling: str = "4:4:4",
-                restart_interval: int = 0) -> bytes:
-    """Encode uint8 pixels — (h, w) grayscale or (h, w, 3) RGB — as
-    baseline JFIF. ``subsampling``: '4:4:4' or '4:2:0' (ignored for
-    grayscale). ``restart_interval`` N > 0 emits a DRI segment and an
-    RSTn marker every N MCUs (the error-resilience feature real
-    encoders use on large images; also exercises the decoder's
-    restart path)."""
+def _prep_coefs(img: np.ndarray, quality: int, subsampling: str):
+    """Shared encoder front end: color convert + subsample + forward
+    DCT + quantize. Returns (gray, h, w, samp, mcux, mcuy, coefs,
+    ql, qc) — coefs[ci] is (by*bx, 64) natural-order ints, blocks in
+    raster order over the MCU-padded grid."""
     img = np.asarray(img, dtype=np.float64)
     gray = img.ndim == 2
     h, w = img.shape[:2]
@@ -496,16 +690,53 @@ def encode_jpeg(img: np.ndarray, quality: int = 85,
         bx, by = mcux * sh, mcuy * sv
         coefs.append(_fdct_quant(_pad_to(p, by * 8, bx * 8),
                                  ql if p is planes[0] else qc))
+    return gray, h, w, samp, mcux, mcuy, coefs, ql, qc
+
+
+def _jfif_headers(gray: bool, h: int, w: int, samp, ql, qc,
+                  sof_marker: int) -> bytearray:
+    """SOI + APP0 + DQT + SOFn common to baseline and progressive."""
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += (b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00"
+            + b"\x01\x01\x00" + struct.pack(">HH", 1, 1) + b"\x00\x00")
+
+    def dqt(tid: int, tbl: np.ndarray) -> bytes:
+        return (b"\xff\xdb" + struct.pack(">HB", 67, tid)
+                + bytes(int(x) for x in tbl[ZIGZAG]))
+
+    out += dqt(0, ql)
+    if not gray:
+        out += dqt(1, qc)
+    ncomp = 1 if gray else 3
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci, (sh, sv) in enumerate(samp):
+        sof += bytes([ci + 1, (sh << 4) | sv, 0 if ci == 0 else 1])
+    out += bytes([0xFF, sof_marker]) + struct.pack(">H", 2 + len(sof)) + sof
+    return out
+
+
+def encode_jpeg(img: np.ndarray, quality: int = 85,
+                subsampling: str = "4:4:4",
+                restart_interval: int = 0) -> bytes:
+    """Encode uint8 pixels — (h, w) grayscale or (h, w, 3) RGB — as
+    baseline JFIF. ``subsampling``: '4:4:4' or '4:2:0' (ignored for
+    grayscale). ``restart_interval`` N > 0 emits a DRI segment and an
+    RSTn marker every N MCUs (the error-resilience feature real
+    encoders use on large images; also exercises the decoder's
+    restart path)."""
+    gray, h, w, samp, mcux, mcuy, coefs, ql, qc = \
+        _prep_coefs(img, quality, subsampling)
+    ncomp = 1 if gray else 3
     dc_l, ac_l = (_canonical_codes(*DC_LUMA), _canonical_codes(*AC_LUMA))
     dc_c, ac_c = (_canonical_codes(*DC_CHROMA), _canonical_codes(*AC_CHROMA))
     bw = _BitWriter()
-    pred = [0] * len(planes)
+    pred = [0] * ncomp
     mcu = 0
     for my in range(mcuy):
         for mx in range(mcux):
             if restart_interval and mcu and mcu % restart_interval == 0:
                 bw.marker(0xD0 + ((mcu // restart_interval - 1) % 8))
-                pred = [0] * len(planes)
+                pred = [0] * ncomp
             mcu += 1
             for ci, (sh, sv) in enumerate(samp):
                 bxc = mcux * sh
@@ -518,31 +749,10 @@ def encode_jpeg(img: np.ndarray, quality: int = 85,
                             bw, coefs[ci][row], pred[ci], dct_c, act_c)
     bw.flush()
 
-    out = bytearray(b"\xff\xd8")  # SOI
-    out += (b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00"
-            + b"\x01\x01\x00" + struct.pack(">HH", 1, 1) + b"\x00\x00")
-
-    def dqt(tid: int, tbl: np.ndarray) -> bytes:
-        return (b"\xff\xdb" + struct.pack(">HB", 67, tid)
-                + bytes(int(x) for x in tbl[ZIGZAG]))
-
-    out += dqt(0, ql)
+    out = _jfif_headers(gray, h, w, samp, ql, qc, 0xC0)
+    out += _dht(0, 0, DC_LUMA) + _dht(1, 0, AC_LUMA)
     if not gray:
-        out += dqt(1, qc)
-    ncomp = len(planes)
-    sof = struct.pack(">BHHB", 8, h, w, ncomp)
-    for ci, (sh, sv) in enumerate(samp):
-        sof += bytes([ci + 1, (sh << 4) | sv, 0 if ci == 0 else 1])
-    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
-
-    def dht(tc: int, th: int, spec) -> bytes:
-        bits, vals = spec
-        body = bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
-        return b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
-
-    out += dht(0, 0, DC_LUMA) + dht(1, 0, AC_LUMA)
-    if not gray:
-        out += dht(0, 1, DC_CHROMA) + dht(1, 1, AC_CHROMA)
+        out += _dht(0, 1, DC_CHROMA) + _dht(1, 1, AC_CHROMA)
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     sos = bytes([ncomp])
@@ -552,6 +762,256 @@ def encode_jpeg(img: np.ndarray, quality: int = 85,
     out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
     out += bw.out
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def _dht(tc: int, th: int, spec) -> bytes:
+    bits, vals = spec
+    body = bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
+    return b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+
+
+# -------------------------------------------------- progressive encode
+
+def _flat_table(symbols) -> tuple[list[int], list[int]]:
+    """Fixed-length canonical Huffman table over an emitted symbol
+    set: every symbol gets length L with 2^L >= n+1 (the +1 reserves
+    the all-1-bits code as T.81 requires, so 1-padding can never
+    decode as a symbol). Valid and simple; compression is not the
+    point of these streams — correctness vectors are."""
+    syms = sorted(int(s) for s in symbols)
+    n = len(syms)
+    if not 0 < n <= 255:
+        raise ValueError(f"bad symbol count {n}")
+    ln = max(1, n.bit_length())
+    bits = [0] * 16
+    bits[ln - 1] = n
+    return bits, syms
+
+
+def _default_scan_script(ncomp: int) -> list[tuple]:
+    """(component indices, Ss, Se, Ah, Al) — the classic spectral-
+    selection + successive-approximation progression (the shape of
+    cjpeg's default script): DC first at Al=1 then refined, luma AC
+    split into a coarse 1..5 band and the tail, chroma AC in one
+    band, all AC refined down to Al=0."""
+    if ncomp == 1:
+        return [([0], 0, 0, 0, 1), ([0], 1, 5, 0, 2), ([0], 6, 63, 0, 2),
+                ([0], 1, 63, 2, 1), ([0], 0, 0, 1, 0), ([0], 1, 63, 1, 0)]
+    return [([0, 1, 2], 0, 0, 0, 1),
+            ([0], 1, 5, 0, 2), ([2], 1, 63, 0, 1), ([1], 1, 63, 0, 1),
+            ([0], 6, 63, 0, 2),
+            ([0], 1, 63, 2, 1),
+            ([0, 1, 2], 0, 0, 1, 0),
+            ([2], 1, 63, 1, 0), ([1], 1, 63, 1, 0), ([0], 1, 63, 1, 0)]
+
+
+def _enc_dc_scan(blocks, coefs, ah, al, emit_sym, emit_bits):
+    """DC progressive scan: first pass (Ah=0) Huffman-codes diffs of
+    the point-transformed DC (arithmetic shift per T.81); refinement
+    passes emit one raw bit per block."""
+    pred: dict[int, int] = {}
+    for ci, row in blocks:
+        dc = int(coefs[ci][row, 0])
+        if ah == 0:
+            v = dc >> al
+            diff = v - pred.get(ci, 0)
+            pred[ci] = v
+            s = _mag(diff)
+            emit_sym(s)
+            if s:
+                emit_bits(diff if diff > 0 else diff + (1 << s) - 1, s)
+        else:
+            emit_bits((dc >> al) & 1, 1)
+
+
+def _enc_ac_first(blocks, coefs, ss, se, al, emit_sym, emit_bits):
+    """AC first pass (Ah=0) over one component's real block grid:
+    run/size coding of the point-transformed band with cross-block
+    EOB runs (EOBn covers (1<<r)+ext blocks including the current)."""
+    eobrun = 0
+
+    def flush():
+        nonlocal eobrun
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            emit_sym(r << 4)
+            if r:
+                emit_bits(eobrun - (1 << r), r)
+            eobrun = 0
+
+    zz = ZIGZAG[ss:se + 1]
+    for ci, row in blocks:
+        band = coefs[ci][row][zz]
+        r = 0
+        for v in band:
+            v = int(v)
+            t = abs(v) >> al
+            if t == 0:
+                r += 1
+                continue
+            flush()
+            while r > 15:
+                emit_sym(0xF0)  # ZRL
+                r -= 16
+            s = t.bit_length()
+            val = t if v > 0 else -t
+            emit_sym((r << 4) | s)
+            emit_bits(val if val > 0 else val + (1 << s) - 1, s)
+            r = 0
+        if r > 0:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush()
+    flush()
+
+
+def _enc_ac_refine(blocks, coefs, ss, se, al, emit_sym, emit_bits):
+    """AC successive-approximation refinement (Ah=Al+1), the jcphuff
+    structure: zero-history runs carry the run length, already-nonzero
+    coefficients buffer one correction bit each (flushed right after
+    the next emitted symbol, matching the decoder's in-walk reads),
+    newly significant coefficients emit (r<<4)|1 plus a sign bit."""
+    eobrun = 0
+    pend: list[int] = []  # correction bits buffered across an EOB run
+
+    def flush():
+        nonlocal eobrun, pend
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            emit_sym(r << 4)
+            if r:
+                emit_bits(eobrun - (1 << r), r)
+            eobrun = 0
+        for b in pend:
+            emit_bits(b, 1)
+        pend = []
+
+    zz = ZIGZAG[ss:se + 1]
+    for ci, row in blocks:
+        band = [int(v) for v in coefs[ci][row][zz]]
+        absv = [abs(v) >> al for v in band]
+        eob = -1
+        for idx, t in enumerate(absv):
+            if t == 1:
+                eob = idx
+        r = 0
+        br: list[int] = []  # correction bits of the current run
+        for idx, (v, t) in enumerate(zip(band, absv)):
+            if t == 0:
+                r += 1
+                continue
+            while r > 15 and idx <= eob:
+                flush()
+                emit_sym(0xF0)
+                r -= 16
+                for b in br:
+                    emit_bits(b, 1)
+                br = []
+            if t > 1:
+                br.append(t & 1)
+                continue
+            flush()
+            emit_sym((r << 4) | 1)
+            emit_bits(1 if v > 0 else 0, 1)
+            for b in br:
+                emit_bits(b, 1)
+            br = []
+            r = 0
+        if r > 0 or br:
+            eobrun += 1
+            pend.extend(br)
+            if eobrun == 0x7FFF:
+                flush()
+    flush()
+
+
+def encode_jpeg_progressive(img: np.ndarray, quality: int = 85,
+                            subsampling: str = "4:4:4",
+                            scans: list[tuple] | None = None) -> bytes:
+    """Encode uint8 pixels as progressive (SOF2) JFIF per T.81 G.1:
+    spectral selection + successive approximation, DC refinement
+    included. The quantized coefficients are identical to
+    encode_jpeg's, so decode_jpeg(progressive) == decode_jpeg(
+    baseline) bit-for-bit — the equivalence the tests pin. Each scan
+    carries its own fixed-length Huffman table (_flat_table) built
+    from a counting pre-pass, so EOBn symbols are always codeable."""
+    gray, h, w, samp, mcux, mcuy, coefs, ql, qc = \
+        _prep_coefs(img, quality, subsampling)
+    ncomp = 1 if gray else 3
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    if scans is None:
+        scans = _default_scan_script(ncomp)
+
+    # per-component geometry: padded stride bx, real block grid wb/hb
+    geo = []
+    for (sh, sv) in samp:
+        sw = -(-(w * sh) // hmax)
+        sh_px = -(-(h * sv) // vmax)
+        geo.append({"sh": sh, "sv": sv, "bx": mcux * sh,
+                    "wb": -(-sw // 8), "hb": -(-sh_px // 8)})
+
+    def dc_blocks(sel):
+        if len(sel) > 1:
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    for ci in sel:
+                        g = geo[ci]
+                        for v in range(g["sv"]):
+                            for hh in range(g["sh"]):
+                                yield ci, ((my * g["sv"] + v) * g["bx"]
+                                           + mx * g["sh"] + hh)
+        else:
+            ci = sel[0]
+            g = geo[ci]
+            for byy in range(g["hb"]):
+                for bxx in range(g["wb"]):
+                    yield ci, byy * g["bx"] + bxx
+
+    def ac_blocks(ci):
+        g = geo[ci]
+        for byy in range(g["hb"]):
+            for bxx in range(g["wb"]):
+                yield ci, byy * g["bx"] + bxx
+
+    def run_scan(sel, ss, se, ah, al, emit_sym, emit_bits):
+        if ss == 0:
+            if se != 0:
+                raise ValueError("DC scan must have Se=0")
+            _enc_dc_scan(dc_blocks(sel), coefs, ah, al,
+                         emit_sym, emit_bits)
+        else:
+            if len(sel) != 1:
+                raise ValueError("AC scans are single-component")
+            fn = _enc_ac_first if ah == 0 else _enc_ac_refine
+            fn(ac_blocks(sel[0]), coefs, ss, se, al, emit_sym, emit_bits)
+
+    out = _jfif_headers(gray, h, w, samp, ql, qc, 0xC2)
+    for (sel, ss, se, ah, al) in scans:
+        freq: Counter = Counter()
+        run_scan(sel, ss, se, ah, al,
+                 lambda s: freq.update((s,)), lambda v, n: None)
+        tc = 0 if ss == 0 else 1
+        if freq:
+            spec = _flat_table(freq)
+            out += _dht(tc, 0, spec)
+            codes = _canonical_codes(*spec)
+        else:
+            codes = None  # DC refinement: raw bits only, no table
+        bw = _BitWriter()
+        run_scan(sel, ss, se, ah, al,
+                 (lambda s: bw.write(*codes[s])) if codes
+                 else (lambda s: None),
+                 bw.write)
+        bw.flush()
+        sos = bytes([len(sel)])
+        for ci in sel:
+            sos += bytes([ci + 1, 0x00])  # Td=0, Ta=0
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+        out += bw.out
+    out += b"\xff\xd9"
     return bytes(out)
 
 
