@@ -117,14 +117,10 @@ def main() -> None:
     timings_min: dict[str, float] = {}
     for name, fn in qs.items():
         timings[name], timings_min[name] = _time_reps(fn)
-
-    # production-config twins of gate queries that pay a deliberate
-    # oracle tax (32-band minhash, portable simhash, literal-pivot
-    # IVF) — timed separately, excluded from the headline total so
-    # cross-round totals stay comparable
-    twin_timings: dict[str, float] = {}
-    for name, fn in entrymod.bench_extra_queries().items():
-        twin_timings[name], _ = _time_reps(fn)
+    # the 7 production twins joined queries() in r7 (driver-gated like
+    # everything else), so they are timed in the main loop now; the
+    # headline total grew by their ~9s accordingly — cross-round
+    # comparisons should use the per-query map, not the raw total
 
     # single-node comparison point: the same queries' oracle SQL in
     # DuckDB at the same scale (the reference publishes no numbers, so
@@ -172,7 +168,6 @@ def main() -> None:
         "total_min_sec": round(sum(timings_min.values()), 3),
         "queries": timings,
         "queries_min": timings_min,
-        "production_twins": twin_timings,
         "oracle_duckdb_sec": oracle_timings,
         "oracle_total_sec": round(sum(oracle_timings.values()), 3),
         # these entries are full WRITE pipelines (ingest + merge + table

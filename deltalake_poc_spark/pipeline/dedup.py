@@ -562,8 +562,15 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
 # -------------------------------------------------- duplicate-group closure
 
 
+# observability for the scale harness and tests: the regime and round
+# count of the most recent connected_components call in this process
+LAST_CC_INFO: dict = {}
+
+
 def connected_components(pairs: DataFrame, max_iterations: int = 20,
-                         driver_threshold: int = 1_000_000) -> DataFrame:
+                         driver_threshold: int = 1_000_000,
+                         distributed_algorithm: str = "star",
+                         ) -> DataFrame:
     """Collapse near-dup PAIRS into duplicate GROUPS: connected
     components; (doc_id, group_id) where group_id = min doc_id of the
     component — the canonical keeper.
@@ -577,10 +584,20 @@ def connected_components(pairs: DataFrame, max_iterations: int = 20,
       1M-edge ceiling (vs ~100 bytes/edge as Row objects), far inside
       the 8 GB driver budget; the union-find dict peaks at
       O(distinct members) boxed ints, bounded by 2x edges.
-    - larger: distributed min-label propagation — each round one join
-      + one min-aggregation; O(diameter) rounds (dup clusters are
-      near-cliques, so usually 2-3); driver only sees the converged
-      flag.
+    - larger: ``distributed_algorithm`` picks the iteration shape —
+      "star" (default): alternating large-star/small-star
+      (_alternating_star) — O(log n) rounds with path doubling AND a
+      shrinking edge set. Measured at the sf100 tier (SCALE.md /
+      SCALE_RUN_CC.json): 4.8x faster than min-label on the real
+      near-dup pair graph and the only distributed regime that
+      converges on deep-chain shapes (diameter >> max_iterations).
+      "minlabel": min-label propagation — each round one join + one
+      min-aggregation over the STATIC edge set; O(diameter) rounds.
+      Kept as the comparison regime; raises loudly if the diameter
+      exceeds max_iterations (an unconverged label frame is silently
+      wrong).
+    Both must produce the identical assignment (pinned by
+    tests/test_pipeline.py and the dedup_groups_distributed gate).
 
     Input: columns doc_a, doc_b (as produced by the *_pairs functions).
     """
@@ -616,7 +633,14 @@ def connected_components(pairs: DataFrame, max_iterations: int = 20,
                 parent[hi] = lo
         members = set(col_a.tolist()) | set(col_b.tolist())
         data = [(m, find(m)) for m in sorted(members)]
+        LAST_CC_INFO.update(regime="union-find", rounds=1,
+                            n_edges=n_edges)
         return spark.createDataFrame(data, "doc_id long, group_id long")
+    if distributed_algorithm == "star":
+        try:
+            return _alternating_star(pairs, max_iterations, n_edges)
+        finally:
+            pairs.unpersist()
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionByName(
@@ -632,12 +656,21 @@ def connected_components(pairs: DataFrame, max_iterations: int = 20,
         .persist()
     )
     try:
+        rounds = 0
+        changed = 1
         for _ in range(max_iterations):
+            rounds += 1
             neighbor_min = (
                 edges.join(labels, edges.dst == labels.doc_id)
                 .groupBy("src")
                 .agg(F.min("group_id").alias("nbr_min"))
             )
+            # localCheckpoint, not persist: persist caches DATA but the
+            # LOGICAL plan still nests one round deeper each iteration
+            # — Catalyst re-optimizes the whole chain every round
+            # (O(rounds²) planning) and task binaries carry the full
+            # serialized plan (measured 1.5 -> 5.7 MiB by round ~15).
+            # Checkpointing truncates lineage to the materialized RDD.
             updated = (
                 labels.join(neighbor_min,
                             labels.doc_id == neighbor_min.src, "left")
@@ -648,18 +681,110 @@ def connected_components(pairs: DataFrame, max_iterations: int = 20,
                     .alias("group_id"),
                     (F.col("nbr_min") < F.col("group_id")).alias("__changed"),
                 )
-                .persist()
+                .localCheckpoint()
             )
             changed = updated.filter(F.col("__changed")).limit(1).count()
             old = labels
-            labels = updated.drop("__changed").persist()
-            updated.unpersist()
+            labels = updated.drop("__changed")
             old.unpersist()
             if changed == 0:
                 break
+        if changed != 0:
+            # an unconverged label frame is silently WRONG (nodes still
+            # carry non-minimal labels) — deep components (diameter >
+            # max_iterations) must fail loudly; the star algorithm is
+            # the regime built for those shapes (O(log n) rounds)
+            raise ValueError(
+                f"min-label propagation did not converge in "
+                f"{max_iterations} rounds (component diameter too "
+                f"large) — raise max_iterations or use "
+                f"distributed_algorithm='star'")
+        LAST_CC_INFO.update(regime="minlabel", rounds=rounds,
+                            n_edges=n_edges)
         return labels
     finally:
         edges.unpersist()
+
+
+def _alternating_star(pairs: DataFrame, max_iterations: int,
+                      n_edges: int) -> DataFrame:
+    """Alternating large-star/small-star connected components — the
+    public MapReduce CC algorithm (Kiveris, Lattanzi, Mirrokni,
+    Rastogi, Vassilvitskii, "Connected Components in MapReduce and
+    Beyond", SoCC 2014). Each round:
+
+    - large-star: symmetrize; every neighbor v of u with v > u links
+      to m(u) = min(N(u) ∪ {u}). Path-doubling: big labels hop two
+      steps toward the minimum per round.
+    - small-star: orient each edge to its larger endpoint; every
+      smaller neighbor of u, and u itself, links to the min neighbor.
+
+    Converges to disjoint stars (every node pointing at its
+    component's min) in O(log n) rounds — and unlike min-label
+    propagation, the EDGE SET CONTRACTS as it runs, so late rounds
+    are cheap even on giant components. Convergence detected by a
+    (count, bit_xor(xxhash64)) signature of the round's output — one
+    1-row aggregate per round, no driver edge materialization.
+
+    Per-round shape: two groupBy-min aggregations + two distincts on
+    slim (long, long) rows. No collect_list — a whale hub node costs
+    a wide min-aggregation, never an in-memory neighbor array.
+    """
+    e = (pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+         .filter(F.col("u") != F.col("v")).distinct().persist())
+    prev_sig = None
+    rounds = 0
+    for _ in range(max_iterations):
+        rounds += 1
+        # large-star
+        b = e.unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = (b.groupBy("u").agg(F.min("v").alias("mv"))
+                .select("u", F.least(F.col("u"), F.col("mv")).alias("m")))
+        ls = (b.join(mins, "u").where(F.col("v") > F.col("u"))
+              .select(F.col("v").alias("u"), F.col("m").alias("v"))
+              .where(F.col("u") != F.col("v")).distinct())
+        # small-star (on the large-star output, oriented u > v)
+        b2 = (ls.select(F.greatest("u", "v").alias("u"),
+                        F.least("u", "v").alias("v")).distinct())
+        mins2 = b2.groupBy("u").agg(F.min("v").alias("m"))
+        # localCheckpoint, not persist: each round REBUILDS the edge
+        # frame, so lineage (and the logical plan) would grow by ~10
+        # operators per round — by round ~8 Catalyst planning itself
+        # becomes the bottleneck (tree-walk stack overflows observed).
+        # Checkpointing truncates lineage to the materialized RDD, the
+        # same discipline GraphFrames CC uses.
+        ss = (b2.join(mins2, "u")
+              .select(F.when(F.col("v") == F.col("m"), F.col("u"))
+                      .otherwise(F.col("v")).alias("su"),
+                      F.col("m").alias("sv"))
+              .select(F.col("su").alias("u"), F.col("sv").alias("v"))
+              .where(F.col("u") != F.col("v")).distinct()
+              .localCheckpoint())
+        # bit_xor, not sum: ANSI mode makes a long-sum of hashes an
+        # overflow error; xor is order-independent and overflow-free
+        # (edges are distinct, so xor cancellation needs a hash
+        # collision — the count in the signature backstops it)
+        sig_row = ss.agg(F.count(F.lit(1)).alias("n"),
+                         F.bit_xor(F.xxhash64("u", "v")).alias("h")
+                         ).collect()[0]
+        sig = (sig_row["n"], sig_row["h"])
+        old = e
+        e = ss
+        old.unpersist()
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    else:
+        raise ValueError(
+            f"alternating star did not converge in {max_iterations} "
+            f"rounds — raise max_iterations")
+    LAST_CC_INFO.update(regime="star", rounds=rounds, n_edges=n_edges)
+    # stars: members point at the root; add the root's own row
+    return (e.select(F.col("u").alias("doc_id"), F.col("v").alias("group_id"))
+            .unionByName(e.select(F.col("v").alias("doc_id"),
+                                  F.col("v").alias("group_id")).distinct())
+            .distinct())
 
 
 def dedup_groups(docs: DataFrame, pairs: DataFrame,

@@ -12,13 +12,17 @@
   (``start_thrift_server`` below + tests/test_jdbc_transport.py):
   unpartitioned and bound-partitioned ``jdbc_read`` both run the
   full driver->DriverManager->executor path with the hive-jdbc
-  driver that ships in the Spark runtime. Only the *write* leg of
-  the stock JDBC sink cannot run against that endpoint — hive-jdbc
-  2.3 throws SQLFeatureNotSupportedException from the
-  addBatch/executeBatch calls JdbcUtils.savePartition requires —
-  and no postgres/mysql driver jar exists in this environment, so
-  ``jdbc_write`` against a server that accepts batched inserts
-  remains env-blocked (pinned in tests/test_jdbc_transport.py).
+  driver that ships in the Spark runtime. The *write* leg cannot
+  run against that endpoint — hive-jdbc 2.3 throws
+  SQLFeatureNotSupportedException from the addBatch/executeBatch
+  calls JdbcUtils.savePartition requires (pinned in
+  tests/test_jdbc_transport.py) — but since r7 it runs LIVE against
+  an embedded DuckDB over its batch-capable JDBC driver (a public
+  Maven artifact found in the local coursier cache):
+  ``jdbc_write`` (executor-side batched INSERT), ``jdbc_upsert``
+  (staging write + ON CONFLICT merge + delete), and a cross-engine
+  read-back of the written database file
+  (tests/test_jdbc_transport.py::test_jdbc_write_and_upsert_live_duckdb).
 - Raw-parquet read (S16): the notebook's DuckDB-over-parquet path
   (cells 43-48) bypasses the transaction log and therefore sees
   removed/uncommitted files — provided for parity, with the same

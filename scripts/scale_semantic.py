@@ -27,9 +27,15 @@ TIERS = [
     ("sf0.1", "/root/testdata/sf0.1", 8),
     ("sf1", "/root/repo/.scale/sf1", 80),
     ("sf10", "/root/repo/.scale/sf10", 800),
+    # 2M vectors / k=8000: the first tier where the Arrow assignment's
+    # O(n·k·dim) work and its 256 MB accumulator blocking are actually
+    # stressed (centroid matrix alone is 8000x64 doubles = 4 MB per
+    # task; per-batch distance panel is batch x 8000)
+    ("sf100", "/root/repo/.scale/sf100", 8000),
 ]
 OUT = os.environ.get("SPARK_GRAFT_SEM_JSON",
                      "/root/repo/.scale/sr_semantic_kscale.json")
+WITH_NEGATIVES = os.environ.get("SPARK_GRAFT_SEM_NEGATIVES", "1") == "1"
 
 
 def main() -> None:
@@ -58,6 +64,14 @@ def main() -> None:
             "n_vectors": n, "k": k, "fit_sec": round(t_fit, 2),
             "pairs_sec": round(t_pairs, 2), "dup_pairs": n_pairs,
         }
+        if WITH_NEGATIVES:
+            # hard-negative mining at the same k∝n: same bucketed pair
+            # join plus one max_by per anchor (reuses its own fit —
+            # measured end-to-end as a user would call it)
+            t0 = time.time()
+            n_negs = C.hard_negatives(emb, k=k, iters=2).count()
+            results[label]["negatives_sec"] = round(time.time() - t0, 2)
+            results[label]["n_negatives"] = n_negs
         print(json.dumps({label: results[label]}), flush=True)
     with open(OUT, "w") as fh:
         json.dump(results, fh, indent=1)

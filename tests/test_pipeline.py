@@ -214,8 +214,57 @@ def test_connected_components_regime_boundary(spark):
     dist = {r["doc_id"]: r["group_id"] for r in
             dedup.connected_components(
                 pairs, driver_threshold=len(edges) - 1).collect()}
+    star = {r["doc_id"]: r["group_id"] for r in
+            dedup.connected_components(
+                pairs, driver_threshold=len(edges) - 1,
+                distributed_algorithm="star").collect()}
     assert driver == expect
     assert dist == expect
+    assert star == expect
+    assert dedup.LAST_CC_INFO["regime"] == "star"
+
+
+def test_alternating_star_matches_union_find_random_graphs(spark):
+    """The alternating large-star/small-star algorithm must agree
+    with driver union-find on adversarial shapes: long chains (the
+    case min-label propagation is round-bound on), cliques, stars
+    with a whale hub, and seeded random graphs. Also pins the O(log n)
+    round claim: a 64-node chain must converge in <= 10 rounds, where
+    min-label needs ~diameter."""
+    import random
+
+    def uf(edges):
+        parent = {}
+
+        def find(x):
+            while parent.get(x, x) != x:
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                lo, hi = min(ra, rb), max(ra, rb)
+                parent[hi] = lo
+        return {m: find(m) for e in edges for m in e}
+
+    rng = random.Random(13)
+    graphs = [
+        [(i, i + 1) for i in range(63)],                    # chain
+        [(i, j) for i in range(8) for j in range(i + 1, 8)],  # clique
+        [(0, i) for i in range(1, 40)],                     # whale star
+        [(rng.randrange(100), rng.randrange(100)) for _ in range(80)],
+    ]
+    for gi, edges in enumerate(graphs):
+        edges = [(a, b) for a, b in edges if a != b]
+        pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        got = {r["doc_id"]: r["group_id"] for r in
+               dedup.connected_components(
+                   pairs, driver_threshold=0, max_iterations=30,
+                   distributed_algorithm="star").collect()}
+        assert got == uf(edges), f"graph {gi}"
+        if gi == 0:
+            assert dedup.LAST_CC_INFO["rounds"] <= 10
 
 
 def test_embedding_neardup(spark):

@@ -274,3 +274,58 @@ def test_soak_streaming_pq_ingest_with_concurrent_queries(spark, tmp_path):
     assert len([c for c in store.log.commits()
                 if c.operation_parameters.get("batchId")]) == 5, \
         "replayed batches double-appended"
+
+
+def test_soak_giant_component_all_cc_regimes(spark):
+    """Giant-component skew soak: boilerplate contamination makes ONE
+    near-dup component swallow a large slice of the corpus (hot grams
+    link everything transitively). Build that shape synthetically at
+    2^20 nodes — 1024 within-bucket stars whose hubs all link to node
+    0, the per-bucket-representative topology hot-gram pair sets
+    collapse to — entirely via spark.range (no driver-side edge
+    list), and push it through ALL THREE CC regimes. Asserts: every
+    regime completes (no OOM, no unconverged error), the three
+    assignments are identical (every node -> 0), and the distributed
+    regimes converge in the handful of rounds the shallow topology
+    promises."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from deltalake_poc_spark.pipeline import dedup
+
+    n = 1 << 20
+    ids = spark.range(0, n, 1, 8)
+    member_edges = (ids.filter((F.col("id") % 1024) != 0)
+                    .select((F.col("id") - (F.col("id") % 1024))
+                            .alias("doc_a"),
+                            F.col("id").alias("doc_b")))
+    hub_edges = (ids.filter((F.col("id") % 1024 == 0) & (F.col("id") > 0))
+                 .select(F.lit(0).cast("long").alias("doc_a"),
+                         F.col("id").alias("doc_b")))
+    pairs = member_edges.unionByName(hub_edges)
+
+    def checksum(labels):
+        row = labels.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("group_id").alias("groups"),
+            F.bit_xor(F.xxhash64("doc_id", "group_id")).alias("h"),
+            F.max("group_id").alias("maxg")).collect()[0]
+        return (row["n"], row["groups"], row["h"], row["maxg"])
+
+    results = {}
+    for regime, kw in [
+        ("union-find", dict(driver_threshold=n)),       # 2^20 edges fit
+        ("minlabel", dict(driver_threshold=0,
+                          distributed_algorithm="minlabel")),
+        ("star", dict(driver_threshold=0, distributed_algorithm="star")),
+    ]:
+        t0 = time.monotonic()
+        results[regime] = checksum(dedup.connected_components(pairs, **kw))
+        wall = time.monotonic() - t0
+        assert wall < 600, f"{regime} took {wall:.0f}s — regression"
+        if regime != "union-find":
+            assert dedup.LAST_CC_INFO["rounds"] <= 6, dedup.LAST_CC_INFO
+    assert results["union-find"] == results["minlabel"] == results["star"]
+    n_nodes, n_groups, _, maxg = results["star"]
+    assert n_nodes == n and n_groups == 1 and maxg == 0
