@@ -503,7 +503,8 @@ def semantic_neardup_pairs(emb: DataFrame,
 def hard_negatives(emb: DataFrame, k: int = 8, iters: int = 2,
                    dup_threshold: float = 0.99,
                    id_col: str = "vec_id",
-                   vec_col: str = "embedding") -> DataFrame:
+                   vec_col: str = "embedding",
+                   centroids: list | None = None) -> DataFrame:
     """Contrastive-training hard-negative mining: for every anchor
     vector, the most similar OTHER vector in its k-means cluster that
     is not a near-duplicate (cosine < ``dup_threshold``) — the
@@ -513,9 +514,15 @@ def hard_negatives(emb: DataFrame, k: int = 8, iters: int = 2,
     Returns (vec_id, neg_id, cosine); vectors whose cluster holds no
     eligible candidate are absent. One max_by per anchor — no
     per-anchor sort; ties break to the lowest candidate id via the
-    (cosine, -neg_id) struct order."""
-    cents = kmeans_fit(emb, k=k, iters=iters, id_col=id_col,
-                       vec_col=vec_col)
+    (cosine, -neg_id) struct order.
+
+    ``centroids``: pass an already-fitted kmeans_fit result to skip
+    the internal fit — at k∝n corpus scale the fit is the dominant
+    O(n·k·dim) cost and a pipeline that already ran SemDeDup has it
+    in hand (measured at the sf100 tier: fit dwarfs the mining
+    join; scripts/scale_semantic.py shares one fit per tier)."""
+    cents = centroids if centroids is not None else kmeans_fit(
+        emb, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
     pairs = semantic_neardup_pairs(emb, cents, threshold=-1.0,
                                    id_col=id_col, vec_col=vec_col)
     # one pass over the (a<b) pair join, each pair feeding BOTH

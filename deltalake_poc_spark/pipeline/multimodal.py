@@ -6,13 +6,18 @@ as Arrow-batched pandas iterators over ``mapInPandas`` (the right
 shape for expensive per-row Python: one Python worker per partition,
 columnar Arrow transfer, no per-row overhead).
 
-Codec status: JPEG (baseline, pipeline/codecs/jpeg.py) and PNG
-(pipeline/codecs/png.py) decode NATIVELY in pure numpy — no PIL on
-the workers — as do the uncompressed formats: BMP and binary-PPM
-images, PCM WAV audio (stdlib ``wave``), YUV4MPEG2 (y4m) video
-demux, and the deterministic FAKE* headers used by the synthetic
-corpus. Remaining compressed formats (MP3/AAC audio, MP4/H.264
-video, progressive JPEG) genuinely need ffmpeg/libjpeg and raise
+Codec status: JPEG (baseline AND progressive SOF2,
+pipeline/codecs/jpeg.py) and PNG (pipeline/codecs/png.py) decode
+NATIVELY in pure numpy — no PIL on the workers — as do the
+uncompressed formats: BMP and binary-PPM images, PCM WAV audio
+(stdlib ``wave``), YUV4MPEG2 (y4m) video demux, and the
+deterministic FAKE* headers used by the synthetic corpus. MP4 and
+MP3 are handled at the CONTAINER level (pipeline/codecs/mp4.py /
+mp3.py: per-sample offsets/sizes/keyframes/timestamps from the ISO
+BMFF sample tables; MPEG frame walk with exact duration) via
+``container_index`` — keyframe selection and frame budgeting run
+before any codec touches the bytes. The codec PAYLOADS (H.264/H.265
+video, MP3/AAC audio decode) genuinely need ffmpeg and raise
 NotImplementedError; the batch shapes (1-to-many Arrow generators)
 are exactly what those decoders slot into.
 """
@@ -560,3 +565,78 @@ def audio_features(media: DataFrame, window: int = 256) -> DataFrame:
     from deltalake_poc_spark.pipeline.dedup import spread
 
     return spread(media).mapInPandas(feature_batches, AUDIO_FEATURE_SCHEMA)
+
+
+CONTAINER_INDEX_SCHEMA = ("media_id long, container string, "
+                          "codec string, n_units long, n_sync long, "
+                          "duration_ms long, samplerate int, "
+                          "width int, height int, payload_bytes long")
+
+
+def container_index(media: DataFrame) -> DataFrame:
+    """Container-level media indexing WITHOUT codec decode — the pass
+    a 100 TB video/audio corpus runs first: MP4 sample tables give
+    every compressed frame's offset/size/keyframe flag/timestamp
+    (pipeline/codecs/mp4.py), MPEG audio frame walks give exact
+    duration and bitrate shape (codecs/mp3.py). Keyframe selection,
+    frame budgeting and shard planning consume THIS index; the
+    expensive decode then touches only the chosen 1%.
+
+    Input: (media_id long, payload binary[, ...]). Output one row per
+    media: n_units = samples/frames, n_sync = keyframes (== n_units
+    for audio), duration_ms exact from the container timescale.
+    Unrecognized payloads raise (loud, like decode_pixels)."""
+    from deltalake_poc_spark.pipeline.dedup import spread
+
+    def ix(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from deltalake_poc_spark.pipeline.codecs.mp3 import mp3_index
+        from deltalake_poc_spark.pipeline.codecs.mp4 import mp4_index
+
+        for pdf in batches:
+            out = {k: [] for k in (
+                "media_id", "container", "codec", "n_units", "n_sync",
+                "duration_ms", "samplerate", "width", "height",
+                "payload_bytes")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                payload = bytes(payload)
+                if len(payload) >= 8 and payload[4:8] == b"ftyp":
+                    x = mp4_index(payload)
+                    row = ("mp4", x["codec"], x["n_samples"],
+                           x["n_keyframes"], x["duration_ms"], 0,
+                           x["width"], x["height"], x["payload_bytes"])
+                elif payload[:3] == b"ID3" or (
+                        len(payload) >= 2 and payload[0] == 0xFF
+                        and (payload[1] & 0xE0) == 0xE0):
+                    x = mp3_index(payload)
+                    row = ("mp3", "mpeg-l3", x["n_frames"],
+                           x["n_frames"], x["duration_ms"],
+                           x["samplerate"], 0, 0, x["payload_bytes"])
+                else:
+                    raise NotImplementedError(
+                        f"media {int(mid)}: unrecognized container "
+                        f"(native indexers cover ISO-BMFF/MP4 and "
+                        f"MPEG audio)")
+                out["media_id"].append(int(mid))
+                for k, v in zip(("container", "codec", "n_units",
+                                 "n_sync", "duration_ms", "samplerate",
+                                 "width", "height", "payload_bytes"),
+                                row):
+                    out[k].append(v)
+            yield pd.DataFrame({
+                "media_id": pd.Series(out["media_id"], dtype="int64"),
+                "container": pd.Series(out["container"], dtype="object"),
+                "codec": pd.Series(out["codec"], dtype="object"),
+                "n_units": pd.Series(out["n_units"], dtype="int64"),
+                "n_sync": pd.Series(out["n_sync"], dtype="int64"),
+                "duration_ms": pd.Series(out["duration_ms"],
+                                         dtype="int64"),
+                "samplerate": pd.Series(out["samplerate"],
+                                        dtype="int32"),
+                "width": pd.Series(out["width"], dtype="int32"),
+                "height": pd.Series(out["height"], dtype="int32"),
+                "payload_bytes": pd.Series(out["payload_bytes"],
+                                           dtype="int64"),
+            })
+
+    return spread(media.select("media_id", "payload")).mapInPandas(
+        ix, CONTAINER_INDEX_SCHEMA)

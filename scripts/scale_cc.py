@@ -36,6 +36,11 @@ PAIRS_PARQUET = os.environ.get(
     "SPARK_GRAFT_CC_PAIRS", "/root/repo/.scale/cc_pairs_sf100.parquet")
 OUT_JSON = os.environ.get("SPARK_GRAFT_SCALE_JSON",
                           "/root/repo/SCALE_RUN_CC.json")
+# hot-gram df cap for the materialized pair graph: "100" (default,
+# the capped production config) or "none" (the capless graph
+# dedup_group_assign actually builds — 10x more edges at sf100)
+MAXDF = os.environ.get("SPARK_GRAFT_CC_MAXDF", "100")
+SKIP_CHAINS = os.environ.get("SPARK_GRAFT_CC_SKIP_CHAINS", "") == "1"
 
 
 def _checksum(labels) -> dict:
@@ -68,7 +73,8 @@ def main() -> None:
         from deltalake_poc_spark.pipeline.dedup import ngram_jaccard_pairs
         docs = spark.read.parquet(os.path.join(SF_BIG, "documents.parquet"))
         t0 = time.time()
-        (ngram_jaccard_pairs(docs, threshold=0.15, max_df=100)
+        max_df = None if MAXDF.lower() in ("", "none") else int(MAXDF)
+        (ngram_jaccard_pairs(docs, threshold=0.15, max_df=max_df)
          .write.mode("overwrite").parquet(PAIRS_PARQUET))
         print(json.dumps({"step": "pairs_materialize",
                           "wall_s": round(time.time() - t0, 1)}), flush=True)
@@ -99,6 +105,12 @@ def main() -> None:
         driver_threshold=0, distributed_algorithm="star")
 
     # ---- graph 2: deep chains (adversarial for min-label) ------------
+    if SKIP_CHAINS:
+        with open(OUT_JSON, "w") as f:
+            json.dump({"edges_real": n_real, "results": results}, f,
+                      indent=1)
+        print("wrote", OUT_JSON, flush=True)
+        return
     n_chains, chain_len = 2000, 2500
     chain = (spark.range(0, n_chains * chain_len, 1, int(cpus))
              .select(F.col("id").alias("doc_a"),

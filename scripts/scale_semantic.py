@@ -36,6 +36,9 @@ TIERS = [
 OUT = os.environ.get("SPARK_GRAFT_SEM_JSON",
                      "/root/repo/.scale/sr_semantic_kscale.json")
 WITH_NEGATIVES = os.environ.get("SPARK_GRAFT_SEM_NEGATIVES", "1") == "1"
+if os.environ.get("SPARK_GRAFT_SEM_TIERS"):
+    keep = set(os.environ["SPARK_GRAFT_SEM_TIERS"].split(","))
+    TIERS = [t for t in TIERS if t[0] in keep]
 
 
 def main() -> None:
@@ -65,11 +68,14 @@ def main() -> None:
             "pairs_sec": round(t_pairs, 2), "dup_pairs": n_pairs,
         }
         if WITH_NEGATIVES:
-            # hard-negative mining at the same k∝n: same bucketed pair
-            # join plus one max_by per anchor (reuses its own fit —
-            # measured end-to-end as a user would call it)
+            # hard-negative mining at the same k∝n, SHARING the tier's
+            # fit (hard_negatives(centroids=...) — at k∝n the fit is
+            # the dominant O(n·k·dim) cost and re-running it would
+            # just measure kmeans_fit twice); negatives_sec is the
+            # mining join itself: assignment + bucketed pair join +
+            # one max_by per anchor
             t0 = time.time()
-            n_negs = C.hard_negatives(emb, k=k, iters=2).count()
+            n_negs = C.hard_negatives(emb, k=k, centroids=cents).count()
             results[label]["negatives_sec"] = round(time.time() - t0, 2)
             results[label]["n_negatives"] = n_negs
         print(json.dumps({label: results[label]}), flush=True)

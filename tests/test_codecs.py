@@ -359,3 +359,107 @@ def test_image_features_exact_for_png(spark):
         assert r["sum_px"] == int(flat.sum())
         assert r["min_px"] == int(flat.min())
         assert r["max_px"] == int(flat.max())
+
+
+# ------------------------------------------- MP4 / MP3 container index
+
+def test_mp4_index_roundtrip_and_self_checks():
+    from deltalake_poc_spark.pipeline.codecs.mp4 import (
+        encode_mp4, mp4_index,
+    )
+    sizes = [((i * i * 7) % 900) + 100 for i in range(37)]
+    data = encode_mp4(sizes, keyframe_every=5, delta=3003,
+                      timescale=90000, width=320, height=180)
+    x = mp4_index(data)
+    assert x["n_samples"] == 37 and x["n_keyframes"] == 8
+    assert (x["codec"], x["width"], x["height"]) == ("avc1", 320, 180)
+    assert x["sample_sizes"] == sizes
+    assert x["duration_ms"] == 37 * 3003 * 1000 // 90000
+    assert x["sample_dts"] == [i * 3003 for i in range(37)]
+    assert x["keyframes"] == list(range(0, 37, 5))
+    offs = x["sample_offsets"]
+    assert all(offs[i + 1] == offs[i] + sizes[i] for i in range(36))
+    # the offsets index REAL bytes: sample i's payload is filler i%251
+    assert data[offs[3]:offs[3] + 5] == bytes([3]) * 5
+    # keyframe extraction = exactly what a frame sampler would slice
+    k0 = x["keyframes"][1]
+    assert data[offs[k0]:offs[k0] + sizes[k0]] == bytes([k0 % 251]) * sizes[k0]
+
+
+def test_mp4_index_rejects_malformed():
+    from deltalake_poc_spark.pipeline.codecs.mp4 import (
+        encode_mp4, mp4_index,
+    )
+    data = encode_mp4([100, 200, 300], keyframe_every=2, delta=1000)
+    with pytest.raises(ValueError, match="ftyp"):
+        mp4_index(b"\x00\x00\x00\x08free" + data)
+    with pytest.raises(ValueError):
+        mp4_index(data[: len(data) // 2])  # moov truncated away
+    # corrupt stsz sample count -> table cross-check must fire
+    bad = bytearray(data)
+    i = bad.index(b"stsz")
+    struct.pack_into(">I", bad, i + 12, 99)
+    with pytest.raises(ValueError):
+        mp4_index(bytes(bad))
+
+
+def test_mp3_index_synth_and_vbr():
+    from deltalake_poc_spark.pipeline.codecs.mp3 import (
+        encode_mp3_stream, mp3_index,
+    )
+    frames = [(br, 44100, i % 2)
+              for i, br in enumerate([128, 160, 192, 128] * 6)]
+    x = mp3_index(encode_mp3_stream(frames, id3_size=33))
+    assert x["n_frames"] == 24 and x["vbr"]
+    assert (x["min_kbps"], x["max_kbps"]) == (128, 192)
+    assert x["duration_ms"] == 24 * 1152 * 1000 // 44100
+    assert x["id3_bytes"] == 43
+    cbr = mp3_index(encode_mp3_stream([(96, 32000, 0)] * 7))
+    assert cbr["n_frames"] == 7 and not cbr["vbr"]
+    assert cbr["samplerate"] == 32000
+    with pytest.raises(ValueError, match="truncated"):
+        mp3_index(encode_mp3_stream(frames)[:-3])
+    with pytest.raises(ValueError):
+        mp3_index(b"garbage not mpeg")
+
+
+_REAL_MP3 = ("/usr/lib/google-cloud-sdk/platform/gsutil/gslib/tests/"
+             "test_data/test.mp3")
+
+
+@pytest.mark.skipif(not __import__("os").path.exists(_REAL_MP3),
+                    reason="real mp3 fixture not in container")
+def test_mp3_index_real_world_mpeg2():
+    """Interop: a real MPEG-2 Layer III file (22.05 kHz, 64 kbps CBR,
+    ID3v2 preamble) produced by a real encoder — the frame walk must
+    consume every byte (each frame found exactly where the previous
+    frame's computed length ends)."""
+    from deltalake_poc_spark.pipeline.codecs.mp3 import mp3_index
+    x = mp3_index(open(_REAL_MP3, "rb").read())
+    assert x["n_frames"] == 45 and x["samplerate"] == 22050
+    assert x["min_kbps"] == x["max_kbps"] == 64 and not x["vbr"]
+    assert x["duration_ms"] == 45 * 576 * 1000 // 22050
+
+
+def test_container_index_dispatch(spark):
+    from deltalake_poc_spark.pipeline.codecs.mp3 import encode_mp3_stream
+    from deltalake_poc_spark.pipeline.codecs.mp4 import encode_mp4
+
+    rows = [
+        (1, bytearray(encode_mp4([100] * 12, keyframe_every=3,
+                                 delta=3000, width=128, height=72))),
+        (2, bytearray(encode_mp3_stream([(128, 44100, 0)] * 9,
+                                        id3_size=5))),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: r for r in
+           multimodal.container_index(media).collect()}
+    v = got[1]
+    assert (v["container"], v["codec"]) == ("mp4", "avc1")
+    assert (v["n_units"], v["n_sync"]) == (12, 4)
+    assert (v["width"], v["height"]) == (128, 72)
+    assert v["duration_ms"] == 12 * 3000 * 1000 // 90000
+    a = got[2]
+    assert (a["container"], a["codec"]) == ("mp3", "mpeg-l3")
+    assert a["n_units"] == a["n_sync"] == 9
+    assert a["samplerate"] == 44100
