@@ -847,9 +847,10 @@ def _dedup_groups_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     SCALE.md) would only ever be exercised by local tests. Forcing
     ``driver_threshold=0`` runs the distributed loop here — since r7
     that default is alternating large-star/small-star (the public
-    MapReduce CC algorithm; measured 4.8x faster than min-label
-    propagation on the sf100 pair graph and convergent on deep
-    chains, SCALE_RUN_CC.json) — and the oracle — the SAME
+    MapReduce CC algorithm; measured at parity with min-label
+    propagation on the real sf100 pair graph and convergent on deep
+    chains where min-label raises, SCALE_RUN_CC.json) — and the
+    oracle — the SAME
     transitive-closure recursive CTE as dedup_group_assign — pins
     that the regimes produce the identical assignment (min-label and
     union-find agreement is pinned by tests/test_pipeline.py and

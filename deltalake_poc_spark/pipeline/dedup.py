@@ -588,9 +588,11 @@ def connected_components(pairs: DataFrame, max_iterations: int = 20,
       "star" (default): alternating large-star/small-star
       (_alternating_star) — O(log n) rounds with path doubling AND a
       shrinking edge set. Measured at the sf100 tier (SCALE.md /
-      SCALE_RUN_CC.json): 4.8x faster than min-label on the real
-      near-dup pair graph and the only distributed regime that
-      converges on deep-chain shapes (diameter >> max_iterations).
+      SCALE_RUN_CC.json): parity with min-label on the real shallow
+      near-dup pair graph (5.9 vs 6.2 s warm) and the only
+      distributed regime that converges on deep-chain shapes
+      (diameter >> max_iterations) — the worst-case guarantee costs
+      nothing on the common case.
       "minlabel": min-label propagation — each round one join + one
       min-aggregation over the STATIC edge set; O(diameter) rounds.
       Kept as the comparison regime; raises loudly if the diameter
