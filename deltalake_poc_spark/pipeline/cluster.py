@@ -415,6 +415,93 @@ def kmeans_fit(emb: DataFrame, k: int = 8, iters: int = 2,
     return cents
 
 
+def kmeans_fit_minibatch(emb: DataFrame, k: int = 8,
+                         sample_size: int = 100_000,
+                         batch_size: int = 4096,
+                         steps: int | None = None,
+                         seed: int = 7,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding",
+                         ) -> list[tuple[list[int], int]]:
+    """Minibatch k-means fit (Sculley, WWW 2010) — the regime the
+    measured k∝n wall demands (SCALE.md round-7: flat Lloyd fit is
+    O(n·k·dim) per iteration = ~100x fit cost per 10x corpus when k
+    grows with n; the 2M-vector / k=8000 tier did not finish in 50
+    minutes). The Spark-first decomposition: FITTING is a sketch
+    problem — one distributed pass draws a bounded deterministic
+    sample (TakeOrdered over xxhash64(id, seed): ~sample_size·dim·8
+    bytes to the driver, data-size-free thereafter), the minibatch
+    SGD loop runs vectorized in numpy on that sample, and the
+    expensive distributed work stays where it belongs: the single
+    assignment pass over the corpus (kmeans_assign /
+    semantic_neardup_pairs, unchanged).
+
+    Deterministic: the sample is the sample_size lowest hash values
+    (ties broken by id), batches come from a seeded RandomState, and
+    every arithmetic step is driver-local float64. Returns the same
+    (per-dimension int64 sums, member count) rational-centroid format
+    as kmeans_fit (sums = round(center·count) on the quantized grid),
+    so every consumer — with_cluster, semantic_neardup_pairs,
+    hard_negatives(centroids=...) — is format-compatible. The
+    centroids APPROXIMATE the full-corpus Lloyd fixed point (that is
+    the entire point); quality is pinned by tests on separated-blob
+    data, not bit-equality."""
+    import numpy as np
+
+    q = emb.select(F.col(id_col).alias("__id"),
+                   quantize_expr(vec_col).alias("__q"))
+    # two-phase deterministic sample: a row-local hash-threshold
+    # filter first (a bare orderBy(hash).limit(S) is a TakeOrdered
+    # that ships EVERY partition's local top-S to the driver —
+    # measured 1 GB+ at 2M rows x 30 partitions), then the ordered
+    # limit over the ~3S survivors
+    n_total = q.count()
+    u = F.pmod(F.xxhash64(F.col("__id"), F.lit(seed)),
+               F.lit(1_000_000))
+    if n_total > 3 * sample_size:
+        cut = int(3_000_000 * sample_size / n_total) + 1
+        q = q.filter(u < cut)
+    sample_rows = (q.orderBy(u.alias("__u"), F.col("__id"))
+                   .limit(sample_size).collect())
+    if not sample_rows:
+        raise ValueError("kmeans_fit_minibatch: empty input")
+    x = np.asarray([r["__q"] for r in sample_rows], dtype=np.float64)
+    n, dim = x.shape
+    k = min(k, n)
+    # init: k lowest ORIGINAL ids within the sample (order-stable
+    # across sample_size changes for the ids that stay sampled)
+    order = np.argsort(np.asarray([r["__id"] for r in sample_rows]))
+    centers = x[order[:k]].copy()
+    counts = np.zeros(k, dtype=np.int64)
+    rng = np.random.RandomState(seed)
+    if steps is None:
+        steps = max(50, 3 * n // max(1, batch_size))
+    for _ in range(steps):
+        batch = x[rng.randint(0, n, size=min(batch_size, n))]
+        # nearest center per batch row: ||b||² - 2 b·C + ||C||²
+        d = (-2.0 * batch @ centers.T
+             + (centers * centers).sum(axis=1)[None, :])
+        nearest = d.argmin(axis=1)
+        for j in np.unique(nearest):
+            members = batch[nearest == j]
+            counts[j] += len(members)
+            eta = len(members) / counts[j]
+            centers[j] += eta * (members.mean(axis=0) - centers[j])
+    # final hard assignment of the whole sample fixes the member
+    # counts the rational-centroid format carries
+    d = (-2.0 * x @ centers.T + (centers * centers).sum(axis=1)[None, :])
+    nearest = d.argmin(axis=1)
+    out = []
+    for j in range(k):
+        cnt = int((nearest == j).sum())
+        if cnt == 0:
+            cnt = 1  # keep the center; weight-1 singleton
+        out.append(([int(v) for v in
+                     np.floor(centers[j] * cnt + 0.5).astype(np.int64)],
+                    cnt))
+    return out
+
+
 def kmeans_assign(emb: DataFrame, centroids: list[tuple[list[int], int]],
                   id_col: str = "vec_id",
                   vec_col: str = "embedding") -> DataFrame:

@@ -232,3 +232,58 @@ def test_quantize_matches_money_convention(spark):
     got = df.select(C.quantize_expr("embedding").alias("q")
                     ).collect()[0]["q"]
     assert got == [1, 0, C.QUANT_SCALE]
+
+
+def test_minibatch_fit_deterministic_and_format_compatible(spark, emb):
+    """Same seed -> bit-identical centroids regardless of input
+    partitioning (the sample is hash-ordered, not partition-ordered);
+    the (sums, count) output feeds kmeans_assign unchanged."""
+    a = C.kmeans_fit_minibatch(emb, k=4, sample_size=500, seed=7)
+    b = C.kmeans_fit_minibatch(emb.repartition(7), k=4,
+                               sample_size=500, seed=7)
+    assert a == b
+    assigned = C.kmeans_assign(emb, a)
+    n = emb.count()
+    assert assigned.count() == n
+    assert assigned.select("cluster").distinct().count() <= 4
+
+
+def test_minibatch_fit_recovers_separated_blobs(spark):
+    """On well-separated blobs the minibatch fit must induce the SAME
+    partition as the flat Lloyd fit (the approximation is in centroid
+    positions, not cluster identity — that is what SemDeDup needs
+    from it). 3 blobs x 60 points in 8-d, separation >> intra-blob
+    noise."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    rows = []
+    for b in range(3):
+        base = np.zeros(8)
+        base[b] = 10.0
+        for i in range(60):
+            v = base + rng.normal(0, 0.3, 8)
+            rows.append((b * 60 + i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows,
+                                "vec_id long, embedding array<float>")
+    flat = C.kmeans_fit(emb, k=3, iters=4)
+    mb = C.kmeans_fit_minibatch(emb, k=3, sample_size=180,
+                                batch_size=32, steps=60, seed=11)
+    fa = {r["vec_id"]: r["cluster"]
+          for r in C.kmeans_assign(emb, flat).collect()}
+    ma = {r["vec_id"]: r["cluster"]
+          for r in C.kmeans_assign(emb, mb).collect()}
+    # same partition up to label permutation: co-membership agreement
+    ids = sorted(fa)
+    agree = sum((fa[a] == fa[b]) == (ma[a] == ma[b])
+                for i, a in enumerate(ids) for b in ids[i + 1:i + 20])
+    total = sum(1 for i, a in enumerate(ids) for b in ids[i + 1:i + 20])
+    assert agree / total >= 0.99, f"co-membership agreement {agree}/{total}"
+
+
+def test_minibatch_sample_is_bounded(spark, emb):
+    """The driver only ever sees sample_size rows — a sample smaller
+    than k shrinks k instead of failing."""
+    cents = C.kmeans_fit_minibatch(emb, k=64, sample_size=10, seed=1)
+    assert len(cents) == 10
+    assert all(cnt >= 1 for _, cnt in cents)
