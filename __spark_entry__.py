@@ -2503,6 +2503,26 @@ def _mp3_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("media_id"))
 
 
+def _kmeans_minibatch_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-size profile from the SKETCH-regime k-means fit
+    (cluster.kmeans_fit_minibatch — bounded deterministic sample +
+    driver-side Sculley minibatch SGD) followed by the standard
+    distributed assignment. Rows-only driver check: an SGD fit is not
+    SQL-recomputable (the flat-Lloyd gates kmeans_clusters /
+    kmeans_ivf_clusters carry the exact oracles); partition quality
+    vs flat Lloyd is pinned in tests/test_cluster.py, and the sf100
+    wall measurement lives in SCALE_RUN_MB_KMEANS.json (fit 63 s
+    where flat Lloyd did not finish 50 min at 2M vectors/k=8000)."""
+    from deltalake_poc_spark.pipeline.cluster import (
+        kmeans_assign, kmeans_fit_minibatch)
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = kmeans_fit_minibatch(emb, k=8, sample_size=1000, seed=7)
+    return (kmeans_assign(emb, cents)
+            .groupBy("cluster").agg(F.count(F.lit(1)).alias("n_members"))
+            .orderBy("cluster"))
+
+
 def _image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate IMAGE detection end-to-end: synthesize
     deterministic grayscale patterns at varying resolutions, encode
@@ -2750,10 +2770,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     to first-class driver queries — never driver-checked before.
     The remaining 35 r5-green sit immediately after position 50
     (dict tail head, props_analytics .. q5_local_supplier) and MUST
-    be in r8's window (r5 -> r8 is the limit); r8 = those 35 + 15 of
-    the 45 r6-green, r9 = the other 30 r6-green + 20 r7-green, r10 =
-    the remaining 30 r7-green (+20 slack). Every registered query,
-    in or out of the window, is oracle-checked by
+    be in r8's window (r5 -> r8 is the limit), joined by
+    kmeans_minibatch_clusters (registered at end of r7, never
+    driver-checked); r8 = those 36 + 14 of the 45 r6-green, r9 = the
+    other 31 r6-green + 19 r7-green, r10 = the remaining 31 r7-green
+    (+19 slack; 131 registered <= 150 capacity). Every registered
+    query, in or out of the window, is oracle-checked by
     tests/test_entry_oracle.py and timed+oracled by bench.py.
     """
     return {
@@ -2864,7 +2886,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q6_forecast_revenue": _q6_forecast_revenue, # selective scan-agg
         "q3_shipping_priority": _q3_shipping_priority, # 3-way join top-k
         "q5_local_supplier": _q5_local_supplier_volume, # 5-way join bcast dims
-        # --- then the 46 r6-green (due r9; r8 takes 29, r9 the rest)
+        # --- new at end of r7, never driver-checked: MUST enter the
+        # r8 window alongside the 35 r5-green above
+        "kmeans_minibatch_clusters": _kmeans_minibatch_clusters, # sketch-fit k-means, rows-only
+        # --- then the 45 r6-green (due r9; r8 takes 14, r9 the rest)
         "kmeans_clusters": _kmeans_clusters,         # iterative Lloyd k-means
         "kmeans_ivf_clusters": _kmeans_ivf_clusters, # two-level pruned assignment
         "dsir_select": _dsir_select,                 # DSIR importance selection
@@ -2876,7 +2901,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negatives": _hard_negatives,           # contrastive mining
         "pca_project": _pca_project,                 # exact power-iteration PCA
         "length_quantiles": _length_quantiles,       # mergeable quantile profile
-        "dedup_groups_distributed": _dedup_groups_distributed, # distributed CC regime
+        # (dedup_groups_distributed moved into the r7 window — its
+        # distributed algorithm changed this round)
         "lang_id": _lang_id,                         # language ID
         "text_quality": _text_quality,               # quality scoring
         "doc_fingerprint": _doc_fingerprint,         # fingerprinting
