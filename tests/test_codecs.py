@@ -463,3 +463,11 @@ def test_container_index_dispatch(spark):
     assert (a["container"], a["codec"]) == ("mp3", "mpeg-l3")
     assert a["n_units"] == a["n_sync"] == 9
     assert a["samplerate"] == 44100
+
+
+def test_container_index_rejects_unknown_payload(spark):
+    media = spark.createDataFrame(
+        [(9, bytearray(b"definitely not a container"))],
+        "media_id long, payload binary")
+    with pytest.raises(Exception, match="unrecognized container"):
+        multimodal.container_index(media).collect()
