@@ -2530,7 +2530,7 @@ def _image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (multimodal.image_dhash — 8x8 integer block means, 56-bit
     difference hash), and pair by Hamming <= 6 via the exact 8-bit
     banding join (multimodal.dhash_pairs). Documents sharing
-    doc_id % 16 render the SAME pattern at DIFFERENT sizes, so the
+    doc_id % 199 render the SAME pattern at DIFFERENT sizes, so the
     gate proves the resize-robustness property dhash exists for: the
     block-mean grid collapses renditions to identical (or
     near-identical, for the perturbed third of bases) hashes. PNG is

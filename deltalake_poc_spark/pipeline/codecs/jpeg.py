@@ -6,8 +6,10 @@ progressive DCT (SOF2: spectral selection + successive approximation
 per T.81 G.1/G.2, decode and encode, DC/AC refinement and EOB runs
 included), Huffman entropy coding, Annex K quantization/Huffman
 tables in the baseline encoder, restart-marker (DRI/RSTn) support,
-4:4:4 / 4:2:2 / 4:2:0 chroma subsampling. Arithmetic coding, 12-bit
-precision and CMYK are rejected with clear errors.
+4:4:4 / 4:2:2 / 4:2:0 chroma subsampling on DECODE (the encoder
+emits 4:4:4 and 4:2:0 only — passing subsampling='4:2:2' to
+encode_jpeg raises). Arithmetic coding, 12-bit precision and CMYK
+are rejected with clear errors.
 
 Reference parity: the reference's media path hands compressed images
 to a codec library on the worker and keeps (width, height, channels,
@@ -139,15 +141,24 @@ class _BitReader:
     are pre-expanded with np.unpackbits (vectorized); only the Huffman
     walk itself is a Python loop."""
 
+    # T.81 permits the encoder to end the entropy segment mid-block
+    # when the remaining coefficients decode from padding; libjpeg
+    # tolerates this by feeding 0-bits past the end. Allow a bounded
+    # overrun (enough to finish the in-flight MCU) before declaring
+    # the stream truly truncated — an unbounded 0-fill could spin a
+    # corrupt Huffman walk forever.
+    _ZERO_FILL_LIMIT = 512
+
     def __init__(self, segment: bytes):
         self.bits = np.unpackbits(np.frombuffer(segment, dtype=np.uint8))
         self.pos = 0
 
     def read_bit(self) -> int:
         if self.pos >= len(self.bits):
-            # past-the-end reads behave as 0-fill: some encoders pad
-            # the final byte with 1-bits and rely on EOB having fired
-            raise EOFError("entropy segment exhausted")
+            if self.pos >= len(self.bits) + self._ZERO_FILL_LIMIT:
+                raise EOFError("entropy segment exhausted")
+            self.pos += 1
+            return 0
         b = int(self.bits[self.pos])
         self.pos += 1
         return b
@@ -157,7 +168,16 @@ class _BitReader:
             return 0
         end = self.pos + n
         if end > len(self.bits):
-            raise EOFError("entropy segment exhausted")
+            # zero-extend the tail under the same bounded-overrun rule
+            if end > len(self.bits) + self._ZERO_FILL_LIMIT:
+                raise EOFError("entropy segment exhausted")
+            avail = self.bits[self.pos:len(self.bits)]
+            pad = end - max(self.pos, len(self.bits))
+            self.pos = end
+            v = 0
+            for b in avail:
+                v = (v << 1) | int(b)
+            return v << pad
         chunk = self.bits[self.pos:end]
         self.pos = end
         v = 0

@@ -603,6 +603,13 @@ def connected_components(pairs: DataFrame, max_iterations: int = 20,
 
     Input: columns doc_a, doc_b (as produced by the *_pairs functions).
     """
+    if distributed_algorithm not in ("star", "minlabel"):
+        # an unrecognized value must not silently fall through to the
+        # min-label path — a caller who typo'd the deep-chain-safe
+        # regime would hit its non-convergence ValueError instead
+        raise ValueError(
+            f"distributed_algorithm must be 'star' or 'minlabel', "
+            f"got {distributed_algorithm!r}")
     spark = pairs.sparkSession
     pairs = pairs.persist()  # edge-count probe + collect/iteration reuse
     # Full count, not limit(threshold+1).count(): a limited count can

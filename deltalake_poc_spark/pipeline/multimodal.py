@@ -152,7 +152,8 @@ def decode_pixels(payload: bytes):
         w, h = _ppm_dims(payload)
         px = np.frombuffer(payload[-w * h * 3:], np.uint8)
         return px.reshape(h, w, 3), "ppm"
-    if payload[:2] == b"BM" and len(payload) >= 26:
+    # 30 bytes covers every header field read below (bpp at offset 28)
+    if payload[:2] == b"BM" and len(payload) >= 30:
         (off,) = struct.unpack_from("<I", payload, 10)
         w, hh = struct.unpack_from("<ii", payload, 18)
         (bpp,) = struct.unpack_from("<H", payload, 28)

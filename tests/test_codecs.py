@@ -471,3 +471,36 @@ def test_container_index_rejects_unknown_payload(spark):
         "media_id long, payload binary")
     with pytest.raises(Exception, match="unrecognized container"):
         multimodal.container_index(media).collect()
+
+
+def test_bitreader_zero_fill_past_end():
+    """T.81 tolerance: reads past the entropy segment 0-fill (bounded)
+    instead of raising immediately — foreign baseline JPEGs whose last
+    block relies on zero-fill past the padded final byte must decode.
+    Beyond the bound the reader still fails loudly (truncation)."""
+    from deltalake_poc_spark.pipeline.codecs.jpeg import _BitReader
+
+    r = _BitReader(b"\xff")  # 8 one-bits
+    assert [r.read_bit() for _ in range(8)] == [1] * 8
+    # past-the-end: zero-fill
+    assert r.read_bit() == 0
+    assert r.receive(4) == 0
+    # receive straddling the boundary zero-extends the real tail
+    r2 = _BitReader(b"\xf0")
+    assert r2.receive(6) == 0b111100
+    assert r2.receive(4) == 0b0000  # 2 real zero bits + 2 fill bits
+    r3 = _BitReader(b"\xff")
+    assert r3.receive(12) == 0b111111110000
+    # bounded: a run far past the segment still raises
+    r4 = _BitReader(b"\x00")
+    with pytest.raises(EOFError):
+        for _ in range(8 + _BitReader._ZERO_FILL_LIMIT + 1):
+            r4.read_bit()
+
+
+def test_bmp_truncated_header_clean_error():
+    """A 26-29 byte BMP (header cut before the bpp field) must hit the
+    unrecognized-payload contract, not a struct.error."""
+    bad = b"BM" + b"\x00" * 26  # 28 bytes: too short for bpp @ 28
+    with pytest.raises(NotImplementedError, match="unrecognized"):
+        multimodal.decode_pixels(bad)

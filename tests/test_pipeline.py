@@ -1450,3 +1450,14 @@ def test_heavy_hitters_empty_corpus_returns_empty(spark):
     got = text.heavy_hitters(df, k=3)
     assert got.collect() == []
     assert got.columns == ["source", "token", "freq", "rank"]
+
+
+def test_connected_components_rejects_unknown_algorithm(spark):
+    """A typo'd regime name must raise, not silently fall through to
+    min-label (whose non-convergence failure mode the caller thought
+    they had opted out of)."""
+    import pytest
+
+    pairs = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    with pytest.raises(ValueError, match="distributed_algorithm"):
+        dedup.connected_components(pairs, distributed_algorithm="Star")
