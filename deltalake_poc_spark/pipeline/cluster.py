@@ -249,7 +249,8 @@ def assign_over_cells(qcol: Column, cells: Column) -> Column:
 
 
 def _assign_arrow(df: DataFrame, centroids: list[tuple[list[int], int]],
-                  qname: str = "__q", out: str = "__cl") -> DataFrame:
+                  qname: str = "__q", out: str = "__cl",
+                  exact_order: bool = True) -> DataFrame:
     """Arrow-batched brute-force assignment — the large-k production
     path. BIT-IDENTICAL to the flat fold: squared-difference terms are
     elementwise IEEE float64 ops accumulated in the SAME dim-ascending
@@ -266,7 +267,21 @@ def _assign_arrow(df: DataFrame, centroids: list[tuple[list[int], int]],
     near-iid vectors; see SCALE.md). The vectorized loop does the
     same arithmetic at memory bandwidth: the centroid matrix is a
     task-local k·dim float64 array (50 MB even at k=10⁵), and row
-    blocks are sized so the rows×k accumulator stays ≤ ~256 MB."""
+    blocks are sized so the rows×k accumulator stays ≤ ~256 MB.
+
+    ``exact_order=False`` (the ``gemm`` mode) swaps the explicit
+    dim-ascending accumulation for the BLAS expansion
+    ``||q||² - 2·q·Cᵀ + ||C||²`` — one dgemm per row block instead of
+    ``dim`` full passes over the rows×k panel, so it runs at compute
+    rather than memory bandwidth (measured on the sf100 minibatch
+    tier: see SCALE_RUN_MB_ASSIGN.json). The distances differ from
+    the exact-order fold only by IEEE reassociation (ulps), so the
+    argmin can flip ONLY on reassociation-scale near-ties between two
+    centroids — never acceptable for the bit-exact oracle gates
+    (kmeans_clusters / kmeans_ivf_clusters pin the fold order), fine
+    for the sketch regime whose centroids are themselves approximate
+    (minibatch fit). Exactness of the ranking is otherwise the same
+    brute force — every centroid is still evaluated."""
     import numpy as np
 
     means = np.asarray([[s / n for s in sums] for sums, n in centroids],
@@ -275,6 +290,8 @@ def _assign_arrow(df: DataFrame, centroids: list[tuple[list[int], int]],
     max_rows = max(1, (32 << 20) // k)  # rows×k accumulator ≤ 256 MB
     out_schema = T.StructType(list(df.schema.fields)
                               + [T.StructField(out, T.IntegerType(), False)])
+    means_t = means.T.copy()                      # dim×k, gemm layout
+    c_sq = (means * means).sum(axis=1)            # ||C||² per centroid
 
     def fn(batches):
         for pdf in batches:
@@ -286,10 +303,16 @@ def _assign_arrow(df: DataFrame, centroids: list[tuple[list[int], int]],
             cls = np.empty(n, dtype=np.int32)
             for lo in range(0, n, max_rows):
                 hi = min(lo + max_rows, n)
-                acc = np.zeros((hi - lo, k))
-                for d in range(dim):
-                    diff = q[lo:hi, d, None] - means[None, :, d]
-                    acc += diff * diff
+                if exact_order:
+                    acc = np.zeros((hi - lo, k))
+                    for d in range(dim):
+                        diff = q[lo:hi, d, None] - means[None, :, d]
+                        acc += diff * diff
+                else:
+                    # ||q||² is constant per row — argmin ignores it
+                    acc = q[lo:hi] @ means_t
+                    acc *= -2.0
+                    acc += c_sq[None, :]
                 cls[lo:hi] = acc.argmin(1)
             yield pdf.assign(**{out: cls})
 
@@ -357,7 +380,14 @@ def with_cluster(df: DataFrame, centroids: list[tuple[list[int], int]],
       JVM-side alternative; wins only when the corpus is genuinely
       clustered so the triangle inequality actually prunes (measured:
       nil pruning on iid-style embeddings, SCALE.md);
-    - ``auto``: flat below ``TWO_LEVEL_MIN_K``, arrow at or above."""
+    - ``auto``: flat below ``TWO_LEVEL_MIN_K``, arrow at or above.
+
+    Exception to the bit-identical rule: ``gemm`` — the arrow path
+    with BLAS distance expansion (see :func:`_assign_arrow`). Same
+    brute-force ranking but IEEE-reassociated sums, so assignments
+    can differ on reassociation-scale near-ties; reserved for the
+    sketch regime (minibatch-fitted centroids) where no bit-exact
+    oracle exists and the O(n·k·dim) pass is the dominant cost."""
     k = len(centroids)
     if mode == "auto":
         mode = "flat" if k < TWO_LEVEL_MIN_K else "arrow"
@@ -365,6 +395,9 @@ def with_cluster(df: DataFrame, centroids: list[tuple[list[int], int]],
         return df.withColumn(out, assign_expr(F.col(qname), centroids))
     if mode == "arrow":
         return _assign_arrow(df, centroids, qname=qname, out=out)
+    if mode == "gemm":
+        return _assign_arrow(df, centroids, qname=qname, out=out,
+                             exact_order=False)
     if mode != "twolevel":
         raise ValueError(f"unknown assignment mode {mode!r}")
     cdf = _cells_df(df.sparkSession, _coarse_cells(centroids))
@@ -504,11 +537,14 @@ def kmeans_fit_minibatch(emb: DataFrame, k: int = 8,
 
 def kmeans_assign(emb: DataFrame, centroids: list[tuple[list[int], int]],
                   id_col: str = "vec_id",
-                  vec_col: str = "embedding") -> DataFrame:
+                  vec_col: str = "embedding",
+                  mode: str = "auto") -> DataFrame:
     """(id, cluster) for every vector — one row-local projection (plus
-    a single broadcast row when k triggers the two-level path)."""
+    a single broadcast row when k triggers the two-level path).
+    ``mode`` passes through to :func:`with_cluster` (``gemm`` for the
+    large-k sketch regime)."""
     q = emb.select(F.col(id_col), quantize_expr(vec_col).alias("__q"))
-    return (with_cluster(q, centroids)
+    return (with_cluster(q, centroids, mode=mode)
             .select(id_col, F.col("__cl").alias("cluster")))
 
 

@@ -287,3 +287,30 @@ def test_minibatch_sample_is_bounded(spark, emb):
     cents = C.kmeans_fit_minibatch(emb, k=64, sample_size=10, seed=1)
     assert len(cents) == 10
     assert all(cnt >= 1 for _, cnt in cents)
+
+
+def test_gemm_mode_matches_arrow_on_real_data(spark, emb):
+    """gemm (BLAS expansion) trades the pinned fold order for dgemm
+    throughput; on real-valued embeddings the argmin agrees with the
+    exact-order arrow path everywhere except reassociation-scale
+    near-ties, which this corpus has none of — full agreement is the
+    expected (and here asserted) outcome. The mode is reserved for
+    the sketch regime; the oracle gates keep flat/arrow/twolevel."""
+    cents = C.kmeans_fit(emb, k=C.TWO_LEVEL_MIN_K, iters=2)
+    q = emb.select("vec_id", C.quantize_expr("embedding").alias("__q"))
+    arrow = (C.with_cluster(q, cents, mode="arrow")
+             .select("vec_id", F.col("__cl").alias("a")))
+    gemm = (C.with_cluster(q, cents, mode="gemm")
+            .select("vec_id", F.col("__cl").alias("g")))
+    j = arrow.join(gemm, "vec_id")
+    assert j.count() == emb.count()
+    assert j.filter(F.col("a") != F.col("g")).count() == 0
+
+
+def test_gemm_mode_via_kmeans_assign(spark, emb):
+    cents = C.kmeans_fit_minibatch(emb, k=8, sample_size=200, seed=7)
+    a = {r["vec_id"]: r["cluster"]
+         for r in C.kmeans_assign(emb, cents, mode="gemm").collect()}
+    b = {r["vec_id"]: r["cluster"]
+         for r in C.kmeans_assign(emb, cents, mode="arrow").collect()}
+    assert a == b

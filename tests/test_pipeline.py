@@ -1461,3 +1461,68 @@ def test_connected_components_rejects_unknown_algorithm(spark):
     pairs = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
     with pytest.raises(ValueError, match="distributed_algorithm"):
         dedup.connected_components(pairs, distributed_algorithm="Star")
+
+
+def test_ivf_topk_exact_equals_bruteforce(spark):
+    """The triangle-inequality probe must return the brute-force top-k
+    for ANY clustering — clustered data (where it prunes) and iid data
+    (where the bound honestly degrades toward a full scan)."""
+    rs = np.random.RandomState(3)
+    # clustered: 4 tight blobs on the sphere
+    blobs = rs.normal(size=(4, 16)) * 4
+    vecs = np.vstack([blobs[i % 4] + rs.normal(scale=0.2, size=16)
+                      for i in range(240)])
+    rows = [(i, [float(x) for x in vecs[i]], 0) for i in range(240)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    q = [float(x) for x in vecs[0]]
+    exact = [(r["vec_id"], r["cosine"]) for r in
+             similarity.cosine_topk(emb, q, k=7, exclude_vec_id=0).collect()]
+    assigned, centers = similarity.ivf_build(emb, n_clusters=8,
+                                             normalize=True)
+    got = [(r["vec_id"], r["cosine"]) for r in
+           similarity.ivf_topk_exact(assigned, centers, q, k=7,
+                                     n_probe_init=2,
+                                     exclude_vec_id=0).collect()]
+    assert got == exact
+    # on blob data the bound must actually prune (the query's blob
+    # covers the top-k, far blobs are provably out of reach)
+    info = dict(similarity.LAST_IVF_EXACT_INFO)
+    assert info["probed"] < info["n_clusters"], info
+
+    # iid: no structure — exactness must hold even when nothing prunes
+    vecs = rs.normal(size=(150, 16))
+    rows = [(i, [float(x) for x in vecs[i]], 0) for i in range(150)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    q = [float(x) for x in vecs[17]]
+    exact = [(r["vec_id"], r["cosine"]) for r in
+             similarity.cosine_topk(emb, q, k=5, exclude_vec_id=17).collect()]
+    for parts in (2, 7):
+        assigned, centers = similarity.ivf_build(
+            emb.repartition(parts), n_clusters=6, normalize=True)
+        got = [(r["vec_id"], r["cosine"]) for r in
+               similarity.ivf_topk_exact(assigned, centers, q, k=5,
+                                         n_probe_init=1,
+                                         exclude_vec_id=17).collect()]
+        assert got == exact, f"parts={parts}"
+
+
+def test_ivf_topk_exact_fewer_than_k_in_init_probe(spark):
+    """When phase 1 cannot fill k rows the bound is +inf and every
+    cluster is probed — still exact."""
+    rs = np.random.RandomState(5)
+    vecs = rs.normal(size=(12, 8))
+    rows = [(i, [float(x) for x in vecs[i]], 0) for i in range(12)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    q = [float(x) for x in vecs[0]]
+    assigned, centers = similarity.ivf_build(emb, n_clusters=6,
+                                             normalize=True)
+    exact = [(r["vec_id"], r["cosine"]) for r in
+             similarity.cosine_topk(emb, q, k=10, exclude_vec_id=0).collect()]
+    got = [(r["vec_id"], r["cosine"]) for r in
+           similarity.ivf_topk_exact(assigned, centers, q, k=10,
+                                     n_probe_init=1,
+                                     exclude_vec_id=0).collect()]
+    assert got == exact
