@@ -18,10 +18,13 @@ pipeline (pipeline/multimodal.py) has no native-library deployment
 story at 1000 executors.
 
 Performance shape: the Huffman scan is an inherently serial per-image
-Python loop over a pre-unstuffed numpy bit array; everything after it
-(dequantize, IDCT, upsample, color convert) is vectorized numpy over
-ALL blocks of the image at once. Decode rides mapInPandas Arrow
-batches — per-row parallel, zero shuffle.
+Python loop, but each step is O(1) — a 65536-entry LUT maps the next
+16 bits straight to (symbol, length) over a precomputed sliding
+16-bit peek array, so no per-bit walk survives (measured ~5x decode
+throughput vs the bit-walk; SCALE.md has the MB/s table). Everything
+after the scan (dequantize, IDCT, upsample, color convert) is
+vectorized numpy over ALL blocks of the image at once. Decode rides
+mapInPandas Arrow batches — per-row parallel, zero shuffle.
 """
 
 from __future__ import annotations
@@ -38,6 +41,7 @@ ZIGZAG = np.array([
     35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
     58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
 ], dtype=np.int64)
+_ZZ = ZIGZAG.tolist()  # plain-int copy for the scan hot loop
 
 # Annex K base quantization tables (natural order)
 QUANT_LUMA = np.array([
@@ -128,18 +132,29 @@ def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, i
     return out
 
 
-def _decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
-    """(length, code) -> symbol."""
-    return {(ln, code): sym
-            for sym, (code, ln) in _canonical_codes(bits, vals).items()}
+def _decode_table(bits: list[int], vals: list[int]) -> np.ndarray:
+    """LUT decode table: 65536-entry int32 mapping the NEXT 16 bits of
+    the stream to ``(symbol << 5) | code_length`` (-1 where no code
+    matches). Huffman codes are prefix-free and <= 16 bits, so one
+    array index replaces the per-bit tree walk — the walk was ~93% of
+    decode wall time (see SCALE.md codec throughput)."""
+    lut = np.full(1 << 16, -1, dtype=np.int32)
+    for sym, (code, ln) in _canonical_codes(bits, vals).items():
+        base = code << (16 - ln)
+        lut[base:base + (1 << (16 - ln))] = (sym << 5) | ln
+    return lut
 
 
 # --------------------------------------------------------------- decode
 
 class _BitReader:
-    """MSB-first reader over an unstuffed entropy segment. The bits
-    are pre-expanded with np.unpackbits (vectorized); only the Huffman
-    walk itself is a Python loop."""
+    """MSB-first reader over an unstuffed entropy segment, built for
+    LUT Huffman decode: ``peek16[i]`` holds bits i..i+15 as one
+    integer (16 vectorized shift-adds at construction), so decode_huff
+    is a single LUT index + position bump and receive is one shift —
+    no per-bit Python loop anywhere (measured ~5x decode throughput
+    vs the bit-walk; SCALE.md). Cost: 16 bytes of peek array per input
+    byte, transient per image under mapInPandas."""
 
     # T.81 permits the encoder to end the entropy segment mid-block
     # when the remaining coefficients decode from padding; libjpeg
@@ -150,50 +165,108 @@ class _BitReader:
     _ZERO_FILL_LIMIT = 512
 
     def __init__(self, segment: bytes):
-        self.bits = np.unpackbits(np.frombuffer(segment, dtype=np.uint8))
+        bits = np.unpackbits(np.frombuffer(segment, dtype=np.uint8))
+        self.n_bits = len(bits)
+        self.limit = self.n_bits + self._ZERO_FILL_LIMIT
+        ext = np.zeros(self.limit + 16, dtype=np.uint16)
+        ext[:self.n_bits] = bits
+        peek = np.zeros(self.limit, dtype=np.uint16)
+        for j in range(16):
+            peek += ext[j:j + self.limit] << (15 - j)
+        # a plain-int list: hot-loop indexing skips numpy scalar boxing
+        # (~3x on the scan; the list is per-image transient)
+        self.peek16 = peek.tolist()
         self.pos = 0
 
     def read_bit(self) -> int:
-        if self.pos >= len(self.bits):
-            if self.pos >= len(self.bits) + self._ZERO_FILL_LIMIT:
-                raise EOFError("entropy segment exhausted")
-            self.pos += 1
-            return 0
-        b = int(self.bits[self.pos])
+        if self.pos >= self.limit:
+            raise EOFError("entropy segment exhausted")
+        b = self.peek16[self.pos] >> 15
         self.pos += 1
         return b
 
     def receive(self, n: int) -> int:
         if n == 0:
             return 0
-        end = self.pos + n
-        if end > len(self.bits):
-            # zero-extend the tail under the same bounded-overrun rule
-            if end > len(self.bits) + self._ZERO_FILL_LIMIT:
-                raise EOFError("entropy segment exhausted")
-            avail = self.bits[self.pos:len(self.bits)]
-            pad = end - max(self.pos, len(self.bits))
-            self.pos = end
-            v = 0
-            for b in avail:
-                v = (v << 1) | int(b)
-            return v << pad
-        chunk = self.bits[self.pos:end]
-        self.pos = end
+        if self.pos + n > self.limit:
+            raise EOFError("entropy segment exhausted")
         v = 0
-        for b in chunk:
-            v = (v << 1) | int(b)
+        while n > 16:  # unreachable for conformant streams (s <= 16)
+            v = (v << 16) | self.peek16[self.pos]
+            self.pos += 16
+            n -= 16
+        v = (v << n) | (self.peek16[self.pos] >> (16 - n))
+        self.pos += n
         return v
 
-    def decode_huff(self, table: dict[tuple[int, int], int]) -> int:
-        code, ln = 0, 0
-        while ln <= 16:
-            code = (code << 1) | self.read_bit()
-            ln += 1
-            sym = table.get((ln, code))
-            if sym is not None:
-                return sym
-        raise ValueError("invalid Huffman code in entropy stream")
+    def decode_huff(self, table) -> int:
+        if self.pos >= self.limit:
+            raise EOFError("entropy segment exhausted")
+        e = table[self.peek16[self.pos]]
+        if e < 0:
+            raise ValueError("invalid Huffman code in entropy stream")
+        ln = e & 31
+        if self.pos + ln > self.limit:
+            raise EOFError("entropy segment exhausted")
+        self.pos += ln
+        return e >> 5
+
+    def decode_block(self, dc_lut: list, ac_lut: list, pred: int):
+        """One full baseline 8x8 block — DC diff + AC run-length loop
+        fused into a single method whose state lives in locals (the
+        per-coefficient method-call overhead WAS the decode
+        bottleneck once the bit-walk went LUT). Returns (64-int list
+        in natural order, new DC predictor). Semantics are exactly
+        decode_huff/receive/_extend composed per T.81 F.2."""
+        peek = self.peek16
+        pos = self.pos
+        limit = self.limit
+        zz = _ZZ
+        blk = [0] * 64
+        if pos >= limit:
+            raise EOFError("entropy segment exhausted")
+        e = dc_lut[peek[pos]]
+        if e < 0:
+            raise ValueError("invalid Huffman code in entropy stream")
+        pos += e & 31
+        s = e >> 5
+        if s:
+            if pos + s > limit:
+                raise EOFError("entropy segment exhausted")
+            v = peek[pos] >> (16 - s)
+            pos += s
+            pred += v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+        elif pos > limit:
+            raise EOFError("entropy segment exhausted")
+        blk[0] = pred
+        k = 1
+        while k < 64:
+            if pos >= limit:
+                raise EOFError("entropy segment exhausted")
+            e = ac_lut[peek[pos]]
+            if e < 0:
+                raise ValueError("invalid Huffman code in entropy stream")
+            pos += e & 31
+            if pos > limit:
+                raise EOFError("entropy segment exhausted")
+            rs = e >> 5
+            s = rs & 15
+            if s == 0:
+                if rs >> 4 == 15:
+                    k += 16
+                    continue
+                break  # EOB
+            k += rs >> 4
+            if k > 63:
+                raise ValueError("AC index overrun")
+            if pos + s > limit:
+                raise EOFError("entropy segment exhausted")
+            v = peek[pos] >> (16 - s)
+            pos += s
+            blk[zz[k]] = v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+            k += 1
+        self.pos = pos
+        return blk, pred
 
 
 def _extend(v: int, s: int) -> int:
@@ -204,27 +277,37 @@ def _extend(v: int, s: int) -> int:
 def _split_entropy(data: bytes, start: int) -> tuple[list[bytes], int]:
     """Unstuff (FF 00 -> FF) and split on RSTn markers. Returns the
     list of entropy segments (one per restart interval) and the offset
-    of the terminating marker's 0xFF byte."""
-    segs, cur = [], bytearray()
-    i, n = start, len(data)
-    while i < n:
-        b = data[i]
-        if b != 0xFF:
-            cur.append(b)
-            i += 1
+    of the terminating marker's 0xFF byte.
+
+    Vectorized on the 0xFF positions: plain entropy bytes are bulk
+    slices between markers (a stuffed FF is ~1/256 of bytes, so the
+    Python loop runs per MARKER, not per byte — the per-byte bytearray
+    walk was a measurable slice of decode wall time)."""
+    n = len(data)
+    ff_pos = (np.flatnonzero(
+        np.frombuffer(data, np.uint8)[start:] == 0xFF) + start).tolist()
+    segs: list[bytes] = []
+    parts: list[bytes] = []
+    i = start
+    for p in ff_pos:
+        if p < i:  # second byte of an already-consumed marker pair
             continue
-        nxt = data[i + 1] if i + 1 < n else 0xD9
-        if nxt == 0x00:
-            cur.append(0xFF)
-            i += 2
-        elif 0xD0 <= nxt <= 0xD7:  # RSTn
-            segs.append(bytes(cur))
-            cur = bytearray()
-            i += 2
-        else:
-            break
-    segs.append(bytes(cur))
-    return segs, i
+        nxt = data[p + 1] if p + 1 < n else 0xD9
+        if nxt == 0x00:              # stuffed FF: keep it, drop the 00
+            parts.append(data[i:p + 1])
+            i = p + 2
+        elif 0xD0 <= nxt <= 0xD7:    # RSTn: close the segment
+            parts.append(data[i:p])
+            segs.append(b"".join(parts))
+            parts = []
+            i = p + 2
+        else:                        # terminating marker
+            parts.append(data[i:p])
+            segs.append(b"".join(parts))
+            return segs, p
+    parts.append(data[i:n])          # ran off the end (no marker)
+    segs.append(b"".join(parts))
+    return segs, n
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
@@ -331,6 +414,12 @@ def _decode_scan(frame, scan, qtables, htables, segs, restart_interval):
         c["coef"] = np.zeros((c["by"] * c["bx"], 64), np.int64)
         c["dct"], c["act"] = scan[c["id"]]
     pred = {c["id"]: 0 for c in comps}
+    # plain-list LUT copies once per scan: the block loop then runs on
+    # Python ints end-to-end (no numpy scalar boxing per coefficient)
+    luts = {key: t.tolist() for key, t in htables.items()}
+    for c in comps:
+        c["dc_lut"] = luts[(0, c["dct"])]
+        c["ac_lut"] = luts[(1, c["act"])]
     seg_iter = iter(segs)
     reader = _BitReader(next(seg_iter))
     mcu = 0
@@ -340,29 +429,10 @@ def _decode_scan(frame, scan, qtables, htables, segs, restart_interval):
                 reader = _BitReader(next(seg_iter))
                 pred = {c["id"]: 0 for c in comps}
             for c in comps:
-                dc_t = htables[(0, c["dct"])]
-                ac_t = htables[(1, c["act"])]
                 for v in range(c["v"]):
                     for hh in range(c["h"]):
-                        blk = np.zeros(64, np.int64)
-                        s = reader.decode_huff(dc_t)
-                        diff = _extend(reader.receive(s), s) if s else 0
-                        pred[c["id"]] += diff
-                        blk[0] = pred[c["id"]]
-                        k = 1
-                        while k < 64:
-                            rs = reader.decode_huff(ac_t)
-                            r, s = rs >> 4, rs & 15
-                            if s == 0:
-                                if r == 15:
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError("AC index overrun")
-                            blk[ZIGZAG[k]] = _extend(reader.receive(s), s)
-                            k += 1
+                        blk, pred[c["id"]] = reader.decode_block(
+                            c["dc_lut"], c["ac_lut"], pred[c["id"]])
                         row = (my * c["v"] + v) * c["bx"] + (mx * c["h"] + hh)
                         c["coef"][row] = blk
             mcu += 1
@@ -428,7 +498,9 @@ def _decode_progressive(frame, scans, qtables):
 
     for sc in scans:
         ss, se, ah, al = sc["ss"], sc["se"], sc["ah"], sc["al"]
-        ht, ri = sc["ht"], sc["ri"]
+        # plain-list LUTs once per scan (see _decode_scan)
+        ht = {key: t.tolist() for key, t in sc["ht"].items()}
+        ri = sc["ri"]
         seg_iter = iter(sc["segs"])
         reader = _BitReader(next(seg_iter))
         state = {"eobrun": 0,
