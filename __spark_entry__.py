@@ -3016,9 +3016,22 @@ def _ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
-    assigned, centers = ivf_build(emb, n_clusters=16, normalize=True)
-    return ivf_topk_exact(assigned, centers, q, k=10, n_probe_init=4,
-                          exclude_vec_id=0)
+    # max_iter=6: the exact probe returns brute-force rows for ANY
+    # centroid placement, so extra Lloyd rounds buy only pruning
+    # sharpness the iid gate corpus cannot use — not correctness
+    assigned, centers = ivf_build(emb, n_clusters=16, normalize=True,
+                                  max_iter=6)
+    # cache across the three passes (radii / phase-1 / phase-2) and
+    # hand back the 10 materialized rows: re-executing the returned
+    # frame must not replay the fit+search pipeline (at scale the
+    # assignment is a written, partitioned index, not a cache)
+    assigned = assigned.persist()
+    try:
+        out = ivf_topk_exact(assigned, centers, q, k=10, n_probe_init=4,
+                             exclude_vec_id=0)
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        assigned.unpersist()
 
 
 def _winnow_dedup_prod(spark: SparkSession, sf_dir: str) -> DataFrame:

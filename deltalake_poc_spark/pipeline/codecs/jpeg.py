@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import struct
 from collections import Counter
+from functools import lru_cache
 
 import numpy as np
 
@@ -132,17 +133,27 @@ def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, i
     return out
 
 
-def _decode_table(bits: list[int], vals: list[int]) -> np.ndarray:
-    """LUT decode table: 65536-entry int32 mapping the NEXT 16 bits of
-    the stream to ``(symbol << 5) | code_length`` (-1 where no code
-    matches). Huffman codes are prefix-free and <= 16 bits, so one
-    array index replaces the per-bit tree walk — the walk was ~93% of
-    decode wall time (see SCALE.md codec throughput)."""
+def _decode_table(bits: list[int], vals: list[int]) -> list[int]:
+    """LUT decode table: 65536-entry plain-int list mapping the NEXT
+    16 bits of the stream to ``(symbol << 5) | code_length`` (-1 where
+    no code matches). Huffman codes are prefix-free and <= 16 bits, so
+    one list index replaces the per-bit tree walk — the walk was ~93%
+    of decode wall time (see SCALE.md codec throughput)."""
+    return _decode_table_cached(tuple(bits), tuple(vals))
+
+
+@lru_cache(maxsize=64)
+def _decode_table_cached(bits: tuple, vals: tuple) -> list[int]:
+    # cached on table CONTENT: corpora overwhelmingly reuse a handful
+    # of Huffman tables (Annex K above all), and building + listifying
+    # 65536 entries per IMAGE dominated tiny-image decode (measured
+    # 2.4 -> 4.0 s on the sf0.1 gate of 8-24 px images before this
+    # cache). A worker process pays each distinct table once.
     lut = np.full(1 << 16, -1, dtype=np.int32)
-    for sym, (code, ln) in _canonical_codes(bits, vals).items():
+    for sym, (code, ln) in _canonical_codes(list(bits), list(vals)).items():
         base = code << (16 - ln)
         lut[base:base + (1 << (16 - ln))] = (sym << 5) | ln
-    return lut
+    return lut.tolist()
 
 
 # --------------------------------------------------------------- decode
@@ -414,12 +425,9 @@ def _decode_scan(frame, scan, qtables, htables, segs, restart_interval):
         c["coef"] = np.zeros((c["by"] * c["bx"], 64), np.int64)
         c["dct"], c["act"] = scan[c["id"]]
     pred = {c["id"]: 0 for c in comps}
-    # plain-list LUT copies once per scan: the block loop then runs on
-    # Python ints end-to-end (no numpy scalar boxing per coefficient)
-    luts = {key: t.tolist() for key, t in htables.items()}
-    for c in comps:
-        c["dc_lut"] = luts[(0, c["dct"])]
-        c["ac_lut"] = luts[(1, c["act"])]
+    for c in comps:  # LUTs are plain-int lists already (cached)
+        c["dc_lut"] = htables[(0, c["dct"])]
+        c["ac_lut"] = htables[(1, c["act"])]
     seg_iter = iter(segs)
     reader = _BitReader(next(seg_iter))
     mcu = 0
@@ -498,9 +506,7 @@ def _decode_progressive(frame, scans, qtables):
 
     for sc in scans:
         ss, se, ah, al = sc["ss"], sc["se"], sc["ah"], sc["al"]
-        # plain-list LUTs once per scan (see _decode_scan)
-        ht = {key: t.tolist() for key, t in sc["ht"].items()}
-        ri = sc["ri"]
+        ht, ri = sc["ht"], sc["ri"]  # LUTs are plain-int lists (cached)
         seg_iter = iter(sc["segs"])
         reader = _BitReader(next(seg_iter))
         state = {"eobrun": 0,

@@ -156,7 +156,7 @@ def pivot_ivf_topk(emb: DataFrame, centers: list[list[float]],
 
 
 def ivf_build(emb: DataFrame, n_clusters: int = 16, seed: int = 42,
-              normalize: bool = False):
+              normalize: bool = False, max_iter: int = 20):
     """IVF (inverted-file) index: k-means partition of the vector space
     via Spark MLlib. Returns (assignments DataFrame with a __cluster
     column, centroid list). At 100 TB the assignment column becomes the
@@ -177,7 +177,8 @@ def ivf_build(emb: DataFrame, n_clusters: int = 16, seed: int = 42,
         nrm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
         v = F.when(nrm == 0, v).otherwise(F.transform(v, lambda x: x / nrm))
     vecs = emb.withColumn("__vec", array_to_vector(v))
-    model = KMeans(k=n_clusters, seed=seed, featuresCol="__vec",
+    model = KMeans(k=n_clusters, seed=seed, maxIter=max_iter,
+                   featuresCol="__vec",
                    predictionCol="__cluster").fit(vecs)
     assigned = model.transform(vecs).drop("__vec")
     centers = [c.tolist() for c in model.clusterCenters()]
@@ -254,16 +255,22 @@ def ivf_topk_exact(assigned: DataFrame, centers: list[list[float]],
     n_clusters = len(centers)
     cdist = [float(np.linalg.norm(np.array(c) - qhat)) for c in centers]
 
-    # per-cluster max member-to-centroid unit distance (k-row collect)
-    centers_lit = F.array(*[
-        F.array(*[F.lit(float(x)) for x in c]) for c in centers])
-    mu = F.element_at(centers_lit, F.col("__cluster") + 1)
+    # per-cluster max member-to-centroid unit distance (k-row collect).
+    # The centroid rides in as a broadcast-joined COLUMN, not k·dim
+    # literals: a literal formulation is a DISTINCT plan per fit (the
+    # centroids differ every time) and pays whole-stage-codegen
+    # compilation on every invocation (the known janino k·dim trap);
+    # the join form's plan shape is invocation-invariant.
+    cdf = assigned.sparkSession.createDataFrame(
+        [(int(i), [float(x) for x in c]) for i, c in enumerate(centers)],
+        "__cluster int, __center array<double>")
     d2 = F.aggregate(
-        F.zip_with(_unit_expr(F.col("embedding")), mu,
+        F.zip_with(_unit_expr(F.col("embedding")), F.col("__center"),
                    lambda x, c: (x - c) * (x - c)),
         F.lit(0.0), lambda a, x: a + x)
     radii = {r["__cluster"]: r["r"] for r in
-             assigned.groupBy("__cluster")
+             assigned.join(F.broadcast(cdf), "__cluster")
+             .groupBy("__cluster")
              .agg(F.sqrt(F.max(d2)).alias("r")).collect()}
 
     probe1 = sorted(range(n_clusters), key=lambda i: (cdist[i], i))[:n_probe_init]

@@ -429,3 +429,13 @@ def test_quality_classifier_margins_pinned(spark, sf):
     assert m["mz"] > 1e-8, f"z within {m['mz']} of a 6dp boundary"
     assert m["ms"] > 1e-8, f"score within {m['ms']} of a 4dp boundary"
     assert m["thr"] > 1e-9, f"z within {m['thr']} of the keep threshold"
+
+
+def test_bench_extra_queries_run(spark):
+    """bench_extra_queries holds benched-but-not-driver-gated ops
+    (non-SQL-recomputable outputs); they must still run end-to-end so
+    bench.py never discovers rot first."""
+    extras = entrymod.bench_extra_queries()
+    assert "kmeans_minibatch_clusters" in extras
+    for fn in extras.values():
+        assert fn(spark, SF_DIR).count() >= 0
