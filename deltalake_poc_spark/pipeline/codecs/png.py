@@ -90,21 +90,40 @@ def decode_png(data: bytes) -> np.ndarray:
             out[y] = cur
         elif f == 2:  # Up
             out[y] = (cur + up) & 0xFF
-        elif f in (1, 3, 4):  # Sub / Average / Paeth: serial in x by
-            # channel offset — reconstruct in ch-strided passes
-            rec = out[y]
-            for x in range(0, stride, ch):
-                left = rec[x - ch:x - ch + ch] if x else zero[:ch]
-                ul = (out[y - 1, x - ch:x - ch + ch]
-                      if (x and y) else zero[:ch])
-                if f == 1:
-                    rec[x:x + ch] = (cur[x:x + ch] + left) & 0xFF
-                elif f == 3:
-                    rec[x:x + ch] = (cur[x:x + ch]
-                                     + ((left + up[x:x + ch]) >> 1)) & 0xFF
-                else:
-                    rec[x:x + ch] = (cur[x:x + ch]
-                                     + _paeth(left, up[x:x + ch], ul)) & 0xFF
+        elif f == 1:  # Sub: a per-channel-lane PREFIX SUM — mod 256
+            # commutes with addition, so one cumsum + final mask
+            # replaces the serial chain (vectorized)
+            out[y] = (np.cumsum(cur.reshape(-1, ch), axis=0,
+                                dtype=np.int64).reshape(stride) & 0xFF)
+        elif f in (3, 4):  # Average / Paeth: genuinely serial in x —
+            # run the recurrence on plain ints (a per-pixel numpy
+            # slice-and-where formulation measured ~10x slower)
+            cur_l = cur.tolist()
+            up_l = up.tolist()
+            rec = [0] * stride
+            if f == 3:
+                for x in range(stride):
+                    left = rec[x - ch] if x >= ch else 0
+                    rec[x] = (cur_l[x] + ((left + up_l[x]) >> 1)) & 0xFF
+            else:
+                for x in range(stride):
+                    left = rec[x - ch] if x >= ch else 0
+                    ul = up_l[x - ch] if x >= ch else 0  # zero row up
+                    b = up_l[x]
+                    p = left + b - ul
+                    pa = p - left
+                    if pa < 0:
+                        pa = -pa
+                    pb = p - b
+                    if pb < 0:
+                        pb = -pb
+                    pc = p - ul
+                    if pc < 0:
+                        pc = -pc
+                    pred = (left if (pa <= pb and pa <= pc)
+                            else (b if pb <= pc else ul))
+                    rec[x] = (cur_l[x] + pred) & 0xFF
+            out[y] = rec
         else:
             raise ValueError(f"bad filter type {f} on row {y}")
     px = out.astype(np.uint8).reshape(h, w, ch)
