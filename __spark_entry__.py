@@ -2752,89 +2752,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     entries in dict insertion order. Freshness rule: a query checked
     at round N must be re-checked by round N+3 (window capacity 50 x
     3 rounds = 150 >= the registered count, so the rule stays
-    satisfiable at 130 registered). Round-8 window: (a) the 35
-    queries whose newest driver row is r5 — r5 -> r8 is exactly the
-    freshness limit, so they head the window; (b) the 5 production
-    twins that came back err: no_oracle in r7 — their CODE and
-    CONTRACTS changed this round, every one now carries a FULL
-    DuckDB oracle (simhash_dedup_prod: identical-token-set pairs,
-    guaranteed coverage; winnow_dedup_prod: exact shared-8-gram
-    rescore, winnowing-theorem coverage; incremental_dedup_prod:
-    text-free signature-agreement decisions vs exact-Jaccard
-    recompute, measured decision-identical; ivf_kmeans_topk: exact
-    triangle-inequality probe, provably brute-force-equal;
-    pq_fitted_topk: shortlist=400 with exact rescore, measured
-    brute-force-equal at all three local scales); and (c) 10 of the
-    45 r6-green, in prior dict order. kmeans_minibatch_clusters was
-    DEREGISTERED in r8: an SGD fit is not SQL-recomputable and
-    "rows-only" registry entries burn driver slots as err: no_oracle
-    — it stays benched (bench_extra_queries) and quality-pinned in
-    tests/test_cluster.py. Plan: r9 = the other 35 r6-green + 15
-    r7-green; r10 = the remaining 30 r7-green (+20 slack for r8
-    re-dues; 130 registered <= 150 capacity). Every registered
+    satisfiable at 130 registered). STANDING POLICY (adopted r9, per
+    the r8 verdict): any gate query whose IMPLEMENTATION changed in
+    round N enters round N+1's window at the latest — freshness is
+    change-based as well as time-based. Round-9 window: (a) the 35
+    queries whose newest driver row is r6 (length_quantiles ...
+    audio_features) — r6 -> r9 is the freshness limit, so they head
+    the window; (b) the 4 r7-green queries whose decode/hash paths
+    were REWRITTEN in r8 and not yet driver-checked on the new code
+    (png_decode: vectorized filter reconstruction; jpeg_decode: LUT
+    Huffman decoder + BLAS DCT + fused encoder; image_neardup and
+    multimodal_dedup: both consume the rewritten decoders) — the
+    change-based rule puts them ahead of plain dict order; (c) 11
+    more r7-green in prior dict order (token_drift ...
+    quality_classifier). Plan: r10 = the remaining 30 r7-green + 20
+    r8-green (incl. ivf_kmeans_topk and any query whose impl changes
+    in r9, per the standing policy); r11 = the remaining 30 r8-green
+    + 20 slack (130 registered <= 150 capacity). Every registered
     query, in or out of the window, is oracle-checked by
     tests/test_entry_oracle.py and timed+oracled by bench.py.
     """
     return {
-        # --- r8 window head: the 35 r5-green queries (r5 -> r8 is
+        # --- r9 window head: the 35 r6-green queries (r6 -> r9 is
         # the freshness limit)
-        "props_analytics": _props_analytics,         # JSON extraction agg
-        "customers_without_orders": _customers_without_orders, # anti join
-        "change_type_counts": _change_type_counts,   # A6
-        "intersect_keys": _intersect_keys,           # INTERSECT
-        "string_funcs": _string_funcs,               # string surface
-        "date_parts": _date_parts,                   # date extraction
-        "time_travel_diff": _time_travel_diff,       # S6 U3
-        "tf_idf": _tf_idf,                           # corpus TF-IDF
-        "dedup_exact_groups": _dedup_exact_groups,   # exact dedup
-        "ngram_jaccard": _ngram_jaccard,             # n-gram Jaccard
-        "dedup_group_assign": _dedup_group_assign,   # connected components
-        "top_tokens": _top_tokens,                   # token counting
-        "doc_chunks": _doc_chunks,                   # chunking w/ overlap
-        "scrub_pii": _scrub_pii,                     # PII scrubbing
-        "embedding_topk": _embedding_topk,           # brute-force ANN baseline
-        "priority_stats": _priority_stats,           # A5 P8
-        "event_stats": _event_stats,                 # A7
-        "customer_order_lists": _customer_order_lists, # array_agg
-        "scalar_showcase": _scalar_showcase,         # F2-F10
-        "suppliers_with_lineitems": _suppliers_with_lineitems, # semi join
-        "top_value_events": _top_value_events,       # O1 O4
-        "inventory_status": _inventory_status,       # F8
-        "customer_order_summary": _customer_order_summary, # J1 A2 F10
-        "product_popularity": _product_popularity,   # J2 A3 O1
-        "order_line_summary": _order_line_summary,   # J3 A4
-        "order_analytics": _order_analytics,         # A1 F9
-        "analytics_summary": _analytics_summary,     # A8 A9 U1
-        "order_rollup": _order_rollup,               # ROLLUP subtotals
-        "order_cube": _order_cube,                   # CUBE subtotals
-        "price_ranks": _price_ranks,                 # rank/ntile windows
-        "version_diff_keys": _version_diff_keys,     # U3 P6
-        "q1_pricing_summary": _q1_pricing_summary,   # wide-scan computed agg
-        "q6_forecast_revenue": _q6_forecast_revenue, # selective scan-agg
-        "q3_shipping_priority": _q3_shipping_priority, # 3-way join top-k
-        "q5_local_supplier": _q5_local_supplier_volume, # 5-way join bcast dims
-        # --- the 5 re-gated production twins (r7 err: no_oracle;
-        # code + contracts changed this round, all full oracles now)
-        "simhash_dedup_prod": _simhash_dedup_prod,   # xxhash64, identity-set oracle
-        "winnow_dedup_prod": _winnow_dedup_prod,     # xxhash64, exact-8gram oracle
-        "incremental_dedup_prod": _incremental_dedup_prod, # sig-agreement, exact-decision oracle
-        "ivf_kmeans_topk": _ivf_kmeans_topk,         # fitted IVF, exact-probe oracle
-        "pq_fitted_topk": _pq_fitted_topk,           # fitted PQ, exact-topk oracle
-        # --- 10 of the 45 r6-green (due r9; checked a round early to
-        # level the r9/r10 windows)
-        "kmeans_clusters": _kmeans_clusters,         # iterative Lloyd k-means
-        "kmeans_ivf_clusters": _kmeans_ivf_clusters, # two-level pruned assignment
-        "dsir_select": _dsir_select,                 # DSIR importance selection
-        "bm25_search": _bm25_search,                 # Okapi BM25 retrieval
-        "dataset_split": _dataset_split,             # deterministic train/val/test
-        "split_safety": _split_safety,               # dedup-aware leak-free split
-        "shard_layout": _shard_layout,               # deterministic global shuffle
-        "shard_manifest": _shard_manifest,           # export manifest rollup
-        "hard_negatives": _hard_negatives,           # contrastive mining
-        "pca_project": _pca_project,                 # exact power-iteration PCA
-        # --- positions 51+: outside the driver's 50-query gate window.
-        # FIRST the other 35 r6-green, which MUST head r9's window
-        # (r6 -> r9 is the freshness limit):
         "length_quantiles": _length_quantiles,       # mergeable quantile profile
         "lang_id": _lang_id,                         # language ID
         "text_quality": _text_quality,               # quality scoring
@@ -2870,7 +2810,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdf_changes": _cdf_changes,                 # S8 M1 M3
         "frame_sample": _frame_sample,               # video frames
         "audio_features": _audio_features,           # audio windows
-        # --- then the 45 r7-green (due r10; r9 takes 15, r10 the rest)
+        # --- change-based re-gates: decode/hash paths rewritten in
+        # r8 (LUT Huffman + BLAS DCT + fused encoder; vectorized PNG
+        # filters) — driver has not checked the new code yet
+        "png_decode": _png_decode,                   # PNG codec, lossless pixel oracle
+        "jpeg_decode": _jpeg_decode,                 # baseline JPEG codec, PSNR self-check
+        "image_neardup": _image_neardup,             # dhash perceptual image dedup
+        "multimodal_dedup": _multimodal_dedup,       # cross-modal simhash+dhash groups
+        # --- 11 of the 45 r7-green, in prior dict order (due r10;
+        # checked a round early to level the r10/r11 windows)
         "token_drift": _token_drift,                 # corpus drift
         "minhash_dedup": _minhash_dedup,             # MinHash+LSH vs exact oracle
         "simhash_dedup": _simhash_dedup,             # SimHash, full SQL oracle
@@ -2882,6 +2830,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": _multimodal_decode,     # binary decode + resize
         "corpus_pipeline": _corpus_pipeline,         # filter+dedup+sample+budget
         "quality_classifier": _quality_classifier,   # distilled quality filter
+        # --- positions 51+: outside the driver's 50-query gate
+        # window. FIRST the remaining 30 r7-green (due r10):
         "repetition_signals": _repetition_signals,   # Gopher repetition stats
         "decontaminate": _decontaminate,             # benchmark n-gram overlap
         "corpus_sample": _corpus_sample,             # deterministic sampling
@@ -2889,11 +2839,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": _pack_sequences,           # fixed-budget packing
         "winnow_dedup": _winnow_dedup,               # MOSS winnowing spans
         "dv_pipeline": _dv_pipeline,                 # deletion vectors e2e
-        "png_decode": _png_decode,                   # PNG codec, lossless pixel oracle
-        "jpeg_decode": _jpeg_decode,                 # baseline JPEG codec, PSNR self-check
-        "image_neardup": _image_neardup,             # dhash perceptual image dedup
         "webdataset_rw": _webdataset_rw,             # tar shard pack/unpack round trip
-        "multimodal_dedup": _multimodal_dedup,       # cross-modal simhash+dhash groups
         "lm_perplexity3": _lm_perplexity3,           # trigram stupid-backoff NLL
         "mp4_index": _mp4_index,                     # ISO-BMFF sample-table index
         "mp3_index": _mp3_index,                     # MPEG audio frame walk
@@ -2916,6 +2862,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_groups_distributed": _dedup_groups_distributed, # star CC regime
         "minhash_dedup_prod": _minhash_dedup_prod,   # 16x4 banding, exact oracle
         "ngram_jaccard_nocap": _ngram_jaccard_nocap, # capless, exact oracle
+        # --- then the 50 r8-green (due r11; r10 takes 20, incl. any
+        # impl-changed-in-r9 per the standing policy)
+        "props_analytics": _props_analytics,         # JSON extraction agg
+        "customers_without_orders": _customers_without_orders, # anti join
+        "change_type_counts": _change_type_counts,   # A6
+        "intersect_keys": _intersect_keys,           # INTERSECT
+        "string_funcs": _string_funcs,               # string surface
+        "date_parts": _date_parts,                   # date extraction
+        "time_travel_diff": _time_travel_diff,       # S6 U3
+        "tf_idf": _tf_idf,                           # corpus TF-IDF
+        "dedup_exact_groups": _dedup_exact_groups,   # exact dedup
+        "ngram_jaccard": _ngram_jaccard,             # n-gram Jaccard
+        "dedup_group_assign": _dedup_group_assign,   # connected components
+        "top_tokens": _top_tokens,                   # token counting
+        "doc_chunks": _doc_chunks,                   # chunking w/ overlap
+        "scrub_pii": _scrub_pii,                     # PII scrubbing
+        "embedding_topk": _embedding_topk,           # brute-force ANN baseline
+        "priority_stats": _priority_stats,           # A5 P8
+        "event_stats": _event_stats,                 # A7
+        "customer_order_lists": _customer_order_lists, # array_agg
+        "scalar_showcase": _scalar_showcase,         # F2-F10
+        "suppliers_with_lineitems": _suppliers_with_lineitems, # semi join
+        "top_value_events": _top_value_events,       # O1 O4
+        "inventory_status": _inventory_status,       # F8
+        "customer_order_summary": _customer_order_summary, # J1 A2 F10
+        "product_popularity": _product_popularity,   # J2 A3 O1
+        "order_line_summary": _order_line_summary,   # J3 A4
+        "order_analytics": _order_analytics,         # A1 F9
+        "analytics_summary": _analytics_summary,     # A8 A9 U1
+        "order_rollup": _order_rollup,               # ROLLUP subtotals
+        "order_cube": _order_cube,                   # CUBE subtotals
+        "price_ranks": _price_ranks,                 # rank/ntile windows
+        "version_diff_keys": _version_diff_keys,     # U3 P6
+        "q1_pricing_summary": _q1_pricing_summary,   # wide-scan computed agg
+        "q6_forecast_revenue": _q6_forecast_revenue, # selective scan-agg
+        "q3_shipping_priority": _q3_shipping_priority, # 3-way join top-k
+        "q5_local_supplier": _q5_local_supplier_volume, # 5-way join bcast dims
+        # (the 5 production twins, re-gated with full oracles in r8)
+        "simhash_dedup_prod": _simhash_dedup_prod,   # xxhash64, identity-set oracle
+        "winnow_dedup_prod": _winnow_dedup_prod,     # xxhash64, exact-8gram oracle
+        "incremental_dedup_prod": _incremental_dedup_prod, # sig-agreement, exact-decision oracle
+        "ivf_kmeans_topk": _ivf_kmeans_topk,         # fitted IVF, exact-probe oracle
+        "pq_fitted_topk": _pq_fitted_topk,           # fitted PQ, exact-topk oracle
+        "kmeans_clusters": _kmeans_clusters,         # iterative Lloyd k-means
+        "kmeans_ivf_clusters": _kmeans_ivf_clusters, # two-level pruned assignment
+        "dsir_select": _dsir_select,                 # DSIR importance selection
+        "bm25_search": _bm25_search,                 # Okapi BM25 retrieval
+        "dataset_split": _dataset_split,             # deterministic train/val/test
+        "split_safety": _split_safety,               # dedup-aware leak-free split
+        "shard_layout": _shard_layout,               # deterministic global shuffle
+        "shard_manifest": _shard_manifest,           # export manifest rollup
+        "hard_negatives": _hard_negatives,           # contrastive mining
+        "pca_project": _pca_project,                 # exact power-iteration PCA
     }
 
 
@@ -3016,20 +3015,21 @@ def _ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
-    # max_iter=6: the exact probe returns brute-force rows for ANY
-    # centroid placement, so extra Lloyd rounds buy only pruning
-    # sharpness the iid gate corpus cannot use — not correctness
+    # max_iter=2 (r9, was 6): the exact probe returns brute-force rows
+    # for ANY centroid placement, so extra Lloyd rounds buy only
+    # pruning sharpness the iid gate corpus cannot use — not
+    # correctness. The fit is this row's dominant term; 2 iterations
+    # is the floor that still exercises a real Lloyd refinement.
     assigned, centers = ivf_build(emb, n_clusters=16, normalize=True,
-                                  max_iter=6)
-    # cache across the three passes (radii / phase-1 / phase-2) and
-    # hand back the 10 materialized rows: re-executing the returned
-    # frame must not replay the fit+search pipeline (at scale the
-    # assignment is a written, partitioned index, not a cache)
+                                  max_iter=2)
+    # cache across the passes (radii / phase-1 / phase-2 delta); the
+    # probe returns a materialized k-row frame, so re-executing it
+    # never replays the fit+search pipeline (at scale the assignment
+    # is a written, partitioned index, not a cache)
     assigned = assigned.persist()
     try:
-        out = ivf_topk_exact(assigned, centers, q, k=10, n_probe_init=4,
-                             exclude_vec_id=0)
-        return spark.createDataFrame(out.collect(), out.schema)
+        return ivf_topk_exact(assigned, centers, q, k=10, n_probe_init=4,
+                              exclude_vec_id=0)
     finally:
         assigned.unpersist()
 

@@ -228,9 +228,18 @@ def ivf_topk_exact(assigned: DataFrame, centers: list[list[float]],
 
     1. scan the ``n_probe_init`` clusters nearest the query → an upper
        bound D on the true k-th neighbor distance (a k-row collect);
-    2. scan every cluster whose lower bound can still beat D —
-       ``max(0, d(q̂,μ_c) - r_c)² ≤ D² + margin`` — and take the exact
-       top-k over those candidates.
+    2. scan every NOT-YET-SCANNED cluster whose lower bound can still
+       beat D — ``max(0, d(q̂,μ_c) - r_c)² ≤ D² + margin`` — and merge
+       its exact top-k with phase 1's driver-side (2k rows) under the
+       same (cosine DESC, vec_id ASC) order. Merging per-scan top-ks
+       is exact: top-k(A ∪ B) = top-k(top-k(A) ∪ top-k(B)), and when
+       phase 1 returned fewer than k rows it returned ALL of its
+       clusters' rows, so the identity still holds. Phase 2 therefore
+       never rescans phase 1's partitions (r9: previously it did; at
+       the gate that was 4 of 14 probed clusters re-read, at 100 TB
+       it is n_probe_init partitions of re-read I/O per query), and
+       when the bound prunes everything else the second job is
+       skipped entirely.
 
     The margin (1e-3 in d² space) absorbs the 4-decimal cosine
     rounding of the final ordering (|Δcos| ≤ 1e-4 ⇒ |Δd²| ≤ 2e-4) and
@@ -274,9 +283,10 @@ def ivf_topk_exact(assigned: DataFrame, centers: list[list[float]],
              .agg(F.sqrt(F.max(d2)).alias("r")).collect()}
 
     probe1 = sorted(range(n_clusters), key=lambda i: (cdist[i], i))[:n_probe_init]
-    top1 = (cosine_topk(
+    top1_df = cosine_topk(
         assigned.filter(F.col("__cluster").isin(probe1)).drop("__cluster"),
-        query_vec, k, exclude_vec_id).collect())
+        query_vec, k, exclude_vec_id)
+    top1 = top1_df.collect()
     if len(top1) < k:
         d2_bound = float("inf")  # not enough candidates yet: scan all
     else:
@@ -284,15 +294,24 @@ def ivf_topk_exact(assigned: DataFrame, centers: list[list[float]],
         # slack is inside the margin below)
         d2_bound = max(0.0, 2.0 - 2.0 * float(top1[-1]["cosine"]))
     margin = 1e-3
-    probe2 = [c for c in range(n_clusters)
-              if max(0.0, cdist[c] - radii.get(c, 0.0)) ** 2
+    scanned = set(probe1)
+    probe2 = [c for c in range(n_clusters) if c not in scanned
+              and max(0.0, cdist[c] - radii.get(c, 0.0)) ** 2
               <= d2_bound + margin]
     LAST_IVF_EXACT_INFO.update(
-        n_clusters=n_clusters, probed=len(probe2),
-        probe_fraction=len(probe2) / n_clusters)
-    candidates = (assigned.filter(F.col("__cluster").isin(probe2))
-                  .drop("__cluster"))
-    return cosine_topk(candidates, query_vec, k, exclude_vec_id)
+        n_clusters=n_clusters, probed=len(scanned | set(probe2)),
+        probe_fraction=len(scanned | set(probe2)) / n_clusters)
+    rows = list(top1)
+    if probe2:
+        rows += cosine_topk(
+            assigned.filter(F.col("__cluster").isin(probe2))
+            .drop("__cluster"),
+            query_vec, k, exclude_vec_id).collect()
+    # driver-side exact merge of the (≤ 2k) per-scan winners; the
+    # result is a materialized k-row frame, so re-executing it never
+    # replays the probe pipeline
+    rows.sort(key=lambda r: (-r["cosine"], r["vec_id"]))
+    return assigned.sparkSession.createDataFrame(rows[:k], top1_df.schema)
 
 
 def ann_lsh_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
