@@ -1,0 +1,145 @@
+#!/usr/bin/env python3
+"""Measured experiment (r8 verdict Next-round #3): JVM-side
+javax.imageio decode vs the numpy codecs at the 100x tier.
+
+Builds one JPEG payload table (the jpeg_decode gate's synth pattern
+over the sf10 documents table, written once to parquet so both paths
+read identical bytes), then times:
+
+  numpy  — pipeline/multimodal.image_features (mapInPandas, the
+           oracle/fallback path)
+  jvm    — image_stats_jvm(payload) via jvm_codec (one JVM-side
+           expression, no Python workers at all)
+
+Both run to a noop sink. Emits SCALE_RUN_JVM_CODEC.json with wall
+times, decoded MB, MB/s, and a row-level stat agreement count
+(dims/channels must match exactly; JPEG sums may differ by IDCT
+rounding, bounded mean gap checked here).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SCALE_OUT", "/root/repo/.scale/sf10")
+PAYLOADS = os.environ.get("SPARK_GRAFT_JVM_PAYLOADS",
+                          "/root/repo/.scale/jvm_codec_payloads.parquet")
+OUT_JSON = os.environ.get("SPARK_GRAFT_SCALE_JSON",
+                          "/root/repo/SCALE_RUN_JVM_CODEC.json")
+REPS = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "2"))
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from deltalake_poc_spark import jvm_codec
+    from deltalake_poc_spark.session import EngineConfig, get_spark
+
+    conf = jvm_codec.session_conf()
+    if not conf:
+        print("no javac toolchain — experiment blocked", file=sys.stderr)
+        sys.exit(2)
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark(EngineConfig(
+        app_name="scale_jvm_codec", master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus), extra_conf=conf))
+    assert jvm_codec.register(spark)
+
+    if not os.path.exists(PAYLOADS):
+        docs = spark.read.parquet(
+            os.path.join(SF_DIR, "documents.parquet")).select(
+            "doc_id", "n_chars")
+
+        def synth(batches):
+            import numpy as np
+            import pandas as pd
+
+            from deltalake_poc_spark.pipeline.codecs.jpeg import encode_jpeg
+
+            def tri(x):
+                return np.abs((x % 510) - 255).astype(np.uint8)
+
+            for pdf in batches:
+                ids, payloads = [], []
+                for did, nc in zip(pdf["doc_id"], pdf["n_chars"]):
+                    did, nc = int(did), int(nc)
+                    w, h = nc % 40 + 16, nc % 24 + 16
+                    i, j = np.mgrid[0:h, 0:w]
+                    img = np.stack([tri(did * 31 + i * 3 + j),
+                                    tri(did * 17 + i + j * 2),
+                                    tri(did * 7 + i * 2 + j * 3)], -1)
+                    ids.append(did)
+                    payloads.append(encode_jpeg(
+                        img, 85, "4:2:0" if did % 2 else "4:4:4"))
+                yield pd.DataFrame({
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "payload": payloads})
+
+        from deltalake_poc_spark.pipeline.dedup import spread
+        spread(docs).mapInPandas(
+            synth, "media_id long, payload binary").write.mode(
+            "overwrite").parquet(PAYLOADS)
+
+    media = spark.read.parquet(PAYLOADS)
+    n_rows = media.count()
+    total_mb = media.select(
+        (F.sum(F.length("payload")) / 1048576.0).alias("mb")
+    ).collect()[0]["mb"]
+
+    from deltalake_poc_spark.pipeline import multimodal
+
+    def run(df) -> list[float]:
+        times = []
+        for _ in range(REPS):
+            t0 = time.time()
+            df.write.format("noop").mode("overwrite").save()
+            times.append(round(time.time() - t0, 3))
+        return times
+
+    numpy_df = multimodal.image_features(media).select(
+        "media_id", "width", "height", "channels", "sum_px")
+    jvm_df = media.select(
+        "media_id",
+        F.expr(f"{jvm_codec.UDF_NAME}(payload)").alias("s")).select(
+        "media_id", F.col("s")[0].alias("width"),
+        F.col("s")[1].alias("height"), F.col("s")[2].alias("channels"),
+        F.col("s")[3].alias("sum_px"))
+
+    # warm both paths (Python worker pool / JIT)
+    numpy_df.limit(256).write.format("noop").mode("overwrite").save()
+    jvm_df.limit(256).write.format("noop").mode("overwrite").save()
+
+    t_numpy = run(numpy_df)
+    t_jvm = run(jvm_df)
+
+    # row-level agreement on a slice: dims/channels exact
+    a = {r["media_id"]: r for r in numpy_df.limit(2000).collect()}
+    b = {r["media_id"]: r for r in
+         jvm_df.filter(F.col("media_id").isin(list(a))).collect()}
+    agree = sum(1 for k in a if k in b
+                and (a[k]["width"], a[k]["height"], a[k]["channels"])
+                == (b[k]["width"], b[k]["height"], b[k]["channels"]))
+
+    out = {
+        "rows": n_rows,
+        "decoded_mb": round(total_mb, 1),
+        "numpy": {"times": t_numpy, "min": min(t_numpy),
+                  "mb_per_s": round(total_mb / min(t_numpy), 1)},
+        "jvm": {"times": t_jvm, "min": min(t_jvm),
+                "mb_per_s": round(total_mb / min(t_jvm), 1)},
+        "speedup": round(min(t_numpy) / min(t_jvm), 2),
+        "dims_agree": agree, "dims_checked": len(a),
+    }
+    with open(OUT_JSON, "w") as f:
+        json.dump(out, f, indent=1)
+    print("WROTE", OUT_JSON)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -504,3 +504,82 @@ def test_bmp_truncated_header_clean_error():
     bad = b"BM" + b"\x00" * 26  # 28 bytes: too short for bpp @ 28
     with pytest.raises(NotImplementedError, match="unrecognized"):
         multimodal.decode_pixels(bad)
+
+
+def test_jpeg_vectorized_entropy_matches_reference_loop():
+    """The r9 vectorized entropy stage (tokenize -> stable sort ->
+    bit-pack) must be BYTE-identical to a straightforward serial
+    per-block reference walk of T.81 F.1.2 — same canonical codes,
+    same DC prediction, same ZRL/EOB decisions, same restart padding.
+    The roundtrip tests above prove decodability; this pins the exact
+    encoding (a merely-valid-but-different stream would silently
+    change file sizes and progressive parity)."""
+    from deltalake_poc_spark.pipeline.codecs.jpeg import (
+        _BitWriter, _ENC_CHROMA, _ENC_LUMA, _entropy_baseline,
+        _prep_coefs, ZIGZAG)
+
+    def ref_block(bw, zzrow, pred, dc_codes, ac_codes):
+        diff = zzrow[0] - pred
+        s = diff.bit_length() if diff > 0 else (-diff).bit_length()
+        code, ln = dc_codes[s]
+        bw.write(code, ln)
+        if s:
+            bw.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+        last = max((k for k in range(1, 64) if zzrow[k]), default=0)
+        run = 0
+        for k in range(1, last + 1):
+            v = zzrow[k]
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                bw.write(*ac_codes[0xF0])
+                run -= 16
+            s = v.bit_length() if v > 0 else (-v).bit_length()
+            code, ln = ac_codes[(run << 4) | s]
+            bw.write(code, ln)
+            bw.write(v if v > 0 else v + (1 << s) - 1, s)
+            run = 0
+        if last < 63:
+            bw.write(*ac_codes[0x00])
+        return zzrow[0]
+
+    def ref_entropy(coefs, samp, mcux, mcuy, ri, ncomp):
+        zzl = [c[:, ZIGZAG].tolist() for c in coefs]
+        bw = _BitWriter()
+        pred = [0] * ncomp
+        mcu = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if ri and mcu and mcu % ri == 0:
+                    bw.marker(0xD0 + ((mcu // ri - 1) % 8))
+                    pred = [0] * ncomp
+                mcu += 1
+                for ci, (sh, sv) in enumerate(samp):
+                    dc_t, ac_t = _ENC_LUMA if ci == 0 else _ENC_CHROMA
+                    for v in range(sv):
+                        for hh in range(sh):
+                            row = (my * sv + v) * mcux * sh + mx * sh + hh
+                            pred[ci] = ref_block(bw, zzl[ci][row],
+                                                 pred[ci], dc_t, ac_t)
+        bw.flush()
+        return bytes(bw.out)
+
+    rs = np.random.RandomState(11)
+    cases = 0
+    for trial in range(12):
+        h, w = rs.randint(1, 50), rs.randint(1, 50)
+        gray = trial % 3 == 0
+        img = rs.randint(0, 256,
+                         (h, w) if gray else (h, w, 3)).astype(np.uint8)
+        for sub in (["4:4:4"] if gray else ["4:4:4", "4:2:0"]):
+            for ri in (0, 2):
+                q = int(rs.choice([30, 85, 95]))
+                g2, _, _, samp, mcux, mcuy, coefs, _, _ = \
+                    _prep_coefs(img, q, sub)
+                got = _entropy_baseline(coefs, samp, mcux, mcuy, ri)
+                want = ref_entropy(coefs, samp, mcux, mcuy, ri,
+                                   1 if g2 else 3)
+                assert got == want, (h, w, gray, sub, ri, q)
+                cases += 1
+    assert cases >= 24
