@@ -192,16 +192,29 @@ class CDCApplier:
                     tables = seen
                 else:
                     tables = [t for t in seen if t in self.table_schemas]
-            for t in tables:
-                if t not in self.table_schemas:
-                    # §1.4 mode 2: infer from this batch's payloads
-                    from deltalake_poc_spark.cdc.infer import infer_table_schema
+            unknown = [t for t in tables if t not in self.table_schemas]
+            if unknown:
+                # §1.4 mode 2: infer from this batch's payloads — but
+                # only for tables the batch actually carries events
+                # for. A multi-table consumer passes its FULL table
+                # list every micro-batch; a batch that happens to hold
+                # no rows for one table must defer that table's
+                # inference to its first real events, not lock in an
+                # empty schema (r9: the 4-table WAL tier's first
+                # 10k-change batch held only table 0's inserts).
+                from deltalake_poc_spark.cdc.infer import infer_table_schema
 
-                    self.table_schemas[t] = infer_table_schema(
-                        self.spark, events, t)
+                seen_now = {r["source_table"] for r in
+                            events.select("source_table")
+                            .distinct().collect()}
+                for t in unknown:
+                    if t in seen_now:
+                        self.table_schemas[t] = infer_table_schema(
+                            self.spark, events, t)
             metrics = {}
             for t in sorted(tables):
-                metrics[t] = self._apply_table(events, t)
+                if t in self.table_schemas:
+                    metrics[t] = self._apply_table(events, t)
             if self.standard_mirror_path:
                 from deltalake_poc_spark.tables.deltaexport import (
                     export_standard_delta,

@@ -250,7 +250,8 @@ def assign_over_cells(qcol: Column, cells: Column) -> Column:
 
 def _assign_arrow(df: DataFrame, centroids: list[tuple[list[int], int]],
                   qname: str = "__q", out: str = "__cl",
-                  exact_order: bool = True) -> DataFrame:
+                  exact_order: bool = True,
+                  gemm_dtype: str = "float64") -> DataFrame:
     """Arrow-batched brute-force assignment — the large-k production
     path. BIT-IDENTICAL to the flat fold: squared-difference terms are
     elementwise IEEE float64 ops accumulated in the SAME dim-ascending
@@ -281,7 +282,14 @@ def _assign_arrow(df: DataFrame, centroids: list[tuple[list[int], int]],
     (kmeans_clusters / kmeans_ivf_clusters pin the fold order), fine
     for the sketch regime whose centroids are themselves approximate
     (minibatch fit). Exactness of the ranking is otherwise the same
-    brute force — every centroid is still evaluated."""
+    brute force — every centroid is still evaluated.
+
+    ``gemm_dtype='float32'`` (gemm mode only) runs the expansion in
+    single precision: sgemm halves memory traffic and doubles the
+    FLOP rate over dgemm. The additional argmin flips are bounded by
+    the same near-tie argument with a wider (~1e-7 relative) tie
+    window — measured agreement vs the fp64 gemm pass is recorded in
+    SCALE_RUN_MB_ASSIGN_FP32.json before this is used anywhere."""
     import numpy as np
 
     means = np.asarray([[s / n for s in sums] for sums, n in centroids],
@@ -290,8 +298,10 @@ def _assign_arrow(df: DataFrame, centroids: list[tuple[list[int], int]],
     max_rows = max(1, (32 << 20) // k)  # rows×k accumulator ≤ 256 MB
     out_schema = T.StructType(list(df.schema.fields)
                               + [T.StructField(out, T.IntegerType(), False)])
-    means_t = means.T.copy()                      # dim×k, gemm layout
-    c_sq = (means * means).sum(axis=1)            # ||C||² per centroid
+    gdt = np.dtype(gemm_dtype)
+    means_t = means.T.astype(gdt).copy()          # dim×k, gemm layout
+    mg = means.astype(gdt)
+    c_sq = (mg * mg).sum(axis=1, dtype=gdt)       # ||C||² per centroid
 
     def fn(batches):
         for pdf in batches:
@@ -299,7 +309,8 @@ def _assign_arrow(df: DataFrame, centroids: list[tuple[list[int], int]],
             if n == 0:
                 yield pdf.assign(**{out: np.empty(0, dtype=np.int32)})
                 continue
-            q = np.stack(pdf[qname].to_numpy()).astype(np.float64)
+            q = np.stack(pdf[qname].to_numpy()).astype(
+                np.float64 if exact_order else gdt)
             cls = np.empty(n, dtype=np.int32)
             for lo in range(0, n, max_rows):
                 hi = min(lo + max_rows, n)
@@ -311,7 +322,7 @@ def _assign_arrow(df: DataFrame, centroids: list[tuple[list[int], int]],
                 else:
                     # ||q||² is constant per row — argmin ignores it
                     acc = q[lo:hi] @ means_t
-                    acc *= -2.0
+                    acc *= gdt.type(-2.0)
                     acc += c_sq[None, :]
                 cls[lo:hi] = acc.argmin(1)
             yield pdf.assign(**{out: cls})
@@ -387,7 +398,10 @@ def with_cluster(df: DataFrame, centroids: list[tuple[list[int], int]],
     brute-force ranking but IEEE-reassociated sums, so assignments
     can differ on reassociation-scale near-ties; reserved for the
     sketch regime (minibatch-fitted centroids) where no bit-exact
-    oracle exists and the O(n·k·dim) pass is the dominant cost."""
+    oracle exists and the O(n·k·dim) pass is the dominant cost.
+    ``gemm32`` is the same expansion through sgemm (halved bandwidth,
+    doubled FLOP rate; wider ~1e-7-relative tie window — measured
+    agreement in SCALE_RUN_MB_ASSIGN_FP32.json)."""
     k = len(centroids)
     if mode == "auto":
         mode = "flat" if k < TWO_LEVEL_MIN_K else "arrow"
@@ -398,6 +412,9 @@ def with_cluster(df: DataFrame, centroids: list[tuple[list[int], int]],
     if mode == "gemm":
         return _assign_arrow(df, centroids, qname=qname, out=out,
                              exact_order=False)
+    if mode == "gemm32":
+        return _assign_arrow(df, centroids, qname=qname, out=out,
+                             exact_order=False, gemm_dtype="float32")
     if mode != "twolevel":
         raise ValueError(f"unknown assignment mode {mode!r}")
     cdf = _cells_df(df.sparkSession, _coarse_cells(centroids))

@@ -376,3 +376,28 @@ def test_pgwal_messages_reuse_debezium_parse(spark):
     assert json.loads(rows[1]["after_data"]) == {"id": 1, "total": 11.0}
     assert json.loads(rows[2]["before_data"]) == {"id": 1}
     assert rows[1]["source_lsn"] > rows[0]["source_lsn"]
+
+
+def test_apply_batch_explicit_tables_defers_absent_inference(spark, tmp_path):
+    """A multi-table consumer passes its FULL table list every
+    micro-batch (the 4-table WAL tier); a batch with no rows for one
+    of them must defer that table's schema inference to its first
+    real events — not lock in an empty schema and crash the MERGE
+    (r9 regression from the sf100 multi-table run)."""
+    applier = CDCApplier(spark, str(tmp_path), infer_unknown_tables=True)
+    b1 = [_msg("c", 1, table="mt_a", lsn=10, after=CUST)]
+    m1 = applier.apply_batch(parse_debezium(_raw(spark, b1)),
+                             tables=["mt_a", "mt_b"], batch_id="b1")
+    assert "mt_a" in m1 and "mt_b" not in m1
+    assert "mt_b" not in applier.table_schemas
+    # mt_b's first events arrive later and apply normally
+    b2 = [_msg("c", 2, table="mt_b", lsn=20,
+               after={**CUST, "id": 2}),
+          _msg("u", 1, table="mt_a", lsn=21,
+               after={**CUST, "email": "upd@x"})]
+    m2 = applier.apply_batch(parse_debezium(_raw(spark, b2)),
+                             tables=["mt_a", "mt_b"], batch_id="b2")
+    assert set(m2) == {"mt_a", "mt_b"}
+    assert applier.snapshot_table("mt_b").read().count() == 1
+    a_rows = applier.snapshot_table("mt_a").read().collect()
+    assert len(a_rows) == 1 and a_rows[0]["email"] == "upd@x"

@@ -314,3 +314,23 @@ def test_gemm_mode_via_kmeans_assign(spark, emb):
     b = {r["vec_id"]: r["cluster"]
          for r in C.kmeans_assign(emb, cents, mode="arrow").collect()}
     assert a == b
+
+
+def test_gemm32_mode_matches_fp64_on_real_data(spark, emb):
+    """gemm32 (sgemm) widens the near-tie window from reassociation
+    scale to ~1e-7 relative; on real-valued embeddings with k-means
+    centroids that window is still empty, so fp32 must agree with the
+    fp64 gemm pass AND the exact-order arrow fold everywhere. The
+    sf100 tier measurement lives in SCALE_RUN_MB_ASSIGN_FP32.json."""
+    cents = C.kmeans_fit(emb, k=C.TWO_LEVEL_MIN_K, iters=2)
+    q = emb.select("vec_id", C.quantize_expr("embedding").alias("__q"))
+    g64 = (C.with_cluster(q, cents, mode="gemm")
+           .select("vec_id", F.col("__cl").alias("g64")))
+    g32 = (C.with_cluster(q, cents, mode="gemm32")
+           .select("vec_id", F.col("__cl").alias("g32")))
+    arrow = (C.with_cluster(q, cents, mode="arrow")
+             .select("vec_id", F.col("__cl").alias("a")))
+    j = g64.join(g32, "vec_id").join(arrow, "vec_id")
+    assert j.count() == emb.count()
+    assert j.filter(F.col("g32") != F.col("g64")).count() == 0
+    assert j.filter(F.col("g32") != F.col("a")).count() == 0
