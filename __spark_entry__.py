@@ -1693,6 +1693,138 @@ def _bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_token_stats(load_table(spark, sf_dir, "documents"))
 
 
+_BPE_N_MERGES = 8
+
+
+def _bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer TRAINING (Sennrich arXiv:1508.07909;
+    no reference counterpart — the reference budgets with a fixed
+    tokenizer, a 100 TB pipeline also fits one). Corpus collapses to a
+    cached word-frequency table first (the only corpus-wide pass);
+    each of the 8 merge iterations is a small adjacent-pair agg over
+    that table plus a 1-row argmax collect (the algorithm's inherent
+    sequential step). ORACLE CONTRACT: segmentations are delimiter-
+    wrapped strings, so each greedy merge is one literal replace()
+    with identical left-to-right non-overlap semantics in Spark and
+    DuckDB — the oracle replays the ENTIRE fit (all pair counts, all
+    argmaxes with the count-DESC/lhs/rhs tie-break, all merges) from
+    the raw parquet in an unrolled 8-stage CTE chain."""
+    from deltalake_poc_spark.pipeline.bpe import bpe_learn
+
+    return bpe_learn(load_table(spark, sf_dir, "documents"),
+                     n_merges=_BPE_N_MERGES)
+
+
+def _bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus segmentation under the learned BPE merges: per-document
+    eligible-word / subword / base-char counts. The merge list is
+    folded into the plan as a chain of literal replaces inside a
+    higher-order transform — a ROW-LOCAL map-only pass (zero
+    shuffles) once the fit's word-table iterations are done. Symbol
+    counts are delimiter arithmetic ((len(seg)-len(stripped))/2), no
+    splitting. The oracle re-fits the merges in SQL (same CTE chain
+    as bpe_learn) and applies them via scalar subqueries, so a wrong
+    merge OR a wrong application both hash-mismatch."""
+    from deltalake_poc_spark.pipeline.bpe import (bpe_learn_rules,
+                                                  bpe_segment)
+
+    docs = load_table(spark, sf_dir, "documents")
+    rules = bpe_learn_rules(docs, n_merges=_BPE_N_MERGES)
+    return bpe_segment(docs, [(l, r) for l, r, _ in rules])
+
+
+def _bpe_fit_ctes(n: int) -> str:
+    """Unrolled DuckDB CTE chain replaying the n-merge BPE fit.
+
+    AS MATERIALIZED is load-bearing: DuckDB inlines CTEs by default,
+    and stage i references stage i-1 three times (the pair scan plus
+    two scalar subqueries on the argmax), so an inlined chain expands
+    to ~3^n copies of the base plan — unbounded planning time at
+    n=8. Materializing each stage keeps the replay linear."""
+    parts = [r"""
+        toks AS (
+            SELECT unnest(string_split(trim(text), ' ')) AS word
+            FROM documents
+        ),
+        wf AS MATERIALIZED (
+            SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks
+            WHERE regexp_matches(word, '^[a-z]+$')
+            GROUP BY word
+        ),
+        s0 AS MATERIALIZED (
+            SELECT regexp_replace(word, '(.)', '·\1·', 'g') AS seg, cnt
+            FROM wf
+        )"""]
+    for i in range(1, n + 1):
+        parts.append(f"""
+        y{i} AS (
+            SELECT list_filter(string_split(seg, '·'),
+                               x -> x <> '') AS syms, cnt
+            FROM s{i - 1}
+        ),
+        p{i} AS (
+            SELECT syms[j] AS l, syms[j + 1] AS r, SUM(cnt) AS c
+            FROM y{i}, UNNEST(generate_series(1, len(syms) - 1)) t(j)
+            GROUP BY 1, 2
+        ),
+        b{i} AS MATERIALIZED (
+            SELECT l, r, CAST(c AS BIGINT) AS c FROM p{i}
+            ORDER BY c DESC, l ASC, r ASC LIMIT 1
+        ),
+        s{i} AS MATERIALIZED (
+            SELECT replace(seg,
+                           (SELECT '·' || l || '··' || r || '·' FROM b{i}),
+                           (SELECT '·' || l || r || '·' FROM b{i})) AS seg,
+                   cnt
+            FROM s{i - 1}
+        )""")
+    return ",".join(parts)
+
+
+def _bpe_learn_oracle(n: int = _BPE_N_MERGES) -> str:
+    union = "\n            UNION ALL ".join(
+        f"SELECT {i} AS merge_rank, l AS lhs, r AS rhs, "
+        f"c AS pair_count FROM b{i}" for i in range(1, n + 1))
+    return f"""
+        WITH {_bpe_fit_ctes(n)}
+        SELECT * FROM (
+            {union}
+        )
+    """
+
+
+def _bpe_segment_oracle(n: int = _BPE_N_MERGES) -> str:
+    seg_expr = r"regexp_replace(word, '(.)', '·\1·', 'g')"
+    for i in range(1, n + 1):
+        seg_expr = (f"replace({seg_expr}, "
+                    f"(SELECT '·' || l || '··' || r || '·' FROM b{i}), "
+                    f"(SELECT '·' || l || r || '·' FROM b{i}))")
+    return f"""
+        WITH {_bpe_fit_ctes(n)},
+        docw AS (
+            SELECT doc_id, unnest(string_split(trim(text), ' ')) AS word
+            FROM documents
+        ),
+        segd AS (
+            SELECT doc_id, {seg_expr} AS seg, length(word) AS wlen
+            FROM docw WHERE regexp_matches(word, '^[a-z]+$')
+        ),
+        agg AS (
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_bpe_words,
+                   CAST(SUM((length(seg) - length(replace(seg, '·', '')))
+                            // 2) AS BIGINT) AS n_subwords,
+                   CAST(SUM(wlen) AS BIGINT) AS n_base_chars
+            FROM segd GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               COALESCE(a.n_bpe_words, 0) AS n_bpe_words,
+               COALESCE(a.n_subwords, 0) AS n_subwords,
+               COALESCE(a.n_base_chars, 0) AS n_base_chars
+        FROM documents d LEFT JOIN agg a USING (doc_id)
+    """
+
+
 def _frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-sampling plumbing through the real 1-to-many
     mapInPandas path: deterministic fake videos (frame count / fps
@@ -2763,12 +2895,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (png_decode: vectorized filter reconstruction; jpeg_decode: LUT
     Huffman decoder + BLAS DCT + fused encoder; image_neardup and
     multimodal_dedup: both consume the rewritten decoders) — the
-    change-based rule puts them ahead of plain dict order; (c) 11
+    change-based rule puts them ahead of plain dict order; (c) 9
     more r7-green in prior dict order (token_drift ...
-    quality_classifier). Plan: r10 = the remaining 30 r7-green + 20
-    r8-green (incl. ivf_kmeans_topk and any query whose impl changes
-    in r9, per the standing policy); r11 = the remaining 30 r8-green
-    + 20 slack (130 registered <= 150 capacity). Every registered
+    multimodal_decode); (d) the 2 operators NEW in r9 (bpe_learn,
+    bpe_segment) — new code enters the window the round it lands.
+    Plan: r10 = the remaining 32 r7-green + 18 r8-green (incl.
+    ivf_kmeans_topk and any query whose impl changes in r9, per the
+    standing policy); r11 = the remaining 32 r8-green + 18 slack
+    (132 registered <= 150 capacity). Every registered
     query, in or out of the window, is oracle-checked by
     tests/test_entry_oracle.py and timed+oracled by bench.py.
     """
@@ -2828,10 +2962,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_topk": _pq_topk,                         # PQ/ADC ANN
         "embedding_neardup": _embedding_neardup,     # cosine near-dup pairs
         "multimodal_decode": _multimodal_decode,     # binary decode + resize
+        # --- the 2 NEW r9 operators (driver-checked the round they
+        # land, per the change-based freshness policy):
+        "bpe_learn": _bpe_learn,                     # BPE tokenizer training
+        "bpe_segment": _bpe_segment,                 # corpus BPE segmentation
+        # --- positions 51+: outside the driver's 50-query gate
+        # window. FIRST the remaining 32 r7-green (due r10):
         "corpus_pipeline": _corpus_pipeline,         # filter+dedup+sample+budget
         "quality_classifier": _quality_classifier,   # distilled quality filter
-        # --- positions 51+: outside the driver's 50-query gate
-        # window. FIRST the remaining 30 r7-green (due r10):
         "repetition_signals": _repetition_signals,   # Gopher repetition stats
         "decontaminate": _decontaminate,             # benchmark n-gram overlap
         "corpus_sample": _corpus_sample,             # deterministic sampling
@@ -3812,6 +3950,8 @@ def oracle_sql() -> dict[str, str]:
         for k in ("f0", "f1")) + "]"
     _dv_f2 = f"'{os.path.join(_dv_root, _DV_FIXTURE_SPEC['f2'][0])}'"
     return {
+        "bpe_learn": _bpe_learn_oracle(),
+        "bpe_segment": _bpe_segment_oracle(),
         "ann_lsh_topk": _ann_lsh_oracle(),
         "ivf_topk": _ivf_oracle(),
         "kmeans_clusters": _kmeans_clusters_oracle(),

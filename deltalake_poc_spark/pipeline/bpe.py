@@ -1,0 +1,166 @@
+"""Distributed BPE tokenizer training (Sennrich et al. 2016,
+arXiv:1508.07909) and corpus segmentation with the learned merges.
+
+Scope note vs the reference: the reference budgets documents with a
+FIXED tokenizer (see ``text.bpe_token_stats``); a 100 TB training-data
+pipeline also needs to FIT the tokenizer on the corpus it is about to
+tokenize. This module implements the classic scaling shape — the one
+real trainers (HuggingFace tokenizers' word-level pre-count,
+SentencePiece's BPE mode) use:
+
+1. Collapse the corpus to a word-frequency table FIRST. This is the
+   only pass that touches every byte (one explode + one groupBy
+   shuffle); Zipf's law makes the distinct-word table orders of
+   magnitude smaller than the corpus, and it is cached once.
+2. Every merge iteration then runs over the word table only: one
+   small adjacent-pair aggregation (map-side combinable), one 1-row
+   argmax collect (bounded by construction), one literal string
+   replace mapped over the table. At 100 TB with a billion distinct
+   words this is a per-iteration agg over ~GBs, not TBs — the corpus
+   is never re-read.
+
+Cross-engine trick that makes the fit ORACLE-REPLAYABLE: a
+segmentation is stored as a DELIM-wrapped string — ``"abc"`` becomes
+``"·a··b··c·"`` — so every symbol carries its own delimiters. Applying
+merge ``(A, B) -> AB`` is then a single literal
+``replace("·A··B·" -> "·AB·")``, and the left-to-right non-overlapping
+scan of standard ``replace`` IS greedy BPE merging (adjacent matches
+cannot share characters because each symbol owns its wrappers). The
+semantics are bit-identical in Spark (``F.replace``) and ANSI SQL
+(DuckDB ``replace``), which is what lets the DuckDB oracle replay the
+entire fit — every pair count, every argmax, every merge — from the
+raw parquet. Symbol counting never splits strings: a segmentation
+with k symbols has exactly 2k delimiter characters, so
+``k = (len(seg) - len(strip_delims(seg))) / 2``.
+
+Everything here is pure ``pyspark.sql.functions`` (JVM-side,
+WholeStageCodegen): no Python UDFs, no per-row Python. The only
+``.collect()`` is the 1-row-per-iteration argmax, which is the
+algorithm's sequential dependency (merge i+1's counts depend on merge
+i), not a scalability concession.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Symbol-wrapper delimiter. The alphabet restriction below guarantees
+# it can never appear inside a symbol.
+DELIM = "·"
+
+# BPE is learned over lowercase-alpha words only (the standard
+# restricted-alphabet setup): keeps DELIM out of symbols and makes the
+# word filter identical in Spark rlike and DuckDB regexp_matches.
+WORD_RE = "^[a-z]+$"
+
+
+def _wrapped(col):
+    """'abc' -> '·a··b··c·' (each char wrapped in its own delimiters)."""
+    return F.regexp_replace(col, "(.)", DELIM + "$1" + DELIM)
+
+
+def _merge_pattern(left: str, right: str) -> tuple[str, str]:
+    """(search, replacement) literals for merge (left, right)."""
+    return (f"{DELIM}{left}{DELIM}{DELIM}{right}{DELIM}",
+            f"{DELIM}{left}{right}{DELIM}")
+
+
+def word_freqs(docs: DataFrame) -> DataFrame:
+    """Corpus -> (word, cnt) frequency table, BPE-eligible words only.
+
+    The single corpus-wide pass of the fit: explode whitespace tokens,
+    keep lowercase-alpha words, one groupBy. At 100 TB this shuffle is
+    keyed on the word itself — uniform under Zipf hashing (the hot
+    head words are FEW distinct keys with big partial counts, and the
+    map-side combine collapses them before the shuffle)."""
+    toks = F.split(F.trim(F.col("text")), " ")
+    return (docs
+            .select(F.explode(toks).alias("word"))
+            .filter(F.col("word").rlike(WORD_RE))
+            .groupBy("word")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
+
+
+def bpe_learn_rules(docs: DataFrame,
+                    n_merges: int = 8) -> list[tuple[str, str, int]]:
+    """Fit ``n_merges`` BPE merges; return [(lhs, rhs, pair_count)].
+
+    Greedy argmax per iteration with a fully deterministic tie-break
+    (count DESC, lhs ASC, rhs ASC — binary string order, identical in
+    Spark and DuckDB). The per-iteration ``.limit(1).collect()`` is
+    exactly one row — the algorithm's inherent sequential step."""
+    wf = word_freqs(docs).select(
+        _wrapped(F.col("word")).alias("seg"), "cnt").persist()
+    try:
+        rules: list[tuple[str, str, int]] = []
+        for _ in range(n_merges):
+            syms = F.filter(F.split("seg", DELIM),
+                            lambda x: x != F.lit(""))
+            ex = (wf.select("cnt", syms.alias("syms"))
+                  .filter(F.size("syms") >= 2)
+                  .select("cnt", "syms",
+                          F.explode(F.sequence(
+                              F.lit(1), F.size("syms") - 1)).alias("i")))
+            best = (ex.select(
+                        "cnt",
+                        F.element_at("syms", F.col("i")).alias("l"),
+                        F.element_at("syms", F.col("i") + 1).alias("r"))
+                    .groupBy("l", "r")
+                    .agg(F.sum("cnt").alias("c"))
+                    .orderBy(F.desc("c"), F.asc("l"), F.asc("r"))
+                    .limit(1)
+                    .collect())
+            if not best:  # vocabulary exhausted (every word one symbol)
+                break
+            l, r, c = best[0]["l"], best[0]["r"], int(best[0]["c"])
+            rules.append((l, r, c))
+            pat, rep = _merge_pattern(l, r)
+            wf = wf.withColumn(
+                "seg", F.replace(F.col("seg"), F.lit(pat), F.lit(rep)))
+        return rules
+    finally:
+        wf.unpersist()
+
+
+def bpe_learn(docs: DataFrame, n_merges: int = 8) -> DataFrame:
+    """The learned merge table: (merge_rank, lhs, rhs, pair_count)."""
+    spark = docs.sparkSession
+    rules = bpe_learn_rules(docs, n_merges=n_merges)
+    rows = [(i + 1, l, r, c) for i, (l, r, c) in enumerate(rules)]
+    return spark.createDataFrame(
+        rows, "merge_rank INT, lhs STRING, rhs STRING, pair_count BIGINT")
+
+
+def bpe_segment(docs: DataFrame,
+                merges: list[tuple[str, str]]) -> DataFrame:
+    """Per-document subword statistics under the learned merges.
+
+    Row-local (zero shuffles): the merge list is folded into the plan
+    as a chain of literal replaces applied inside a higher-order
+    ``transform`` over the document's eligible words — at 100 TB this
+    is a map-only pass riding the same scan as any other row-local
+    signal. Symbol counting is delimiter arithmetic, no splitting."""
+    toks = F.split(F.trim(F.col("text")), " ")
+    words = F.filter(toks, lambda t: t.rlike(WORD_RE))
+
+    def seg_of(w):
+        e = _wrapped(w)
+        for left, right in merges:
+            pat, rep = _merge_pattern(left, right)
+            e = F.replace(e, F.lit(pat), F.lit(rep))
+        return e
+
+    segs = F.transform(words, seg_of)
+    n_sub = F.aggregate(
+        segs, F.lit(0).cast("long"),
+        lambda acc, s: acc + ((F.length(s) - F.length(
+            F.replace(s, F.lit(DELIM), F.lit("")))) / 2).cast("long"))
+    n_chars = F.aggregate(
+        words, F.lit(0).cast("long"),
+        lambda acc, w: acc + F.length(w).cast("long"))
+    return docs.select(
+        "doc_id",
+        F.size(words).cast("long").alias("n_bpe_words"),
+        n_sub.alias("n_subwords"),
+        n_chars.alias("n_base_chars"))

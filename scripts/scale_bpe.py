@@ -1,0 +1,109 @@
+#!/usr/bin/env python3
+"""BPE tokenizer training at 10x/100x the gate corpus.
+
+What the 100 TB docstring claims and this script measures:
+
+1. The FIT's only corpus-wide pass is the word-frequency collapse
+   (explode + groupBy); every one of the 8 merge iterations then runs
+   over the distinct-word table alone. So fit wall time should grow
+   ~linearly with corpus size AND stay dominated by the first pass,
+   with the 8 iterations' cost tracking the (much smaller) vocabulary.
+2. SEGMENTATION with the learned merges is a row-local map-only pass
+   (a chain of literal replaces inside a higher-order transform) —
+   linear, no shuffle.
+
+Derivative note: make_scale_data.py replicates documents by mapping
+every token to a rotation of token+str(replica) — the embedded digit
+keeps replica vocabularies disjoint for the DEDUP operators, but it
+also disqualifies replica words from BPE's ^[a-z]+$ alphabet. This
+script strips digits from the text first, so each replica contributes
+a distinct all-alpha vocabulary: corpus bytes scale by R and the
+distinct-word table scales ~R too — both scaling axes of the fit are
+exercised, not just the scan.
+
+Emits one JSON line per tier; summary to SPARK_GRAFT_SCALE_JSON
+(default SCALE_RUN_BPE.json).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TIERS = [
+    ("sf0.1", os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")),
+    ("sf1", "/root/repo/.scale/sf1"),
+    ("sf10", "/root/repo/.scale/sf10"),
+]
+OUT_JSON = os.environ.get("SPARK_GRAFT_SCALE_JSON",
+                          "/root/repo/SCALE_RUN_BPE.json")
+N_MERGES = int(os.environ.get("SPARK_GRAFT_BPE_MERGES", "8"))
+REPS = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "2"))
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from deltalake_poc_spark.analytics.io import load_table
+    from deltalake_poc_spark.pipeline.bpe import (bpe_learn_rules,
+                                                  bpe_segment, word_freqs)
+    from deltalake_poc_spark.session import EngineConfig, get_spark
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "24g")
+    spark = get_spark(EngineConfig(
+        app_name="scale_bpe", master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus)))
+
+    summary: dict = {"n_merges": N_MERGES, "cpus": int(cpus),
+                     "reps": REPS, "tiers": {}}
+    for tier, sf_dir in TIERS:
+        if not os.path.isdir(sf_dir):
+            print(json.dumps({"tier": tier, "skipped": "no data dir"}),
+                  flush=True)
+            continue
+        docs = (load_table(spark, sf_dir, "documents")
+                .withColumn("text", F.regexp_replace("text", "[0-9]", ""))
+                .persist())
+        n_docs = docs.count()  # materialize: time the fit, not the scan
+        vocab = word_freqs(docs).count()
+
+        fit_times, seg_times = [], []
+        rules = None
+        for _ in range(REPS):
+            t0 = time.time()
+            rules = bpe_learn_rules(docs, n_merges=N_MERGES)
+            fit_times.append(round(time.time() - t0, 3))
+        merges = [(l, r) for l, r, _ in rules]
+        for _ in range(REPS):
+            t0 = time.time()
+            bpe_segment(docs, merges).agg(
+                F.sum("n_subwords"), F.sum("n_bpe_words")).collect()
+            seg_times.append(round(time.time() - t0, 3))
+        docs.unpersist()
+
+        row = {"docs": n_docs, "vocab": vocab,
+               "fit_times": fit_times, "fit_min": min(fit_times),
+               "seg_times": seg_times, "seg_min": min(seg_times),
+               "top_merges": [list(x) for x in rules[:4]]}
+        summary["tiers"][tier] = row
+        print(json.dumps({"tier": tier, **row}), flush=True)
+
+    base = summary["tiers"].get("sf0.1")
+    for tier, ratio in (("sf1", 10), ("sf10", 100)):
+        if base and tier in summary["tiers"]:
+            t = summary["tiers"][tier]
+            t["fit_ratio_vs_sf0.1"] = round(t["fit_min"] / base["fit_min"], 2)
+            t["seg_ratio_vs_sf0.1"] = round(t["seg_min"] / base["seg_min"], 2)
+            t["data_ratio"] = ratio
+    with open(OUT_JSON, "w") as f:
+        json.dump(summary, f, indent=2)
+    print("wrote", OUT_JSON, flush=True)
+
+
+if __name__ == "__main__":
+    main()

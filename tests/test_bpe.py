@@ -1,0 +1,126 @@
+"""Distributed BPE training/segmentation vs a pure-Python reference.
+
+The reference implementation below is the textbook Sennrich BPE loop
+(symbol tuples, greedy left-to-right merge application) — structurally
+unrelated to the engine's delimiter-string representation, so the
+differential test catches representation bugs (overlap handling,
+boundary sharing, tie-breaks), not just re-runs the same code."""
+
+from __future__ import annotations
+
+import pytest
+
+from deltalake_poc_spark.pipeline.bpe import (bpe_learn, bpe_learn_rules,
+                                              bpe_segment, word_freqs)
+
+
+def ref_bpe(word_counts: dict[str, int], n_merges: int):
+    """Textbook BPE: symbol tuples, dict pair counts, greedy merge."""
+    segs = {w: tuple(w) for w in word_counts}
+    rules = []
+    for _ in range(n_merges):
+        pc: dict[tuple[str, str], int] = {}
+        for w, c in word_counts.items():
+            s = segs[w]
+            for a, b in zip(s, s[1:]):
+                pc[(a, b)] = pc.get((a, b), 0) + c
+        if not pc:
+            break
+        (a, b), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        rules.append((a, b, c))
+        for w, s in segs.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            segs[w] = tuple(out)
+    return rules, segs
+
+
+# Corpora chosen to exercise the delimiter-replace representation:
+# overlapping merge candidates (aaa/aaaa), back-to-back merges (abab),
+# a merged symbol that immediately re-pairs (aab + ab), tie-breaking
+# (equal counts resolved lexicographically), and 1-char words.
+CORPORA = [
+    {"aaa": 3, "aaaa": 2, "ab": 5, "abab": 4, "aab": 1, "a": 7},
+    {"low": 5, "lower": 2, "newest": 6, "widest": 3},
+    {"xy": 1, "yx": 1, "zz": 1},          # 3-way count tie
+    {"q": 4, "z": 9},                     # no pairs at all
+    {"banana": 3, "bandana": 2, "ana": 8},
+]
+
+
+@pytest.mark.parametrize("wc", CORPORA)
+def test_learn_matches_reference(spark, wc):
+    docs = spark.createDataFrame(
+        [(i, " ".join([w] * c)) for i, (w, c) in enumerate(wc.items())],
+        "doc_id LONG, text STRING")
+    got = bpe_learn_rules(docs, n_merges=6)
+    want, _ = ref_bpe(wc, 6)
+    assert got == want
+
+
+@pytest.mark.parametrize("wc", CORPORA)
+def test_segment_matches_reference(spark, wc):
+    docs = spark.createDataFrame(
+        [(i, " ".join([w] * c)) for i, (w, c) in enumerate(wc.items())],
+        "doc_id LONG, text STRING")
+    rules = bpe_learn_rules(docs, n_merges=6)
+    _, segs = ref_bpe(wc, 6)
+    out = {r["doc_id"]: r for r in
+           bpe_segment(docs, [(l, r) for l, r, _ in rules]).collect()}
+    for i, (w, c) in enumerate(wc.items()):
+        row = out[i]
+        assert row["n_bpe_words"] == c
+        assert row["n_subwords"] == len(segs[w]) * c
+        assert row["n_base_chars"] == len(w) * c
+
+
+def test_ineligible_and_empty_docs(spark):
+    docs = spark.createDataFrame(
+        [(0, "abc abc XYZ 123 a-b"), (1, ""), (2, "   "), (3, "ABC 9")],
+        "doc_id LONG, text STRING")
+    assert {r["word"]: r["cnt"] for r in word_freqs(docs).collect()} == {
+        "abc": 2}
+    rows = {r["doc_id"]: r for r in bpe_segment(docs, [("a", "b"),
+                                                       ("ab", "c")])
+            .collect()}
+    assert (rows[0]["n_bpe_words"], rows[0]["n_subwords"],
+            rows[0]["n_base_chars"]) == (2, 2, 6)
+    for d in (1, 2, 3):
+        assert (rows[d]["n_bpe_words"], rows[d]["n_subwords"],
+                rows[d]["n_base_chars"]) == (0, 0, 0)
+
+
+def test_learn_dataframe_shape_and_determinism(spark):
+    docs = spark.createDataFrame(
+        [(0, "the quick brown fox the quick the")],
+        "doc_id LONG, text STRING")
+    df1 = bpe_learn(docs, n_merges=4)
+    assert [f.name for f in df1.schema.fields] == [
+        "merge_rank", "lhs", "rhs", "pair_count"]
+    r1 = [tuple(r) for r in df1.collect()]
+    r2 = [tuple(r) for r in bpe_learn(docs, n_merges=4).collect()]
+    assert r1 == r2
+    assert [r[0] for r in r1] == [1, 2, 3, 4]
+
+
+def test_vocab_exhaustion_stops_early(spark):
+    # "ab" collapses to one symbol after 1 merge: no pairs remain.
+    docs = spark.createDataFrame([(0, "ab ab ab")],
+                                 "doc_id LONG, text STRING")
+    assert bpe_learn_rules(docs, n_merges=5) == [("a", "b", 3)]
+
+
+def test_segment_stays_jvm_side(spark):
+    """The hot path (segmentation over the corpus) must be pure
+    JVM-side expressions — no Python eval nodes."""
+    docs = spark.createDataFrame([(0, "aa bb aa")],
+                                 "doc_id LONG, text STRING")
+    plan = bpe_segment(docs, [("a", "a")])._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "EvalPython" not in plan
