@@ -15,11 +15,13 @@ What the 100 TB docstring claims and this script measures:
 Derivative note: make_scale_data.py replicates documents by mapping
 every token to a rotation of token+str(replica) — the embedded digit
 keeps replica vocabularies disjoint for the DEDUP operators, but it
-also disqualifies replica words from BPE's ^[a-z]+$ alphabet. This
-script strips digits from the text first, so each replica contributes
-a distinct all-alpha vocabulary: corpus bytes scale by R and the
-distinct-word table scales ~R too — both scaling axes of the fit are
-exercised, not just the scan.
+also disqualifies replica words from BPE's ^[a-z]+$ alphabet (and
+merely STRIPPING digits folds every replica word back onto a rotation
+of its base word, collapsing the vocabulary — measured: vocab 138 at
+every tier). This script TRANSLATES digits to letters (0->a .. 9->j)
+instead: replica words stay mutually distinct all-alpha strings, so
+corpus bytes scale by R and the distinct-word table scales ~R too —
+both scaling axes of the fit are exercised, not just the scan.
 
 Emits one JSON line per tier; summary to SPARK_GRAFT_SCALE_JSON
 (default SCALE_RUN_BPE.json).
@@ -38,6 +40,7 @@ TIERS = [
     ("sf0.1", os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")),
     ("sf1", "/root/repo/.scale/sf1"),
     ("sf10", "/root/repo/.scale/sf10"),
+    ("sf100", "/root/repo/.scale/sf100"),
 ]
 OUT_JSON = os.environ.get("SPARK_GRAFT_SCALE_JSON",
                           "/root/repo/SCALE_RUN_BPE.json")
@@ -67,7 +70,8 @@ def main() -> None:
                   flush=True)
             continue
         docs = (load_table(spark, sf_dir, "documents")
-                .withColumn("text", F.regexp_replace("text", "[0-9]", ""))
+                .withColumn("text", F.translate(
+                    "text", "0123456789", "abcdefghij"))
                 .persist())
         n_docs = docs.count()  # materialize: time the fit, not the scan
         vocab = word_freqs(docs).count()
@@ -94,7 +98,7 @@ def main() -> None:
         print(json.dumps({"tier": tier, **row}), flush=True)
 
     base = summary["tiers"].get("sf0.1")
-    for tier, ratio in (("sf1", 10), ("sf10", 100)):
+    for tier, ratio in (("sf1", 10), ("sf10", 100), ("sf100", 1000)):
         if base and tier in summary["tiers"]:
             t = summary["tiers"][tier]
             t["fit_ratio_vs_sf0.1"] = round(t["fit_min"] / base["fit_min"], 2)
