@@ -123,6 +123,51 @@ def bpe_learn_rules(docs: DataFrame,
         wf.unpersist()
 
 
+def bpe_learn_local(docs: DataFrame,
+                    n_merges: int = 8) -> list[tuple[str, str, int]]:
+    """Production fit: distributed word count, DRIVER-SIDE merge loop.
+
+    The shape real trainers use (HuggingFace tokenizers, SentencePiece
+    BPE): the corpus-wide pass is distributed, and once the
+    word-frequency table exists the merge loop runs where that table
+    fits — 32k merges as a local loop over a dict, not 64k cluster
+    jobs of per-iteration scheduling overhead. The ``.collect()`` is
+    bounded by the DISTINCT-WORD count (Zipf: ~31k words for the 22 GB
+    1000x derivative, see SCALE_RUN_BPE.json — vocabulary grows
+    sublinearly in corpus size), not by the corpus. Produces merges
+    IDENTICAL to ``bpe_learn_rules`` (same argmax, same count-DESC /
+    lhs / rhs tie-break; pinned in tests/test_bpe.py); use the
+    distributed loop only when the vocabulary itself cannot fit on
+    one node."""
+    wc = {r["word"]: r["cnt"] for r in word_freqs(docs).collect()}
+    segs = {w: tuple(w) for w in wc}
+    rules: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        pc: dict[tuple[str, str], int] = {}
+        for w, c in wc.items():
+            s = segs[w]
+            for a, b in zip(s, s[1:]):
+                pc[(a, b)] = pc.get((a, b), 0) + c
+        if not pc:
+            break
+        (a, b), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        rules.append((a, b, int(c)))
+        merged = a + b
+        for w, s in segs.items():
+            if a not in s or b not in s:
+                continue
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            segs[w] = tuple(out)
+    return rules
+
+
 def bpe_learn(docs: DataFrame, n_merges: int = 8) -> DataFrame:
     """The learned merge table: (merge_rank, lhs, rhs, pair_count)."""
     spark = docs.sparkSession

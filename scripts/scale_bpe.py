@@ -97,6 +97,27 @@ def main() -> None:
         summary["tiers"][tier] = row
         print(json.dumps({"tier": tier, **row}), flush=True)
 
+    # Production fit at the largest tier present: distributed word
+    # count + driver-side merge loop (bpe_learn_local), at a real
+    # vocabulary-scale merge count — the regime where per-iteration
+    # cluster scheduling would dominate the distributed loop.
+    n_prod = int(os.environ.get("SPARK_GRAFT_BPE_PROD_MERGES", "2000"))
+    for tier, sf_dir in reversed(TIERS):
+        if tier not in summary["tiers"]:
+            continue
+        from deltalake_poc_spark.pipeline.bpe import bpe_learn_local
+        docs = (load_table(spark, sf_dir, "documents")
+                .withColumn("text", F.translate(
+                    "text", "0123456789", "abcdefghij")))
+        t0 = time.time()
+        prod_rules = bpe_learn_local(docs, n_merges=n_prod)
+        summary["prod_fit"] = {
+            "tier": tier, "n_merges_requested": n_prod,
+            "n_merges_learned": len(prod_rules),
+            "wall_sec": round(time.time() - t0, 3)}
+        print(json.dumps({"prod_fit": summary["prod_fit"]}), flush=True)
+        break
+
     base = summary["tiers"].get("sf0.1")
     for tier, ratio in (("sf1", 10), ("sf10", 100), ("sf100", 1000)):
         if base and tier in summary["tiers"]:

@@ -10,8 +10,9 @@ from __future__ import annotations
 
 import pytest
 
-from deltalake_poc_spark.pipeline.bpe import (bpe_learn, bpe_learn_rules,
-                                              bpe_segment, word_freqs)
+from deltalake_poc_spark.pipeline.bpe import (bpe_learn, bpe_learn_local,
+                                              bpe_learn_rules, bpe_segment,
+                                              word_freqs)
 
 
 def ref_bpe(word_counts: dict[str, int], n_merges: int):
@@ -62,6 +63,8 @@ def test_learn_matches_reference(spark, wc):
     got = bpe_learn_rules(docs, n_merges=6)
     want, _ = ref_bpe(wc, 6)
     assert got == want
+    # the production (driver-side-loop) fit must be merge-identical
+    assert bpe_learn_local(docs, n_merges=6) == want
 
 
 @pytest.mark.parametrize("wc", CORPORA)
