@@ -1724,12 +1724,19 @@ def _bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts are delimiter arithmetic ((len(seg)-len(stripped))/2), no
     splitting. The oracle re-fits the merges in SQL (same CTE chain
     as bpe_learn) and applies them via scalar subqueries, so a wrong
-    merge OR a wrong application both hash-mismatch."""
-    from deltalake_poc_spark.pipeline.bpe import (bpe_learn_rules,
+    merge OR a wrong application both hash-mismatch.
+
+    The fit here uses the PRODUCTION path (bpe_learn_local:
+    distributed word count, driver-side merge loop) — so the driver
+    gate covers BOTH fit implementations: bpe_learn checks the
+    distributed iteration loop, this query checks the local loop
+    against the same SQL replay (they are merge-identical, pinned in
+    tests/test_bpe.py; a divergence in either breaks its gate)."""
+    from deltalake_poc_spark.pipeline.bpe import (bpe_learn_local,
                                                   bpe_segment)
 
     docs = load_table(spark, sf_dir, "documents")
-    rules = bpe_learn_rules(docs, n_merges=_BPE_N_MERGES)
+    rules = bpe_learn_local(docs, n_merges=_BPE_N_MERGES)
     return bpe_segment(docs, [(l, r) for l, r, _ in rules])
 
 
@@ -3153,13 +3160,15 @@ def _ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
-    # max_iter=2 (r9, was 6): the exact probe returns brute-force rows
-    # for ANY centroid placement, so extra Lloyd rounds buy only
-    # pruning sharpness the iid gate corpus cannot use — not
-    # correctness. The fit is this row's dominant term; 2 iterations
-    # is the floor that still exercises a real Lloyd refinement.
+    # max_iter=2 (r9, was 6) and initMode=random (r9, was k-means||):
+    # the exact probe returns brute-force rows for ANY centroid
+    # placement, so extra Lloyd rounds and the multi-pass k-means||
+    # seeding buy only pruning sharpness the iid gate corpus cannot
+    # use — not correctness. The fit is this row's dominant term;
+    # random init + 2 iterations is the floor that still exercises a
+    # real Lloyd refinement (measured ~1s off the row at sf0.1).
     assigned, centers = ivf_build(emb, n_clusters=16, normalize=True,
-                                  max_iter=2)
+                                  max_iter=2, init_mode="random")
     # cache across the passes (radii / phase-1 / phase-2 delta); the
     # probe returns a materialized k-row frame, so re-executing it
     # never replays the fit+search pipeline (at scale the assignment

@@ -156,7 +156,8 @@ def pivot_ivf_topk(emb: DataFrame, centers: list[list[float]],
 
 
 def ivf_build(emb: DataFrame, n_clusters: int = 16, seed: int = 42,
-              normalize: bool = False, max_iter: int = 20):
+              normalize: bool = False, max_iter: int = 20,
+              init_mode: str = "k-means||"):
     """IVF (inverted-file) index: k-means partition of the vector space
     via Spark MLlib. Returns (assignments DataFrame with a __cluster
     column, centroid list). At 100 TB the assignment column becomes the
@@ -178,7 +179,7 @@ def ivf_build(emb: DataFrame, n_clusters: int = 16, seed: int = 42,
         v = F.when(nrm == 0, v).otherwise(F.transform(v, lambda x: x / nrm))
     vecs = emb.withColumn("__vec", array_to_vector(v))
     model = KMeans(k=n_clusters, seed=seed, maxIter=max_iter,
-                   featuresCol="__vec",
+                   initMode=init_mode, featuresCol="__vec",
                    predictionCol="__cluster").fit(vecs)
     assigned = model.transform(vecs).drop("__vec")
     centers = [c.tolist() for c in model.clusterCenters()]
