@@ -2,8 +2,9 @@
 the round-8 verdict ordered (Next round #3).
 
 The JDK that already ships with every Spark deployment contains a
-full baseline-JPEG/PNG/BMP/GIF decoder (javax.imageio), so a 40-line
-Java UDF gives native-speed decode with ZERO pip/apt dependencies —
+full baseline-JPEG/PNG/BMP/GIF decoder (javax.imageio), so two small
+Java UDFs give native-speed decode AND baseline-JPEG re-encode with
+ZERO pip/apt dependencies —
 the deployment story the numpy codecs exist to avoid is a non-issue
 when the decoder lives in the same JVM Spark runs on. This module
 compiles deltalake_poc_spark/jvm/src/ImageStatsUdf.java on demand
@@ -34,18 +35,22 @@ import tempfile
 from pyspark.sql import SparkSession
 from pyspark.sql.types import ArrayType, LongType
 
-_SRC = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                    "jvm", "src", "ImageStatsUdf.java")
+_SRC_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "jvm", "src")
 UDF_NAME = "image_stats_jvm"
+TRANSCODE_UDF_NAME = "image_transcode_jvm"
 
 
 def build_jar(force: bool = False) -> str | None:
     """Compile the UDF source into a cached jar; None when no javac.
 
-    Cache key = source mtime, so edits rebuild automatically."""
+    Cache key = newest source mtime, so edits rebuild automatically."""
     try:
-        mtime = int(os.stat(_SRC).st_mtime)
-    except OSError:
+        srcs = sorted(
+            os.path.join(_SRC_DIR, f) for f in os.listdir(_SRC_DIR)
+            if f.endswith(".java"))
+        mtime = max(int(os.stat(s).st_mtime) for s in srcs)
+    except (OSError, ValueError):
         return None
     jar = os.path.join(tempfile.gettempdir(),
                        f"spark_graft_imagestats_{mtime}.jar")
@@ -57,7 +62,7 @@ def build_jar(force: bool = False) -> str | None:
         try:
             subprocess.run(
                 ["javac", "-encoding", "UTF-8", "-cp",
-                 os.path.join(spark_jars, "*"), "-d", tmp, _SRC],
+                 os.path.join(spark_jars, "*"), "-d", tmp, *srcs],
                 check=True, capture_output=True)
             subprocess.run(["jar", "cf", jar, "-C", tmp, "."],
                            check=True, capture_output=True)
@@ -83,6 +88,8 @@ def register(spark: SparkSession) -> bool:
     try:
         spark.udf.registerJavaFunction(
             UDF_NAME, "ImageStatsUdf", ArrayType(LongType()))
+        spark.udf.registerJavaFunction(
+            TRANSCODE_UDF_NAME, "ImageTranscodeUdf", ArrayType(LongType()))
         return True
     except Exception:
         return False

@@ -125,6 +125,54 @@ def main() -> None:
                 and (a[k]["width"], a[k]["height"], a[k]["channels"])
                 == (b[k]["width"], b[k]["height"], b[k]["channels"]))
 
+    # ---- encode direction: numpy decode+encode vs JVM transcode.
+    # The JVM UDF does decode + encode + a SELF-CHECK decode of its
+    # own output (strictly more work than the numpy chain), so its
+    # throughput number is conservative.
+    def np_transcode(batches):
+        import pandas as pd
+
+        from deltalake_poc_spark.pipeline.codecs.jpeg import (decode_jpeg,
+                                                              encode_jpeg)
+
+        for pdf in batches:
+            ids, widths, heights, out_lens = [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                img = decode_jpeg(bytes(payload))
+                enc = encode_jpeg(img, 85, "4:4:4")
+                ids.append(int(mid))
+                heights.append(img.shape[0])
+                widths.append(img.shape[1])
+                out_lens.append(len(enc))
+            yield pd.DataFrame({
+                "media_id": pd.Series(ids, dtype="int64"),
+                "width": pd.Series(widths, dtype="int64"),
+                "height": pd.Series(heights, dtype="int64"),
+                "out_bytes": pd.Series(out_lens, dtype="int64")})
+
+    from deltalake_poc_spark.pipeline.dedup import spread
+    numpy_tx = spread(media).mapInPandas(
+        np_transcode, "media_id long, width long, height long, out_bytes long")
+    jvm_tx = media.select(
+        "media_id",
+        F.expr(f"{jvm_codec.TRANSCODE_UDF_NAME}(payload, 85)").alias("t")
+    ).select("media_id", F.col("t")[0].alias("width"),
+             F.col("t")[1].alias("height"),
+             F.col("t")[3].alias("out_bytes"))
+
+    numpy_tx.limit(256).write.format("noop").mode("overwrite").save()
+    jvm_tx.limit(256).write.format("noop").mode("overwrite").save()
+    t_numpy_tx = run(numpy_tx)
+    t_jvm_tx = run(jvm_tx)
+
+    ta = {r["media_id"]: r for r in numpy_tx.limit(2000).collect()}
+    tb = {r["media_id"]: r for r in
+          jvm_tx.filter(F.col("media_id").isin(list(ta))).collect()}
+    tx_agree = sum(1 for k in ta if k in tb
+                   and (ta[k]["width"], ta[k]["height"])
+                   == (tb[k]["width"], tb[k]["height"])
+                   and tb[k]["out_bytes"] > 0)
+
     out = {
         "rows": n_rows,
         "decoded_mb": round(total_mb, 1),
@@ -134,6 +182,15 @@ def main() -> None:
                 "mb_per_s": round(total_mb / min(t_jvm), 1)},
         "speedup": round(min(t_numpy) / min(t_jvm), 2),
         "dims_agree": agree, "dims_checked": len(a),
+        "transcode": {
+            "numpy_decode_encode": {
+                "times": t_numpy_tx, "min": min(t_numpy_tx),
+                "mb_per_s": round(total_mb / min(t_numpy_tx), 1)},
+            "jvm_decode_encode_selfcheck": {
+                "times": t_jvm_tx, "min": min(t_jvm_tx),
+                "mb_per_s": round(total_mb / min(t_jvm_tx), 1)},
+            "speedup": round(min(t_numpy_tx) / min(t_jvm_tx), 2),
+            "dims_agree": tx_agree, "dims_checked": len(ta)},
     }
     with open(OUT_JSON, "w") as f:
         json.dump(out, f, indent=1)

@@ -72,6 +72,31 @@ for r in out:
     src_mean = float(rgb.astype(np.float64).mean())
     assert abs(jvm_mean - src_mean) < 8.0, (r["media_id"],
                                             jvm_mean, src_mean)
+# transcode (decode -> baseline-JPEG re-encode -> self-check decode):
+# dims exact, output non-empty and self-verified — outSumPx comes from
+# the UDF decoding ITS OWN output, so a bogus/corrupt encode cannot
+# return a row; mean drift vs the source must stay inside JPEG-85
+# tolerance for both a JPEG input and a (lossless) PNG input
+tout = df.select(
+    "media_id",
+    F.expr(jvm_codec.TRANSCODE_UDF_NAME + "(jpeg, 85)").alias("tj"),
+    F.expr(jvm_codec.TRANSCODE_UDF_NAME + "(png, 85)").alias("tp")).collect()
+assert len(tout) == 60
+for r in tout:
+    w, h, gray, rgb = truth[r["media_id"]]
+    tj, tp = r["tj"], r["tp"]
+    assert tj[:2] == [w, h] and tp[:2] == [w, h], (r["media_id"], tj, tp)
+    assert tj[3] > 0 and tp[3] > 0
+    jpeg_mean = tj[4] / (w * h * 3)
+    src_mean = float(rgb.astype(np.float64).mean())
+    assert abs(jpeg_mean - src_mean) < 8.0, (r["media_id"],
+                                             jpeg_mean, src_mean)
+    # gray PNG re-encoded by the JDK may come back 1- or 3-band:
+    # one of the two band interpretations must land on the source
+    gray_mean = float(gray.astype(np.float64).mean())
+    assert any(abs(tp[4] / (w * h * b) - gray_mean) < 8.0
+               for b in (1, 3)), (r["media_id"], tp, gray_mean)
+
 # fail-closed contract: a registration attempt is False, not a raise,
 # when the jar cannot be used (simulated by asking for a bogus class)
 try:
