@@ -83,6 +83,33 @@ def test_segment_matches_reference(spark, wc):
         assert row["n_base_chars"] == len(w) * c
 
 
+def test_learn_matches_reference_random_corpora(spark):
+    """Differential fuzz: random corpora over a 3-letter alphabet —
+    maximal pair-collision pressure (repeated substrings, overlapping
+    candidates, frequent count ties) with a seeded generator so
+    failures reproduce. Spark round-trips are expensive, so this
+    batches many corpora into one DataFrame-per-corpus loop kept
+    deliberately small."""
+    import random
+
+    rng = random.Random(0xB9E)
+    for trial in range(6):
+        words = {"".join(rng.choice("aba") for _ in range(
+            rng.randint(1, 7))): rng.randint(1, 9)
+            for _ in range(rng.randint(2, 12))}
+        docs = spark.createDataFrame(
+            [(i, " ".join([w] * c))
+             for i, (w, c) in enumerate(words.items())],
+            "doc_id LONG, text STRING")
+        want, segs = ref_bpe(words, 5)
+        assert bpe_learn_local(docs, n_merges=5) == want, (trial, words)
+        assert bpe_learn_rules(docs, n_merges=5) == want, (trial, words)
+        out = {r["doc_id"]: r["n_subwords"] for r in
+               bpe_segment(docs, [(l, r) for l, r, _ in want]).collect()}
+        for i, (w, c) in enumerate(words.items()):
+            assert out[i] == len(segs[w]) * c, (trial, w, words)
+
+
 def test_ineligible_and_empty_docs(spark):
     docs = spark.createDataFrame(
         [(0, "abc abc XYZ 123 a-b"), (1, ""), (2, "   "), (3, "ABC 9")],
