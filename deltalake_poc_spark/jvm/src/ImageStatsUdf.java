@@ -34,7 +34,12 @@ public class ImageStatsUdf implements UDF1<byte[], long[]> {
         if (payload == null) {
             return null;
         }
-        BufferedImage img = ImageIO.read(new ByteArrayInputStream(payload));
+        BufferedImage img;
+        try {
+            img = ImageIO.read(new ByteArrayInputStream(payload));
+        } catch (Exception e) {
+            return null; // recognized-but-corrupt bytes throw, not null
+        }
         if (img == null) {
             return null; // unrecognized payload: let Spark keep the row
         }

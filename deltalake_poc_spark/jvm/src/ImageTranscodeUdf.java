@@ -35,10 +35,19 @@ public class ImageTranscodeUdf implements UDF2<byte[], Integer, long[]> {
 
     @Override
     public long[] call(byte[] payload, Integer quality) throws Exception {
-        if (payload == null) {
+        if (payload == null || quality == null) {
             return null;
         }
-        BufferedImage img = ImageIO.read(new ByteArrayInputStream(payload));
+        BufferedImage img;
+        try {
+            img = ImageIO.read(new ByteArrayInputStream(payload));
+        } catch (Exception e) {
+            // ImageIO.read returns null only for UNRECOGNIZED formats;
+            // recognized-but-corrupt bytes (truncated JPEG, CMYK)
+            // throw. Per-row tolerance means both become null — one
+            // bad payload must not abort a 500k-image stage.
+            return null;
+        }
         if (img == null) {
             return null;
         }
@@ -47,7 +56,12 @@ public class ImageTranscodeUdf implements UDF2<byte[], Integer, long[]> {
             BufferedImage rgb = new BufferedImage(
                 img.getWidth(), img.getHeight(),
                 BufferedImage.TYPE_INT_RGB);
-            rgb.createGraphics().drawImage(img, 0, 0, null);
+            java.awt.Graphics2D g = rgb.createGraphics();
+            try {
+                g.drawImage(img, 0, 0, null);
+            } finally {
+                g.dispose();
+            }
             img = rgb;
         }
         Iterator<ImageWriter> it = ImageIO.getImageWritersByFormatName("jpeg");
@@ -63,9 +77,12 @@ public class ImageTranscodeUdf implements UDF2<byte[], Integer, long[]> {
             ByteArrayOutputStream bos = new ByteArrayOutputStream();
             MemoryCacheImageOutputStream out =
                 new MemoryCacheImageOutputStream(bos);
-            writer.setOutput(out);
-            writer.write(null, new IIOImage(img, null, null), p);
-            out.flush();
+            try {
+                writer.setOutput(out);
+                writer.write(null, new IIOImage(img, null, null), p);
+            } finally {
+                out.close(); // flushes and frees the memory cache
+            }
             byte[] encoded = bos.toByteArray();
             BufferedImage back = ImageIO.read(
                 new ByteArrayInputStream(encoded));

@@ -64,8 +64,14 @@ def build_jar(force: bool = False) -> str | None:
                 ["javac", "-encoding", "UTF-8", "-cp",
                  os.path.join(spark_jars, "*"), "-d", tmp, *srcs],
                 check=True, capture_output=True)
-            subprocess.run(["jar", "cf", jar, "-C", tmp, "."],
+            # build at a private path, then atomically publish: a
+            # concurrent process must never see a half-written jar at
+            # the shared cache path (os.path.exists would pass and the
+            # JVM would die on a truncated zip)
+            staged = f"{jar}.{os.getpid()}.tmp"  # outside the -C dir
+            subprocess.run(["jar", "cf", staged, "-C", tmp, "."],
                            check=True, capture_output=True)
+            os.replace(staged, jar)
         except (OSError, subprocess.CalledProcessError):
             return None
     return jar

@@ -52,7 +52,11 @@ DELIM = "·"
 # BPE is learned over lowercase-alpha words only (the standard
 # restricted-alphabet setup): keeps DELIM out of symbols and makes the
 # word filter identical in Spark rlike and DuckDB regexp_matches.
-WORD_RE = "^[a-z]+$"
+# \A/\z, not ^/$: Java regex lets $ match BEFORE a final line
+# terminator (so rlike('^[a-z]+$') accepts 'world\n') while RE2's $
+# is end-of-text — the absolute anchors pin both engines to the same
+# token set (the DuckDB oracle's '^[a-z]+$' IS end-of-text in RE2).
+WORD_RE = r"\A[a-z]+\z"
 
 
 def _wrapped(col):
@@ -90,8 +94,9 @@ def bpe_learn_rules(docs: DataFrame,
     (count DESC, lhs ASC, rhs ASC — binary string order, identical in
     Spark and DuckDB). The per-iteration ``.limit(1).collect()`` is
     exactly one row — the algorithm's inherent sequential step."""
-    wf = word_freqs(docs).select(
+    base = word_freqs(docs).select(
         _wrapped(F.col("word")).alias("seg"), "cnt").persist()
+    wf = base  # rebound per merge; unpersist must target the CACHED plan
     try:
         rules: list[tuple[str, str, int]] = []
         for _ in range(n_merges):
@@ -120,7 +125,7 @@ def bpe_learn_rules(docs: DataFrame,
                 "seg", F.replace(F.col("seg"), F.lit(pat), F.lit(rep)))
         return rules
     finally:
-        wf.unpersist()
+        base.unpersist()
 
 
 def bpe_learn_local(docs: DataFrame,

@@ -45,7 +45,7 @@ TIERS = [
 OUT_JSON = os.environ.get("SPARK_GRAFT_SCALE_JSON",
                           "/root/repo/SCALE_RUN_BPE.json")
 N_MERGES = int(os.environ.get("SPARK_GRAFT_BPE_MERGES", "8"))
-REPS = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "2"))
+REPS = max(1, int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "2")))
 
 
 def main() -> None:

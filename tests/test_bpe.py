@@ -84,17 +84,17 @@ def test_segment_matches_reference(spark, wc):
 
 
 def test_learn_matches_reference_random_corpora(spark):
-    """Differential fuzz: random corpora over a 3-letter alphabet —
-    maximal pair-collision pressure (repeated substrings, overlapping
-    candidates, frequent count ties) with a seeded generator so
-    failures reproduce. Spark round-trips are expensive, so this
-    batches many corpora into one DataFrame-per-corpus loop kept
-    deliberately small."""
+    """Differential fuzz: random corpora over a 3-letter alphabet
+    with 'a' drawn twice as often — maximal pair-collision pressure
+    (repeated substrings, overlapping candidates, frequent count
+    ties) plus a rarer third symbol for disjoint-pair merges, seeded
+    so failures reproduce. Spark round-trips are expensive, so the
+    DataFrame-per-corpus loop is kept deliberately small."""
     import random
 
     rng = random.Random(0xB9E)
     for trial in range(6):
-        words = {"".join(rng.choice("aba") for _ in range(
+        words = {"".join(rng.choice("abac") for _ in range(
             rng.randint(1, 7))): rng.randint(1, 9)
             for _ in range(rng.randint(2, 12))}
         docs = spark.createDataFrame(
@@ -111,11 +111,16 @@ def test_learn_matches_reference_random_corpora(spark):
 
 
 def test_ineligible_and_empty_docs(spark):
+    # doc 4: a token with a trailing newline (trim strips spaces
+    # only). Java regex $ would accept 'ab\n' while RE2's $ (the
+    # DuckDB oracle) rejects it — WORD_RE's \A/\z anchors must
+    # exclude it in Spark too, or the engines diverge.
     docs = spark.createDataFrame(
-        [(0, "abc abc XYZ 123 a-b"), (1, ""), (2, "   "), (3, "ABC 9")],
+        [(0, "abc abc XYZ 123 a-b"), (1, ""), (2, "   "), (3, "ABC 9"),
+         (4, "abc ab\n")],
         "doc_id LONG, text STRING")
     assert {r["word"]: r["cnt"] for r in word_freqs(docs).collect()} == {
-        "abc": 2}
+        "abc": 3}
     rows = {r["doc_id"]: r for r in bpe_segment(docs, [("a", "b"),
                                                        ("ab", "c")])
             .collect()}
@@ -124,6 +129,9 @@ def test_ineligible_and_empty_docs(spark):
     for d in (1, 2, 3):
         assert (rows[d]["n_bpe_words"], rows[d]["n_subwords"],
                 rows[d]["n_base_chars"]) == (0, 0, 0)
+    # doc 4: only 'abc' survives the anchor filter ('ab\n' excluded)
+    assert (rows[4]["n_bpe_words"], rows[4]["n_subwords"],
+            rows[4]["n_base_chars"]) == (1, 1, 3)
 
 
 def test_learn_dataframe_shape_and_determinism(spark):
