@@ -1801,11 +1801,19 @@ def _bpe_learn_oracle(n: int = _BPE_N_MERGES) -> str:
 
 
 def _bpe_segment_oracle(n: int = _BPE_N_MERGES) -> str:
+    # Each scalar subquery is COALESCEd to '' (replace(s, '', '') is a
+    # no-op in DuckDB) so that a vocabulary-exhausted fit — b{i} empty
+    # for some i <= n — skips the missing merge instead of
+    # NULL-poisoning seg, matching bpe_learn_rules' early break. With
+    # a NULL pattern, SUM over seg would coalesce n_subwords to 0 and
+    # fail-closed a correct engine on small/degenerate corpora.
     seg_expr = r"regexp_replace(word, '(.)', '·\1·', 'g')"
     for i in range(1, n + 1):
-        seg_expr = (f"replace({seg_expr}, "
-                    f"(SELECT '·' || l || '··' || r || '·' FROM b{i}), "
-                    f"(SELECT '·' || l || r || '·' FROM b{i}))")
+        seg_expr = (
+            f"replace({seg_expr}, "
+            f"COALESCE((SELECT '·' || l || '··' || r || '·' FROM b{i}),"
+            f" ''), "
+            f"COALESCE((SELECT '·' || l || r || '·' FROM b{i}), ''))")
     return f"""
         WITH {_bpe_fit_ctes(n)},
         docw AS (
@@ -2891,31 +2899,125 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     entries in dict insertion order. Freshness rule: a query checked
     at round N must be re-checked by round N+3 (window capacity 50 x
     3 rounds = 150 >= the registered count, so the rule stays
-    satisfiable at 130 registered). STANDING POLICY (adopted r9, per
+    satisfiable at 132 registered). STANDING POLICY (adopted r9, per
     the r8 verdict): any gate query whose IMPLEMENTATION changed in
     round N enters round N+1's window at the latest — freshness is
-    change-based as well as time-based. Round-9 window: (a) the 35
-    queries whose newest driver row is r6 (length_quantiles ...
-    audio_features) — r6 -> r9 is the freshness limit, so they head
-    the window; (b) the 4 r7-green queries whose decode/hash paths
-    were REWRITTEN in r8 and not yet driver-checked on the new code
-    (png_decode: vectorized filter reconstruction; jpeg_decode: LUT
-    Huffman decoder + BLAS DCT + fused encoder; image_neardup and
-    multimodal_dedup: both consume the rewritten decoders) — the
-    change-based rule puts them ahead of plain dict order; (c) 9
-    more r7-green in prior dict order (token_drift ...
-    multimodal_decode); (d) the 2 operators NEW in r9 (bpe_learn,
-    bpe_segment) — new code enters the window the round it lands.
-    Plan: r10 = the remaining 32 r7-green + 18 r8-green (incl.
-    ivf_kmeans_topk and any query whose impl changes in r9, per the
-    standing policy); r11 = the remaining 32 r8-green + 18 slack
-    (132 registered <= 150 capacity). Every registered
-    query, in or out of the window, is oracle-checked by
-    tests/test_entry_oracle.py and timed+oracled by bench.py.
+    change-based as well as time-based. Round-10 window, executing
+    the plan recorded here in r9: (a) the 32 queries whose newest
+    driver row is r7 (corpus_pipeline ... ngram_jaccard_nocap, prior
+    dict order) — r7 -> r10 is the freshness limit, so they head the
+    window; (b) ivf_kmeans_topk FIRST among the r8-green slots: its
+    implementation changed in r9 (initMode=random + phase-2 scan
+    dedup), so the change-based rule pulls it in ahead of dict
+    order; (c) kmeans_clusters next — cluster.py was touched in r9
+    (fp32 GEMM mode; the default path is argued unchanged, re-gated
+    as cheap insurance); (d) 16 more r8-green in prior dict order
+    (props_analytics ... priority_stats). Plan: r11 = the remaining
+    32 r8-green (r8 -> r11 limit) + the 2 r9-green BPE rows if their
+    impl changes in r10, else 18 r9-green in dict order; r12 = the
+    rest of the r9-green + slack (132 registered <= 150 capacity).
+    Every registered query, in or out of the window, is
+    oracle-checked by tests/test_entry_oracle.py and timed+oracled
+    by bench.py.
     """
     return {
-        # --- r9 window head: the 35 r6-green queries (r6 -> r9 is
-        # the freshness limit)
+        # --- r10 window head: the 32 r7-green queries (r7 -> r10 is
+        # the freshness limit), prior dict order
+        "corpus_pipeline": _corpus_pipeline,         # filter+dedup+sample+budget
+        "quality_classifier": _quality_classifier,   # distilled quality filter
+        "repetition_signals": _repetition_signals,   # Gopher repetition stats
+        "decontaminate": _decontaminate,             # benchmark n-gram overlap
+        "corpus_sample": _corpus_sample,             # deterministic sampling
+        "bpe_token_stats": _bpe_token_stats,         # token budgeting
+        "pack_sequences": _pack_sequences,           # fixed-budget packing
+        "winnow_dedup": _winnow_dedup,               # MOSS winnowing spans
+        "dv_pipeline": _dv_pipeline,                 # deletion vectors e2e
+        "webdataset_rw": _webdataset_rw,             # tar shard pack/unpack round trip
+        "lm_perplexity3": _lm_perplexity3,           # trigram stupid-backoff NLL
+        "mp4_index": _mp4_index,                     # ISO-BMFF sample-table index
+        "mp3_index": _mp3_index,                     # MPEG audio frame walk
+        "semantic_dedup": _semantic_dedup,           # SemDeDup over clusters
+        "lm_perplexity": _lm_perplexity,             # bigram-LM quality scoring
+        "heavy_hitters": _heavy_hitters,             # count-min top-k rollup
+        "wal_cdc_pipeline": _wal_cdc_pipeline,       # LIVE postgres WAL CDC
+        "mixture_sample": _mixture_sample,           # domain mixing
+        "source_overlap": _source_overlap,           # overlap matrix
+        "chunk_dedup": _chunk_dedup,                 # chunk-level dedup
+        "bloom_lookup": _bloom_lookup,               # bloom skipping
+        "q11_important_parts": _q11_important_parts, # fraction HAVING
+        "q15_top_supplier": _q15_top_supplier,       # view + max probe
+        "incremental_dedup": _incremental_dedup,     # signature store
+        "pq_stream_ingest": _pq_stream_ingest,       # streaming PQ ingest
+        "span_dedup": _span_dedup,                   # repeated substrings
+        "sketch_rollup": _sketch_rollup,             # HLL union rollup
+        "cohort_retention": _cohort_retention,       # retention matrix
+        "skewed_agg": _skewed_agg,                   # salted hot-key agg
+        "dedup_groups_distributed": _dedup_groups_distributed, # star CC regime
+        "minhash_dedup_prod": _minhash_dedup_prod,   # 16x4 banding, exact oracle
+        "ngram_jaccard_nocap": _ngram_jaccard_nocap, # capless, exact oracle
+        # --- change-based re-gates ahead of dict order:
+        # ivf_kmeans_topk's impl changed in r9 (initMode=random +
+        # phase-2 scan dedup); cluster.py was touched in r9 (fp32
+        # GEMM mode), so kmeans_clusters re-gates as insurance even
+        # though the default path is argued unchanged
+        "ivf_kmeans_topk": _ivf_kmeans_topk,         # fitted IVF, exact-probe oracle
+        "kmeans_clusters": _kmeans_clusters,         # iterative Lloyd k-means
+        # --- 16 of the 50 r8-green, in prior dict order (due r11;
+        # checked a round early to level the r11/r12 windows)
+        "props_analytics": _props_analytics,         # JSON extraction agg
+        "customers_without_orders": _customers_without_orders, # anti join
+        "change_type_counts": _change_type_counts,   # A6
+        "intersect_keys": _intersect_keys,           # INTERSECT
+        "string_funcs": _string_funcs,               # string surface
+        "date_parts": _date_parts,                   # date extraction
+        "time_travel_diff": _time_travel_diff,       # S6 U3
+        "tf_idf": _tf_idf,                           # corpus TF-IDF
+        "dedup_exact_groups": _dedup_exact_groups,   # exact dedup
+        "ngram_jaccard": _ngram_jaccard,             # n-gram Jaccard
+        "dedup_group_assign": _dedup_group_assign,   # connected components
+        "top_tokens": _top_tokens,                   # token counting
+        "doc_chunks": _doc_chunks,                   # chunking w/ overlap
+        "scrub_pii": _scrub_pii,                     # PII scrubbing
+        "embedding_topk": _embedding_topk,           # brute-force ANN baseline
+        "priority_stats": _priority_stats,           # A5 P8
+        # --- positions 51+: outside the driver's 50-query gate
+        # window. FIRST the remaining 32 r8-green (due r11):
+        "event_stats": _event_stats,                 # A7
+        "customer_order_lists": _customer_order_lists, # array_agg
+        "scalar_showcase": _scalar_showcase,         # F2-F10
+        "suppliers_with_lineitems": _suppliers_with_lineitems, # semi join
+        "top_value_events": _top_value_events,       # O1 O4
+        "inventory_status": _inventory_status,       # F8
+        "customer_order_summary": _customer_order_summary, # J1 A2 F10
+        "product_popularity": _product_popularity,   # J2 A3 O1
+        "order_line_summary": _order_line_summary,   # J3 A4
+        "order_analytics": _order_analytics,         # A1 F9
+        "analytics_summary": _analytics_summary,     # A8 A9 U1
+        "order_rollup": _order_rollup,               # ROLLUP subtotals
+        "order_cube": _order_cube,                   # CUBE subtotals
+        "price_ranks": _price_ranks,                 # rank/ntile windows
+        "version_diff_keys": _version_diff_keys,     # U3 P6
+        "q1_pricing_summary": _q1_pricing_summary,   # wide-scan computed agg
+        "q6_forecast_revenue": _q6_forecast_revenue, # selective scan-agg
+        "q3_shipping_priority": _q3_shipping_priority, # 3-way join top-k
+        "q5_local_supplier": _q5_local_supplier_volume, # 5-way join bcast dims
+        # (production twins, re-gated with full oracles in r8)
+        "simhash_dedup_prod": _simhash_dedup_prod,   # xxhash64, identity-set oracle
+        "winnow_dedup_prod": _winnow_dedup_prod,     # xxhash64, exact-8gram oracle
+        "incremental_dedup_prod": _incremental_dedup_prod, # sig-agreement, exact-decision oracle
+        "pq_fitted_topk": _pq_fitted_topk,           # fitted PQ, exact-topk oracle
+        "kmeans_ivf_clusters": _kmeans_ivf_clusters, # two-level pruned assignment
+        "dsir_select": _dsir_select,                 # DSIR importance selection
+        "bm25_search": _bm25_search,                 # Okapi BM25 retrieval
+        "dataset_split": _dataset_split,             # deterministic train/val/test
+        "split_safety": _split_safety,               # dedup-aware leak-free split
+        "shard_layout": _shard_layout,               # deterministic global shuffle
+        "shard_manifest": _shard_manifest,           # export manifest rollup
+        "hard_negatives": _hard_negatives,           # contrastive mining
+        "pca_project": _pca_project,                 # exact power-iteration PCA
+        # --- then the 50 r9-green (due r12; r11 takes ~18 in dict
+        # order, plus any impl-changed-in-r10 per the standing
+        # policy)
         "length_quantiles": _length_quantiles,       # mergeable quantile profile
         "lang_id": _lang_id,                         # language ID
         "text_quality": _text_quality,               # quality scoring
@@ -2951,15 +3053,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdf_changes": _cdf_changes,                 # S8 M1 M3
         "frame_sample": _frame_sample,               # video frames
         "audio_features": _audio_features,           # audio windows
-        # --- change-based re-gates: decode/hash paths rewritten in
-        # r8 (LUT Huffman + BLAS DCT + fused encoder; vectorized PNG
-        # filters) — driver has not checked the new code yet
         "png_decode": _png_decode,                   # PNG codec, lossless pixel oracle
         "jpeg_decode": _jpeg_decode,                 # baseline JPEG codec, PSNR self-check
         "image_neardup": _image_neardup,             # dhash perceptual image dedup
         "multimodal_dedup": _multimodal_dedup,       # cross-modal simhash+dhash groups
-        # --- 11 of the 45 r7-green, in prior dict order (due r10;
-        # checked a round early to level the r10/r11 windows)
         "token_drift": _token_drift,                 # corpus drift
         "minhash_dedup": _minhash_dedup,             # MinHash+LSH vs exact oracle
         "simhash_dedup": _simhash_dedup,             # SimHash, full SQL oracle
@@ -2969,97 +3066,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_topk": _pq_topk,                         # PQ/ADC ANN
         "embedding_neardup": _embedding_neardup,     # cosine near-dup pairs
         "multimodal_decode": _multimodal_decode,     # binary decode + resize
-        # --- the 2 NEW r9 operators (driver-checked the round they
-        # land, per the change-based freshness policy):
         "bpe_learn": _bpe_learn,                     # BPE tokenizer training
         "bpe_segment": _bpe_segment,                 # corpus BPE segmentation
-        # --- positions 51+: outside the driver's 50-query gate
-        # window. FIRST the remaining 32 r7-green (due r10):
-        "corpus_pipeline": _corpus_pipeline,         # filter+dedup+sample+budget
-        "quality_classifier": _quality_classifier,   # distilled quality filter
-        "repetition_signals": _repetition_signals,   # Gopher repetition stats
-        "decontaminate": _decontaminate,             # benchmark n-gram overlap
-        "corpus_sample": _corpus_sample,             # deterministic sampling
-        "bpe_token_stats": _bpe_token_stats,         # token budgeting
-        "pack_sequences": _pack_sequences,           # fixed-budget packing
-        "winnow_dedup": _winnow_dedup,               # MOSS winnowing spans
-        "dv_pipeline": _dv_pipeline,                 # deletion vectors e2e
-        "webdataset_rw": _webdataset_rw,             # tar shard pack/unpack round trip
-        "lm_perplexity3": _lm_perplexity3,           # trigram stupid-backoff NLL
-        "mp4_index": _mp4_index,                     # ISO-BMFF sample-table index
-        "mp3_index": _mp3_index,                     # MPEG audio frame walk
-        "semantic_dedup": _semantic_dedup,           # SemDeDup over clusters
-        "lm_perplexity": _lm_perplexity,             # bigram-LM quality scoring
-        "heavy_hitters": _heavy_hitters,             # count-min top-k rollup
-        "wal_cdc_pipeline": _wal_cdc_pipeline,       # LIVE postgres WAL CDC
-        "mixture_sample": _mixture_sample,           # domain mixing
-        "source_overlap": _source_overlap,           # overlap matrix
-        "chunk_dedup": _chunk_dedup,                 # chunk-level dedup
-        "bloom_lookup": _bloom_lookup,               # bloom skipping
-        "q11_important_parts": _q11_important_parts, # fraction HAVING
-        "q15_top_supplier": _q15_top_supplier,       # view + max probe
-        "incremental_dedup": _incremental_dedup,     # signature store
-        "pq_stream_ingest": _pq_stream_ingest,       # streaming PQ ingest
-        "span_dedup": _span_dedup,                   # repeated substrings
-        "sketch_rollup": _sketch_rollup,             # HLL union rollup
-        "cohort_retention": _cohort_retention,       # retention matrix
-        "skewed_agg": _skewed_agg,                   # salted hot-key agg
-        "dedup_groups_distributed": _dedup_groups_distributed, # star CC regime
-        "minhash_dedup_prod": _minhash_dedup_prod,   # 16x4 banding, exact oracle
-        "ngram_jaccard_nocap": _ngram_jaccard_nocap, # capless, exact oracle
-        # --- then the 50 r8-green (due r11; r10 takes 20, incl. any
-        # impl-changed-in-r9 per the standing policy)
-        "props_analytics": _props_analytics,         # JSON extraction agg
-        "customers_without_orders": _customers_without_orders, # anti join
-        "change_type_counts": _change_type_counts,   # A6
-        "intersect_keys": _intersect_keys,           # INTERSECT
-        "string_funcs": _string_funcs,               # string surface
-        "date_parts": _date_parts,                   # date extraction
-        "time_travel_diff": _time_travel_diff,       # S6 U3
-        "tf_idf": _tf_idf,                           # corpus TF-IDF
-        "dedup_exact_groups": _dedup_exact_groups,   # exact dedup
-        "ngram_jaccard": _ngram_jaccard,             # n-gram Jaccard
-        "dedup_group_assign": _dedup_group_assign,   # connected components
-        "top_tokens": _top_tokens,                   # token counting
-        "doc_chunks": _doc_chunks,                   # chunking w/ overlap
-        "scrub_pii": _scrub_pii,                     # PII scrubbing
-        "embedding_topk": _embedding_topk,           # brute-force ANN baseline
-        "priority_stats": _priority_stats,           # A5 P8
-        "event_stats": _event_stats,                 # A7
-        "customer_order_lists": _customer_order_lists, # array_agg
-        "scalar_showcase": _scalar_showcase,         # F2-F10
-        "suppliers_with_lineitems": _suppliers_with_lineitems, # semi join
-        "top_value_events": _top_value_events,       # O1 O4
-        "inventory_status": _inventory_status,       # F8
-        "customer_order_summary": _customer_order_summary, # J1 A2 F10
-        "product_popularity": _product_popularity,   # J2 A3 O1
-        "order_line_summary": _order_line_summary,   # J3 A4
-        "order_analytics": _order_analytics,         # A1 F9
-        "analytics_summary": _analytics_summary,     # A8 A9 U1
-        "order_rollup": _order_rollup,               # ROLLUP subtotals
-        "order_cube": _order_cube,                   # CUBE subtotals
-        "price_ranks": _price_ranks,                 # rank/ntile windows
-        "version_diff_keys": _version_diff_keys,     # U3 P6
-        "q1_pricing_summary": _q1_pricing_summary,   # wide-scan computed agg
-        "q6_forecast_revenue": _q6_forecast_revenue, # selective scan-agg
-        "q3_shipping_priority": _q3_shipping_priority, # 3-way join top-k
-        "q5_local_supplier": _q5_local_supplier_volume, # 5-way join bcast dims
-        # (the 5 production twins, re-gated with full oracles in r8)
-        "simhash_dedup_prod": _simhash_dedup_prod,   # xxhash64, identity-set oracle
-        "winnow_dedup_prod": _winnow_dedup_prod,     # xxhash64, exact-8gram oracle
-        "incremental_dedup_prod": _incremental_dedup_prod, # sig-agreement, exact-decision oracle
-        "ivf_kmeans_topk": _ivf_kmeans_topk,         # fitted IVF, exact-probe oracle
-        "pq_fitted_topk": _pq_fitted_topk,           # fitted PQ, exact-topk oracle
-        "kmeans_clusters": _kmeans_clusters,         # iterative Lloyd k-means
-        "kmeans_ivf_clusters": _kmeans_ivf_clusters, # two-level pruned assignment
-        "dsir_select": _dsir_select,                 # DSIR importance selection
-        "bm25_search": _bm25_search,                 # Okapi BM25 retrieval
-        "dataset_split": _dataset_split,             # deterministic train/val/test
-        "split_safety": _split_safety,               # dedup-aware leak-free split
-        "shard_layout": _shard_layout,               # deterministic global shuffle
-        "shard_manifest": _shard_manifest,           # export manifest rollup
-        "hard_negatives": _hard_negatives,           # contrastive mining
-        "pca_project": _pca_project,                 # exact power-iteration PCA
     }
 
 

@@ -84,8 +84,15 @@ public class ImageTranscodeUdf implements UDF2<byte[], Integer, long[]> {
                 out.close(); // flushes and frees the memory cache
             }
             byte[] encoded = bos.toByteArray();
-            BufferedImage back = ImageIO.read(
-                new ByteArrayInputStream(encoded));
+            BufferedImage back;
+            try {
+                back = ImageIO.read(new ByteArrayInputStream(encoded));
+            } catch (Exception e) {
+                // Same per-row tolerance as the input decode: a
+                // throwing self-check must fail THIS row, not the
+                // 500k-image stage.
+                back = null;
+            }
             if (back == null) {
                 return null; // self-check failed: output not decodable
             }

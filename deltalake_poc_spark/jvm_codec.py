@@ -28,6 +28,7 @@ the JDK as the library.
 
 from __future__ import annotations
 
+import contextlib
 import os
 import subprocess
 import tempfile
@@ -59,20 +60,24 @@ def build_jar(force: bool = False) -> str | None:
     import pyspark
     spark_jars = os.path.join(os.path.dirname(pyspark.__file__), "jars")
     with tempfile.TemporaryDirectory() as tmp:
+        # build at a private path, then atomically publish: a
+        # concurrent process must never see a half-written jar at
+        # the shared cache path (os.path.exists would pass and the
+        # JVM would die on a truncated zip)
+        staged = f"{jar}.{os.getpid()}.tmp"  # outside the -C dir
         try:
             subprocess.run(
                 ["javac", "-encoding", "UTF-8", "-cp",
                  os.path.join(spark_jars, "*"), "-d", tmp, *srcs],
                 check=True, capture_output=True)
-            # build at a private path, then atomically publish: a
-            # concurrent process must never see a half-written jar at
-            # the shared cache path (os.path.exists would pass and the
-            # JVM would die on a truncated zip)
-            staged = f"{jar}.{os.getpid()}.tmp"  # outside the -C dir
             subprocess.run(["jar", "cf", staged, "-C", tmp, "."],
                            check=True, capture_output=True)
             os.replace(staged, jar)
         except (OSError, subprocess.CalledProcessError):
+            # a failed `jar`/replace may leave the staged file behind
+            # in the shared tempdir — don't leak it across retries
+            with contextlib.suppress(OSError):
+                os.unlink(staged)
             return None
     return jar
 

@@ -162,3 +162,30 @@ def test_segment_stays_jvm_side(spark):
     plan = bpe_segment(docs, [("a", "a")])._jdf.queryExecution() \
         .executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+def test_segment_oracle_survives_vocab_exhaustion(spark):
+    """The DuckDB segment oracle must treat a missing merge (vocabulary
+    exhausted before n_merges) as a no-op, like bpe_learn_rules' early
+    break — not NULL-poison seg via a NULL scalar subquery, which
+    coalesced n_subwords to 0 and would red a CORRECT engine on any
+    small/degenerate corpus."""
+    import duckdb
+
+    import __spark_entry__ as E
+
+    docs = spark.createDataFrame([(1, "ab ab ab"), (2, "xyz")],
+                                 "doc_id LONG, text STRING")
+    rules = bpe_learn_local(docs, n_merges=8)
+    assert len(rules) < 8  # the corpus really does exhaust early
+    got = {r["doc_id"]: (r["n_bpe_words"], r["n_subwords"],
+                         r["n_base_chars"])
+           for r in bpe_segment(docs, [(l, r) for l, r, _ in rules])
+           .collect()}
+
+    con = duckdb.connect()
+    con.sql("CREATE VIEW documents AS SELECT * FROM (VALUES"
+            " (1, 'ab ab ab'), (2, 'xyz')) t(doc_id, text)")
+    want = {row[0]: (row[1], row[2], row[3])
+            for row in con.sql(E._bpe_segment_oracle(8)).fetchall()}
+    assert got == want == {1: (3, 3, 6), 2: (1, 1, 3)}
