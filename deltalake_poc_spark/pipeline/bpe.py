@@ -190,7 +190,17 @@ def bpe_segment(docs: DataFrame,
     as a chain of literal replaces applied inside a higher-order
     ``transform`` over the document's eligible words — at 100 TB this
     is a map-only pass riding the same scan as any other row-local
-    signal. Symbol counting is delimiter arithmetic, no splitting."""
+    signal. Symbol counting is delimiter arithmetic, no splitting.
+
+    MERGE-COUNT CEILING (measured, r10): each merge adds one nested
+    Replace node to a single Catalyst expression tree, and analysis
+    recurses over it — a 512-merge chain throws StackOverflowError at
+    plan time (256 still plans; the wall is Catalyst recursion depth,
+    hit before any codegen limit). This path is therefore for DEMO /
+    oracle-replayable merge counts (the gate's n=8) only; production
+    vocabularies (2k-32k merges) go through ``bpe_segment_prod``,
+    which is pinned output-identical on every corpus where both
+    run (tests/test_bpe.py)."""
     toks = F.split(F.trim(F.col("text")), " ")
     words = F.filter(toks, lambda t: t.rlike(WORD_RE))
 
@@ -214,3 +224,113 @@ def bpe_segment(docs: DataFrame,
         F.size(words).cast("long").alias("n_bpe_words"),
         n_sub.alias("n_subwords"),
         n_chars.alias("n_base_chars"))
+
+
+def _count_symbols(word: str, ranks: dict[tuple[str, str], int]) -> int:
+    """Symbol count of ``word`` encoded under rank-ordered merges.
+
+    Iteratively merges the LOWEST-RANK adjacent pair present
+    (left-to-right, non-overlapping) until none remains — the
+    standard rank-loop BPE encoder. This equals applying the merges
+    sequentially in rank order (what ``bpe_segment``'s replace chain
+    does): merge k's operands are symbols that exist before rank k,
+    and a merge can only CREATE its own output symbol, so applying
+    rank j > k can never make a rank-k pair reappear once rank k has
+    been exhausted. Pinned against the replace chain AND the
+    sequential textbook encoder in tests/test_bpe.py.
+
+    Cost per word is O(len^2) dict lookups worst case — independent
+    of n_merges, which is the whole point at a 2k-32k production
+    vocabulary (a per-word scan over the merge LIST would be
+    O(n_merges * len) and dominated by misses)."""
+    syms: list[str] = list(word)
+    while len(syms) > 1:
+        best_rank = None
+        best_pair = None
+        for pair in zip(syms, syms[1:]):
+            r = ranks.get(pair)
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_pair = r, pair
+        if best_pair is None:
+            return len(syms)
+        a, b = best_pair
+        merged = a + b
+        out: list[str] = []
+        i = 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(merged)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return len(syms)
+
+
+def bpe_segment_prod(docs: DataFrame,
+                     merges: list[tuple[str, str]]) -> DataFrame:
+    """Production-merge-count segmentation: same output contract as
+    ``bpe_segment`` at any vocabulary size.
+
+    ``bpe_segment``'s replace chain is one Catalyst expression node
+    per merge and stops PLANNING at ~512 merges (StackOverflowError
+    in analysis, measured r10) — a 2k-32k production vocabulary needs
+    a different execution shape. This is the one real trainers use
+    (HuggingFace tokenizers' encode): broadcast the merge-rank map,
+    encode each DISTINCT word once with the rank-loop encoder, look
+    everything else up. Concretely, an Arrow-batched ``mapInPandas``
+    pass that keeps a word -> symbol-count cache across the
+    partition's batches, so per-partition encode work is bounded by
+    the partition's DISTINCT eligible words (Zipf: ~31k for the 22 GB
+    1000x derivative) while lookups cover the token stream. Still a
+    row-local map-only pass — zero shuffles, no corpus re-read, and
+    the merge table rides task serialization (2k merges ~ 30 KB;
+    a broadcast-map expression lookup would be a LINEAR scan per
+    token, see foot-gun notes on ArrayBasedMapData).
+
+    Word eligibility mirrors the JVM path exactly: trim SPACES only
+    (Spark ``F.trim``), split on single spaces, keep ``[a-z]+``
+    fullmatch (Python ``fullmatch`` is absolute-anchored like
+    ``\\A..\\z``, no ``$``-before-trailing-newline trap)."""
+    import re
+
+    import pandas as pd
+
+    ranks = {(left, right): i for i, (left, right) in enumerate(merges)}
+    word_ok = re.compile(r"[a-z]+").fullmatch
+
+    def encode(batches):
+        cache: dict[str, int] = {}
+        for pdf in batches:
+            out_words, out_subs, out_chars = [], [], []
+            for text in pdf["text"]:
+                if text is None:  # F.size(null array) is NULL upstream
+                    out_words.append(None)
+                    out_subs.append(None)
+                    out_chars.append(None)
+                    continue
+                n_words = n_subs = n_chars = 0
+                for w in text.strip(" ").split(" "):
+                    if not w or not word_ok(w):
+                        continue
+                    k = cache.get(w)
+                    if k is None:
+                        k = cache[w] = _count_symbols(w, ranks)
+                    n_words += 1
+                    n_subs += k
+                    n_chars += len(w)
+                out_words.append(n_words)
+                out_subs.append(n_subs)
+                out_chars.append(n_chars)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "n_bpe_words": pd.Series(out_words, dtype="Int64"),
+                "n_subwords": pd.Series(out_subs, dtype="Int64"),
+                "n_base_chars": pd.Series(out_chars, dtype="Int64"),
+            })
+
+    return docs.select("doc_id", "text").mapInPandas(
+        encode,
+        "doc_id long, n_bpe_words long, n_subwords long, "
+        "n_base_chars long")

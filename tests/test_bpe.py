@@ -10,9 +10,10 @@ from __future__ import annotations
 
 import pytest
 
-from deltalake_poc_spark.pipeline.bpe import (bpe_learn, bpe_learn_local,
+from deltalake_poc_spark.pipeline.bpe import (_count_symbols, bpe_learn,
+                                              bpe_learn_local,
                                               bpe_learn_rules, bpe_segment,
-                                              word_freqs)
+                                              bpe_segment_prod, word_freqs)
 
 
 def ref_bpe(word_counts: dict[str, int], n_merges: int):
@@ -189,3 +190,113 @@ def test_segment_oracle_survives_vocab_exhaustion(spark):
     want = {row[0]: (row[1], row[2], row[3])
             for row in con.sql(E._bpe_segment_oracle(8)).fetchall()}
     assert got == want == {1: (3, 3, 6), 2: (1, 1, 3)}
+
+
+def _seq_apply(word: str, merges) -> list[str]:
+    """Sequential textbook application: each merge in rank order,
+    left-to-right non-overlapping — literally what bpe_segment's
+    replace chain executes."""
+    syms = list(word)
+    for a, b in merges:
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+@pytest.mark.parametrize("wc", CORPORA)
+def test_segment_prod_matches_expression_path(spark, wc):
+    """bpe_segment_prod (rank-loop mapInPandas encoder) must be
+    output-identical to bpe_segment (chained-replace expression) under
+    the learned merges, on every corpus where both run."""
+    docs = spark.createDataFrame(
+        [(i, " ".join([w] * c)) for i, (w, c) in enumerate(wc.items())],
+        "doc_id LONG, text STRING")
+    merges = [(l, r) for l, r, _ in bpe_learn_local(docs, n_merges=6)]
+    expr = sorted(tuple(r) for r in bpe_segment(docs, merges).collect())
+    prod = sorted(tuple(r) for r in
+                  bpe_segment_prod(docs, merges).collect())
+    assert prod == expr
+
+
+def test_count_symbols_equals_sequential_apply_large_n():
+    """The rank-loop encoder == sequential rank-order application, at
+    merge counts far past the expression path's planning ceiling.
+    Holds because learned merge lists are properly nested (rank j's
+    operands exist before rank j, so applying rank j can never
+    resurrect an exhausted earlier pair); random corpora + random
+    probe words (members AND non-members of the training vocabulary)
+    over a collision-heavy alphabet."""
+    import random
+
+    rng = random.Random(0xB9E2)
+    for trial in range(5):
+        words = {"".join(rng.choice("ababc") for _ in range(
+            rng.randint(1, 12))): rng.randint(1, 9)
+            for _ in range(rng.randint(50, 200))}
+        n = rng.choice([300, 700, 2000])
+        rules, segs = ref_bpe(words, n)
+        merges = [(a, b) for a, b, _ in rules]
+        ranks = {m: i for i, m in enumerate(merges)}
+        # every training word: ref_bpe's final segs ARE the
+        # sequential application
+        for w, s in segs.items():
+            assert _count_symbols(w, ranks) == len(s), (trial, w)
+        # probe words the fit never saw
+        for _ in range(50):
+            w = "".join(rng.choice("ababc")
+                        for _ in range(rng.randint(1, 20)))
+            assert _count_symbols(w, ranks) == len(_seq_apply(w, merges)), \
+                (trial, w)
+
+
+def test_segment_prod_past_expression_ceiling(spark):
+    """End-to-end at a merge count the expression path cannot even
+    PLAN (512+ throws StackOverflowError in Catalyst analysis,
+    measured r10): learn 600 merges, segment with the production
+    encoder, check per-doc counts against the textbook reference."""
+    import random
+
+    rng = random.Random(0xB9E3)
+    words = {"".join(rng.choice("abcdefgh") for _ in range(
+        rng.randint(4, 14))): rng.randint(1, 5) for _ in range(250)}
+    docs = spark.createDataFrame(
+        [(i, " ".join([w] * c)) for i, (w, c) in enumerate(words.items())],
+        "doc_id LONG, text STRING")
+    rules = bpe_learn_local(docs, n_merges=600)
+    assert len(rules) == 600  # the corpus really supports this depth
+    _, segs = ref_bpe(words, 600)
+    out = {r["doc_id"]: r for r in
+           bpe_segment_prod(docs, [(l, r) for l, r, _ in rules])
+           .collect()}
+    for i, (w, c) in enumerate(words.items()):
+        assert out[i]["n_bpe_words"] == c
+        assert out[i]["n_subwords"] == len(segs[w]) * c, (w, segs[w])
+        assert out[i]["n_base_chars"] == len(w) * c
+
+
+def test_segment_prod_null_and_ineligible(spark):
+    """NULL text mirrors the expression path's F.size(NULL) -> NULL;
+    ineligible tokens (digits, trailing newline, empty) are excluded
+    exactly as WORD_RE's absolute anchors exclude them."""
+    docs = spark.createDataFrame(
+        [(0, None), (1, ""), (2, "  ab  cd1  ab\n  ef  ")],
+        "doc_id LONG, text STRING")
+    merges = [("a", "b"), ("e", "f")]
+    prod = {r["doc_id"]: (r["n_bpe_words"], r["n_subwords"],
+                          r["n_base_chars"])
+            for r in bpe_segment_prod(docs, merges).collect()}
+    expr = {r["doc_id"]: (r["n_bpe_words"], r["n_subwords"],
+                          r["n_base_chars"])
+            for r in bpe_segment(docs, merges).collect()}
+    assert prod == expr
+    assert prod[0] == (None, None, None)
+    assert prod[1] == (0, 0, 0)
+    # 'ab' and 'ef' each merge to 1 symbol; 'cd1' and 'ab\n' excluded
+    assert prod[2] == (2, 2, 4)
