@@ -1731,13 +1731,22 @@ def _bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate covers BOTH fit implementations: bpe_learn checks the
     distributed iteration loop, this query checks the local loop
     against the same SQL replay (they are merge-identical, pinned in
-    tests/test_bpe.py; a divergence in either breaks its gate)."""
+    tests/test_bpe.py; a divergence in either breaks its gate).
+
+    Since r10 the SEGMENTER here is also the production path
+    (bpe_segment_prod: Arrow-batched rank-loop encoder with a
+    distinct-word cache — the expression path stops PLANNING at ~512
+    merges, and at scale the encoder is 3x faster even at n=8's
+    corpus, see SCALE_RUN_BPE.json), so the DuckDB replay
+    independently checks the encoder real corpora run. The
+    chained-replace expression twin stays pinned output-identical in
+    tests/test_bpe.py."""
     from deltalake_poc_spark.pipeline.bpe import (bpe_learn_local,
-                                                  bpe_segment)
+                                                  bpe_segment_prod)
 
     docs = load_table(spark, sf_dir, "documents")
     rules = bpe_learn_local(docs, n_merges=_BPE_N_MERGES)
-    return bpe_segment(docs, [(l, r) for l, r, _ in rules])
+    return bpe_segment_prod(docs, [(l, r) for l, r, _ in rules])
 
 
 def _bpe_fit_ctes(n: int) -> str:
@@ -2911,12 +2920,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     dedup), so the change-based rule pulls it in ahead of dict
     order; (c) kmeans_clusters next — cluster.py was touched in r9
     (fp32 GEMM mode; the default path is argued unchanged, re-gated
-    as cheap insurance); (d) 16 more r8-green in prior dict order
-    (props_analytics ... priority_stats). Plan: r11 = the remaining
-    32 r8-green (r8 -> r11 limit) + the 2 r9-green BPE rows if their
-    impl changes in r10, else 18 r9-green in dict order; r12 = the
-    rest of the r9-green + slack (132 registered <= 150 capacity).
-    Every registered query, in or out of the window, is
+    as cheap insurance); (d) 15 r8-green in prior dict order
+    (props_analytics ... embedding_topk); (e) bpe_segment — its gate
+    impl changed IN r10 (segmenter switched to the production
+    rank-loop encoder), so it re-enters the window the round the
+    change lands. Plan: r11 = the remaining 33 r8-green (r8 -> r11
+    limit, priority_stats ... pca_project) + bpe_learn (module
+    touched r10, cheap insurance) + 16 r9-green in dict order; r12 =
+    the rest of the r9-green + slack (132 registered <= 150
+    capacity). Every registered query, in or out of the window, is
     oracle-checked by tests/test_entry_oracle.py and timed+oracled
     by bench.py.
     """
@@ -2979,9 +2991,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": _doc_chunks,                   # chunking w/ overlap
         "scrub_pii": _scrub_pii,                     # PII scrubbing
         "embedding_topk": _embedding_topk,           # brute-force ANN baseline
-        "priority_stats": _priority_stats,           # A5 P8
+        # --- changed in r10 (gate segmenter switched to the
+        # production rank-loop encoder), so it enters THIS window:
+        "bpe_segment": _bpe_segment,                 # corpus BPE segmentation (prod encoder)
         # --- positions 51+: outside the driver's 50-query gate
-        # window. FIRST the remaining 32 r8-green (due r11):
+        # window. FIRST the remaining 33 r8-green (due r11):
+        "priority_stats": _priority_stats,           # A5 P8
         "event_stats": _event_stats,                 # A7
         "customer_order_lists": _customer_order_lists, # array_agg
         "scalar_showcase": _scalar_showcase,         # F2-F10
@@ -3067,7 +3082,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": _embedding_neardup,     # cosine near-dup pairs
         "multimodal_decode": _multimodal_decode,     # binary decode + resize
         "bpe_learn": _bpe_learn,                     # BPE tokenizer training
-        "bpe_segment": _bpe_segment,                 # corpus BPE segmentation
     }
 
 

@@ -89,6 +89,111 @@ def session_conf() -> dict[str, str]:
     return {"spark.jars": jar} if jar else {}
 
 
+def image_stats(media):
+    """Per-image integer pixel statistics — the measured OPT-IN
+    DEFAULT dispatch (r9 verdict): when the session was built with
+    ``session_conf()`` and ``register()`` succeeded, stats run
+    JVM-side via ``image_stats_jvm`` (javax.imageio; measured 4.1x
+    the numpy path at the 500k-image tier, SCALE_RUN_JVM_CODEC.json);
+    otherwise the numpy codecs (``multimodal.image_features``) — the
+    oracle, progressive-JPEG, and no-toolchain path — serve the same
+    surface. Input: (media_id, payload); output: (media_id, width,
+    height, channels, sum_px, min_px, max_px).
+
+    The two paths agree exactly on dims/channels and on lossless
+    formats' stats; JPEG sum_px may differ by bounded IDCT rounding
+    (pinned in tests/test_jvm_codec.py and re-counted full-corpus by
+    scripts/scale_jvm_codec.py)."""
+    from pyspark.sql import functions as F
+
+    from deltalake_poc_spark.pipeline.dedup import spread
+
+    spark = media.sparkSession
+    if spark.catalog.functionExists(UDF_NAME):
+        # explode-of-1-element-array Generate barrier (the cdc/parse
+        # pattern): filtering the projected UDF column directly would
+        # let Catalyst substitute the UDF call into a pre-Project
+        # filter and evaluate it twice per row
+        return (spread(media)
+                .select("media_id",
+                        F.explode(F.array(
+                            F.expr(f"{UDF_NAME}(payload)"))).alias("s"))
+                .filter(F.col("s").isNotNull())
+                .select("media_id",
+                        F.col("s")[0].cast("int").alias("width"),
+                        F.col("s")[1].cast("int").alias("height"),
+                        F.col("s")[2].cast("int").alias("channels"),
+                        F.col("s")[3].alias("sum_px"),
+                        F.col("s")[4].cast("int").alias("min_px"),
+                        F.col("s")[5].cast("int").alias("max_px")))
+    from deltalake_poc_spark.pipeline import multimodal
+    return multimodal.image_features(media).select(
+        "media_id", "width", "height", "channels",
+        "sum_px", "min_px", "max_px")
+
+
+def image_transcode(media, quality: int = 85):
+    """Decode + baseline-JPEG re-encode — same opt-in dispatch as
+    ``image_stats``. JVM path (``image_transcode_jvm``) additionally
+    DECODES ITS OWN OUTPUT per row (a bad encode returns null, never
+    a bogus row) — measured 2.42x the numpy chain at the 500k tier
+    while doing that extra decode. Output: (media_id, width, height,
+    in_bytes, out_bytes)."""
+    from pyspark.sql import functions as F
+
+    from deltalake_poc_spark.pipeline.dedup import spread
+
+    spark = media.sparkSession
+    if spark.catalog.functionExists(TRANSCODE_UDF_NAME):
+        q = int(quality)
+        # same Generate barrier as image_stats: null rows (corrupt
+        # payload or failed self-check) are dropped without
+        # re-evaluating the UDF in a pushed-down filter
+        return (spread(media)
+                .select("media_id",
+                        F.explode(F.array(
+                            F.expr(f"{TRANSCODE_UDF_NAME}(payload, {q})")
+                        )).alias("t"))
+                .filter(F.col("t").isNotNull())
+                .select("media_id",
+                        F.col("t")[0].cast("int").alias("width"),
+                        F.col("t")[1].cast("int").alias("height"),
+                        F.col("t")[2].alias("in_bytes"),
+                        F.col("t")[3].alias("out_bytes")))
+
+    def np_transcode(batches):
+        import pandas as pd
+
+        from deltalake_poc_spark.pipeline.codecs.jpeg import (decode_jpeg,
+                                                              encode_jpeg)
+
+        for pdf in batches:
+            ids, widths, heights, in_lens, out_lens = [], [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    raw = bytes(payload)
+                    img = decode_jpeg(raw)
+                    enc = encode_jpeg(img, quality, "4:4:4")
+                except Exception:
+                    continue  # same per-row tolerance as the JVM path
+                ids.append(int(mid))
+                heights.append(img.shape[0])
+                widths.append(img.shape[1])
+                in_lens.append(len(raw))
+                out_lens.append(len(enc))
+            yield pd.DataFrame({
+                "media_id": pd.Series(ids, dtype="int64"),
+                "width": pd.Series(widths, dtype="int32"),
+                "height": pd.Series(heights, dtype="int32"),
+                "in_bytes": pd.Series(in_lens, dtype="int64"),
+                "out_bytes": pd.Series(out_lens, dtype="int64")})
+
+    return spread(media).mapInPandas(
+        np_transcode,
+        "media_id long, width int, height int, in_bytes long, "
+        "out_bytes long")
+
+
 def register(spark: SparkSession) -> bool:
     """Register ``image_stats_jvm(binary) -> array<long>`` (width,
     height, channels, sum_px, min_px, max_px — the same surface as

@@ -53,7 +53,9 @@ def main() -> None:
 
     from deltalake_poc_spark.analytics.io import load_table
     from deltalake_poc_spark.pipeline.bpe import (bpe_learn_rules,
-                                                  bpe_segment, word_freqs)
+                                                  bpe_segment,
+                                                  bpe_segment_prod,
+                                                  word_freqs)
     from deltalake_poc_spark.session import EngineConfig, get_spark
 
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -76,23 +78,37 @@ def main() -> None:
         n_docs = docs.count()  # materialize: time the fit, not the scan
         vocab = word_freqs(docs).count()
 
-        fit_times, seg_times = [], []
+        fit_times, seg_times, seg_prod_times = [], [], []
         rules = None
         for _ in range(REPS):
             t0 = time.time()
             rules = bpe_learn_rules(docs, n_merges=N_MERGES)
             fit_times.append(round(time.time() - t0, 3))
         merges = [(l, r) for l, r, _ in rules]
+        sums = None
         for _ in range(REPS):
             t0 = time.time()
-            bpe_segment(docs, merges).agg(
+            sums = bpe_segment(docs, merges).agg(
                 F.sum("n_subwords"), F.sum("n_bpe_words")).collect()
             seg_times.append(round(time.time() - t0, 3))
+        # production (mapInPandas rank-loop) segmenter at the SAME
+        # merge list: overhead of the Arrow path vs the expression
+        # path where both run, and a corpus-total identity check
+        for _ in range(REPS):
+            t0 = time.time()
+            prod_sums = bpe_segment_prod(
+                docs.repartition(int(cpus) * 2), merges).agg(
+                F.sum("n_subwords"), F.sum("n_bpe_words")).collect()
+            seg_prod_times.append(round(time.time() - t0, 3))
+        assert [tuple(r) for r in prod_sums] == [tuple(r) for r in sums], \
+            (tier, prod_sums, sums)
         docs.unpersist()
 
         row = {"docs": n_docs, "vocab": vocab,
                "fit_times": fit_times, "fit_min": min(fit_times),
                "seg_times": seg_times, "seg_min": min(seg_times),
+               "seg_prod_times": seg_prod_times,
+               "seg_prod_min": min(seg_prod_times),
                "top_merges": [list(x) for x in rules[:4]]}
         summary["tiers"][tier] = row
         print(json.dumps({"tier": tier, **row}), flush=True)
@@ -116,6 +132,90 @@ def main() -> None:
             "n_merges_learned": len(prod_rules),
             "wall_sec": round(time.time() - t0, 3)}
         print(json.dumps({"prod_fit": summary["prod_fit"]}), flush=True)
+
+        # SEGMENT the full tier under the production merge count —
+        # the regime the expression path cannot even plan (Catalyst
+        # StackOverflowError at ~512 chained replaces, r10): the
+        # mapInPandas rank-loop encoder is the only path here, so
+        # this row is the module's 100 TB segmentation evidence.
+        prod_merges = [(l, r) for l, r, _ in prod_rules]
+        docs = docs.persist()
+        docs.count()
+        seg2k_times = []
+        totals = None
+        for _ in range(REPS):
+            t0 = time.time()
+            totals = bpe_segment_prod(
+                docs.repartition(int(cpus) * 2), prod_merges).agg(
+                F.sum("n_subwords").alias("subs"),
+                F.sum("n_bpe_words").alias("words"),
+                F.sum("n_base_chars").alias("chars")).collect()[0]
+            seg2k_times.append(round(time.time() - t0, 3))
+
+        # identity check on a slice: re-encode a deterministic 1k-doc
+        # sample with the TEXTBOOK sequential encoder (pure Python,
+        # merges applied in rank order, L-to-R non-overlapping) and
+        # compare all three per-doc counts.
+        import re as _re
+
+        def seq_count(word: str) -> int:
+            # the INDEPENDENT referee: merges applied sequentially in
+            # rank order, L-to-R non-overlapping — the textbook
+            # semantics the expression path executes, NOT the
+            # rank-loop encoder under test
+            syms = list(word)
+            present = set(syms)
+            for a, b in prod_merges:
+                if a not in present or b not in present:
+                    continue  # pure speedup: the L-to-R pass is a
+                    # no-op when either symbol is absent
+                out, i = [], 0
+                while i < len(syms):
+                    if (i + 1 < len(syms) and syms[i] == a
+                            and syms[i + 1] == b):
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                if len(out) < len(syms):
+                    present = set(out)
+                syms = out
+            return len(syms)
+
+        sample = (docs.filter(F.col("doc_id") % 5003 == 0)
+                  .select("doc_id", "text").collect())
+        got = {r["doc_id"]: r for r in bpe_segment_prod(
+            docs.filter(F.col("doc_id") % 5003 == 0), prod_merges)
+            .collect()}
+        word_ok = _re.compile(r"[a-z]+").fullmatch
+        seq_cache: dict[str, int] = {}
+        mismatches = 0
+        for row_ in sample:
+            nw = ns = nc = 0
+            for w in (row_["text"] or "").strip(" ").split(" "):
+                if w and word_ok(w):
+                    nw += 1
+                    if w not in seq_cache:
+                        seq_cache[w] = seq_count(w)
+                    ns += seq_cache[w]
+                    nc += len(w)
+            g = got[row_["doc_id"]]
+            if (g["n_bpe_words"], g["n_subwords"],
+                    g["n_base_chars"]) != (nw, ns, nc):
+                mismatches += 1
+        docs.unpersist()
+        summary["prod_segment"] = {
+            "tier": tier, "n_merges": len(prod_merges),
+            "seg_times": seg2k_times, "seg_min": min(seg2k_times),
+            "total_subwords": int(totals["subs"]),
+            "total_words": int(totals["words"]),
+            "total_chars": int(totals["chars"]),
+            "slice_docs_checked": len(sample),
+            "slice_mismatches": mismatches}
+        print(json.dumps({"prod_segment": summary["prod_segment"]}),
+              flush=True)
+        assert mismatches == 0
         break
 
     base = summary["tiers"].get("sf0.1")

@@ -103,12 +103,12 @@ def main() -> None:
 
     numpy_df = multimodal.image_features(media).select(
         "media_id", "width", "height", "channels", "sum_px")
-    jvm_df = media.select(
-        "media_id",
-        F.expr(f"{jvm_codec.UDF_NAME}(payload)").alias("s")).select(
-        "media_id", F.col("s")[0].alias("width"),
-        F.col("s")[1].alias("height"), F.col("s")[2].alias("channels"),
-        F.col("s")[3].alias("sum_px"))
+    # the JVM side goes through the OPT-IN DISPATCH (jvm_codec
+    # .image_stats picks the registered UDF on this session) — the
+    # tier times the API users actually call, not a bare expression
+    assert spark.catalog.functionExists(jvm_codec.UDF_NAME)
+    jvm_df = jvm_codec.image_stats(media).select(
+        "media_id", "width", "height", "channels", "sum_px")
 
     # warm both paths (Python worker pool / JIT)
     numpy_df.limit(256).write.format("noop").mode("overwrite").save()
@@ -117,13 +117,25 @@ def main() -> None:
     t_numpy = run(numpy_df)
     t_jvm = run(jvm_df)
 
-    # row-level agreement on a slice: dims/channels exact
-    a = {r["media_id"]: r for r in numpy_df.limit(2000).collect()}
-    b = {r["media_id"]: r for r in
-         jvm_df.filter(F.col("media_id").isin(list(a))).collect()}
-    agree = sum(1 for k in a if k in b
-                and (a[k]["width"], a[k]["height"], a[k]["channels"])
-                == (b[k]["width"], b[k]["height"], b[k]["channels"]))
+    # FULL-CORPUS agreement (distributed join, no driver collect):
+    # dims/channels exact on every row; JPEG sum_px differs only by
+    # IDCT rounding, so the per-sample mean gap must stay bounded
+    j = (numpy_df.alias("a")
+         .join(jvm_df.alias("b"), "media_id", "inner")
+         .select(
+             ((F.col("a.width") == F.col("b.width"))
+              & (F.col("a.height") == F.col("b.height"))
+              & (F.col("a.channels") == F.col("b.channels"))
+              ).cast("int").alias("dims_ok"),
+             (F.abs(F.col("a.sum_px") - F.col("b.sum_px"))
+              / (F.col("a.width") * F.col("a.height")
+                 * F.col("a.channels"))).alias("mean_gap"))
+         .agg(F.count(F.lit(1)).alias("joined"),
+              F.sum("dims_ok").alias("dims_agree"),
+              F.max("mean_gap").alias("max_mean_gap")).collect()[0])
+    agree = int(j["dims_agree"])
+    stats_check = {"joined": int(j["joined"]),
+                   "max_mean_gap": round(float(j["max_mean_gap"]), 3)}
 
     # ---- encode direction: numpy decode+encode vs JVM transcode.
     # The JVM UDF does decode + encode + a SELF-CHECK decode of its
@@ -153,25 +165,26 @@ def main() -> None:
     from deltalake_poc_spark.pipeline.dedup import spread
     numpy_tx = spread(media).mapInPandas(
         np_transcode, "media_id long, width long, height long, out_bytes long")
-    jvm_tx = media.select(
-        "media_id",
-        F.expr(f"{jvm_codec.TRANSCODE_UDF_NAME}(payload, 85)").alias("t")
-    ).select("media_id", F.col("t")[0].alias("width"),
-             F.col("t")[1].alias("height"),
-             F.col("t")[3].alias("out_bytes"))
+    # dispatch again: image_transcode on this session = the JVM UDF
+    # (decode + encode + self-check decode per row)
+    jvm_tx = jvm_codec.image_transcode(media, 85).select(
+        "media_id", "width", "height", "out_bytes")
 
     numpy_tx.limit(256).write.format("noop").mode("overwrite").save()
     jvm_tx.limit(256).write.format("noop").mode("overwrite").save()
     t_numpy_tx = run(numpy_tx)
     t_jvm_tx = run(jvm_tx)
 
-    ta = {r["media_id"]: r for r in numpy_tx.limit(2000).collect()}
-    tb = {r["media_id"]: r for r in
-          jvm_tx.filter(F.col("media_id").isin(list(ta))).collect()}
-    tx_agree = sum(1 for k in ta if k in tb
-                   and (ta[k]["width"], ta[k]["height"])
-                   == (tb[k]["width"], tb[k]["height"])
-                   and tb[k]["out_bytes"] > 0)
+    tj = (numpy_tx.alias("a")
+          .join(jvm_tx.alias("b"), "media_id", "inner")
+          .select(((F.col("a.width") == F.col("b.width"))
+                   & (F.col("a.height") == F.col("b.height"))
+                   & (F.col("b.out_bytes") > 0)).cast("int")
+                  .alias("ok"))
+          .agg(F.count(F.lit(1)).alias("joined"),
+               F.sum("ok").alias("agree")).collect()[0])
+    tx_agree = int(tj["agree"])
+    tx_check = {"joined": int(tj["joined"])}
 
     out = {
         "rows": n_rows,
@@ -181,7 +194,8 @@ def main() -> None:
         "jvm": {"times": t_jvm, "min": min(t_jvm),
                 "mb_per_s": round(total_mb / min(t_jvm), 1)},
         "speedup": round(min(t_numpy) / min(t_jvm), 2),
-        "dims_agree": agree, "dims_checked": len(a),
+        "dims_agree": agree, "dims_checked": stats_check["joined"],
+        "max_jpeg_mean_gap": stats_check["max_mean_gap"],
         "transcode": {
             "numpy_decode_encode": {
                 "times": t_numpy_tx, "min": min(t_numpy_tx),
@@ -190,7 +204,7 @@ def main() -> None:
                 "times": t_jvm_tx, "min": min(t_jvm_tx),
                 "mb_per_s": round(total_mb / min(t_jvm_tx), 1)},
             "speedup": round(min(t_numpy_tx) / min(t_jvm_tx), 2),
-            "dims_agree": tx_agree, "dims_checked": len(ta)},
+            "dims_agree": tx_agree, "dims_checked": tx_check["joined"]},
     }
     with open(OUT_JSON, "w") as f:
         json.dump(out, f, indent=1)

@@ -97,6 +97,30 @@ for r in tout:
     assert any(abs(tp[4] / (w * h * b) - gray_mean) < 8.0
                for b in (1, 3)), (r["media_id"], tp, gray_mean)
 
+# the image_stats/image_transcode dispatch must pick the JVM path on
+# this session (functionExists) and agree with the direct UDF calls
+media = df.select("media_id", F.col("png").alias("payload"))
+stats = {r["media_id"]: r for r in jvm_codec.image_stats(media).collect()}
+assert len(stats) == 60
+for did, (w, h, gray, rgb) in truth.items():
+    s = stats[did]
+    assert (s["width"], s["height"], s["channels"]) == (w, h, 1)
+    assert s["sum_px"] == int(gray.sum())
+tx = {r["media_id"]: r for r in jvm_codec.image_transcode(
+    df.select("media_id", F.col("jpeg").alias("payload")), 85).collect()}
+assert len(tx) == 60
+for did, (w, h, gray, rgb) in truth.items():
+    t = tx[did]
+    assert (t["width"], t["height"]) == (w, h)
+    assert t["out_bytes"] > 0 and t["in_bytes"] > 0
+# corrupt payloads must DROP the row (null barrier), not null-row or
+# abort the stage
+bad = spark.createDataFrame(
+    [(0, bytearray(b"not an image")), (1, rows[0][1])],
+    "media_id long, payload binary")
+got = jvm_codec.image_stats(bad).collect()
+assert [r["media_id"] for r in got] == [1]
+
 # fail-closed contract: a registration attempt is False, not a raise,
 # when the jar cannot be used (simulated by asking for a bogus class)
 try:
@@ -128,3 +152,61 @@ def test_register_fails_closed_on_vanilla_session(spark):
     must return False or raise nothing — gate queries run on vanilla
     sessions by contract, so the JVM path must fail closed."""
     assert jvm_codec.register(spark) in (True, False)
+
+
+def _png_media(spark, n=12):
+    import numpy as np
+
+    from deltalake_poc_spark.pipeline.codecs.png import encode_png
+
+    rows = []
+    for did in range(n):
+        h, w = did % 9 + 8, did % 13 + 8
+        i, j = np.mgrid[0:h, 0:w]
+        rows.append((did, bytearray(encode_png(
+            ((did * 31 + i * 7 + j * 3) % 256).astype(np.uint8),
+            filter_type=did % 5))))
+    return spark.createDataFrame(rows, "media_id long, payload binary")
+
+
+def test_image_stats_dispatch_falls_back_to_numpy(spark):
+    """Without the jar on the classpath the dispatch must serve the
+    SAME surface through the numpy codecs, equal to image_features
+    projected to the common columns."""
+    from deltalake_poc_spark.pipeline import multimodal
+
+    media = _png_media(spark)
+    assert not spark.catalog.functionExists(jvm_codec.UDF_NAME)
+    got = sorted(tuple(r) for r in jvm_codec.image_stats(media).collect())
+    want = sorted(tuple(r) for r in multimodal.image_features(media)
+                  .select("media_id", "width", "height", "channels",
+                          "sum_px", "min_px", "max_px").collect())
+    assert got == want and len(got) == 12
+
+
+def test_image_transcode_dispatch_falls_back_to_numpy(spark):
+    """Fallback transcode: decode + re-encode through the numpy
+    codecs, dims exact, output decodable, corrupt rows dropped."""
+    import numpy as np
+
+    from deltalake_poc_spark.pipeline.codecs.jpeg import (decode_jpeg,
+                                                          encode_jpeg)
+
+    rows = []
+    for did in range(8):
+        h, w = did % 9 + 8, did % 13 + 8
+        i, j = np.mgrid[0:h, 0:w]
+        img = np.stack([((did * k + i * 3 + j) % 256)
+                        for k in (31, 17, 7)], -1).astype(np.uint8)
+        rows.append((did, bytearray(encode_jpeg(img, 85, "4:4:4"))))
+    rows.append((99, bytearray(b"corrupt")))
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {r["media_id"]: r for r in
+           jvm_codec.image_transcode(media, 85).collect()}
+    assert 99 not in out and len(out) == 8
+    for did in range(8):
+        h, w = did % 9 + 8, did % 13 + 8
+        t = out[did]
+        assert (t["width"], t["height"]) == (w, h)
+        assert t["in_bytes"] == len(bytes(rows[did][1]))
+        assert t["out_bytes"] > 0
