@@ -1957,7 +1957,16 @@ def _split_safety(spark: SparkSession, sf_dir: str) -> DataFrame:
     from deltalake_poc_spark.pipeline.sample import leakage_safe_split
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, threshold=0.15)
+    # eager localCheckpoint: the posting-list self-join is the whole
+    # cost of this query and the plan consumes it TWICE with an
+    # eager-collect boundary between (connected_components persists,
+    # collects, unpersists inside leakage_safe_split; the crossing
+    # verification below then re-derived it from scratch — measured
+    # ~40% of gate wall). Checkpointing the KB-scale pair set once
+    # keeps both consumers on the same materialized rows; the
+    # verification contract is unchanged (it checks the SPLIT against
+    # the pair set, and the oracle recomputes the pairs themselves).
+    pairs = ngram_jaccard_pairs(docs, threshold=0.15).localCheckpoint()
     sp = leakage_safe_split(docs, pairs)
     crossing = (
         pairs

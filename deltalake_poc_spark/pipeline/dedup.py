@@ -1171,9 +1171,22 @@ def incremental_minhash_dedup(store, new_docs: DataFrame,
         decisions = decisions.persist()
         kept_ids = decisions.filter("kept").select(
             F.col("doc_id").alias("_keep_id"))
+        # Right-size the append's file count from the ACTUAL kept
+        # rows (~400 B of signature per row, ~64 MB target files): a
+        # micro-batch's survivors are often KBs while session
+        # parallelism is 32+, and one-tiny-file-per-task floods the
+        # store with 40 KB files while paying a commit rename + log
+        # add-action PER FILE (measured ~1/3 of this operator's gate
+        # wall). The count runs over the cached decision frame — work
+        # the append job was about to do anyway — and at production
+        # batch sizes the same formula yields many right-sized files,
+        # so write parallelism returns exactly when it matters.
+        n_kept = kept_ids.count()
+        n_files = max(1, -(-(n_kept * 400) // (64 << 20)))
         store.write(
             sigs_new.join(kept_ids,
-                          F.col("doc_id") == F.col("_keep_id"), "left_semi"),
+                          F.col("doc_id") == F.col("_keep_id"), "left_semi")
+            .coalesce(n_files),
             "append")
         # the append materialized the decisions cache; release the
         # scratch caches NOW. This matters beyond memory: Spark's
