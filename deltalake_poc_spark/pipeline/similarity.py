@@ -178,9 +178,20 @@ def ivf_build(emb: DataFrame, n_clusters: int = 16, seed: int = 42,
         nrm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
         v = F.when(nrm == 0, v).otherwise(F.transform(v, lambda x: x / nrm))
     vecs = emb.withColumn("__vec", array_to_vector(v))
-    model = KMeans(k=n_clusters, seed=seed, maxIter=max_iter,
-                   initMode=init_mode, featuresCol="__vec",
-                   predictionCol="__cluster").fit(vecs)
+    # cache for the FIT only: MLlib's fit makes one pass per
+    # init/iteration/cost round, and each pass would otherwise replay
+    # scan + normalize + array_to_vector (measured ~40% of the
+    # ivf_kmeans_topk gate row). Released immediately after fit so no
+    # cached subtree leaks into the session's later plans; the
+    # returned lazy `assigned` recomputes the projection once, as
+    # before, and the caller persists IT across the probe passes.
+    vecs = vecs.persist()
+    try:
+        model = KMeans(k=n_clusters, seed=seed, maxIter=max_iter,
+                       initMode=init_mode, featuresCol="__vec",
+                       predictionCol="__cluster").fit(vecs)
+    finally:
+        vecs.unpersist()
     assigned = model.transform(vecs).drop("__vec")
     centers = [c.tolist() for c in model.clusterCenters()]
     return assigned, centers
