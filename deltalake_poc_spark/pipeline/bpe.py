@@ -143,25 +143,63 @@ def bpe_learn_local(docs: DataFrame,
     IDENTICAL to ``bpe_learn_rules`` (same argmax, same count-DESC /
     lhs / rhs tie-break; pinned in tests/test_bpe.py); use the
     distributed loop only when the vocabulary itself cannot fit on
-    one node."""
-    wc = {r["word"]: r["cnt"] for r in word_freqs(docs).collect()}
-    segs = {w: tuple(w) for w in wc}
+    one node.
+
+    Merge-loop cost is INCREMENTAL, not per-iteration-global (r10;
+    the r9 loop recounted every pair over the whole vocabulary each
+    merge — O(n_merges x vocab chars), ~20 min extrapolated to a real
+    32k-merge vocabulary): a pair -> count dict and a pair -> words
+    inverted index are maintained by delta when a merge rewrites a
+    word, and the argmax pops a lazy-deletion heap keyed
+    (-count, lhs, rhs) — the exact count-DESC/lhs/rhs tie-break as a
+    tuple order. Stale heap entries are discarded on pop by checking
+    the live dict. Total update work is bounded by actual merge
+    occurrences (near-linear in vocabulary chars), the structure real
+    tokenizer trainers maintain."""
+    import heapq
+
+    wc_rows = word_freqs(docs).collect()
+    segs: dict[str, tuple[str, ...]] = {}
+    wcount: dict[str, int] = {}
+    pair_counts: dict[tuple[str, str], int] = {}
+    pair_words: dict[tuple[str, str], set[str]] = {}
+    for r in wc_rows:
+        w, c = r["word"], int(r["cnt"])
+        wcount[w] = c
+        s = tuple(w)
+        segs[w] = s
+        for p in zip(s, s[1:]):
+            pair_counts[p] = pair_counts.get(p, 0) + c
+            pair_words.setdefault(p, set()).add(w)
+
+    heap = [(-c, p[0], p[1]) for p, c in pair_counts.items()]
+    heapq.heapify(heap)
+
+    def bump(p: tuple[str, str], delta: int) -> None:
+        c = pair_counts.get(p, 0) + delta
+        if c <= 0:
+            pair_counts.pop(p, None)
+        else:
+            pair_counts[p] = c
+            # always push the NEW count (up or down — a pop only
+            # honors an entry equal to the live count, so the pair
+            # must have a current-count entry); stale entries die on
+            # pop
+            heapq.heappush(heap, (-c, p[0], p[1]))
+
     rules: list[tuple[str, str, int]] = []
-    for _ in range(n_merges):
-        pc: dict[tuple[str, str], int] = {}
-        for w, c in wc.items():
-            s = segs[w]
-            for a, b in zip(s, s[1:]):
-                pc[(a, b)] = pc.get((a, b), 0) + c
-        if not pc:
-            break
-        (a, b), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
-        rules.append((a, b, int(c)))
+    while len(rules) < n_merges and heap:
+        negc, a, b = heapq.heappop(heap)
+        cur = pair_counts.get((a, b))
+        if cur is None or -negc != cur:
+            continue  # stale entry (count changed since push)
+        rules.append((a, b, cur))
         merged = a + b
-        for w, s in segs.items():
-            if a not in s or b not in s:
-                continue
-            out, i = [], 0
+        for w in list(pair_words.get((a, b), ())):
+            s = segs[w]
+            c = wcount[w]
+            out: list[str] = []
+            i = 0
             while i < len(s):
                 if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
                     out.append(merged)
@@ -169,7 +207,32 @@ def bpe_learn_local(docs: DataFrame,
                 else:
                     out.append(s[i])
                     i += 1
-            segs[w] = tuple(out)
+            ns = tuple(out)
+            segs[w] = ns
+            # O(len) delta: full before/after pair multisets of this
+            # one word, applied ONCE per pair via a single signed
+            # delta map (a pair present in both multisets with
+            # changed multiplicity must not be adjusted from both
+            # directions). Handles every overlap case — 'aaa' under
+            # (a,a), a merged symbol immediately re-pairing, etc.
+            delta: dict[tuple[str, str], int] = {}
+            for p in zip(s, s[1:]):
+                delta[p] = delta.get(p, 0) - 1
+            for p in zip(ns, ns[1:]):
+                delta[p] = delta.get(p, 0) + 1
+            for p, d in delta.items():
+                if d:
+                    bump(p, d * c)
+            new_set = set(zip(ns, ns[1:]))
+            old_set = set(zip(s, s[1:]))
+            for p in old_set - new_set:
+                ws = pair_words.get(p)
+                if ws is not None:
+                    ws.discard(w)
+                    if not ws:
+                        pair_words.pop(p, None)
+            for p in new_set - old_set:
+                pair_words.setdefault(p, set()).add(w)
     return rules
 
 

@@ -166,6 +166,8 @@ def main() -> None:
             syms = list(word)
             present = set(syms)
             for a, b in prod_merges:
+                if len(syms) == 1:
+                    break  # fully merged; later ranks are all no-ops
                 if a not in present or b not in present:
                     continue  # pure speedup: the L-to-R pass is a
                     # no-op when either symbol is absent
@@ -183,10 +185,12 @@ def main() -> None:
                 syms = out
             return len(syms)
 
-        sample = (docs.filter(F.col("doc_id") % 5003 == 0)
+        slice_mod = int(os.environ.get("SPARK_GRAFT_BPE_SLICE_MOD",
+                                       "5003"))
+        sample = (docs.filter(F.col("doc_id") % slice_mod == 0)
                   .select("doc_id", "text").collect())
         got = {r["doc_id"]: r for r in bpe_segment_prod(
-            docs.filter(F.col("doc_id") % 5003 == 0), prod_merges)
+            docs.filter(F.col("doc_id") % slice_mod == 0), prod_merges)
             .collect()}
         word_ok = _re.compile(r"[a-z]+").fullmatch
         seq_cache: dict[str, int] = {}

@@ -300,3 +300,26 @@ def test_segment_prod_null_and_ineligible(spark):
     assert prod[1] == (0, 0, 0)
     # 'ab' and 'ef' each merge to 1 symbol; 'cd1' and 'ab\n' excluded
     assert prod[2] == (2, 2, 4)
+
+
+def test_learn_local_incremental_matches_reference_deep(spark):
+    """The incremental trainer (pair-count deltas + lazy-deletion
+    heap, r10) must stay merge-identical to the textbook global
+    recount at DEEP merge counts over collision-heavy alphabets — the
+    regime where a wrong delta or a stale heap entry first surfaces.
+    (Caught during r10 development: a pair present in both the
+    before- and after-multisets of a rewritten word had its delta
+    applied from both loops, silently shifting later argmax
+    tie-breaks.)"""
+    import random
+
+    rng = random.Random(0x17C)
+    words = {"".join(rng.choice("aabbc") for _ in range(
+        rng.randint(1, 14))): rng.randint(1, 5) for _ in range(400)}
+    docs = spark.createDataFrame(
+        [(i, " ".join([w] * c)) for i, (w, c) in enumerate(words.items())],
+        "doc_id LONG, text STRING")
+    want, _ = ref_bpe(words, 2000)
+    got = bpe_learn_local(docs, n_merges=2000)
+    assert got == want
+    assert len(got) > 100  # deep enough to exercise the heap churn
