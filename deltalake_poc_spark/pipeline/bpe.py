@@ -355,15 +355,23 @@ def bpe_segment_prod(docs: DataFrame,
     Word eligibility mirrors the JVM path exactly: trim SPACES only
     (Spark ``F.trim``), split on single spaces, keep ``[a-z]+``
     fullmatch (Python ``fullmatch`` is absolute-anchored like
-    ``\\A..\\z``, no ``$``-before-trailing-newline trap)."""
+    ``\\A..\\z``, no ``$``-before-trailing-newline trap).
+
+    The merge-rank map travels as a BROADCAST, not a closure capture:
+    a production 32k-merge map is ~3 MB pickled, and a closure rides
+    EVERY task's serialized payload — at a 100 TB pass with 10^5
+    tasks that is hundreds of GB of duplicate shipping, where a
+    broadcast ships once per executor."""
     import re
 
     import pandas as pd
 
     ranks = {(left, right): i for i, (left, right) in enumerate(merges)}
+    bc_ranks = docs.sparkSession.sparkContext.broadcast(ranks)
     word_ok = re.compile(r"[a-z]+").fullmatch
 
     def encode(batches):
+        ranks = bc_ranks.value
         cache: dict[str, int] = {}
         for pdf in batches:
             out_words, out_subs, out_chars = [], [], []
