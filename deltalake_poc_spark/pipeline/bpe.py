@@ -148,24 +148,35 @@ def bpe_learn_local(docs: DataFrame,
     Merge-loop cost is INCREMENTAL, not per-iteration-global (r10;
     the r9 loop recounted every pair over the whole vocabulary each
     merge — O(n_merges x vocab chars), ~20 min extrapolated to a real
-    32k-merge vocabulary): a pair -> count dict and a pair -> words
-    inverted index are maintained by delta when a merge rewrites a
-    word, and the argmax pops a lazy-deletion heap keyed
+    32k-merge vocabulary): see ``bpe_learn_from_counts``, which this
+    delegates to after the one distributed corpus pass. Measured:
+    32,000 merges over the sf100 vocabulary (31k distinct words) in
+    10.4 s end-to-end (SCALE_RUN_BPE_32K.json)."""
+    wcount = {r["word"]: int(r["cnt"])
+              for r in word_freqs(docs).collect()}
+    return bpe_learn_from_counts(wcount, n_merges)
+
+
+def bpe_learn_from_counts(wcount: dict[str, int],
+                          n_merges: int) -> list[tuple[str, str, int]]:
+    """The driver-side merge loop over a word-frequency table,
+    INCREMENTAL: a pair -> count dict and a pair -> words inverted
+    index are maintained by signed per-word deltas when a merge
+    rewrites a word, and the argmax pops a lazy-deletion heap keyed
     (-count, lhs, rhs) — the exact count-DESC/lhs/rhs tie-break as a
-    tuple order. Stale heap entries are discarded on pop by checking
-    the live dict. Total update work is bounded by actual merge
-    occurrences (near-linear in vocabulary chars), the structure real
-    tokenizer trainers maintain."""
+    tuple order (heap entries are pushed on every count change and
+    discarded on pop unless they match the live dict). Total update
+    work is bounded by actual merge occurrences (near-linear in
+    vocabulary chars), the structure real tokenizer trainers
+    maintain. Merge-identical to the textbook global recount —
+    pinned by the seeded differential fuzz in tests/test_bpe.py,
+    Spark-free here so the fuzz can afford many trials."""
     import heapq
 
-    wc_rows = word_freqs(docs).collect()
     segs: dict[str, tuple[str, ...]] = {}
-    wcount: dict[str, int] = {}
     pair_counts: dict[tuple[str, str], int] = {}
     pair_words: dict[tuple[str, str], set[str]] = {}
-    for r in wc_rows:
-        w, c = r["word"], int(r["cnt"])
-        wcount[w] = c
+    for w, c in wcount.items():
         s = tuple(w)
         segs[w] = s
         for p in zip(s, s[1:]):

@@ -323,3 +323,26 @@ def test_learn_local_incremental_matches_reference_deep(spark):
     got = bpe_learn_local(docs, n_merges=2000)
     assert got == want
     assert len(got) > 100  # deep enough to exercise the heap churn
+
+
+def test_learn_from_counts_fuzz_vs_reference():
+    """Spark-free differential fuzz of the incremental merge loop
+    (the REAL implementation, via bpe_learn_from_counts) against the
+    textbook global recount: many trials over collision-heavy
+    alphabets and deep merge counts, affordable because no Spark
+    round-trips are involved."""
+    import random
+
+    from deltalake_poc_spark.pipeline.bpe import bpe_learn_from_counts
+
+    rng = random.Random(0xB9E4)
+    for trial in range(40):
+        alpha = rng.choice(["ab", "abac", "abcdefgh", "aabbc"])
+        words = {"".join(rng.choice(alpha) for _ in range(
+            rng.randint(1, 14))): rng.randint(1, 5)
+            for _ in range(rng.randint(2, 300))}
+        n = rng.choice([5, 60, 600, 3000])
+        want, _ = ref_bpe(words, n)
+        got = bpe_learn_from_counts(words, n)
+        assert got == want, (trial, n, [x for x in zip(got, want)
+                                        if x[0] != x[1]][:2])
