@@ -2983,7 +2983,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # though the default path is argued unchanged
         "ivf_kmeans_topk": _ivf_kmeans_topk,         # fitted IVF, exact-probe oracle
         "kmeans_clusters": _kmeans_clusters,         # iterative Lloyd k-means
-        # --- 16 of the 50 r8-green, in prior dict order (due r11;
+        # --- 15 of the 50 r8-green, in prior dict order (due r11;
         # checked a round early to level the r11/r12 windows)
         "props_analytics": _props_analytics,         # JSON extraction agg
         "customers_without_orders": _customers_without_orders, # anti join

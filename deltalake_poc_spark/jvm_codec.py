@@ -127,7 +127,10 @@ def image_stats(media):
                         F.col("s")[4].cast("int").alias("min_px"),
                         F.col("s")[5].cast("int").alias("max_px")))
     from deltalake_poc_spark.pipeline import multimodal
-    return multimodal.image_features(media).select(
+    # skip_undecodable: the JVM branch nulls-and-drops corrupt rows,
+    # so the fallback must too — one bad payload must not abort the
+    # stage on either path
+    return multimodal.image_features(media, skip_undecodable=True).select(
         "media_id", "width", "height", "channels",
         "sum_px", "min_px", "max_px")
 

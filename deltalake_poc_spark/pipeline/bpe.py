@@ -33,11 +33,18 @@ raw parquet. Symbol counting never splits strings: a segmentation
 with k symbols has exactly 2k delimiter characters, so
 ``k = (len(seg) - len(strip_delims(seg))) / 2``.
 
-Everything here is pure ``pyspark.sql.functions`` (JVM-side,
-WholeStageCodegen): no Python UDFs, no per-row Python. The only
-``.collect()`` is the 1-row-per-iteration argmax, which is the
-algorithm's sequential dependency (merge i+1's counts depend on merge
-i), not a scalability concession.
+Execution surfaces (post-r10): the distributed fit
+(``bpe_learn_rules``) and the demo segmenter (``bpe_segment``) are
+pure ``pyspark.sql.functions`` — JVM-side, WholeStageCodegen, zero
+per-row Python; the fit's only ``.collect()`` is the
+1-row-per-iteration argmax, the algorithm's sequential dependency.
+The PRODUCTION paths trade that purity for the shapes real trainers
+use where the expression paths stop scaling: ``bpe_learn_local``
+collects the (Zipf-bounded) word-frequency table and runs the
+incremental merge loop driver-side, and ``bpe_segment_prod`` is an
+Arrow-batched ``mapInPandas`` rank-loop encoder (the chained-replace
+expression cannot PLAN past ~512 merges — measured, see the
+docstrings below). No row-at-a-time Python UDFs anywhere.
 """
 
 from __future__ import annotations
@@ -412,7 +419,16 @@ def bpe_segment_prod(docs: DataFrame,
                 "n_base_chars": pd.Series(out_chars, dtype="Int64"),
             })
 
-    return docs.select("doc_id", "text").mapInPandas(
+    # spread(): a single-file documents scan is ONE partition, which
+    # would serialize the whole corpus's Python encode on one core —
+    # the exact failure mode the other mapInPandas operators guard
+    # against (see dedup.spread; AQE coalesces the exchange where the
+    # scan already has parallelism). 1x vs 2x tasks/core measured
+    # WITHIN host noise at the 5M-doc tier (8.2-9.1 s both ways), so
+    # this keeps the engine-wide spread() default.
+    from deltalake_poc_spark.pipeline.dedup import spread
+
+    return spread(docs.select("doc_id", "text")).mapInPandas(
         encode,
         "doc_id long, n_bpe_words long, n_subwords long, "
         "n_base_chars long")

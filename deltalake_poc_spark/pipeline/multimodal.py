@@ -183,7 +183,8 @@ IMAGE_FEATURE_SCHEMA = StructType([
 ])
 
 
-def image_features(media: DataFrame) -> DataFrame:
+def image_features(media: DataFrame,
+                   skip_undecodable: bool = False) -> DataFrame:
     """FULL image decode to exact integer pixel statistics via
     mapInPandas — the feature-extraction batch shape with a real
     codec inside (pipeline/codecs): binary in, per-image numeric
@@ -191,6 +192,13 @@ def image_features(media: DataFrame) -> DataFrame:
     channel samples) so they are exact in any engine; for lossless
     formats (PNG/BMP/PPM) they are SQL-recomputable from the source
     pattern, which is how the png_decode gate oracles this path.
+
+    ``skip_undecodable=True`` drops rows whose payload fails to
+    decode instead of failing the task — the per-row tolerance
+    contract the jvm_codec.image_stats dispatch promises on BOTH its
+    paths (the JVM UDF nulls bad rows; a 500k-image stage must not
+    abort on one bad payload). The default stays strict: the codec
+    gate queries WANT a loud failure on a payload they synthesized.
 
     100 TB shape: per-row Python work with zero shuffle — scales
     with executor count. The Huffman scan is the only Python loop;
@@ -203,7 +211,13 @@ def image_features(media: DataFrame) -> DataFrame:
                                    "channels", "format", "n_px",
                                    "sum_px", "min_px", "max_px")}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                px, fmt = decode_pixels(payload)
+                if skip_undecodable:
+                    try:
+                        px, fmt = decode_pixels(payload)
+                    except Exception:
+                        continue
+                else:
+                    px, fmt = decode_pixels(payload)
                 h, w = px.shape[:2]
                 ch = 1 if px.ndim == 2 else px.shape[2]
                 flat = px.reshape(-1).astype(np.int64)

@@ -96,8 +96,7 @@ def main() -> None:
         # path where both run, and a corpus-total identity check
         for _ in range(REPS):
             t0 = time.time()
-            prod_sums = bpe_segment_prod(
-                docs.repartition(int(cpus) * 2), merges).agg(
+            prod_sums = bpe_segment_prod(docs, merges).agg(
                 F.sum("n_subwords"), F.sum("n_bpe_words")).collect()
             seg_prod_times.append(round(time.time() - t0, 3))
         assert [tuple(r) for r in prod_sums] == [tuple(r) for r in sums], \
@@ -145,8 +144,7 @@ def main() -> None:
         totals = None
         for _ in range(REPS):
             t0 = time.time()
-            totals = bpe_segment_prod(
-                docs.repartition(int(cpus) * 2), prod_merges).agg(
+            totals = bpe_segment_prod(docs, prod_merges).agg(
                 F.sum("n_subwords").alias("subs"),
                 F.sum("n_bpe_words").alias("words"),
                 F.sum("n_base_chars").alias("chars")).collect()[0]
@@ -196,17 +194,25 @@ def main() -> None:
         seq_cache: dict[str, int] = {}
         mismatches = 0
         for row_ in sample:
-            nw = ns = nc = 0
-            for w in (row_["text"] or "").strip(" ").split(" "):
-                if w and word_ok(w):
-                    nw += 1
-                    if w not in seq_cache:
-                        seq_cache[w] = seq_count(w)
-                    ns += seq_cache[w]
-                    nc += len(w)
+            if row_["text"] is None:
+                # mirror the engine contract: F.size(NULL array) is
+                # NULL, so the prod encoder emits (None, None, None)
+                # for NULL text — the referee must expect the same,
+                # not coerce to the empty string's (0, 0, 0)
+                want3 = (None, None, None)
+            else:
+                nw = ns = nc = 0
+                for w in row_["text"].strip(" ").split(" "):
+                    if w and word_ok(w):
+                        nw += 1
+                        if w not in seq_cache:
+                            seq_cache[w] = seq_count(w)
+                        ns += seq_cache[w]
+                        nc += len(w)
+                want3 = (nw, ns, nc)
             g = got[row_["doc_id"]]
             if (g["n_bpe_words"], g["n_subwords"],
-                    g["n_base_chars"]) != (nw, ns, nc):
+                    g["n_base_chars"]) != want3:
                 mismatches += 1
         docs.unpersist()
         summary["prod_segment"] = {

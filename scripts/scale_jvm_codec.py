@@ -119,11 +119,17 @@ def main() -> None:
 
     # FULL-CORPUS agreement (distributed join, no driver collect):
     # dims/channels exact on every row; JPEG sum_px differs only by
-    # IDCT rounding, so the per-sample mean gap must stay bounded
+    # IDCT rounding, so the per-sample mean gap must stay bounded.
+    # FULL OUTER join against the fixed corpus denominator: a row
+    # either path dropped/nulled must count as a DISAGREEMENT, not
+    # silently shrink the denominator (an inner join would read as
+    # 100% agreement over reduced coverage).
     j = (numpy_df.alias("a")
-         .join(jvm_df.alias("b"), "media_id", "inner")
+         .join(jvm_df.alias("b"), "media_id", "full_outer")
          .select(
-             ((F.col("a.width") == F.col("b.width"))
+             (F.col("a.media_id").isNotNull()
+              & F.col("b.media_id").isNotNull()
+              & (F.col("a.width") == F.col("b.width"))
               & (F.col("a.height") == F.col("b.height"))
               & (F.col("a.channels") == F.col("b.channels"))
               ).cast("int").alias("dims_ok"),
@@ -134,8 +140,11 @@ def main() -> None:
               F.sum("dims_ok").alias("dims_agree"),
               F.max("mean_gap").alias("max_mean_gap")).collect()[0])
     agree = int(j["dims_agree"])
+    gap = j["max_mean_gap"]
     stats_check = {"joined": int(j["joined"]),
-                   "max_mean_gap": round(float(j["max_mean_gap"]), 3)}
+                   "max_mean_gap": (None if gap is None
+                                    else round(float(gap), 3))}
+    assert stats_check["joined"] == n_rows, (stats_check, n_rows)
 
     # ---- encode direction: numpy decode+encode vs JVM transcode.
     # The JVM UDF does decode + encode + a SELF-CHECK decode of its
@@ -176,8 +185,10 @@ def main() -> None:
     t_jvm_tx = run(jvm_tx)
 
     tj = (numpy_tx.alias("a")
-          .join(jvm_tx.alias("b"), "media_id", "inner")
-          .select(((F.col("a.width") == F.col("b.width"))
+          .join(jvm_tx.alias("b"), "media_id", "full_outer")
+          .select((F.col("a.media_id").isNotNull()
+                   & F.col("b.media_id").isNotNull()
+                   & (F.col("a.width") == F.col("b.width"))
                    & (F.col("a.height") == F.col("b.height"))
                    & (F.col("b.out_bytes") > 0)).cast("int")
                   .alias("ok"))
@@ -185,6 +196,7 @@ def main() -> None:
                F.sum("ok").alias("agree")).collect()[0])
     tx_agree = int(tj["agree"])
     tx_check = {"joined": int(tj["joined"])}
+    assert tx_check["joined"] == n_rows, (tx_check, n_rows)
 
     out = {
         "rows": n_rows,

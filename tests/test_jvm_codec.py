@@ -172,7 +172,11 @@ def _png_media(spark, n=12):
 def test_image_stats_dispatch_falls_back_to_numpy(spark):
     """Without the jar on the classpath the dispatch must serve the
     SAME surface through the numpy codecs, equal to image_features
-    projected to the common columns."""
+    projected to the common columns — and it must honor the
+    null-barrier contract the JVM branch has: a corrupt payload
+    drops ITS row, never the stage."""
+    from pyspark.sql import functions as F
+
     from deltalake_poc_spark.pipeline import multimodal
 
     media = _png_media(spark)
@@ -182,6 +186,18 @@ def test_image_stats_dispatch_falls_back_to_numpy(spark):
                   .select("media_id", "width", "height", "channels",
                           "sum_px", "min_px", "max_px").collect())
     assert got == want and len(got) == 12
+
+    bad = media.union(spark.createDataFrame(
+        [(99, bytearray(b"not an image"))],
+        "media_id long, payload binary"))
+    kept = [r["media_id"] for r in jvm_codec.image_stats(bad).collect()]
+    assert 99 not in kept and len(kept) == 12
+    # the strict default still raises loudly (the codec gates rely
+    # on it)
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        multimodal.image_features(
+            bad.filter(F.col("media_id") == 99)).collect()
 
 
 def test_image_transcode_dispatch_falls_back_to_numpy(spark):
