@@ -2920,91 +2920,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     satisfiable at 132 registered). STANDING POLICY (adopted r9, per
     the r8 verdict): any gate query whose IMPLEMENTATION changed in
     round N enters round N+1's window at the latest — freshness is
-    change-based as well as time-based. Round-10 window, executing
-    the plan recorded here in r9: (a) the 32 queries whose newest
-    driver row is r7 (corpus_pipeline ... ngram_jaccard_nocap, prior
-    dict order) — r7 -> r10 is the freshness limit, so they head the
-    window; (b) ivf_kmeans_topk FIRST among the r8-green slots: its
-    implementation changed in r9 (initMode=random + phase-2 scan
-    dedup), so the change-based rule pulls it in ahead of dict
-    order; (c) kmeans_clusters next — cluster.py was touched in r9
-    (fp32 GEMM mode; the default path is argued unchanged, re-gated
-    as cheap insurance); (d) 15 r8-green in prior dict order
-    (props_analytics ... embedding_topk); (e) bpe_segment — its gate
-    impl changed IN r10 (segmenter switched to the production
-    rank-loop encoder), so it re-enters the window the round the
-    change lands. Plan: r11 = the remaining 33 r8-green (r8 -> r11
-    limit, priority_stats ... pca_project) + bpe_learn (module
-    touched r10, cheap insurance) + 16 r9-green in dict order; r12 =
-    the rest of the r9-green + slack (132 registered <= 150
-    capacity). Every registered query, in or out of the window, is
-    oracle-checked by tests/test_entry_oracle.py and timed+oracled
-    by bench.py.
+    change-based as well as time-based. Round-11 window, executing
+    the plan recorded here in r10 (and ordered by the r10 verdict):
+    (a) incremental_dedup_prod FIRST — its implementation changed in
+    r10 (signature-store append right-sizing), so the change-based
+    rule pulls it ahead of dict order; it is also one of the 33
+    r8-green hitting the r8 -> r11 time limit, so both rules
+    converge on it; (b) bpe_learn — pipeline/bpe.py was rewritten in
+    r10 (incremental pair-delta fit + production encoder), so the
+    distributed fit path re-gates on the touched module; (c) the
+    remaining 32 r8-green in prior dict order (priority_stats ...
+    pca_project) — r8 -> r11 is the freshness limit; (d) 16 r9-green
+    in dict order (length_quantiles ... q17_small_qty_revenue),
+    checked a round early to level the r12/r13 windows. Ledger after
+    r10: 50 r10-green (due r13), 33 r8-green (due r11, all in this
+    window), 49 r9-green (due r12 — 49 not 50: bpe_segment was
+    re-gated in r10 when its segmenter changed). This window takes
+    17 of the 49 r9-green (the 16 + bpe_learn), leaving 32. Plan:
+    r12 = those 32 remaining r9-green (q18_large_volume ...
+    multimodal_decode, dict order, r9 -> r12 hard limit) + 18
+    r10-green head in dict order (corpus_pipeline ...
+    mixture_sample, a round early); r13 = the remaining 32 r10-green
+    + 18 r11-green head — the rotation stays solvable with zero
+    slack violations at 132 registered. Every
+    registered query, in or out of the window, is oracle-checked by
+    tests/test_entry_oracle.py and timed+oracled by bench.py.
     """
     return {
-        # --- r10 window head: the 32 r7-green queries (r7 -> r10 is
-        # the freshness limit), prior dict order
-        "corpus_pipeline": _corpus_pipeline,         # filter+dedup+sample+budget
-        "quality_classifier": _quality_classifier,   # distilled quality filter
-        "repetition_signals": _repetition_signals,   # Gopher repetition stats
-        "decontaminate": _decontaminate,             # benchmark n-gram overlap
-        "corpus_sample": _corpus_sample,             # deterministic sampling
-        "bpe_token_stats": _bpe_token_stats,         # token budgeting
-        "pack_sequences": _pack_sequences,           # fixed-budget packing
-        "winnow_dedup": _winnow_dedup,               # MOSS winnowing spans
-        "dv_pipeline": _dv_pipeline,                 # deletion vectors e2e
-        "webdataset_rw": _webdataset_rw,             # tar shard pack/unpack round trip
-        "lm_perplexity3": _lm_perplexity3,           # trigram stupid-backoff NLL
-        "mp4_index": _mp4_index,                     # ISO-BMFF sample-table index
-        "mp3_index": _mp3_index,                     # MPEG audio frame walk
-        "semantic_dedup": _semantic_dedup,           # SemDeDup over clusters
-        "lm_perplexity": _lm_perplexity,             # bigram-LM quality scoring
-        "heavy_hitters": _heavy_hitters,             # count-min top-k rollup
-        "wal_cdc_pipeline": _wal_cdc_pipeline,       # LIVE postgres WAL CDC
-        "mixture_sample": _mixture_sample,           # domain mixing
-        "source_overlap": _source_overlap,           # overlap matrix
-        "chunk_dedup": _chunk_dedup,                 # chunk-level dedup
-        "bloom_lookup": _bloom_lookup,               # bloom skipping
-        "q11_important_parts": _q11_important_parts, # fraction HAVING
-        "q15_top_supplier": _q15_top_supplier,       # view + max probe
-        "incremental_dedup": _incremental_dedup,     # signature store
-        "pq_stream_ingest": _pq_stream_ingest,       # streaming PQ ingest
-        "span_dedup": _span_dedup,                   # repeated substrings
-        "sketch_rollup": _sketch_rollup,             # HLL union rollup
-        "cohort_retention": _cohort_retention,       # retention matrix
-        "skewed_agg": _skewed_agg,                   # salted hot-key agg
-        "dedup_groups_distributed": _dedup_groups_distributed, # star CC regime
-        "minhash_dedup_prod": _minhash_dedup_prod,   # 16x4 banding, exact oracle
-        "ngram_jaccard_nocap": _ngram_jaccard_nocap, # capless, exact oracle
+        # === r11 gate window (first 50) ===
         # --- change-based re-gates ahead of dict order:
-        # ivf_kmeans_topk's impl changed in r9 (initMode=random +
-        # phase-2 scan dedup); cluster.py was touched in r9 (fp32
-        # GEMM mode), so kmeans_clusters re-gates as insurance even
-        # though the default path is argued unchanged
-        "ivf_kmeans_topk": _ivf_kmeans_topk,         # fitted IVF, exact-probe oracle
-        "kmeans_clusters": _kmeans_clusters,         # iterative Lloyd k-means
-        # --- 15 of the 50 r8-green, in prior dict order (due r11;
-        # checked a round early to level the r11/r12 windows)
-        "props_analytics": _props_analytics,         # JSON extraction agg
-        "customers_without_orders": _customers_without_orders, # anti join
-        "change_type_counts": _change_type_counts,   # A6
-        "intersect_keys": _intersect_keys,           # INTERSECT
-        "string_funcs": _string_funcs,               # string surface
-        "date_parts": _date_parts,                   # date extraction
-        "time_travel_diff": _time_travel_diff,       # S6 U3
-        "tf_idf": _tf_idf,                           # corpus TF-IDF
-        "dedup_exact_groups": _dedup_exact_groups,   # exact dedup
-        "ngram_jaccard": _ngram_jaccard,             # n-gram Jaccard
-        "dedup_group_assign": _dedup_group_assign,   # connected components
-        "top_tokens": _top_tokens,                   # token counting
-        "doc_chunks": _doc_chunks,                   # chunking w/ overlap
-        "scrub_pii": _scrub_pii,                     # PII scrubbing
-        "embedding_topk": _embedding_topk,           # brute-force ANN baseline
-        # --- changed in r10 (gate segmenter switched to the
-        # production rank-loop encoder), so it enters THIS window:
-        "bpe_segment": _bpe_segment,                 # corpus BPE segmentation (prod encoder)
-        # --- positions 51+: outside the driver's 50-query gate
-        # window. FIRST the remaining 33 r8-green (due r11):
+        # incremental_dedup_prod's impl changed in r10 (signature-
+        # store append right-sizing); it is also r8-green at the
+        # r8 -> r11 time limit, so both freshness rules converge
+        "incremental_dedup_prod": _incremental_dedup_prod, # sig-agreement, exact-decision oracle
+        # pipeline/bpe.py was rewritten in r10 (incremental
+        # pair-delta fit + production encoder), so the distributed
+        # fit path re-gates on the touched module
+        "bpe_learn": _bpe_learn,                     # BPE tokenizer training
+        # --- the remaining 32 r8-green in prior dict order (r8 ->
+        # r11 is the freshness limit):
         "priority_stats": _priority_stats,           # A5 P8
         "event_stats": _event_stats,                 # A7
         "customer_order_lists": _customer_order_lists, # array_agg
@@ -3028,7 +2982,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (production twins, re-gated with full oracles in r8)
         "simhash_dedup_prod": _simhash_dedup_prod,   # xxhash64, identity-set oracle
         "winnow_dedup_prod": _winnow_dedup_prod,     # xxhash64, exact-8gram oracle
-        "incremental_dedup_prod": _incremental_dedup_prod, # sig-agreement, exact-decision oracle
         "pq_fitted_topk": _pq_fitted_topk,           # fitted PQ, exact-topk oracle
         "kmeans_ivf_clusters": _kmeans_ivf_clusters, # two-level pruned assignment
         "dsir_select": _dsir_select,                 # DSIR importance selection
@@ -3039,9 +2992,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_manifest": _shard_manifest,           # export manifest rollup
         "hard_negatives": _hard_negatives,           # contrastive mining
         "pca_project": _pca_project,                 # exact power-iteration PCA
-        # --- then the 50 r9-green (due r12; r11 takes ~18 in dict
-        # order, plus any impl-changed-in-r10 per the standing
-        # policy)
+        # --- 16 r9-green in dict order (due r12; checked a round
+        # early to level the r12/r13 windows):
         "length_quantiles": _length_quantiles,       # mergeable quantile profile
         "lang_id": _lang_id,                         # language ID
         "text_quality": _text_quality,               # quality scoring
@@ -3058,6 +3010,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q13_cust_distribution": _q13_cust_distribution, # outer-join hist
         "q16_supplier_cnt": _q16_supplier_cnt,       # anti + distinct
         "q17_small_qty_revenue": _q17_small_qty_revenue, # correlated avg
+        # --- positions 51+: outside the driver's 50-query gate
+        # window. FIRST the remaining 32 r9-green (due r12):
         "q18_large_volume": _q18_large_volume,       # IN group-having
         "q21_waiting_suppliers": _q21_waiting_suppliers, # semi+anti self
         "q22_idle_customers": _q22_idle_customers,   # scalar avg + anti
@@ -3090,7 +3044,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_topk": _pq_topk,                         # PQ/ADC ANN
         "embedding_neardup": _embedding_neardup,     # cosine near-dup pairs
         "multimodal_decode": _multimodal_decode,     # binary decode + resize
-        "bpe_learn": _bpe_learn,                     # BPE tokenizer training
+        # --- then the 50 r10-green (due r13; r12 takes 18 in dict
+        # order per the plan above):
+        "corpus_pipeline": _corpus_pipeline,         # filter+dedup+sample+budget
+        "quality_classifier": _quality_classifier,   # distilled quality filter
+        "repetition_signals": _repetition_signals,   # Gopher repetition stats
+        "decontaminate": _decontaminate,             # benchmark n-gram overlap
+        "corpus_sample": _corpus_sample,             # deterministic sampling
+        "bpe_token_stats": _bpe_token_stats,         # token budgeting
+        "pack_sequences": _pack_sequences,           # fixed-budget packing
+        "winnow_dedup": _winnow_dedup,               # MOSS winnowing spans
+        "dv_pipeline": _dv_pipeline,                 # deletion vectors e2e
+        "webdataset_rw": _webdataset_rw,             # tar shard pack/unpack round trip
+        "lm_perplexity3": _lm_perplexity3,           # trigram stupid-backoff NLL
+        "mp4_index": _mp4_index,                     # ISO-BMFF sample-table index
+        "mp3_index": _mp3_index,                     # MPEG audio frame walk
+        "semantic_dedup": _semantic_dedup,           # SemDeDup over clusters
+        "lm_perplexity": _lm_perplexity,             # bigram-LM quality scoring
+        "heavy_hitters": _heavy_hitters,             # count-min top-k rollup
+        "wal_cdc_pipeline": _wal_cdc_pipeline,       # LIVE postgres WAL CDC
+        "mixture_sample": _mixture_sample,           # domain mixing
+        "source_overlap": _source_overlap,           # overlap matrix
+        "chunk_dedup": _chunk_dedup,                 # chunk-level dedup
+        "bloom_lookup": _bloom_lookup,               # bloom skipping
+        "q11_important_parts": _q11_important_parts, # fraction HAVING
+        "q15_top_supplier": _q15_top_supplier,       # view + max probe
+        "incremental_dedup": _incremental_dedup,     # signature store
+        "pq_stream_ingest": _pq_stream_ingest,       # streaming PQ ingest
+        "span_dedup": _span_dedup,                   # repeated substrings
+        "sketch_rollup": _sketch_rollup,             # HLL union rollup
+        "cohort_retention": _cohort_retention,       # retention matrix
+        "skewed_agg": _skewed_agg,                   # salted hot-key agg
+        "dedup_groups_distributed": _dedup_groups_distributed, # star CC regime
+        "minhash_dedup_prod": _minhash_dedup_prod,   # 16x4 banding, exact oracle
+        "ngram_jaccard_nocap": _ngram_jaccard_nocap, # capless, exact oracle
+        "ivf_kmeans_topk": _ivf_kmeans_topk,         # fitted IVF, exact-probe oracle
+        "kmeans_clusters": _kmeans_clusters,         # iterative Lloyd k-means
+        "props_analytics": _props_analytics,         # JSON extraction agg
+        "customers_without_orders": _customers_without_orders, # anti join
+        "change_type_counts": _change_type_counts,   # A6
+        "intersect_keys": _intersect_keys,           # INTERSECT
+        "string_funcs": _string_funcs,               # string surface
+        "date_parts": _date_parts,                   # date extraction
+        "time_travel_diff": _time_travel_diff,       # S6 U3
+        "tf_idf": _tf_idf,                           # corpus TF-IDF
+        "dedup_exact_groups": _dedup_exact_groups,   # exact dedup
+        "ngram_jaccard": _ngram_jaccard,             # n-gram Jaccard
+        "dedup_group_assign": _dedup_group_assign,   # connected components
+        "top_tokens": _top_tokens,                   # token counting
+        "doc_chunks": _doc_chunks,                   # chunking w/ overlap
+        "scrub_pii": _scrub_pii,                     # PII scrubbing
+        "embedding_topk": _embedding_topk,           # brute-force ANN baseline
+        "bpe_segment": _bpe_segment,                 # corpus BPE segmentation (prod encoder)
     }
 
 

@@ -165,17 +165,32 @@ def image_transcode(media, quality: int = 85):
                         F.col("t")[3].alias("out_bytes")))
 
     def np_transcode(batches):
+        import numpy as np
         import pandas as pd
 
-        from deltalake_poc_spark.pipeline.codecs.jpeg import (decode_jpeg,
-                                                              encode_jpeg)
+        from deltalake_poc_spark.pipeline.codecs.jpeg import encode_jpeg
+        from deltalake_poc_spark.pipeline.multimodal import decode_pixels
 
         for pdf in batches:
             ids, widths, heights, in_lens, out_lens = [], [], [], [], []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 try:
                     raw = bytes(payload)
-                    img = decode_jpeg(raw)
+                    # decode_pixels covers every format this
+                    # container can decode (JPEG/PNG/BMP24/PPM), so a
+                    # mixed-format corpus gets the same row coverage
+                    # whether or not the jar registered; the JVM path
+                    # accepts anything ImageIO reads
+                    img, _ = decode_pixels(raw)
+                    if img.ndim == 3 and img.shape[2] in (2, 4):
+                        # JPEG carries no alpha; composite over black
+                        # exactly like the JVM path's drawImage onto
+                        # an all-zero TYPE_INT_RGB canvas
+                        a = img[..., -1].astype(np.uint16)
+                        img = (img[..., :-1].astype(np.uint16)
+                               * a[..., None] // 255).astype(np.uint8)
+                        if img.shape[2] == 1:
+                            img = img[..., 0]
                     enc = encode_jpeg(img, quality, "4:4:4")
                 except Exception:
                     continue  # same per-row tolerance as the JVM path

@@ -350,7 +350,8 @@ def _count_symbols(word: str, ranks: dict[tuple[str, str], int]) -> int:
 
 
 def bpe_segment_prod(docs: DataFrame,
-                     merges: list[tuple[str, str]]) -> DataFrame:
+                     merges: list[tuple[str, str]],
+                     cache_words: int = 1 << 19) -> DataFrame:
     """Production-merge-count segmentation: same output contract as
     ``bpe_segment`` at any vocabulary size.
 
@@ -379,7 +380,21 @@ def bpe_segment_prod(docs: DataFrame,
     a production 32k-merge map is ~3 MB pickled, and a closure rides
     EVERY task's serialized payload — at a 100 TB pass with 10^5
     tasks that is hundreds of GB of duplicate shipping, where a
-    broadcast ships once per executor."""
+    broadcast ships once per executor.
+
+    Cache memory model (measured, scripts/scale_bpe_cache.py →
+    SCALE_RUN_BPE_CACHE.json): entries are the partition's DISTINCT
+    eligible words at ~115 bytes each, so at the 22 GB sf100 tier
+    every partition saturates at the full ~31k Zipf vocabulary =
+    ~3.6 MB — vocab-bounded, not corpus-bounded. The pathological
+    regime is a 10^9-distinct-word corpus where one partition can see
+    millions of distinct words (~115 MB/task, × concurrent tasks);
+    ``cache_words`` bounds that with a TWO-GENERATION cache (hot dict
+    + previous generation, swap when hot fills): O(1) per lookup with
+    no per-hit LRU bookkeeping, Zipf-hot words are re-promoted on
+    first touch after a swap, and worst-case residency is
+    ``cache_words`` entries (~60 MB at the default 2^19). At the
+    default the sf100 tier never evicts (31k << 2^19)."""
     import re
 
     import pandas as pd
@@ -387,10 +402,12 @@ def bpe_segment_prod(docs: DataFrame,
     ranks = {(left, right): i for i, (left, right) in enumerate(merges)}
     bc_ranks = docs.sparkSession.sparkContext.broadcast(ranks)
     word_ok = re.compile(r"[a-z]+").fullmatch
+    half = max(1, int(cache_words) // 2)
 
     def encode(batches):
         ranks = bc_ranks.value
-        cache: dict[str, int] = {}
+        hot: dict[str, int] = {}
+        cold: dict[str, int] = {}
         for pdf in batches:
             out_words, out_subs, out_chars = [], [], []
             for text in pdf["text"]:
@@ -403,9 +420,15 @@ def bpe_segment_prod(docs: DataFrame,
                 for w in text.strip(" ").split(" "):
                     if not w or not word_ok(w):
                         continue
-                    k = cache.get(w)
+                    k = hot.get(w)
                     if k is None:
-                        k = cache[w] = _count_symbols(w, ranks)
+                        k = cold.get(w)
+                        if k is None:
+                            k = _count_symbols(w, ranks)
+                        if len(hot) >= half:  # generation swap
+                            cold = hot
+                            hot = {}
+                        hot[w] = k
                     n_words += 1
                     n_subs += k
                     n_chars += len(w)

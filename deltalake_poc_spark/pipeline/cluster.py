@@ -438,30 +438,41 @@ def kmeans_fit(emb: DataFrame, k: int = 8, iters: int = 2,
     a LEFT JOIN + COALESCE)."""
     q = emb.select(F.col(id_col).alias("__id"),
                    quantize_expr(vec_col).alias("__q"))
-    init = q.orderBy("__id").limit(k).collect()
-    if not init:
-        raise ValueError("kmeans_fit: empty input")
-    cents = [(list(r["__q"]), 1) for r in init]
-    k = len(cents)  # fewer rows than k: cluster over what exists
-    dim = len(cents[0][0])
-    for _ in range(iters):
-        # per-dimension exact int64 sums as dim narrow aggregates in
-        # ONE map-side-combinable groupBy (k rows out). NOT a
-        # posexplode over __q: a Generate whose required output
-        # includes the assignment column re-evaluates that whole
-        # HOF fold per exploded row — dim× the work (measured 10 s
-        # vs 1.6 s at sf0.1).
-        upd = (with_cluster(q, cents).select("__cl", "__q")
-               .groupBy("__cl")
-               .agg(F.count(F.lit(1)).alias("__n"),
-                    *[F.sum(F.col("__q")[d]).alias(f"__s{d}")
-                      for d in range(dim)]))
-        got = {int(r["__cl"]): r for r in upd.collect()}  # <= k rows
-        cents = [
-            ([int(got[j][f"__s{d}"]) for d in range(dim)], int(got[j]["__n"]))
-            if j in got else cents[j]
-            for j in range(k)
-        ]
+    # fit-scoped cache (the ivf_build pattern): the init TakeOrdered
+    # and each of the ``iters`` groupBy rounds are eager collects
+    # INSIDE this function, and each would otherwise replay
+    # scan + quantize. Released in ``finally`` so no cached subtree
+    # leaks into the session's later plans (CacheManager would
+    # substitute it into any query containing an identical subtree).
+    q = q.persist()
+    try:
+        init = q.orderBy("__id").limit(k).collect()
+        if not init:
+            raise ValueError("kmeans_fit: empty input")
+        cents = [(list(r["__q"]), 1) for r in init]
+        k = len(cents)  # fewer rows than k: cluster over what exists
+        dim = len(cents[0][0])
+        for _ in range(iters):
+            # per-dimension exact int64 sums as dim narrow aggregates
+            # in ONE map-side-combinable groupBy (k rows out). NOT a
+            # posexplode over __q: a Generate whose required output
+            # includes the assignment column re-evaluates that whole
+            # HOF fold per exploded row — dim× the work (measured 10 s
+            # vs 1.6 s at sf0.1).
+            upd = (with_cluster(q, cents).select("__cl", "__q")
+                   .groupBy("__cl")
+                   .agg(F.count(F.lit(1)).alias("__n"),
+                        *[F.sum(F.col("__q")[d]).alias(f"__s{d}")
+                          for d in range(dim)]))
+            got = {int(r["__cl"]): r for r in upd.collect()}  # <= k rows
+            cents = [
+                ([int(got[j][f"__s{d}"]) for d in range(dim)],
+                 int(got[j]["__n"]))
+                if j in got else cents[j]
+                for j in range(k)
+            ]
+    finally:
+        q.unpersist()
     return cents
 
 

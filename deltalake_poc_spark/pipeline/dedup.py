@@ -750,9 +750,14 @@ def _alternating_star(pairs: DataFrame, max_iterations: int,
             e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         mins = (b.groupBy("u").agg(F.min("v").alias("mv"))
                 .select("u", F.least(F.col("u"), F.col("mv")).alias("m")))
+        # no distinct on ls: b2's canonicalizing distinct immediately
+        # subsumes it, so a distinct here would only add an exchange
+        # per round (the large-star join output flows map-side into
+        # b2's shuffle; duplicate (u, m) rows are bounded by the
+        # node's degree and collapse one stage later)
         ls = (b.join(mins, "u").where(F.col("v") > F.col("u"))
               .select(F.col("v").alias("u"), F.col("m").alias("v"))
-              .where(F.col("u") != F.col("v")).distinct())
+              .where(F.col("u") != F.col("v")))
         # small-star (on the large-star output, oriented u > v)
         b2 = (ls.select(F.greatest("u", "v").alias("u"),
                         F.least("u", "v").alias("v")).distinct())
@@ -1172,21 +1177,29 @@ def incremental_minhash_dedup(store, new_docs: DataFrame,
         kept_ids = decisions.filter("kept").select(
             F.col("doc_id").alias("_keep_id"))
         # Right-size the append's file count from the ACTUAL kept
-        # rows (~400 B of signature per row, ~64 MB target files): a
-        # micro-batch's survivors are often KBs while session
-        # parallelism is 32+, and one-tiny-file-per-task floods the
-        # store with 40 KB files while paying a commit rename + log
-        # add-action PER FILE (measured ~1/3 of this operator's gate
-        # wall). The count runs over the cached decision frame — work
-        # the append job was about to do anyway — and at production
-        # batch sizes the same formula yields many right-sized files,
-        # so write parallelism returns exactly when it matters.
+        # rows (~64 MB target files): a micro-batch's survivors are
+        # often KBs while session parallelism is 32+, and one-tiny-
+        # file-per-task floods the store with 40 KB files while
+        # paying a commit rename + log add-action PER FILE (measured
+        # ~1/3 of this operator's gate wall). The count runs over the
+        # cached decision frame — work the append job was about to do
+        # anyway — and at production batch sizes the same formula
+        # yields many right-sized files, so write parallelism returns
+        # exactly when it matters. Bytes/row follows the schema (one
+        # long doc_id + num_hashes long sig elements) instead of a
+        # hardcoded constant, so wider signatures still hit the 64 MB
+        # target; repartition (not coalesce) keeps the semi-join's
+        # post-shuffle stage at full parallelism — coalesce(1) would
+        # fold the whole final projection into one task, serializing
+        # mid-size batches, while the round-robin shuffle moves only
+        # the rows being written anyway.
         n_kept = kept_ids.count()
-        n_files = max(1, -(-(n_kept * 400) // (64 << 20)))
+        row_bytes = 16 + 8 * num_hashes
+        n_files = max(1, -(-(n_kept * row_bytes) // (64 << 20)))
         store.write(
             sigs_new.join(kept_ids,
                           F.col("doc_id") == F.col("_keep_id"), "left_semi")
-            .coalesce(n_files),
+            .repartition(n_files),
             "append")
         # the append materialized the decisions cache; release the
         # scratch caches NOW. This matters beyond memory: Spark's

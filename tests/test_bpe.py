@@ -346,3 +346,26 @@ def test_learn_from_counts_fuzz_vs_reference():
         got = bpe_learn_from_counts(words, n)
         assert got == want, (trial, n, [x for x in zip(got, want)
                                         if x[0] != x[1]][:2])
+
+
+def test_segment_prod_cache_cap_output_identical(spark):
+    """The two-generation cache cap is a memory bound, never a
+    semantics knob: a cache_words small enough to force constant
+    generation swaps (2 -> hot holds ONE word) must produce exactly
+    the uncapped output, including re-encoded evictees."""
+    import random
+
+    rng = random.Random(0xB9E4)
+    words = {"".join(rng.choice("abcdef") for _ in range(
+        rng.randint(2, 10))): rng.randint(1, 4) for _ in range(120)}
+    docs = spark.createDataFrame(
+        [(i, " ".join(rng.sample(sorted(words), k=min(30, len(words)))))
+         for i in range(40)],
+        "doc_id LONG, text STRING")
+    merges = [(l, r) for l, r, _ in bpe_learn_local(docs, n_merges=50)]
+    uncapped = sorted(tuple(r) for r in
+                      bpe_segment_prod(docs, merges).collect())
+    capped = sorted(tuple(r) for r in
+                    bpe_segment_prod(docs, merges,
+                                     cache_words=2).collect())
+    assert capped == uncapped

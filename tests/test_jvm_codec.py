@@ -226,3 +226,58 @@ def test_image_transcode_dispatch_falls_back_to_numpy(spark):
         assert (t["width"], t["height"]) == (w, h)
         assert t["in_bytes"] == len(bytes(rows[did][1]))
         assert t["out_bytes"] > 0
+
+
+def test_image_transcode_fallback_mixed_formats(spark):
+    """The fallback must keep every row the JVM path would keep on a
+    mixed-format corpus (the r10 ADVICE parity gap: decode_jpeg-only
+    silently dropped PNG/BMP/PPM rows). Alpha composites over black
+    exactly like the JVM drawImage-onto-TYPE_INT_RGB normalization;
+    the encoder is deterministic, so out_bytes is exactly
+    reproducible locally."""
+    import struct
+
+    import numpy as np
+
+    from deltalake_poc_spark.pipeline.codecs.jpeg import (decode_jpeg,
+                                                          encode_jpeg)
+    from deltalake_poc_spark.pipeline.codecs.png import encode_png
+
+    h, w = 13, 17
+    i, j = np.mgrid[0:h, 0:w]
+    rgb = np.stack([((i * 3 + j + k) % 256) for k in (0, 85, 170)],
+                   -1).astype(np.uint8)
+    gray = ((i * 7 + j * 3) % 256).astype(np.uint8)
+    alpha = ((i * 11 + j * 5) % 256).astype(np.uint8)
+    rgba = np.dstack([rgb, alpha])
+    ppm = b"P6\n%d %d\n255\n" % (w, h) + rgb.tobytes()
+    stride = (w * 3 + 3) & ~3
+    bmp_rows = np.zeros((h, stride), np.uint8)
+    bmp_rows[:, :w * 3] = rgb[::-1, :, ::-1].reshape(h, w * 3)
+    bmp = (b"BM" + struct.pack("<IHHI", 54 + stride * h, 0, 0, 54)
+           + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                         stride * h, 0, 0, 0, 0) + bmp_rows.tobytes())
+    jpeg_in = encode_jpeg(rgb, 85, "4:4:4")
+    payloads = {
+        # transcode re-encodes the DECODED (lossy) pixels, not the
+        # pre-encode originals
+        0: (bytearray(jpeg_in), decode_jpeg(jpeg_in)),
+        1: (bytearray(encode_png(gray)), gray),
+        2: (bytearray(encode_png(rgba)),
+            (rgb.astype(np.uint16) * alpha[..., None].astype(np.uint16)
+             // 255).astype(np.uint8)),
+        3: (bytearray(ppm), rgb),
+        4: (bytearray(bmp), rgb),
+    }
+    media = spark.createDataFrame(
+        [(k, p) for k, (p, _) in payloads.items()],
+        "media_id long, payload binary")
+    assert not spark.catalog.functionExists(jvm_codec.TRANSCODE_UDF_NAME)
+    out = {r["media_id"]: r for r in
+           jvm_codec.image_transcode(media, 85).collect()}
+    assert sorted(out) == [0, 1, 2, 3, 4]
+    for k, (payload, expect) in payloads.items():
+        t = out[k]
+        assert (t["width"], t["height"]) == (w, h)
+        assert t["in_bytes"] == len(bytes(payload))
+        assert t["out_bytes"] == len(encode_jpeg(expect, 85, "4:4:4"))
