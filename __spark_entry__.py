@@ -2936,13 +2936,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     r10: 50 r10-green (due r13), 33 r8-green (due r11, all in this
     window), 49 r9-green (due r12 — 49 not 50: bpe_segment was
     re-gated in r10 when its segmenter changed). This window takes
-    17 of the 49 r9-green (the 16 + bpe_learn), leaving 32. Plan:
-    r12 = those 32 remaining r9-green (q18_large_volume ...
-    multimodal_decode, dict order, r9 -> r12 hard limit) + 18
-    r10-green head in dict order (corpus_pipeline ...
-    mixture_sample, a round early); r13 = the remaining 32 r10-green
-    + 18 r11-green head — the rotation stays solvable with zero
-    slack violations at 132 registered. Every
+    17 of the 49 r9-green (the 16 + bpe_learn), leaving 32. ROUND-11
+    IMPL CHANGES and who re-gates them: kmeans_fit gained a
+    fit-scoped persist (covers hard_negatives + kmeans_ivf_clusters
+    IN this window; kmeans_clusters + semantic_dedup are r10-green
+    so the change-based rule pulls them into r12), _alternating_star
+    dropped an exchange (dedup_groups_distributed -> r12),
+    incremental_minhash_dedup's append right-sizing was re-derived
+    (incremental_dedup_prod IN this window; incremental_dedup ->
+    r12), and bpe_segment_prod gained the cache_words bound
+    (bpe_learn IN this window covers the module's fit path;
+    bpe_segment -> r12). Plan: r12 = the 32 remaining r9-green
+    (q18_large_volume ... multimodal_decode, dict order, r9 -> r12
+    hard limit) + 18 r10-green with the four change-based hoists
+    FIRST (kmeans_clusters, dedup_groups_distributed,
+    incremental_dedup, bpe_segment), then dict order from
+    corpus_pipeline (which reaches semantic_dedup, the fifth
+    r11-touched query, at position 14); r13 = the remaining 32
+    r10-green + 18 r11-green head — the rotation stays solvable with
+    zero slack violations at 132 registered. Every
     registered query, in or out of the window, is oracle-checked by
     tests/test_entry_oracle.py and timed+oracled by bench.py.
     """
