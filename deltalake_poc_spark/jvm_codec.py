@@ -177,10 +177,14 @@ def image_transcode(media, quality: int = 85):
                 try:
                     raw = bytes(payload)
                     # decode_pixels covers every format this
-                    # container can decode (JPEG/PNG/BMP24/PPM), so a
-                    # mixed-format corpus gets the same row coverage
-                    # whether or not the jar registered; the JVM path
-                    # accepts anything ImageIO reads
+                    # container can decode (JPEG/PNG/BMP24/PPM), so
+                    # on the common corpus formats (JPEG/PNG/BMP) row
+                    # coverage matches the JVM path exactly. Each
+                    # path additionally keeps what only IT can
+                    # decode: ImageIO adds GIF/TIFF, the numpy side
+                    # adds binary PPM (javax.imageio has no PNM
+                    # reader) — per-row tolerance means those rows
+                    # survive on one path and drop on the other
                     img, _ = decode_pixels(raw)
                     if img.ndim == 3 and img.shape[2] in (2, 4):
                         # JPEG carries no alpha; composite over black

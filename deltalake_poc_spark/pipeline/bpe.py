@@ -384,16 +384,18 @@ def bpe_segment_prod(docs: DataFrame,
 
     Cache memory model (measured, scripts/scale_bpe_cache.py →
     SCALE_RUN_BPE_CACHE.json): entries are the partition's DISTINCT
-    eligible words at ~115 bytes each, so at the 22 GB sf100 tier
-    every partition saturates at the full ~31k Zipf vocabulary =
-    ~3.6 MB — vocab-bounded, not corpus-bounded. The pathological
+    eligible words at ~87 bytes each (dict hash table + key
+    strings; values are CPython-interned small ints), so at the
+    22 GB sf100 tier every partition saturates at the full ~31k Zipf
+    vocabulary = ~2.7 MB — vocab-bounded, not corpus-bounded. The
+    pathological
     regime is a 10^9-distinct-word corpus where one partition can see
-    millions of distinct words (~115 MB/task, × concurrent tasks);
+    millions of distinct words (~87 MB/task, × concurrent tasks);
     ``cache_words`` bounds that with a TWO-GENERATION cache (hot dict
     + previous generation, swap when hot fills): O(1) per lookup with
     no per-hit LRU bookkeeping, Zipf-hot words are re-promoted on
     first touch after a swap, and worst-case residency is
-    ``cache_words`` entries (~60 MB at the default 2^19). At the
+    ``cache_words`` entries (~46 MB at the default 2^19). At the
     default the sf100 tier never evicts (31k << 2^19)."""
     import re
 

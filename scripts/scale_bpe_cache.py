@@ -55,8 +55,10 @@ def main() -> None:
         shuffle_partitions=int(cpus)))
 
     summary: dict = {"n_merges": N_MERGES, "cpus": int(cpus), "tiers": {}}
+    skipped = []
     for tier, sf_dir in TIERS:
         if not os.path.isdir(sf_dir):
+            skipped.append(tier)
             print(json.dumps({"tier": tier, "skipped": "no data dir"}),
                   flush=True)
             continue
@@ -84,9 +86,16 @@ def main() -> None:
         print(json.dumps({"tier": tier, **row}), flush=True)
 
     summary["written_at"] = time.strftime("%Y-%m-%dT%H:%M:%S")
-    with open(OUT_JSON, "w") as f:
+    out = OUT_JSON
+    if skipped:
+        # never clobber the committed artifact of record with a
+        # partial run (the sf100 tier dir is gitignored and may be
+        # absent on a fresh host)
+        summary["skipped_tiers"] = skipped
+        out += ".partial"
+    with open(out, "w") as f:
         json.dump(summary, f, indent=1)
-    print("wrote", OUT_JSON)
+    print("wrote", out)
 
 
 def _cache_stats(docs, merges):
@@ -114,12 +123,13 @@ def _cache_stats(docs, merges):
                         continue
                     if w not in cache:
                         cache[w] = _count_symbols(w, ranks)
-        # 28 = sys.getsizeof(int) for the non-interned counts; the
-        # dict's own getsizeof covers the hash table, keys add their
-        # string storage
+        # the dict's own getsizeof covers the hash table; keys add
+        # their string storage. Values are NOT counted: symbol
+        # counts are small ints (1..len(word) <= 256), which CPython
+        # interns — the dict slots (already in the getsizeof) hold
+        # pointers to shared singletons, not per-entry objects
         n_bytes = (sys.getsizeof(cache)
-                   + sum(sys.getsizeof(k) for k in cache)
-                   + 28 * len(cache))
+                   + sum(sys.getsizeof(k) for k in cache))
         yield pd.DataFrame({"entries": [len(cache)], "bytes": [n_bytes]})
 
     from deltalake_poc_spark.pipeline.dedup import spread
