@@ -968,8 +968,10 @@ def _bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from deltalake_poc_spark.tables import VersionedTable
 
     # a third of lineitem: the pruning story is per-file blooms, not
-    # volume — the driver-side bloom build hashes every written value,
-    # and writing all of lineitem made this the slowest gate query
+    # volume — the commit-time bloom build (distributed since the
+    # collect_blooms_distributed rewrite) still hashes every written
+    # value, and writing all of lineitem made this the slowest gate
+    # query
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_orderkey") % 3 == 0).select(
         "l_orderkey", "l_linenumber", "l_quantity",
