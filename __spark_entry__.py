@@ -2946,9 +2946,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     dropped an exchange (dedup_groups_distributed -> r12),
     incremental_minhash_dedup's append right-sizing was re-derived
     (incremental_dedup_prod IN this window; incremental_dedup ->
-    r12), and bpe_segment_prod gained the cache_words bound
-    (bpe_learn IN this window covers the module's fit path;
-    bpe_segment -> r12). Plan: r12 = the 32 remaining r9-green
+    r12), bpe_segment_prod gained the cache_words bound (bpe_learn IN
+    this window covers the module's fit path; bpe_segment -> r12),
+    and price_ranks was rewritten scalable (salted two-phase top-k +
+    closed-form ntile after the tier sweep caught the 3-value
+    partition key serializing the sort — price_ranks is IN this
+    window, so the change gates this round). Plan: r12 = the 32 remaining r9-green
     (q18_large_volume ... multimodal_decode, dict order, r9 -> r12
     hard limit) + 18 r10-green with the four change-based hoists
     FIRST (kmeans_clusters, dedup_groups_distributed,

@@ -250,23 +250,64 @@ def order_rollup(orders: DataFrame) -> DataFrame:
     )
 
 
-def price_ranks(orders: DataFrame, k: int = 100) -> DataFrame:
-    """Ranking window functions (rank + ntile) — top-k orders per
-    status with quartile assignment. Deterministic tiebreak on the key
-    so results are engine-portable. One shuffle on the partition key;
-    both windows share it."""
+def price_ranks(orders: DataFrame, k: int = 100,
+                salt_buckets: int = 32) -> DataFrame:
+    """Ranking window functions (rank + ntile semantics) — top-k
+    orders per status with quartile assignment, deterministic
+    tiebreak on the key so results are engine-portable.
+
+    NOT the naive single window: ``PARTITION BY o_orderstatus`` has 3
+    distinct values, so at tier the whole table sorts inside 3 tasks
+    while the rest of the cluster idles (measured: 208 s at the 150M-
+    order sf100 tier, a 138× wall for 1000× data — the one
+    near-linear row of the r11 sweep). Scalable shape, output
+    IDENTICAL to ``RANK()/NTILE(4) OVER (PARTITION BY status ORDER BY
+    price DESC, key ASC)`` filtered to rank <= k:
+
+    1. salted local top-k: row_number <= k per (status, key mod S) —
+       every global top-k row is in its own bucket's top k, and the
+       sort runs at S× the partition-key parallelism;
+    2. exact rank over the <= 3·S·k candidates — the sort key is a
+       TOTAL order (o_orderkey is unique), so RANK == ROW_NUMBER and
+       a candidate's rank over the pruned set equals its global rank;
+    3. NTILE(4) in closed form from the per-status row count (one
+       map-side-combinable groupBy, broadcast back): ANSI ntile gives
+       the first n%4 tiles ceil(n/4) rows and the rest floor(n/4),
+       which is pure arithmetic in (rank, n) — no full-partition
+       window needed."""
     from pyspark.sql import Window
 
-    w = Window.partitionBy("o_orderstatus").orderBy(
-        F.desc("o_totalprice"), F.asc("o_orderkey"))
-    return (
-        orders.select(
-            "o_orderkey", "o_orderstatus",
-            F.round("o_totalprice", 2).alias("price"),
-            F.rank().over(w).alias("price_rank"),
-            F.ntile(4).over(w).alias("quartile"),
-        )
-        .filter(F.col("price_rank") <= k)
+    order_cols = [F.desc("o_totalprice"), F.asc("o_orderkey")]
+    ws = Window.partitionBy("o_orderstatus", "__salt").orderBy(*order_cols)
+    cand = (
+        orders.select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .withColumn("__salt", F.pmod(F.col("o_orderkey"),
+                                     F.lit(salt_buckets)))
+        .withColumn("__rn", F.row_number().over(ws))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn", "__salt")
+    )
+    wf = Window.partitionBy("o_orderstatus").orderBy(*order_cols)
+    n_per = orders.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("__n"))
+    ranked = (cand.withColumn("price_rank", F.row_number().over(wf))
+              .filter(F.col("price_rank") <= k)
+              .join(F.broadcast(n_per), "o_orderstatus"))
+    tile_q = (F.col("__n") / 4).cast("long")     # floor(n/4)
+    tile_r = F.col("__n") % 4                    # n big tiles of q+1
+    pos = F.col("price_rank")
+    big_span = tile_r * (tile_q + 1)
+    quartile = F.when(
+        pos <= big_span, F.ceil(pos / (tile_q + 1))
+    ).otherwise(
+        tile_r + F.ceil((pos - big_span)
+                        / F.greatest(tile_q, F.lit(1)))
+    )
+    return ranked.select(
+        "o_orderkey", "o_orderstatus",
+        F.round("o_totalprice", 2).alias("price"),
+        "price_rank",
+        quartile.cast("int").alias("quartile"),
     )
 
 

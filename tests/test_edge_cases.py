@@ -98,3 +98,39 @@ def test_event_without_source_block_is_isolated(spark, tmp_path):
     assert applier.audit_table().read().count() == 2
     snap = applier.snapshot_table("customers").read()
     assert [r["id"] for r in snap.collect()] == [1]  # sourceless not routed
+
+
+def test_price_ranks_salted_equals_naive_window(spark):
+    """price_ranks' scalable shape (salted local top-k -> exact rank
+    over candidates -> closed-form NTILE from per-status counts) must
+    be row-identical to the naive RANK/NTILE window it replaced (r11:
+    the 3-value partition key serialized the tier sort into 3 tasks,
+    208 s at sf100; the salted shape is 19.5 s). Edge cases pinned:
+    statuses with n < 4 rows (ANSI ntile's q=0 regime, tile == pos),
+    n not divisible by 4 (unequal tile sizes), and rank-k boundaries
+    inside and beyond a status's row count."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from deltalake_poc_spark.analytics.queries import price_ranks
+
+    rows = [(sid * 100000 + i, status, float((i * 37) % 997) + 0.25)
+            for status, n in [("A", 1), ("B", 2), ("C", 3), ("D", 5),
+                              ("E", 7), ("F", 103), ("G", 400),
+                              ("H", 401)]
+            for sid, i in [(ord(status), j) for j in range(n)]]
+    orders = spark.createDataFrame(
+        rows, "o_orderkey long, o_orderstatus string, o_totalprice double")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey"))
+    naive = (orders.select(
+        "o_orderkey", "o_orderstatus",
+        F.round("o_totalprice", 2).alias("price"),
+        F.rank().over(w).alias("price_rank"),
+        F.ntile(4).over(w).alias("quartile"))
+        .filter(F.col("price_rank") <= 100))
+    for k, salt in ((100, 32), (100, 3), (7, 8)):
+        got = sorted(map(tuple, price_ranks(orders, k=k,
+                                            salt_buckets=salt).collect()))
+        want = sorted(t for t in map(tuple, naive.collect()) if t[3] <= k)
+        assert got == want, (k, salt, got[:5], want[:5])
