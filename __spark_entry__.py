@@ -2948,10 +2948,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (incremental_dedup_prod IN this window; incremental_dedup ->
     r12), bpe_segment_prod gained the cache_words bound (bpe_learn IN
     this window covers the module's fit path; bpe_segment -> r12),
-    and price_ranks was rewritten scalable (salted two-phase top-k +
+    price_ranks was rewritten scalable (salted two-phase top-k +
     closed-form ntile after the tier sweep caught the 3-value
     partition key serializing the sort — price_ranks is IN this
-    window, so the change gates this round). Plan: r12 = the 32 remaining r9-green
+    window, so the change gates this round), and all_ngrams_col
+    switched to zip_with-over-shifted-slices (repetition_signals ->
+    r12, where it already sits at position 3 of the planned head). Plan: r12 = the 32 remaining r9-green
     (q18_large_volume ... multimodal_decode, dict order, r9 -> r12
     hard limit) + 18 r10-green with the four change-based hoists
     FIRST (kmeans_clusters, dedup_groups_distributed,

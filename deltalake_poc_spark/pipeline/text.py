@@ -340,12 +340,22 @@ def chunk_documents(docs: DataFrame, chunk_tokens: int = 64,
 def all_ngrams_col(tokens_col, n: int):
     """ALL word n-grams (multiplicities kept — unlike
     dedup.word_ngrams_col, which distincts for set-Jaccard). Docs
-    shorter than n tokens yield an empty array."""
+    shorter than n tokens yield an empty array.
+
+    Built by zip_with over n SHIFTED slices of the token array, not
+    transform(sequence, i -> concat_ws(slice(t, i, n))): the latter
+    allocates an n-element array PER GRAM inside the interpreted
+    lambda, and that per-element slice was ~80% of
+    repetition_signals' tier wall (measured at sf10: bigram
+    construction 9.6 s -> 2.0 s, trigram 11.5 s -> 1.8 s; the shifted
+    slices allocate once per DOCUMENT). Output identical, pinned in
+    tests."""
     t = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(t) - n),
-        lambda i: F.concat_ws(" ", F.slice(t, i.cast("int") + 1, n)),
-    )
+    m = F.size(t) - (n - 1)
+    grams = F.slice(t, 1, m)
+    for j in range(2, n + 1):
+        grams = F.zip_with(grams, F.slice(t, j, m),
+                           lambda a, b: F.concat(a, F.lit(" "), b))
     return F.when(F.size(t) >= n, grams).otherwise(
         F.array().cast("array<string>"))
 

@@ -1526,3 +1526,36 @@ def test_ivf_topk_exact_fewer_than_k_in_init_probe(spark):
                                      n_probe_init=1,
                                      exclude_vec_id=0).collect()]
     assert got == exact
+
+
+def test_all_ngrams_zipwith_equals_reference(spark):
+    """all_ngrams_col's zip_with-over-shifted-slices build (r11: the
+    per-gram slice allocation was ~80% of repetition_signals' tier
+    wall) must be element-identical to the literal windowed-slice
+    reference on randomized corpora and the short-doc/null edges."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(0x9A11)
+    rows = [(i, " ".join(rng.choice("abcdexyz")
+                         for _ in range(rng.randint(0, 30))))
+            for i in range(300)]
+    rows += [(1000, ""), (1001, "a"), (1002, "a b"), (1003, "a b c"),
+             (1004, "  x  y  "), (1005, None)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    base = docs.select("doc_id", text.tokens_col().alias("__toks"))
+    t = F.col("__toks")
+    for n in (2, 3, 4):
+        ref = F.when(
+            F.size(t) >= n,
+            F.transform(F.sequence(F.lit(0), F.size(t) - n),
+                        lambda i: F.concat_ws(
+                            " ", F.slice(t, i.cast("int") + 1, n))),
+        ).otherwise(F.array().cast("array<string>"))
+        bad = base.select(
+            F.coalesce(text.all_ngrams_col("__toks", n),
+                       F.array()).alias("a"),
+            F.coalesce(ref, F.array()).alias("b"),
+        ).filter(F.col("a") != F.col("b")).count()
+        assert bad == 0, f"n={n}: {bad} mismatching docs"
