@@ -2922,62 +2922,146 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     satisfiable at 132 registered). STANDING POLICY (adopted r9, per
     the r8 verdict): any gate query whose IMPLEMENTATION changed in
     round N enters round N+1's window at the latest — freshness is
-    change-based as well as time-based. Round-11 window, executing
-    the plan recorded here in r10 (and ordered by the r10 verdict):
-    (a) incremental_dedup_prod FIRST — its implementation changed in
-    r10 (signature-store append right-sizing), so the change-based
-    rule pulls it ahead of dict order; it is also one of the 33
-    r8-green hitting the r8 -> r11 time limit, so both rules
-    converge on it; (b) bpe_learn — pipeline/bpe.py was rewritten in
-    r10 (incremental pair-delta fit + production encoder), so the
-    distributed fit path re-gates on the touched module; (c) the
-    remaining 32 r8-green in prior dict order (priority_stats ...
-    pca_project) — r8 -> r11 is the freshness limit; (d) 16 r9-green
-    in dict order (length_quantiles ... q17_small_qty_revenue),
-    checked a round early to level the r12/r13 windows. Ledger after
-    r10: 50 r10-green (due r13), 33 r8-green (due r11, all in this
-    window), 49 r9-green (due r12 — 49 not 50: bpe_segment was
-    re-gated in r10 when its segmenter changed). This window takes
-    17 of the 49 r9-green (the 16 + bpe_learn), leaving 32. ROUND-11
-    IMPL CHANGES and who re-gates them: kmeans_fit gained a
-    fit-scoped persist (covers hard_negatives + kmeans_ivf_clusters
-    IN this window; kmeans_clusters + semantic_dedup are r10-green
-    so the change-based rule pulls them into r12), _alternating_star
-    dropped an exchange (dedup_groups_distributed -> r12),
-    incremental_minhash_dedup's append right-sizing was re-derived
-    (incremental_dedup_prod IN this window; incremental_dedup ->
-    r12), bpe_segment_prod gained the cache_words bound (bpe_learn IN
-    this window covers the module's fit path; bpe_segment -> r12),
-    price_ranks was rewritten scalable (salted two-phase top-k +
-    closed-form ntile after the tier sweep caught the 3-value
-    partition key serializing the sort — price_ranks is IN this
-    window, so the change gates this round), and all_ngrams_col
-    switched to zip_with-over-shifted-slices (repetition_signals ->
-    r12, where it already sits at position 3 of the planned head). Plan: r12 = the 32 remaining r9-green
-    (q18_large_volume ... multimodal_decode, dict order, r9 -> r12
-    hard limit) + 18 r10-green with the four change-based hoists
-    FIRST (kmeans_clusters, dedup_groups_distributed,
-    incremental_dedup, bpe_segment), then dict order from
-    corpus_pipeline (which reaches semantic_dedup, the fifth
-    r11-touched query, at position 14); r13 = the remaining 32
-    r10-green + 18 r11-green head — the rotation stays solvable with
-    zero slack violations at 132 registered. Every
-    registered query, in or out of the window, is oracle-checked by
-    tests/test_entry_oracle.py and timed+oracled by bench.py.
+    change-based as well as time-based. Round-12 window, executing
+    the plan recorded here in r11 (and ordered by the r11 verdict):
+    (a) the four change-based hoists FIRST — all four are r10-green
+    queries whose implementations changed in r11: kmeans_clusters
+    (kmeans_fit gained the fit-scoped persist),
+    dedup_groups_distributed (_alternating_star dropped one exchange
+    per round), incremental_dedup (the signature-store append
+    right-sizing, re-derived bytes/row + repartition), bpe_segment
+    (the cache_words two-generation encode-cache bound); (b) the 32
+    remaining r9-green in dict order (q18_large_volume ...
+    multimodal_decode) — r9 -> r12 is the freshness limit; (c) 14
+    r10-green in dict order from corpus_pipeline, which reaches
+    repetition_signals (all_ngrams_col rewritten to
+    zip_with-over-shifted-slices in r11) at tail position 3 and
+    semantic_dedup (kmeans_fit persist consumer) at tail position 14
+    — so ALL SIX r11-touched queries gate this round, exactly as the
+    r11 verdict requires. Ledger after r11: 50 r11-green (due r14),
+    50 r10-green (due r13), 32 r9-green (due r12, all in this
+    window). This window takes 18 of the 50 r10-green (4 hoists +
+    14), leaving 32. ROUND-12 IMPL CHANGES and who re-gates them:
+    split_safety's CC-verification leg was restructured after the
+    tier audit (split_safety is r11-green, so the change-based rule
+    pulls it into r13's head); no other gate query's implementation
+    changed. Plan: r13 = the 32 remaining r10-green (lm_perplexity
+    ... embedding_topk, dict order, r10 -> r13 hard limit) + 18
+    r11-green with split_safety hoisted FIRST (r12-touched), then
+    dict order from the r11-window head (incremental_dedup_prod,
+    bpe_learn, priority_stats ... through price_ranks at tail
+    position 17); r14 = the remaining 32 r11-green + 18 r12-green
+    head — the rotation stays solvable with zero slack violations at
+    132 registered. Every registered query, in or out of the window,
+    is oracle-checked by tests/test_entry_oracle.py and
+    timed+oracled by bench.py.
     """
     return {
-        # === r11 gate window (first 50) ===
-        # --- change-based re-gates ahead of dict order:
-        # incremental_dedup_prod's impl changed in r10 (signature-
-        # store append right-sizing); it is also r8-green at the
-        # r8 -> r11 time limit, so both freshness rules converge
+        # === r12 gate window (first 50) ===
+        # --- the four change-based hoists FIRST: all r10-green
+        # queries whose implementations changed in r11, re-gated at
+        # the head per the standing change-based freshness policy:
+        # kmeans_fit gained the fit-scoped persist
+        "kmeans_clusters": _kmeans_clusters,         # iterative Lloyd k-means
+        # _alternating_star dropped one exchange per CC round
+        "dedup_groups_distributed": _dedup_groups_distributed, # star CC regime
+        # signature-store append right-sizing (schema-derived
+        # bytes/row + repartition)
+        "incremental_dedup": _incremental_dedup,     # signature store
+        # bpe_segment_prod gained the cache_words two-generation cap
+        "bpe_segment": _bpe_segment,                 # corpus BPE segmentation (prod encoder)
+        # --- the 32 remaining r9-green in dict order (r9 -> r12 is
+        # the freshness limit):
+        "q18_large_volume": _q18_large_volume,       # IN group-having
+        "q21_waiting_suppliers": _q21_waiting_suppliers, # semi+anti self
+        "q22_idle_customers": _q22_idle_customers,   # scalar avg + anti
+        "delta_read": _delta_read,                   # Delta-protocol interop
+        "delta_dv_read": _delta_dv_read,             # standard deletion vectors
+        "stats_moments": _stats_moments,             # percentile/stddev/corr
+        "cdc_pipeline": _cdc_pipeline,               # S14 P1-P9 J4 J5 M1 M3
+        "skipping_read": _skipping_read,             # data skipping e2e
+        "q7_volume_shipping": _q7_volume_shipping,   # dual-nation join
+        "q9_product_revenue": _q9_product_revenue,   # nation/year rollup
+        "q10_returned_items": _q10_returned_items,   # returns top-k
+        "q12_priority_lateness": _q12_priority_lateness, # conditional agg
+        "q14_promo_revenue": _q14_promo_revenue,     # promo share
+        "q19_bracket_revenue": _q19_bracket_revenue, # OR brackets
+        "q20_promo_suppliers": _q20_promo_suppliers, # nested semi
+        "mv_refresh": _mv_refresh,                   # T7 S5 S11
+        "cdf_changes": _cdf_changes,                 # S8 M1 M3
+        "frame_sample": _frame_sample,               # video frames
+        "audio_features": _audio_features,           # audio windows
+        "png_decode": _png_decode,                   # PNG codec, lossless pixel oracle
+        "jpeg_decode": _jpeg_decode,                 # baseline JPEG codec, PSNR self-check
+        "image_neardup": _image_neardup,             # dhash perceptual image dedup
+        "multimodal_dedup": _multimodal_dedup,       # cross-modal simhash+dhash groups
+        "token_drift": _token_drift,                 # corpus drift
+        "minhash_dedup": _minhash_dedup,             # MinHash+LSH vs exact oracle
+        "simhash_dedup": _simhash_dedup,             # SimHash, full SQL oracle
+        "pq_batch_topk": _pq_batch_topk,             # batch PQ ANN
+        "ann_lsh_topk": _ann_lsh_topk,               # LSH ANN, full SQL oracle
+        "ivf_topk": _ivf_topk,                       # pivot IVF, full SQL oracle
+        "pq_topk": _pq_topk,                         # PQ/ADC ANN
+        "embedding_neardup": _embedding_neardup,     # cosine near-dup pairs
+        "multimodal_decode": _multimodal_decode,     # binary decode + resize
+        # --- 14 r10-green in dict order from corpus_pipeline: the
+        # tail reaches repetition_signals (all_ngrams_col rewritten
+        # to zip_with in r11) at position 3 and semantic_dedup
+        # (kmeans_fit persist consumer) at position 14, so all six
+        # r11-touched queries gate this round:
+        "corpus_pipeline": _corpus_pipeline,         # filter+dedup+sample+budget
+        "quality_classifier": _quality_classifier,   # distilled quality filter
+        "repetition_signals": _repetition_signals,   # Gopher repetition stats
+        "decontaminate": _decontaminate,             # benchmark n-gram overlap
+        "corpus_sample": _corpus_sample,             # deterministic sampling
+        "bpe_token_stats": _bpe_token_stats,         # token budgeting
+        "pack_sequences": _pack_sequences,           # fixed-budget packing
+        "winnow_dedup": _winnow_dedup,               # MOSS winnowing spans
+        "dv_pipeline": _dv_pipeline,                 # deletion vectors e2e
+        "webdataset_rw": _webdataset_rw,             # tar shard pack/unpack round trip
+        "lm_perplexity3": _lm_perplexity3,           # trigram stupid-backoff NLL
+        "mp4_index": _mp4_index,                     # ISO-BMFF sample-table index
+        "mp3_index": _mp3_index,                     # MPEG audio frame walk
+        "semantic_dedup": _semantic_dedup,           # SemDeDup over clusters
+        # --- positions 51+: outside the driver's 50-query gate
+        # window. FIRST the remaining 32 r10-green (due r13):
+        "lm_perplexity": _lm_perplexity,             # bigram-LM quality scoring
+        "heavy_hitters": _heavy_hitters,             # count-min top-k rollup
+        "wal_cdc_pipeline": _wal_cdc_pipeline,       # LIVE postgres WAL CDC
+        "mixture_sample": _mixture_sample,           # domain mixing
+        "source_overlap": _source_overlap,           # overlap matrix
+        "chunk_dedup": _chunk_dedup,                 # chunk-level dedup
+        "bloom_lookup": _bloom_lookup,               # bloom skipping
+        "q11_important_parts": _q11_important_parts, # fraction HAVING
+        "q15_top_supplier": _q15_top_supplier,       # view + max probe
+        "pq_stream_ingest": _pq_stream_ingest,       # streaming PQ ingest
+        "span_dedup": _span_dedup,                   # repeated substrings
+        "sketch_rollup": _sketch_rollup,             # HLL union rollup
+        "cohort_retention": _cohort_retention,       # retention matrix
+        "skewed_agg": _skewed_agg,                   # salted hot-key agg
+        "minhash_dedup_prod": _minhash_dedup_prod,   # 16x4 banding, exact oracle
+        "ngram_jaccard_nocap": _ngram_jaccard_nocap, # capless, exact oracle
+        "ivf_kmeans_topk": _ivf_kmeans_topk,         # fitted IVF, exact-probe oracle
+        "props_analytics": _props_analytics,         # JSON extraction agg
+        "customers_without_orders": _customers_without_orders, # anti join
+        "change_type_counts": _change_type_counts,   # A6
+        "intersect_keys": _intersect_keys,           # INTERSECT
+        "string_funcs": _string_funcs,               # string surface
+        "date_parts": _date_parts,                   # date extraction
+        "time_travel_diff": _time_travel_diff,       # S6 U3
+        "tf_idf": _tf_idf,                           # corpus TF-IDF
+        "dedup_exact_groups": _dedup_exact_groups,   # exact dedup
+        "ngram_jaccard": _ngram_jaccard,             # n-gram Jaccard
+        "dedup_group_assign": _dedup_group_assign,   # connected components
+        "top_tokens": _top_tokens,                   # token counting
+        "doc_chunks": _doc_chunks,                   # chunking w/ overlap
+        "scrub_pii": _scrub_pii,                     # PII scrubbing
+        "embedding_topk": _embedding_topk,           # brute-force ANN baseline
+        # --- then the 50 r11-green (due r14; r13 takes 18 per the
+        # plan above — split_safety hoisted first, then dict order
+        # through price_ranks):
         "incremental_dedup_prod": _incremental_dedup_prod, # sig-agreement, exact-decision oracle
-        # pipeline/bpe.py was rewritten in r10 (incremental
-        # pair-delta fit + production encoder), so the distributed
-        # fit path re-gates on the touched module
         "bpe_learn": _bpe_learn,                     # BPE tokenizer training
-        # --- the remaining 32 r8-green in prior dict order (r8 ->
-        # r11 is the freshness limit):
         "priority_stats": _priority_stats,           # A5 P8
         "event_stats": _event_stats,                 # A7
         "customer_order_lists": _customer_order_lists, # array_agg
@@ -3011,8 +3095,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_manifest": _shard_manifest,           # export manifest rollup
         "hard_negatives": _hard_negatives,           # contrastive mining
         "pca_project": _pca_project,                 # exact power-iteration PCA
-        # --- 16 r9-green in dict order (due r12; checked a round
-        # early to level the r12/r13 windows):
         "length_quantiles": _length_quantiles,       # mergeable quantile profile
         "lang_id": _lang_id,                         # language ID
         "text_quality": _text_quality,               # quality scoring
@@ -3029,92 +3111,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q13_cust_distribution": _q13_cust_distribution, # outer-join hist
         "q16_supplier_cnt": _q16_supplier_cnt,       # anti + distinct
         "q17_small_qty_revenue": _q17_small_qty_revenue, # correlated avg
-        # --- positions 51+: outside the driver's 50-query gate
-        # window. FIRST the remaining 32 r9-green (due r12):
-        "q18_large_volume": _q18_large_volume,       # IN group-having
-        "q21_waiting_suppliers": _q21_waiting_suppliers, # semi+anti self
-        "q22_idle_customers": _q22_idle_customers,   # scalar avg + anti
-        "delta_read": _delta_read,                   # Delta-protocol interop
-        "delta_dv_read": _delta_dv_read,             # standard deletion vectors
-        "stats_moments": _stats_moments,             # percentile/stddev/corr
-        "cdc_pipeline": _cdc_pipeline,               # S14 P1-P9 J4 J5 M1 M3
-        "skipping_read": _skipping_read,             # data skipping e2e
-        "q7_volume_shipping": _q7_volume_shipping,   # dual-nation join
-        "q9_product_revenue": _q9_product_revenue,   # nation/year rollup
-        "q10_returned_items": _q10_returned_items,   # returns top-k
-        "q12_priority_lateness": _q12_priority_lateness, # conditional agg
-        "q14_promo_revenue": _q14_promo_revenue,     # promo share
-        "q19_bracket_revenue": _q19_bracket_revenue, # OR brackets
-        "q20_promo_suppliers": _q20_promo_suppliers, # nested semi
-        "mv_refresh": _mv_refresh,                   # T7 S5 S11
-        "cdf_changes": _cdf_changes,                 # S8 M1 M3
-        "frame_sample": _frame_sample,               # video frames
-        "audio_features": _audio_features,           # audio windows
-        "png_decode": _png_decode,                   # PNG codec, lossless pixel oracle
-        "jpeg_decode": _jpeg_decode,                 # baseline JPEG codec, PSNR self-check
-        "image_neardup": _image_neardup,             # dhash perceptual image dedup
-        "multimodal_dedup": _multimodal_dedup,       # cross-modal simhash+dhash groups
-        "token_drift": _token_drift,                 # corpus drift
-        "minhash_dedup": _minhash_dedup,             # MinHash+LSH vs exact oracle
-        "simhash_dedup": _simhash_dedup,             # SimHash, full SQL oracle
-        "pq_batch_topk": _pq_batch_topk,             # batch PQ ANN
-        "ann_lsh_topk": _ann_lsh_topk,               # LSH ANN, full SQL oracle
-        "ivf_topk": _ivf_topk,                       # pivot IVF, full SQL oracle
-        "pq_topk": _pq_topk,                         # PQ/ADC ANN
-        "embedding_neardup": _embedding_neardup,     # cosine near-dup pairs
-        "multimodal_decode": _multimodal_decode,     # binary decode + resize
-        # --- then the 50 r10-green (due r13; r12 takes 18 in dict
-        # order per the plan above):
-        "corpus_pipeline": _corpus_pipeline,         # filter+dedup+sample+budget
-        "quality_classifier": _quality_classifier,   # distilled quality filter
-        "repetition_signals": _repetition_signals,   # Gopher repetition stats
-        "decontaminate": _decontaminate,             # benchmark n-gram overlap
-        "corpus_sample": _corpus_sample,             # deterministic sampling
-        "bpe_token_stats": _bpe_token_stats,         # token budgeting
-        "pack_sequences": _pack_sequences,           # fixed-budget packing
-        "winnow_dedup": _winnow_dedup,               # MOSS winnowing spans
-        "dv_pipeline": _dv_pipeline,                 # deletion vectors e2e
-        "webdataset_rw": _webdataset_rw,             # tar shard pack/unpack round trip
-        "lm_perplexity3": _lm_perplexity3,           # trigram stupid-backoff NLL
-        "mp4_index": _mp4_index,                     # ISO-BMFF sample-table index
-        "mp3_index": _mp3_index,                     # MPEG audio frame walk
-        "semantic_dedup": _semantic_dedup,           # SemDeDup over clusters
-        "lm_perplexity": _lm_perplexity,             # bigram-LM quality scoring
-        "heavy_hitters": _heavy_hitters,             # count-min top-k rollup
-        "wal_cdc_pipeline": _wal_cdc_pipeline,       # LIVE postgres WAL CDC
-        "mixture_sample": _mixture_sample,           # domain mixing
-        "source_overlap": _source_overlap,           # overlap matrix
-        "chunk_dedup": _chunk_dedup,                 # chunk-level dedup
-        "bloom_lookup": _bloom_lookup,               # bloom skipping
-        "q11_important_parts": _q11_important_parts, # fraction HAVING
-        "q15_top_supplier": _q15_top_supplier,       # view + max probe
-        "incremental_dedup": _incremental_dedup,     # signature store
-        "pq_stream_ingest": _pq_stream_ingest,       # streaming PQ ingest
-        "span_dedup": _span_dedup,                   # repeated substrings
-        "sketch_rollup": _sketch_rollup,             # HLL union rollup
-        "cohort_retention": _cohort_retention,       # retention matrix
-        "skewed_agg": _skewed_agg,                   # salted hot-key agg
-        "dedup_groups_distributed": _dedup_groups_distributed, # star CC regime
-        "minhash_dedup_prod": _minhash_dedup_prod,   # 16x4 banding, exact oracle
-        "ngram_jaccard_nocap": _ngram_jaccard_nocap, # capless, exact oracle
-        "ivf_kmeans_topk": _ivf_kmeans_topk,         # fitted IVF, exact-probe oracle
-        "kmeans_clusters": _kmeans_clusters,         # iterative Lloyd k-means
-        "props_analytics": _props_analytics,         # JSON extraction agg
-        "customers_without_orders": _customers_without_orders, # anti join
-        "change_type_counts": _change_type_counts,   # A6
-        "intersect_keys": _intersect_keys,           # INTERSECT
-        "string_funcs": _string_funcs,               # string surface
-        "date_parts": _date_parts,                   # date extraction
-        "time_travel_diff": _time_travel_diff,       # S6 U3
-        "tf_idf": _tf_idf,                           # corpus TF-IDF
-        "dedup_exact_groups": _dedup_exact_groups,   # exact dedup
-        "ngram_jaccard": _ngram_jaccard,             # n-gram Jaccard
-        "dedup_group_assign": _dedup_group_assign,   # connected components
-        "top_tokens": _top_tokens,                   # token counting
-        "doc_chunks": _doc_chunks,                   # chunking w/ overlap
-        "scrub_pii": _scrub_pii,                     # PII scrubbing
-        "embedding_topk": _embedding_topk,           # brute-force ANN baseline
-        "bpe_segment": _bpe_segment,                 # corpus BPE segmentation (prod encoder)
     }
 
 

@@ -32,6 +32,38 @@ def _cpu_stat() -> dict[str, int]:
         return {}
 
 
+def _host_regime() -> dict[str, object]:
+    """Snapshot the host's clock/scheduling regime: cpu MHz (mean and
+    min across cores), the cpufreq governor, and the 1/5/15-min
+    loadavg. cpu_steal_pct alone has twice (r8, r11) failed to explain
+    a uniform +10-15% shift across untouched queries — a throttled
+    clock or a loaded host shows up here even when steal reads ~0, so
+    quiet-to-quiet comparisons become self-evidencing from the
+    artifact instead of needing prose adjudication."""
+    out: dict[str, object] = {}
+    try:
+        mhz = [float(line.split(":")[1])
+               for line in open("/proc/cpuinfo")
+               if line.startswith("cpu MHz")]
+        if mhz:
+            out["cpu_mhz_mean"] = round(sum(mhz) / len(mhz), 1)
+            out["cpu_mhz_min"] = round(min(mhz), 1)
+    except Exception:
+        pass
+    try:
+        out["cpu_governor"] = open(
+            "/sys/devices/system/cpu/cpu0/cpufreq/scaling_governor"
+        ).read().strip()
+    except Exception:
+        pass
+    try:
+        out["loadavg"] = [float(x)
+                          for x in open("/proc/loadavg").read().split()[:3]]
+    except Exception:
+        pass
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -116,6 +148,7 @@ def main() -> None:
     # 1.4-2s in isolation minutes later), and the min exposes the
     # query's actual cost under that interference
     stat0 = _cpu_stat()
+    regime0 = _host_regime()
     timings: dict[str, float] = {}
     timings_min: dict[str, float] = {}
     for name, fn in qs.items():
@@ -156,12 +189,19 @@ def main() -> None:
         oracle_timings = {}
 
     stat1 = _cpu_stat()
+    regime1 = _host_regime()
     env = {}
     if stat0 and stat1:
         d = {k: stat1[k] - stat0[k] for k in stat0}
         tot = sum(d.values()) or 1
         env = {"cpu_steal_pct": round(100 * d["steal"] / tot, 2),
                "cpu_iowait_pct": round(100 * d["iowait"] / tot, 2)}
+    # host-regime telemetry (r12): start/end snapshots bracket the
+    # run so a mid-run governor flip or clock throttle is visible
+    if regime0:
+        env["host_regime_start"] = regime0
+    if regime1:
+        env["host_regime_end"] = regime1
     total = round(sum(timings.values()), 3)
     payload = {
         "metric": "total_query_sec",

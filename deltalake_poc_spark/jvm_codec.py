@@ -189,12 +189,19 @@ def image_transcode(media, quality: int = 85):
                     if img.ndim == 3 and img.shape[2] in (2, 4):
                         # JPEG carries no alpha; composite over black
                         # exactly like the JVM path's drawImage onto
-                        # an all-zero TYPE_INT_RGB canvas
-                        a = img[..., -1].astype(np.uint16)
-                        img = (img[..., :-1].astype(np.uint16)
-                               * a[..., None] // 255).astype(np.uint8)
+                        # an all-zero TYPE_INT_RGB canvas — including
+                        # Java2D's ROUNDED mul8 blend ((s*a+127)//255,
+                        # not floor division), so out_bytes agrees
+                        # between the two dispatch paths
+                        a = img[..., -1].astype(np.uint32)
+                        img = ((img[..., :-1].astype(np.uint32)
+                                * a[..., None] + 127) // 255
+                               ).astype(np.uint8)
                         if img.shape[2] == 1:
-                            img = img[..., 0]
+                            # the JVM canvas is 3-channel: expand the
+                            # LA composite to RGB rather than encode
+                            # a 1-channel grayscale JPEG
+                            img = np.repeat(img, 3, axis=2)
                     enc = encode_jpeg(img, quality, "4:4:4")
                 except Exception:
                     continue  # same per-row tolerance as the JVM path

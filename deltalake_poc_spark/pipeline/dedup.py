@@ -1185,8 +1185,9 @@ def incremental_minhash_dedup(store, new_docs: DataFrame,
         # cached decision frame — work the append job was about to do
         # anyway — and at production batch sizes the same formula
         # yields many right-sized files, so write parallelism returns
-        # exactly when it matters. Bytes/row follows the schema (one
-        # long doc_id + num_hashes long sig elements) instead of a
+        # exactly when it matters. Bytes/row follows the schema (8
+        # for the long doc_id + 8 per sig element, plus another 8 of
+        # per-row parquet encoding-overhead headroom) instead of a
         # hardcoded constant, so wider signatures still hit the 64 MB
         # target; repartition (not coalesce) keeps the semi-join's
         # post-shuffle stage at full parallelism — coalesce(1) would

@@ -342,6 +342,14 @@ def all_ngrams_col(tokens_col, n: int):
     dedup.word_ngrams_col, which distincts for set-Jaccard). Docs
     shorter than n tokens yield an empty array.
 
+    PRECONDITION: array elements must be non-null. The gram pieces
+    are joined with null-PROPAGATING concat (a null token nulls its
+    grams), unlike the pre-r11 concat_ws build which silently skipped
+    null tokens and emitted partial grams. Every current caller
+    tokenizes via split(), which never produces null elements; a
+    future caller with nullable tokens must filter() or coalesce them
+    first.
+
     Built by zip_with over n SHIFTED slices of the token array, not
     transform(sequence, i -> concat_ws(slice(t, i, n))): the latter
     allocates an n-element array PER GRAM inside the interpreted

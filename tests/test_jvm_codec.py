@@ -232,9 +232,12 @@ def test_image_transcode_fallback_mixed_formats(spark):
     """The fallback must keep every row the JVM path would keep on a
     mixed-format corpus (the r10 ADVICE parity gap: decode_jpeg-only
     silently dropped PNG/BMP/PPM rows). Alpha composites over black
-    exactly like the JVM drawImage-onto-TYPE_INT_RGB normalization;
-    the encoder is deterministic, so out_bytes is exactly
-    reproducible locally."""
+    exactly like the JVM drawImage-onto-TYPE_INT_RGB normalization —
+    Java2D's ROUNDED mul8 blend, and LA expands to 3 channels because
+    the JVM canvas is TYPE_INT_RGB (the r11 ADVICE parity gap; plain
+    grayscale stays 1-channel on BOTH paths since the JVM only
+    normalizes images whose ColorModel hasAlpha). The encoder is
+    deterministic, so out_bytes is exactly reproducible locally."""
     import struct
 
     import numpy as np
@@ -258,16 +261,40 @@ def test_image_transcode_fallback_mixed_formats(spark):
            + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
                          stride * h, 0, 0, 0, 0) + bmp_rows.tobytes())
     jpeg_in = encode_jpeg(rgb, 85, "4:4:4")
+
+    def la_png(g, a):
+        # hand-rolled ctype-4 (grayscale+alpha) PNG: encode_png does
+        # not emit LA, but decode_pixels reads it
+        import zlib
+        hh, ww = g.shape
+        raw = b"".join(
+            b"\x00" + np.dstack([g, a])[y].tobytes() for y in range(hh))
+
+        def chunk(tag, body):
+            return (struct.pack(">I", len(body)) + tag + body
+                    + struct.pack(">I", zlib.crc32(tag + body)))
+
+        return (b"\x89PNG\r\n\x1a\n"
+                + chunk(b"IHDR", struct.pack(">IIBBBBB", ww, hh, 8, 4,
+                                             0, 0, 0))
+                + chunk(b"IDAT", zlib.compress(raw))
+                + chunk(b"IEND", b""))
+
+    def blend(px, a):
+        # Java2D's rounded mul8 over a black canvas
+        return ((px.astype(np.uint32) * a.astype(np.uint32) + 127)
+                // 255).astype(np.uint8)
+
     payloads = {
         # transcode re-encodes the DECODED (lossy) pixels, not the
         # pre-encode originals
         0: (bytearray(jpeg_in), decode_jpeg(jpeg_in)),
         1: (bytearray(encode_png(gray)), gray),
-        2: (bytearray(encode_png(rgba)),
-            (rgb.astype(np.uint16) * alpha[..., None].astype(np.uint16)
-             // 255).astype(np.uint8)),
+        2: (bytearray(encode_png(rgba)), blend(rgb, alpha[..., None])),
         3: (bytearray(ppm), rgb),
         4: (bytearray(bmp), rgb),
+        5: (bytearray(la_png(gray, alpha)),
+            np.repeat(blend(gray, alpha)[..., None], 3, axis=2)),
     }
     media = spark.createDataFrame(
         [(k, p) for k, (p, _) in payloads.items()],
@@ -275,7 +302,7 @@ def test_image_transcode_fallback_mixed_formats(spark):
     assert not spark.catalog.functionExists(jvm_codec.TRANSCODE_UDF_NAME)
     out = {r["media_id"]: r for r in
            jvm_codec.image_transcode(media, 85).collect()}
-    assert sorted(out) == [0, 1, 2, 3, 4]
+    assert sorted(out) == [0, 1, 2, 3, 4, 5]
     for k, (payload, expect) in payloads.items():
         t = out[k]
         assert (t["width"], t["height"]) == (w, h)
