@@ -2942,19 +2942,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     50 r10-green (due r13), 32 r9-green (due r12, all in this
     window). This window takes 18 of the 50 r10-green (4 hoists +
     14), leaving 32. ROUND-12 IMPL CHANGES and who re-gates them:
-    split_safety's CC-verification leg was restructured after the
-    tier audit (split_safety is r11-green, so the change-based rule
-    pulls it into r13's head); no other gate query's implementation
-    changed. Plan: r13 = the 32 remaining r10-green (lm_perplexity
-    ... embedding_topk, dict order, r10 -> r13 hard limit) + 18
-    r11-green with split_safety hoisted FIRST (r12-touched), then
-    dict order from the r11-window head (incremental_dedup_prod,
-    bpe_learn, priority_stats ... through price_ranks at tail
-    position 17); r14 = the remaining 32 r11-green + 18 r12-green
-    head — the rotation stays solvable with zero slack violations at
-    132 registered. Every registered query, in or out of the window,
-    is oracle-checked by tests/test_entry_oracle.py and
-    timed+oracled by bench.py.
+    ngram_jaccard_pairs' CAPLESS branch was rewritten after the tier
+    audit of split_safety (per-doc gram counts now ride the posting
+    list and the pair aggregate picks them up with min(), replacing
+    the two count-joins whose re-attach re-tokenized the corpus —
+    the plan drops from 4 document scans to 2). Consumers:
+    dedup_groups_distributed is IN this window (position 2), so the
+    change gates THIS round; split_safety and canonical_selection
+    are r11-green, so the change-based rule pulls BOTH into r13's
+    head; ngram_jaccard (capped branch unchanged but same function),
+    ngram_jaccard_nocap, and dedup_group_assign are r10-green and
+    already inside r13's 32. Plan: r13 = the 32 remaining r10-green
+    (lm_perplexity ... embedding_topk, dict order, r10 -> r13 hard
+    limit) + 18 r11-green with split_safety and canonical_selection
+    hoisted FIRST (r12-touched), then dict order from the r11-window
+    head (incremental_dedup_prod, bpe_learn, priority_stats ...
+    through order_cube at tail position 16); r14 = the remaining 32
+    r11-green + 18 r12-green head — the rotation stays solvable with
+    zero slack violations at 132 registered. Every registered query,
+    in or out of the window, is oracle-checked by
+    tests/test_entry_oracle.py and timed+oracled by bench.py.
     """
     return {
         # === r12 gate window (first 50) ===
@@ -3058,8 +3065,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scrub_pii": _scrub_pii,                     # PII scrubbing
         "embedding_topk": _embedding_topk,           # brute-force ANN baseline
         # --- then the 50 r11-green (due r14; r13 takes 18 per the
-        # plan above — split_safety hoisted first, then dict order
-        # through price_ranks):
+        # plan above — split_safety and canonical_selection hoisted
+        # first, then dict order through order_cube):
         "incremental_dedup_prod": _incremental_dedup_prod, # sig-agreement, exact-decision oracle
         "bpe_learn": _bpe_learn,                     # BPE tokenizer training
         "priority_stats": _priority_stats,           # A5 P8

@@ -138,16 +138,17 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
     leave it None only on corpora known to be skew-free.
     """
     with_grams = doc_grams(docs, n)
-    # slim posting list: the self-join shuffles only (doc_id, gram);
-    # per-doc gram counts re-attach afterwards. No broadcast hint:
-    # `counts` has one row per DOCUMENT, so at corpus scale a forced
-    # broadcast is an OOM — AQE picks broadcast when the side is
-    # actually small and falls back to a shuffle join when it isn't.
-    # (A groupBy-gram + in-array pair-generation variant was measured
-    # at parity on time but builds O(df²) structs per hot gram — the
-    # join form degrades more gracefully under gram skew.)
-    posting = _explode_posting(with_grams, "grams", "gram")
     if max_df is not None:
+        # slim posting list: the self-join shuffles only
+        # (doc_id, gram); per-doc gram counts re-attach afterwards.
+        # No broadcast hint: `counts` has one row per DOCUMENT, so at
+        # corpus scale a forced broadcast is an OOM — AQE picks
+        # broadcast when the side is actually small and falls back to
+        # a shuffle join when it isn't. (A groupBy-gram + in-array
+        # pair-generation variant was measured at parity on time but
+        # builds O(df²) structs per hot gram — the join form degrades
+        # more gracefully under gram skew.)
+        posting = _explode_posting(with_grams, "grams", "gram")
         # grams are distinct per doc, so count(*) per gram == document
         # frequency. Window-count over gram instead of a groupBy +
         # anti-join: the window's hash(gram) exchange is EXACTLY the
@@ -159,32 +160,83 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
         # skew hazard at 100 TB (the quadratic blow-up the cap
         # prevents happens in the join, not here).
         w = Window.partitionBy("gram")
+        posting = posting.withColumn("__df", F.count(F.lit(1)).over(w))
+        counts = (posting.filter(F.col("__df") <= max_df)
+                  .groupBy("doc_id").agg(
+                      F.count(F.lit(1)).alias("n_grams")))
+        # join sides additionally drop df=1 grams (r12): a hapax gram
+        # cannot match any other document, so it contributes nothing
+        # to `shared` — but real corpora are mostly hapax grams (Zipf
+        # tail), so excluding them shrinks the join's sort/probe input
+        # severalfold for free. The DENOMINATOR still counts hapax
+        # grams (capped Jaccard is over ALL sub-cap grams), which is
+        # why `counts` filters on df <= max_df only. Both filters sit
+        # above the same window exchange — the shared-shuffle plan
+        # shape (ReusedExchange pin) is unchanged.
+        joinable = posting.filter(
+            (F.col("__df") >= 2) & (F.col("__df") <= max_df)
+        ).drop("__df")
+        a = joinable.alias("a")
+        b = joinable.alias("b")
+        pairs = (
+            a.join(b, (F.col("a.gram") == F.col("b.gram"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .groupBy(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .agg(F.count(F.lit(1)).alias("shared"))
+            .join(counts.withColumnRenamed("doc_id", "doc_a")
+                  .withColumnRenamed("n_grams", "na"), "doc_a")
+            .join(counts.withColumnRenamed("doc_id", "doc_b")
+                  .withColumnRenamed("n_grams", "nb"), "doc_b")
+        )
+    else:
+        # Capless path (r12): |A| rides the posting list as a carried
+        # attribute and the pair aggregate picks it up with min()
+        # (n_grams is functionally dependent on doc_id, so min == the
+        # value), REPLACING the two count-joins. Those joins were the
+        # tier concentration the r11 sweep flagged in split_safety:
+        # with no gram-keyed window in the plan, each re-attach
+        # re-tokenized the whole corpus (no exchange below the counts
+        # subtree to reuse — 8 parquet scans in the pre-r12 plan) and
+        # shuffled a corpus-sized counts frame by doc key, twice. The
+        # carried long costs +8 bytes per posting row in the ONE gram
+        # shuffle; n_grams is computed with size() over the already-
+        # projected grams ATTRIBUTE in a separate Project above the
+        # tokenization, so the expensive gram expression still
+        # evaluates exactly once per document (plan-pinned). The
+        # capped branch keeps the re-attach joins: its counts must be
+        # RE-counted after the df filter. Like the capped branch, the
+        # join sides drop df=1 grams over a gram-keyed window — a
+        # hapax gram cannot contribute to `shared`, and the carried
+        # (pre-filter) n_grams keeps the denominator over the FULL
+        # gram set, so the output is provably identical while the
+        # join's sort/probe input shrinks by the corpus's hapax mass
+        # (A/B at the sf10 tier: 31 -> 26 s; output-identity pinned).
+        posting = _explode_posting(
+            with_grams.withColumn("n_grams", F.size("grams")),
+            "grams", "gram", keys=("doc_id", "n_grams"))
+        w = Window.partitionBy("gram")
         posting = (
             posting
             .withColumn("__df", F.count(F.lit(1)).over(w))
-            .filter(F.col("__df") <= max_df)
+            .filter(F.col("__df") >= 2)
             .drop("__df")
         )
-        counts = posting.groupBy("doc_id").agg(
-            F.count(F.lit(1)).alias("n_grams"))
-    else:
-        counts = with_grams.select(
-            "doc_id", F.size("grams").alias("n_grams"))
-    a = posting.alias("a")
-    b = posting.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.gram") == F.col("b.gram"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
+        a = posting.alias("a")
+        b = posting.alias("b")
+        pairs = (
+            a.join(b, (F.col("a.gram") == F.col("b.gram"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .groupBy(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .agg(F.count(F.lit(1)).alias("shared"),
+                 F.min(F.col("a.n_grams")).alias("na"),
+                 F.min(F.col("b.n_grams")).alias("nb"))
         )
-        .agg(F.count(F.lit(1)).alias("shared"))
-        .join(counts.withColumnRenamed("doc_id", "doc_a")
-              .withColumnRenamed("n_grams", "na"), "doc_a")
-        .join(counts.withColumnRenamed("doc_id", "doc_b")
-              .withColumnRenamed("n_grams", "nb"), "doc_b")
-    )
     jac = F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))
     return (
         pairs.select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))

@@ -67,6 +67,44 @@ def test_ngram_hot_gram_cap(spark):
     assert uncapped.count() > 40 * 39 / 2  # quadratic blowup is real
 
 
+def test_ngram_capless_carried_counts_match_count_join_form(spark):
+    """Output-identity pin for the r12 capless rewrite: the carried
+    n_grams attribute + min() pickup must produce exactly the pairs
+    the count-join re-attach form produced. A max_df >= the corpus
+    doc count filters nothing, so the CAPPED branch (which keeps the
+    count-join formulation) is the old form's oracle — every (pair,
+    jaccard) must agree, including sub-threshold exclusions, on a
+    corpus with exact dups, overlapping near-dups, and no-gram shorts.
+    Also pins that the expensive gram expression is not re-evaluated
+    for the carried count: the capless plan tokenizes ONCE per join
+    side (2 scans of documents, not the pre-r12 8)."""
+    rows = [(0, "alpha beta gamma delta epsilon zeta"),
+            (1, "alpha beta gamma delta epsilon eta"),
+            (2, "one two three four five six seven"),
+            (3, "alpha beta gamma delta epsilon zeta"),
+            (4, "one two three four five range probe"),
+            (5, "xx yy"),  # < n tokens: no grams at all
+            (6, "totally unrelated content words here")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    capless = dedup.ngram_jaccard_pairs(docs, threshold=0.1)
+    noop_cap = dedup.ngram_jaccard_pairs(docs, threshold=0.1,
+                                         max_df=len(rows))
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in capless.collect()}
+    want = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in noop_cap.collect()}
+    assert got == want and (0, 3) in got and got[(0, 3)] == 1.0
+    # fresh (un-executed) frame: the executed one's explain string
+    # would append AQE's Initial Plan section and double-count scans
+    plan = dedup.ngram_jaccard_pairs(docs, threshold=0.1)\
+        ._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode
+            .fromString("formatted"))
+    # formatted mode names each node twice (tree line + detail
+    # header), so 2 physical scans == 4 mentions; the pre-r12
+    # count-join plan had 4 scans == 8 mentions
+    assert plan.count("Scan ") <= 4, plan[:800]
+
+
 def test_minhash_lsh(spark, docs):
     pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"]
              for r in dedup.minhash_lsh_pairs(docs, threshold=0.5).collect()}
