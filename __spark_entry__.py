@@ -1969,7 +1969,12 @@ def _split_safety(spark: SparkSession, sf_dir: str) -> DataFrame:
     # verification contract is unchanged (it checks the SPLIT against
     # the pair set, and the oracle recomputes the pairs themselves).
     pairs = ngram_jaccard_pairs(docs, threshold=0.15).localCheckpoint()
-    sp = leakage_safe_split(docs, pairs)
+    # sp is consumed twice (crossing recount + per-split counts); the
+    # r12 stage audit measured the uncheckpointed re-execution at
+    # 5.5-10 s at the sf100 tier (SCALE_RUN_SPLIT_SAFETY.json
+    # t_split_reexec_sec) for a frame of three slim columns — the
+    # same single-materialization argument as the pair set above
+    sp = leakage_safe_split(docs, pairs).localCheckpoint()
     crossing = (
         pairs
         .join(sp.select(F.col("doc_id").alias("doc_a"),
