@@ -2955,9 +2955,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     dedup_groups_distributed is IN this window (position 2), so the
     change gates THIS round; split_safety and canonical_selection
     are r11-green, so the change-based rule pulls BOTH into r13's
-    head; ngram_jaccard (capped branch unchanged but same function),
-    ngram_jaccard_nocap, and dedup_group_assign are r10-green and
-    already inside r13's 32. Plan: r13 = the 32 remaining r10-green
+    head; ngram_jaccard (the capped branch also changed — its join
+    sides took the df>=2 prefilter), ngram_jaccard_nocap, and
+    dedup_group_assign are r10-green and already inside r13's 32. Plan: r13 = the 32 remaining r10-green
     (lm_perplexity ... embedding_topk, dict order, r10 -> r13 hard
     limit) + 18 r11-green with split_safety and canonical_selection
     hoisted FIRST (r12-touched), then dict order from the r11-window

@@ -199,7 +199,8 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
         # tier concentration the r11 sweep flagged in split_safety:
         # with no gram-keyed window in the plan, each re-attach
         # re-tokenized the whole corpus (no exchange below the counts
-        # subtree to reuse — 8 parquet scans in the pre-r12 plan) and
+        # subtree to reuse — 4 document-scan nodes in the pre-r12
+        # plan, 2 after) and
         # shuffled a corpus-sized counts frame by doc key, twice. The
         # carried long costs +8 bytes per posting row in the ONE gram
         # shuffle; n_grams is computed with size() over the already-

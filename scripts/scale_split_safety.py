@@ -15,13 +15,17 @@ Times the gate query's three sequential legs SEPARATELY at each tier:
                 query.
 
 Stage 2+3 consume the CHECKPOINTED pair set (exactly like the gate
-query), so their times are incremental, not cumulative. Where a
-`pairs_variant` B exists (the r12 carried-n_grams rewrite vs the
-count-join re-attach it replaced), both variants of stage 1 are timed
-in the same process for an A/B immune to host-regime shifts.
+query), so their times are incremental, not cumulative. This script
+produces the stage DECOMPOSITION only; the r12 variant A/Bs
+(carried-counts vs count-join, df>=2 prefilter on/off, the capped
+branch) were run as separate interleaved same-session jobs and are
+recorded — together with one run of this script — in the curated
+committed artifact SCALE_RUN_SPLIT_SAFETY.json.
 
 Emits one JSON summary to SPARK_GRAFT_SCALE_JSON (default
-SCALE_RUN_SPLIT_SAFETY.json).
+SCALE_RUN_SPLIT_SAFETY_STAGES.json — deliberately NOT the curated
+artifact's name, so a re-run cannot clobber the committed A/B
+evidence; point SPARK_GRAFT_SCALE_JSON elsewhere to redirect).
 """
 
 from __future__ import annotations
@@ -38,7 +42,7 @@ TIERS = [
     ("sf100", "/root/repo/.scale/sf100"),
 ]
 OUT_JSON = os.environ.get("SPARK_GRAFT_SCALE_JSON",
-                          "/root/repo/SCALE_RUN_SPLIT_SAFETY.json")
+                          "/root/repo/SCALE_RUN_SPLIT_SAFETY_STAGES.json")
 
 
 def main() -> None:
@@ -108,8 +112,12 @@ def main() -> None:
             "t_split_reexec_sec": round(t_split_reexec, 3),
         }
         print(json.dumps({tier: summary["tiers"][tier]}), flush=True)
-        pairs.unpersist()
-        sp.unpersist()
+        # no explicit release: DataFrame.unpersist() is a CacheManager
+        # call and does NOTHING for localCheckpoint's RDD-level blocks
+        # — those are freed by the ContextCleaner once the frames are
+        # garbage-collected (the loop rebinds pairs/sp, dropping the
+        # only references). The sf0.1 tier's blocks are KB-scale, so
+        # carrying them into the sf100 tier is harmless.
 
     with open(OUT_JSON, "w") as fh:
         json.dump(summary, fh, indent=1)

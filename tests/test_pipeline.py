@@ -68,16 +68,21 @@ def test_ngram_hot_gram_cap(spark):
 
 
 def test_ngram_capless_carried_counts_match_count_join_form(spark):
-    """Output-identity pin for the r12 capless rewrite: the carried
-    n_grams attribute + min() pickup must produce exactly the pairs
-    the count-join re-attach form produced. A max_df >= the corpus
-    doc count filters nothing, so the CAPPED branch (which keeps the
-    count-join formulation) is the old form's oracle — every (pair,
-    jaccard) must agree, including sub-threshold exclusions, on a
-    corpus with exact dups, overlapping near-dups, and no-gram shorts.
-    Also pins that the expensive gram expression is not re-evaluated
-    for the carried count: the capless plan tokenizes ONCE per join
-    side (2 scans of documents, not the pre-r12 8)."""
+    """Output-identity pin for the r12 carried-counts rewrite: the
+    carried n_grams attribute + min() pickup must produce exactly the
+    pairs the count-join re-attach form produces. A max_df >= the
+    corpus doc count filters nothing, so the CAPPED branch (which
+    keeps the count-join formulation) is the count-join oracle —
+    every (pair, jaccard) must agree, including sub-threshold
+    exclusions, on a corpus with exact dups, overlapping near-dups,
+    and no-gram shorts. NOTE the df>=2 join-side prefilter is present
+    on BOTH sides here, so this test pins carried-vs-count-join only;
+    the prefilter's own correctness is pinned by the DuckDB oracles
+    (test_entry_oracle.py recomputes exact string-gram Jaccard for
+    every consumer query). Also pins that the expensive gram
+    expression is not re-evaluated for the carried count: the capless
+    plan tokenizes ONCE per join side (2 document-scan nodes, not the
+    pre-r12 4)."""
     rows = [(0, "alpha beta gamma delta epsilon zeta"),
             (1, "alpha beta gamma delta epsilon eta"),
             (2, "one two three four five six seven"),
