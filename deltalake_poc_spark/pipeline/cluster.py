@@ -74,6 +74,8 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from deltalake_poc_spark.exprlit import lit_double_matrix
+
 QUANT_SCALE = 1 << 20  # float -> exact integer grid; 2^20·2^23 docs
 # of ±1-ish components keeps every sum far inside int64
 
@@ -100,8 +102,8 @@ def _centroid_lit(centroids: list[tuple[list[int], int]]) -> Column:
     The division happens in Python — Python float division IS IEEE
     double division, bit-identical to the oracle's CAST(s AS
     DOUBLE)/n over the same exact integers."""
-    return F.array(*[F.array(*[F.lit(s / n) for s in sums])
-                     for sums, n in centroids])
+    return lit_double_matrix([[s / n for s in sums]
+                              for sums, n in centroids])
 
 
 def assign_expr(qcol: Column, centroids: list[tuple[list[int], int]]) -> Column:
@@ -452,22 +454,27 @@ def kmeans_fit(emb: DataFrame, k: int = 8, iters: int = 2,
         cents = [(list(r["__q"]), 1) for r in init]
         k = len(cents)  # fewer rows than k: cluster over what exists
         dim = len(cents[0][0])
+        # per-dimension exact int64 sums as dim narrow aggregates in
+        # ONE map-side-combinable groupBy (k rows out; Catalyst still
+        # partial-aggregates each sum — the array wraps them only in
+        # the final projection). NOT a posexplode over __q: a Generate
+        # whose required output includes the assignment column
+        # re-evaluates that whole HOF fold per exploded row — dim× the
+        # work (measured 10 s vs 1.6 s at sf0.1). The sums ride as ONE
+        # array expression built from SQL text: dim separate
+        # F.sum(...).alias(...) Columns cost ~8 py4j round trips each,
+        # ~0.5 s of driver time PER LLOYD ROUND at dim=64 (the exprlit
+        # lesson applied to aggregates).
+        sums_expr = F.expr(
+            "array(" + ",".join(f"sum(__q[{d}])" for d in range(dim))
+            + ") AS __s")
         for _ in range(iters):
-            # per-dimension exact int64 sums as dim narrow aggregates
-            # in ONE map-side-combinable groupBy (k rows out). NOT a
-            # posexplode over __q: a Generate whose required output
-            # includes the assignment column re-evaluates that whole
-            # HOF fold per exploded row — dim× the work (measured 10 s
-            # vs 1.6 s at sf0.1).
             upd = (with_cluster(q, cents).select("__cl", "__q")
                    .groupBy("__cl")
-                   .agg(F.count(F.lit(1)).alias("__n"),
-                        *[F.sum(F.col("__q")[d]).alias(f"__s{d}")
-                          for d in range(dim)]))
+                   .agg(F.count(F.lit(1)).alias("__n"), sums_expr))
             got = {int(r["__cl"]): r for r in upd.collect()}  # <= k rows
             cents = [
-                ([int(got[j][f"__s{d}"]) for d in range(dim)],
-                 int(got[j]["__n"]))
+                ([int(s) for s in got[j]["__s"]], int(got[j]["__n"]))
                 if j in got else cents[j]
                 for j in range(k)
             ]

@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from deltalake_poc_spark.exprlit import lit_long_array
+
 
 def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
     """Ensure CPU-bound per-row work is spread across cores.
@@ -392,14 +394,13 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 64,
     hashed_grams = F.transform(
         word_ngrams_col("__toks", shingle_n), lambda g: F.xxhash64(g))
 
-    def _minhash(i):
-        # one-arg lambda per hash fn (PySpark HOFs infer lambda arity)
-        return lambda h: F.xxhash64(h, F.lit(i))
-
-    sig = F.array(*[
-        F.array_min(F.transform(F.col("__hl"), _minhash(i)))
-        for i in range(num_hashes)
-    ])
+    # ONE SQL string for all num_hashes min-wise functions: building
+    # 64 array_min(transform(...)) Columns costs ~400 py4j round trips
+    # (~0.4 s of driver time) per signature frame; the parsed tree is
+    # identical (xxhash64 over (bigint, int) literals either way)
+    sig = F.expr("array(" + ",".join(
+        f"array_min(transform(__hl, h -> xxhash64(h, {i})))"
+        for i in range(num_hashes)) + ")")
     return (
         # materialized long-hash array: CollapseProject keeps the
         # non-cheap transform chain out of the 64 per-function lambdas
@@ -521,7 +522,7 @@ def simhash_signatures(docs: DataFrame, bits: int = 64,
     # valid for non-negative values, so signed 64-bit hashes split
     # into low-62-bits + two literal-mask tests for bits 62/63.
     low = F.lit((1 << 62) - 1)
-    pw = F.array(*[F.lit(1 << b).cast("long") for b in range(min(bits, 62))])
+    pw = lit_long_array([1 << b for b in range(min(bits, 62))])
 
     def _bits_of(h):
         lo = h.bitwiseAND(low)
@@ -1048,14 +1049,16 @@ def streaming_dedup_exact(docs_stream: DataFrame, table_root: str,
 
 # ------------------------------------------- incremental signature store
 
-def minhash_band_hashes(sig_col, bands: int, rows_per_band: int):
+def minhash_band_hashes(sig_sql: str, bands: int, rows_per_band: int):
     """One xxhash64 per band over that band's signature rows — the
-    LSH bucket keys. Row-local."""
-    return F.array(*[
-        F.xxhash64(*[sig_col[b * rows_per_band + r]
-                     for r in range(rows_per_band)])
-        for b in range(bands)
-    ])
+    LSH bucket keys. Row-local. ``sig_sql`` is the signature column's
+    SQL name; the whole band array rides as one parsed expression
+    (the exprlit construction-cost rule)."""
+    return F.expr("array(" + ",".join(
+        "xxhash64(" + ",".join(
+            f"{sig_sql}[{b * rows_per_band + r}]"
+            for r in range(rows_per_band)) + ")"
+        for b in range(bands)) + ")")
 
 
 def _banded(sigs: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
@@ -1063,7 +1066,7 @@ def _banded(sigs: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
     through LSH join shuffles."""
     return sigs.select(
         "doc_id",
-        F.posexplode(minhash_band_hashes(F.col("sig"), bands,
+        F.posexplode(minhash_band_hashes("sig", bands,
                                          rows_per_band))
         .alias("band", "band_hash"),
     )

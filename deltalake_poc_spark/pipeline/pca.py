@@ -45,6 +45,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from deltalake_poc_spark.exprlit import lit_long_array
+
 from .cluster import QUANT_SCALE, quantize_expr
 
 
@@ -111,7 +113,7 @@ def pca_project(emb: DataFrame, iters: int = 6, id_col: str = "vec_id",
     the one moment pass — the scores themselves never shuffle."""
     n, S, M = moment_profile(emb, id_col=id_col, vec_col=vec_col)
     v = power_iteration(n, S, M, iters=iters)
-    vlit = F.array(*[F.lit(x) for x in v])
+    vlit = lit_long_array(v)
     score = F.aggregate(
         F.zip_with(quantize_expr(vec_col), vlit, lambda x, y: x * y),
         F.lit(0).cast("long"), lambda acc, t: acc + t)

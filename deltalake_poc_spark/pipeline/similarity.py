@@ -16,6 +16,10 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from deltalake_poc_spark.exprlit import (lit_double_array,
+                                         lit_double_matrix, sql_argmin_over,
+                                         sql_fold_dot, sql_fold_sqdist_over)
+
 
 def _as_double(col):
     return F.transform(col, lambda x: x.cast("double"))
@@ -34,7 +38,7 @@ def _norm(a):
 def cosine_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
                 exclude_vec_id: int | None = None) -> DataFrame:
     """Exact top-k by cosine similarity to a literal query vector."""
-    q = F.transform(F.array(*[F.lit(float(x)) for x in query_vec]),
+    q = F.transform(lit_double_array(query_vec),
                     lambda x: x.cast("double"))
     v = _as_double(F.col("embedding"))
     sim = _dot(v, q) / (_norm(v) * _norm(q))
@@ -59,7 +63,7 @@ def lsh_bucket_expr(vec_col, planes: np.ndarray):
         proj = F.aggregate(
             F.zip_with(
                 vec_col,
-                F.array(*[F.lit(float(c)) for c in plane]),
+                lit_double_array(plane),
                 lambda x, y: x.cast("double") * y,
             ),
             F.lit(0.0), lambda acc, x: acc + x,
@@ -97,7 +101,7 @@ def sqdist_expr(vec_col, center):
     matches the generated SQL chain bit-for-bit."""
     return F.aggregate(
         F.zip_with(vec_col,
-                   F.array(*[F.lit(float(c)) for c in center]),
+                   lit_double_array(center),
                    lambda x, y: (x.cast("double") - y)
                                 * (x.cast("double") - y)),
         F.lit(0.0), lambda acc, x: acc + x)
@@ -126,8 +130,7 @@ def pivot_assign(emb: DataFrame, centers: list[list[float]],
     single literal array-of-arrays under one transform lambda, see
     pq_encode for the plan-cost rationale). Pure column expressions;
     at 100 TB ``__cluster`` becomes the table's partition key."""
-    centers_col = F.array(*[
-        F.array(*[F.lit(float(x)) for x in c]) for c in centers])
+    centers_col = lit_double_matrix(centers)
     v = F.col(vec_col)
     entries = F.transform(
         centers_col,
@@ -356,27 +359,22 @@ def ann_lsh_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
     # per table instead of all 8 (~4x less dot-product work per row).
     # Arithmetic per evaluated plane is IDENTICAL to lsh_bucket_expr,
     # so the candidate set (and the SQL oracle contract) is unchanged.
-    cand_cond = None
+    # The whole 32-plane condition rides as ONE SQL string (exprlit):
+    # per-plane Column construction costs ~35 py4j round trips, ~2 s
+    # of driver time per call at 4x8 planes. The parsed tree is the
+    # same left-assoc AND/OR chain over identical per-plane folds.
+    table_sqls = []
     for t in range(n_tables):
-        table_cond = None
+        plane_sqls = []
         for p_idx in range(n_planes):
-            proj = F.aggregate(
-                F.zip_with(
-                    F.col("embedding"),
-                    F.array(*[F.lit(float(c)) for c in hp[t, p_idx]]),
-                    lambda x, y: x.cast("double") * y,
-                ),
-                F.lit(0.0), lambda acc, x: acc + x,
-            )
             # null-safe sign: a null projection contributes bit 0,
             # exactly like lsh_bucket_expr's when/otherwise
-            pos = F.coalesce(proj > 0, F.lit(False))
+            pos = (f"coalesce({sql_fold_dot('embedding', hp[t, p_idx])}"
+                   " > 0, false)")
             bit = (q_buckets[t] >> p_idx) & 1
-            this = pos if bit else ~pos
-            table_cond = this if table_cond is None else (table_cond & this)
-        cand_cond = (table_cond if cand_cond is None
-                     else (cand_cond | table_cond))
-    candidates = emb.filter(cand_cond)
+            plane_sqls.append(pos if bit else f"(NOT {pos})")
+        table_sqls.append("(" + " AND ".join(plane_sqls) + ")")
+    candidates = emb.filter(F.expr(" OR ".join(table_sqls)))
     return cosine_topk(candidates, query_vec, k, exclude_vec_id)
 
 
@@ -444,19 +442,12 @@ def pq_encode(emb: DataFrame, codebooks: list[list[list[float]]],
         # identical per-centroid left-fold arithmetic, ~10x smaller
         # expression tree — with inlined per-centroid folds the fused
         # encode+ADC plan paid ~3s of analysis/codegen per run
-        slice_m = F.slice(F.col(vec_col), mi * sub + 1, sub)
-        book_col = F.array(*[
-            F.array(*[F.lit(float(x)) for x in c]) for c in book])
-        entries = F.transform(
-            book_col,
-            lambda c, i: F.struct(
-                F.aggregate(
-                    F.zip_with(slice_m, c,
-                               lambda x, y: (x.cast("double") - y)
-                                            * (x.cast("double") - y)),
-                    F.lit(0.0), lambda acc, x: acc + x).alias("d"),
-                i.alias("i")))
-        codes.append(F.array_min(entries)["i"].cast("int"))
+        # ... and since r12 the whole per-book argmin rides as ONE SQL
+        # string (exprlit.sql_argmin_over): the HOF-lambda Column
+        # construction alone cost ~0.5 s of py4j round trips per call
+        # — paid per STREAMING MICRO-BATCH by pq_stream_ingest
+        codes.append(F.expr(sql_argmin_over(
+            f"slice(`{vec_col}`, {mi * sub + 1}, {sub})", book)))
     # explode-of-1-element-array = Generate barrier (cdc/parse.py
     # idiom): ADC scoring references pq_code once per subspace, and
     # without the barrier CollapseProject inlines the whole m*k-fold
@@ -496,7 +487,7 @@ def pq_adc_topk(encoded: DataFrame, codebooks: list[list[list[float]]],
           for mi, book in enumerate(codebooks)]
     approx = None
     for mi, row in enumerate(dt):
-        term = F.element_at(F.array(*[F.lit(float(d)) for d in row]),
+        term = F.element_at(lit_double_array(row),
                             F.element_at(F.col("pq_code"), mi + 1) + 1)
         approx = term if approx is None else approx + term
     scored = encoded.withColumn("__adc", approx)
@@ -560,16 +551,9 @@ def pq_query_tables(queries_df: DataFrame,
     sub = len(codebooks[0][0])
     dts = []
     for mi, book in enumerate(codebooks):
-        slice_m = F.slice(F.col(vec_col), mi * sub + 1, sub)
-        book_col = F.array(*[
-            F.array(*[F.lit(float(x)) for x in c]) for c in book])
-        dts.append(F.transform(
-            book_col,
-            lambda c: F.aggregate(
-                F.zip_with(slice_m, c,
-                           lambda x, y: (x.cast("double") - y)
-                                        * (x.cast("double") - y)),
-                F.lit(0.0), lambda acc, x: acc + x)))
+        # one SQL string per book (see pq_encode)
+        dts.append(F.expr(sql_fold_sqdist_over(
+            f"slice(`{vec_col}`, {mi * sub + 1}, {sub})", book)))
     return queries_df.select(
         F.col("vec_id").alias("qid"),
         F.col(vec_col).alias("__qvec"),

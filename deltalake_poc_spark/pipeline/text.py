@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from deltalake_poc_spark.exprlit import lit_double_array
+
 # tiny per-language stopword lists for the n-gram/stopword LID heuristic
 LID_STOPWORDS: dict[str, list[str]] = {
     "en": ["the", "a", "of", "and", "to", "in", "is"],
@@ -613,21 +615,24 @@ def length_quantiles(docs: DataFrame, strata_col: str = "source",
     # --- self-check: mergeable-summary quantiles within GK tolerance
     approx = both.groupBy("__strata").agg(
         F.percentile_approx(
-            "n_tokens", F.array(*[F.lit(p / 100.0) for p in percents]),
+            "n_tokens", lit_double_array([p / 100.0 for p in percents]),
             F.lit(accuracy)).alias("__ap"),
         F.count(F.lit(1)).alias("__n")).collect()
-    # one conditional aggregate computes every pair's rank window
+    # one conditional aggregate computes every pair's rank window;
+    # each agg rides as one parsed SQL string — 2 py4j calls per
+    # (stratum, p) pair instead of ~20 (the exprlit rule)
     aggs, meta = [], []
     for i, r in enumerate(approx):
         for j, p in enumerate(percents):
-            v = r["__ap"][j]
-            s = (F.col("__strata") == r["__strata"])
-            aggs.append(F.sum(F.when(
-                s & (F.col("n_tokens") < v), 1).otherwise(0))
-                .alias(f"lt_{i}_{j}"))
-            aggs.append(F.sum(F.when(
-                s & (F.col("n_tokens") <= v), 1).otherwise(0))
-                .alias(f"le_{i}_{j}"))
+            v = int(r["__ap"][j])
+            esc = r["__strata"].replace("'", "''")
+            s = f"(__strata = '{esc}')"
+            aggs.append(F.expr(
+                f"sum(CASE WHEN {s} AND (n_tokens < {v}L) THEN 1 "
+                f"ELSE 0 END) AS lt_{i}_{j}"))
+            aggs.append(F.expr(
+                f"sum(CASE WHEN {s} AND (n_tokens <= {v}L) THEN 1 "
+                f"ELSE 0 END) AS le_{i}_{j}"))
             meta.append((i, j, r["__strata"], p, v, r["__n"]))
     bounds = both.agg(*aggs).collect()[0]
     for i, j, strata, p, v, n in meta:

@@ -137,12 +137,18 @@ def pack_shards(samples: DataFrame, shard_col: str = "shard",
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
         shard = int(pdf[shard_col].iloc[0])
         members = []
-        for _, row in pdf.sort_values(key_col).iterrows():
-            for ext in sorted(bin_cols):
-                payload = row[ext]
+        spdf = pdf.sort_values(key_col)
+        keys = spdf[key_col].tolist()
+        exts = sorted(bin_cols)
+        cols = {ext: spdf[ext].tolist() for ext in exts}
+        # column-list zip, not iterrows: pandas row materialization is
+        # ~20x slower than list indexing for this per-member walk
+        for i, key in enumerate(keys):
+            for ext in exts:
+                payload = cols[ext][i]
                 if payload is None:
                     continue
-                members.append((f"{row[key_col]}.{ext}", bytes(payload)))
+                members.append((f"{key}.{ext}", bytes(payload)))
         tar = pack_members(members)
         return pd.DataFrame({
             "shard": pd.Series([shard], dtype="int32"),
