@@ -1702,10 +1702,12 @@ def _bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer TRAINING (Sennrich arXiv:1508.07909;
     no reference counterpart — the reference budgets with a fixed
     tokenizer, a 100 TB pipeline also fits one). Corpus collapses to a
-    cached word-frequency table first (the only corpus-wide pass);
-    each of the 8 merge iterations is a small adjacent-pair agg over
-    that table plus a 1-row argmax collect (the algorithm's inherent
-    sequential step). ORACLE CONTRACT: segmentations are delimiter-
+    word-frequency table in one distributed pass (the only corpus-wide
+    work); the 8-merge loop then runs driver-side over that table via
+    the incremental heap fit (bpe_learn_local — the production path;
+    merge-identical to the distributed per-iteration loop, both pinned
+    equal in tests/test_bpe.py, which r12 dropped from the gate plan
+    along with its 8 sequential argmax jobs). ORACLE CONTRACT: segmentations are delimiter-
     wrapped strings, so each greedy merge is one literal replace()
     with identical left-to-right non-overlap semantics in Spark and
     DuckDB — the oracle replays the ENTIRE fit (all pair counts, all

@@ -255,9 +255,18 @@ def bpe_learn_from_counts(wcount: dict[str, int],
 
 
 def bpe_learn(docs: DataFrame, n_merges: int = 8) -> DataFrame:
-    """The learned merge table: (merge_rank, lhs, rhs, pair_count)."""
+    """The learned merge table: (merge_rank, lhs, rhs, pair_count).
+
+    Fits via :func:`bpe_learn_local` — one distributed word-count
+    pass, then the driver-side incremental merge loop (the production
+    path real trainers use). Merge-identical to the distributed
+    per-iteration loop ``bpe_learn_rules`` (same argmax and
+    count-DESC/lhs/rhs tie-break; both pinned equal in
+    tests/test_bpe.py, incl. a seeded differential fuzz), and drops
+    its n_merges sequential argmax JOBS: at 8 merges the fit goes
+    from 9 cluster round trips to 1."""
     spark = docs.sparkSession
-    rules = bpe_learn_rules(docs, n_merges=n_merges)
+    rules = bpe_learn_local(docs, n_merges=n_merges)
     rows = [(i + 1, l, r, c) for i, (l, r, c) in enumerate(rules)]
     return spark.createDataFrame(
         rows, "merge_rank INT, lhs STRING, rhs STRING, pair_count BIGINT")

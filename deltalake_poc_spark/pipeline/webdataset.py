@@ -157,7 +157,19 @@ def pack_shards(samples: DataFrame, shard_col: str = "shard",
             "n_bytes": pd.Series([len(tar)], dtype="int64"),
         })
 
-    return samples.groupBy(shard_col).applyInPandas(build, SHARD_SCHEMA)
+    # Explicit hash repartition on the shard key, NOT a bare groupBy
+    # exchange: the samples' shuffle BYTES are small relative to the
+    # per-row Python cost (tar building, and the unpack/verify stages
+    # downstream inherit this partitioning), so AQE's byte-advisory
+    # coalescing folds the ENSURE_REQUIREMENTS exchange into one
+    # partition and serializes the whole Python chain into a single
+    # task (measured: 2.0s + 1.4s one-task stages at sf0.1/local[32]).
+    # A user repartition with an explicit count is exempt from AQE
+    # coalescing, and its HashPartitioning(shard) satisfies the
+    # groupBy's clustering requirement, so no second exchange appears.
+    n = samples.sparkSession.sparkContext.defaultParallelism
+    return (samples.repartition(n, shard_col)
+            .groupBy(shard_col).applyInPandas(build, SHARD_SCHEMA))
 
 
 def read_members(shards: DataFrame) -> DataFrame:

@@ -813,29 +813,39 @@ class VersionedTable:
             .join(F.broadcast(base_map), "__bname")
             .select("file", "pos"))
         prior_dirs = sorted(set(snap.dvs.values()))
-        n_prior = 0
+        # tag provenance BEFORE the dedup so one cached frame serves
+        # the sidecar write AND every stat the commit needs — the
+        # historical shape re-read the written parquet twice and
+        # re-scanned the prior dirs a second time for n_prior: 4 jobs
+        # (plus 2 disk re-reads) where 2 suffice. A (file, pos) row
+        # present in both new and prior has __p=1, so sum(__p) is
+        # exactly |distinct(prior)| and count(*) is the consolidated
+        # total — identical numbers, one pass.
+        tagged = new_rows.withColumn("__p", F.lit(0))
         if prior_dirs:
             prior = (self.spark.read.parquet(
                         *[self.log.abs_path(d) for d in prior_dirs])
                      .filter(F.col("file").isin(list(snap.dvs)))
                      .select("file", F.col("pos").cast("long").alias("pos")))
-            new_rows = new_rows.unionByName(prior)
+            tagged = tagged.unionByName(prior.withColumn("__p", F.lit(1)))
+        dedup = (tagged.groupBy("file", "pos")
+                 .agg(F.max("__p").alias("__p")).persist())
         dv_rel = f"{DV_DIR}/{uuid.uuid4().hex}"
         out_dir = self.log.abs_path(dv_rel)
-        new_rows.distinct().coalesce(1).write.mode("overwrite").parquet(out_dir)
-        written = self.spark.read.parquet(out_dir)
-        dv_files = [r["file"]
-                    for r in written.select("file").distinct().collect()]
+        try:
+            dedup.select("file", "pos").coalesce(1) \
+                .write.mode("overwrite").parquet(out_dir)
+            stats = dedup.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(F.sum("__p"), F.lit(0)).alias("np"),
+                F.collect_set("file").alias("fs")).collect()[0]
+        finally:
+            dedup.unpersist()
+        dv_files = list(stats["fs"])
         if not dv_files:
             shutil.rmtree(out_dir, ignore_errors=True)
             return None, [], 0, 0
-        n_total = written.count()
-        if prior_dirs:
-            n_prior = (self.spark.read.parquet(
-                          *[self.log.abs_path(d) for d in prior_dirs])
-                       .filter(F.col("file").isin(list(snap.dvs)))
-                       .distinct().count())
-        return dv_rel, dv_files, n_total, n_prior
+        return dv_rel, dv_files, int(stats["n"]), int(stats["np"])
 
     def _delete_dv(self, pred, pred_str: str, snap: Snapshot,
                    paths: list[str] | None = None) -> Commit:
