@@ -673,7 +673,21 @@ def streaming_pq_ingest(emb_stream: DataFrame, store_root: str,
             return  # replayed batch: already committed
         encoded = pq_encode(batch_df.select("vec_id", vec_col), codebooks,
                             vec_col)
-        store.write(encoded, "append",
+        # Right-size the append's file count from the batch's actual
+        # rows (~64 MB target files, the signature-store append rule):
+        # without this each micro-batch lands as session-parallelism
+        # near-empty files — at 32 cores a 667-row batch wrote 32
+        # ~2 KB files, each costing a commit-time footer-stats read
+        # and a listing/scan entry for every later batch and the
+        # OPTIMIZE pass (measured: 64-path listing jobs mid-stream).
+        # The count scans one micro-batch file — bounded by batch
+        # size, and at production batch sizes the same formula yields
+        # many right-sized files so write parallelism returns exactly
+        # when the bytes justify it.
+        n_rows = batch_df.count()
+        row_bytes = 16 + 4 * len(codebooks)
+        n_files = max(1, -(-(n_rows * row_bytes) // (64 << 20)))
+        store.write(encoded.repartition(n_files), "append",
                     extra_params={"batchId": str(batch_id)})
         if optimize_every and (batch_id + 1) % optimize_every == 0:
             store.optimize()

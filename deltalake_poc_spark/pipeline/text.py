@@ -929,13 +929,38 @@ def lm_trigram_backoff_score(docs: DataFrame, id_col: str = "doc_id",
     base = docs.select(F.col(id_col), toks.alias("__t"),
                        bigrams.alias("__bg"), trigrams.alias("__tg"))
 
-    uni = (_explode_posting(base, "__t", "__w", keys=())
-           .groupBy("__w").agg(F.count(F.lit(1)).alias("__cu")))
+    # ALL THREE model count tables from ONE corpus pass: each gram
+    # rides as a (level, gram) struct in one concatenated array, so
+    # uni/bi/tri counts come out of a single explode + groupBy instead
+    # of three separate scans that each re-tokenize the corpus (the
+    # plan had 3 extra full passes; at 100 TB those are the cost).
+    # The aggregate is vocabulary-bounded, so it scratch-persists
+    # (bounded one-live-cache registry) and the three broadcast
+    # builds below read the cache instead of re-counting.
+    # explode_outer + output-null filter per the _explode_posting
+    # rule; (level, gram) keys cannot collide across levels.
+    from deltalake_poc_spark.analytics.scratch import scratch_persist
+
+    lvl_arr = F.concat(
+        F.transform(F.col("__t"),
+                    lambda w: F.struct(F.lit(1).alias("l"), w.alias("g"))),
+        F.transform(F.col("__bg"),
+                    lambda b: F.struct(F.lit(2).alias("l"), b.alias("g"))),
+        F.transform(F.col("__tg"),
+                    lambda g: F.struct(F.lit(3).alias("l"), g.alias("g"))))
+    counts = scratch_persist(
+        "text.lm3.counts",
+        base.select(F.explode_outer(lvl_arr).alias("__e"))
+        .filter(F.col("__e").isNotNull())
+        .groupBy(F.col("__e.l").alias("__l"), F.col("__e.g").alias("__gr"))
+        .agg(F.count(F.lit(1)).alias("__c")))
+    uni = counts.filter(F.col("__l") == 1).select(
+        F.col("__gr").alias("__w"), F.col("__c").alias("__cu"))
+    bic = counts.filter(F.col("__l") == 2).select(
+        F.col("__gr").alias("__b"), F.col("__c").alias("__cb"))
+    tric = counts.filter(F.col("__l") == 3).select(
+        F.col("__gr").alias("__g"), F.col("__c").alias("__ct"))
     total_n = uni.agg(F.sum("__cu").cast("long").alias("__n"))
-    bic = (_explode_posting(base, "__bg", "__b", keys=())
-           .groupBy("__b").agg(F.count(F.lit(1)).alias("__cb")))
-    tric = (_explode_posting(base, "__tg", "__g", keys=())
-            .groupBy("__g").agg(F.count(F.lit(1)).alias("__ct")))
 
     posting = _explode_posting(base, "__tg", "__g", keys=(id_col,))
     w12 = F.substring_index(F.col("__g"), " ", 2)
