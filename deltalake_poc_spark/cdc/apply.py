@@ -184,7 +184,18 @@ class CDCApplier:
                           and str(batch_id) in self.applied_batch_ids())
             if not skip_audit:
                 extra = {"batchId": str(batch_id)} if batch_id is not None else None
-                self.audit_table().write(events, "append", extra_params=extra)
+                # REBALANCE before the audit append: the envelope frame
+                # keeps its upstream partitioning (spread/scan
+                # parallelism), so a small batch landed as one
+                # near-empty file PER CORE — 64 x 65 KB files for two
+                # micro-batches at sf0.1, each a commit-time footer
+                # read and a scan entry for every later audit read.
+                # The hint is AQE-sized (advisory target), so it is
+                # scale-adaptive with no driver-side count: tiny
+                # batches coalesce to one file, big batches split at
+                # ~64 MB (guide: coalesce on write / REBALANCE).
+                self.audit_table().write(events.hint("rebalance"),
+                                         "append", extra_params=extra)
             if tables is None:
                 seen = [r["source_table"] for r in
                         events.select("source_table").distinct().collect()]

@@ -176,11 +176,22 @@ def ivf_build(emb: DataFrame, n_clusters: int = 16, seed: int = 42,
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    from .dedup import spread
+
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     if normalize:
         nrm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
         v = F.when(nrm == 0, v).otherwise(F.transform(v, lambda x: x / nrm))
-    vecs = emb.withColumn("__vec", array_to_vector(v))
+    # spread() BEFORE the fit: a single-file embeddings table is one
+    # partition, and MLlib's per-round aggregations then run as
+    # single-task jobs (measured 1.5 s + 1.0 s one-task jobs inside
+    # fit at sf0.1/local[32] — the documented docs-table foot-gun,
+    # here on the vector side). The fit's centroids may land
+    # differently under a different partitioning (sampling-based
+    # init), which changes only pruning sharpness — the exact probe
+    # returns the brute-force top-k for ANY clustering (the
+    # ivf_kmeans_topk oracle contract).
+    vecs = spread(emb).withColumn("__vec", array_to_vector(v))
     # cache for the FIT only: MLlib's fit makes one pass per
     # init/iteration/cost round, and each pass would otherwise replay
     # scan + normalize + array_to_vector (measured ~40% of the
