@@ -698,7 +698,16 @@ def connected_components(pairs: DataFrame, max_iterations: int = 20,
         data = [(m, find(m)) for m in sorted(members)]
         LAST_CC_INFO.update(regime="union-find", rounds=1,
                             n_edges=n_edges)
-        return spark.createDataFrame(data, "doc_id long, group_id long")
+        # broadcast hint: this regime's output is <= 2*driver_threshold
+        # rows BY CONSTRUCTION (it just fit on the driver — ~32 MB at
+        # the 1M-edge ceiling), but Catalyst has no size estimate for
+        # a local relation and plans SortMergeJoins in every consumer
+        # (dedup_groups / canonical_selection / semantic_dedup join it
+        # against the docs), shuffling the corpus side by doc_id just
+        # to attach group ids. The distributed regimes return unhinted
+        # frames — their components can be corpus-sized.
+        return F.broadcast(
+            spark.createDataFrame(data, "doc_id long, group_id long"))
     if distributed_algorithm == "star":
         try:
             return _alternating_star(pairs, max_iterations, n_edges)

@@ -335,6 +335,17 @@ def dhash_pairs(hashed: DataFrame, max_hamming: int = 6) -> DataFrame:
         raise ValueError(
             f"max_hamming {max_hamming} breaks the {n_bands}-band "
             f"pigeonhole guarantee (needs <= {n_bands - 1})")
+    # scratch-persist the hash frame: BOTH self-join sides consume it,
+    # and without the cache each side replays the caller's whole
+    # synthesize/decode/hash Python chain (the plan showed the full
+    # Scan->MapInPandas->MapInPandas pipeline twice). The frame is
+    # slim — (media_id, dhash) = 16 B/row regardless of image bytes —
+    # so caching it is the scale-correct trade (recomputing means
+    # decoding every image twice); bounded one-live-cache registry.
+    from deltalake_poc_spark.analytics.scratch import scratch_persist
+
+    hashed = scratch_persist("multimodal.dhash_pairs.hashed",
+                             hashed.select("media_id", "dhash"))
     bands = hashed.select(
         "media_id", "dhash",
         F.posexplode(F.array(*[

@@ -398,15 +398,24 @@ class DeltaLakeReader:
         for p in parts[1:]:
             out = out.unionByName(p)
         if with_pos:
+            # broadcast the position frames: they are createDataFrame
+            # products of driver-decoded roaring bitmaps — bounded by
+            # construction (they already fit on the driver) — but
+            # Catalyst has no size estimate for local relations and
+            # planned SortMergeJoins, shuffling and sorting the DATA
+            # table by (file, pos) just to drop a handful of rows
+            # (delta_dv_read: 10 SMJs -> broadcast hash joins).
             if keep_positions is not None:
                 pairs = self._positions_df(keep_positions)
                 out = out.join(
-                    pairs, (F.col("__dvfile") == F.col("__dvf"))
+                    F.broadcast(pairs),
+                    (F.col("__dvfile") == F.col("__dvf"))
                     & (F.col("__dvpos") == F.col("__dvp")), "left_semi")
             if drop_positions:
                 pairs = self._positions_df(drop_positions)
                 out = out.join(
-                    pairs, (F.col("__dvfile") == F.col("__dvf"))
+                    F.broadcast(pairs),
+                    (F.col("__dvfile") == F.col("__dvf"))
                     & (F.col("__dvpos") == F.col("__dvp")), "left_anti")
             out = out.drop("__dvfile", "__dvpos")
         return out
