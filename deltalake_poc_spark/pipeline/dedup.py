@@ -38,6 +38,25 @@ def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
     return df.repartition(target)
 
 
+def spread_if_narrow(df: DataFrame, partitions: int | None = None) -> DataFrame:
+    """spread() only when the frame's actual scan partitioning cannot
+    fill the session's cores. A narrow local fixture (one small file)
+    runs CPU-heavy per-row work single-task, while a production
+    table's split count already covers the cluster — there the
+    round-robin exchange spread() adds is pure cost (a full extra
+    pass over the corpus) and is skipped. The probe is
+    ``df.rdd.getNumPartitions()`` — a driver-side plan conversion, no
+    job; use this variant where the frame is consumed once or twice
+    and the probe's ~10 ms is amortized by a 1-task -> N-task win."""
+    target = partitions or df.sparkSession.sparkContext.defaultParallelism
+    try:
+        if df.rdd.getNumPartitions() >= target:
+            return df
+    except Exception:
+        pass  # un-probe-able plan: fall through to the exchange
+    return df.repartition(target)
+
+
 def _tokens(text_col="text"):
     return F.split(F.trim(F.col(text_col)), " ")
 
@@ -743,6 +762,11 @@ def connected_components(pairs: DataFrame, max_iterations: int = 20,
             # (O(rounds²) planning) and task binaries carry the full
             # serialized plan (measured 1.5 -> 5.7 MiB by round ~15).
             # Checkpointing truncates lineage to the materialized RDD.
+            # convergence count rides the checkpoint's materialize job
+            # via observe() (2 jobs/round -> 1, same as the star loop)
+            from pyspark.sql import Observation
+
+            obs = Observation()
             updated = (
                 labels.join(neighbor_min,
                             labels.doc_id == neighbor_min.src, "left")
@@ -753,9 +777,12 @@ def connected_components(pairs: DataFrame, max_iterations: int = 20,
                     .alias("group_id"),
                     (F.col("nbr_min") < F.col("group_id")).alias("__changed"),
                 )
+                .observe(obs, F.coalesce(
+                    F.sum(F.when(F.col("__changed"), 1)),
+                    F.lit(0)).alias("nc"))
                 .localCheckpoint()
             )
-            changed = updated.filter(F.col("__changed")).limit(1).count()
+            changed = int(obs.get["nc"])
             old = labels
             labels = updated.drop("__changed")
             old.unpersist()
@@ -831,20 +858,26 @@ def _alternating_star(pairs: DataFrame, max_iterations: int,
         # becomes the bottleneck (tree-walk stack overflows observed).
         # Checkpointing truncates lineage to the materialized RDD, the
         # same discipline GraphFrames CC uses.
+        # bit_xor, not sum: ANSI mode makes a long-sum of hashes an
+        # overflow error; xor is order-independent and overflow-free
+        # (edges are distinct, so xor cancellation needs a hash
+        # collision — the count in the signature backstops it).
+        # The signature rides the checkpoint's materialize job via
+        # observe() — the historical separate 1-row agg was a second
+        # job per round (2 jobs/round -> 1).
+        from pyspark.sql import Observation
+
+        obs = Observation()
         ss = (b2.join(mins2, "u")
               .select(F.when(F.col("v") == F.col("m"), F.col("u"))
                       .otherwise(F.col("v")).alias("su"),
                       F.col("m").alias("sv"))
               .select(F.col("su").alias("u"), F.col("sv").alias("v"))
               .where(F.col("u") != F.col("v")).distinct()
+              .observe(obs, F.count(F.lit(1)).alias("n"),
+                       F.bit_xor(F.xxhash64("u", "v")).alias("h"))
               .localCheckpoint())
-        # bit_xor, not sum: ANSI mode makes a long-sum of hashes an
-        # overflow error; xor is order-independent and overflow-free
-        # (edges are distinct, so xor cancellation needs a hash
-        # collision — the count in the signature backstops it)
-        sig_row = ss.agg(F.count(F.lit(1)).alias("n"),
-                         F.bit_xor(F.xxhash64("u", "v")).alias("h")
-                         ).collect()[0]
+        sig_row = obs.get
         sig = (sig_row["n"], sig_row["h"])
         old = e
         e = ss

@@ -926,8 +926,18 @@ def lm_trigram_backoff_score(docs: DataFrame, id_col: str = "doc_id",
         F.zip_with(F.slice(toks, 1, n - 1), F.slice(toks, 2, n - 1),
                    lambda a, b: F.concat(a, F.lit(" "), b)),
     ).otherwise(F.array().cast("array<string>"))
-    base = docs.select(F.col(id_col), toks.alias("__t"),
-                       bigrams.alias("__bg"), trigrams.alias("__tg"))
+    # the tokenize/explode work below is CPU-bound per row: spread it
+    # across cores when the scan partitioning is narrower than the
+    # session (locally the corpus is ONE parquet file -> the count
+    # fill and the scoring pass each ran as a single task); on a
+    # production table the split count already covers the cluster and
+    # the probe skips the exchange (guide §2: parallelism follows the
+    # data, not a constant)
+    from .dedup import spread_if_narrow
+
+    base = spread_if_narrow(docs).select(
+        F.col(id_col), toks.alias("__t"),
+        bigrams.alias("__bg"), trigrams.alias("__tg"))
 
     # ALL THREE model count tables from ONE corpus pass: each gram
     # rides as a (level, gram) struct in one concatenated array, so

@@ -376,9 +376,19 @@ class DeltaLakeReader:
         for path, pvals in files.items():
             key = tuple(pvals.get(c) for c in snap.partition_columns)
             groups.setdefault(key, []).append(self._data_path(path, subdir))
+        # explicit PHYSICAL read schema (non-partition fields): no
+        # schema-inference footer job per partition group — the log
+        # already declares the schema, and files missing a column
+        # (add-only evolution) read it as null natively
+        from pyspark.sql.types import StructField as _SF
+        from pyspark.sql.types import StructType as _ST
+        read_schema = _ST([
+            _SF(phys, types[logical], True)
+            for logical, phys in fields
+            if logical not in snap.partition_columns])
         parts = []
         for key, paths in sorted(groups.items()):
-            df = self.spark.read.parquet(*paths)
+            df = self.spark.read.schema(read_schema).parquet(*paths)
             present = set(df.columns)
             cols = []
             for logical, phys in fields:
@@ -454,10 +464,19 @@ class DeltaLakeReader:
             if cdc_files:
                 # cdc parquet carries _change_type alongside the data
                 # columns, so read it directly (not via _read_files,
-                # which projects exactly the declared schema)
+                # which projects exactly the declared schema); explicit
+                # schema skips the footer-inference job (same rule as
+                # _read_files)
+                from pyspark.sql.types import StringType as _St
+                from pyspark.sql.types import StructField as _SF
+                from pyspark.sql.types import StructType as _ST
                 paths = [self._data_path(p) for p in cdc_files]
-                raw = self.spark.read.parquet(*paths)
                 phys = dict(self._physical_fields(snap_v))
+                raw = self.spark.read.schema(_ST(
+                    [_SF(phys[f_.name], f_.dataType, True)
+                     for f_ in snap_v.schema.fields
+                     if f_.name not in snap_v.partition_columns]
+                    + [_SF("_change_type", _St(), True)])).parquet(*paths)
                 cols = [F.col(phys[f_.name]).cast(f_.dataType).alias(f_.name)
                         for f_ in snap_v.schema.fields
                         if phys[f_.name] in raw.columns]

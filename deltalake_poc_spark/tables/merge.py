@@ -288,9 +288,26 @@ class MergeBuilder:
             result = enforce(result, snap.properties, schema)
 
             staged_changes = None
+            ch_obs = None
             if t.cdf_enabled(snap):
                 changes = self._change_rows(classified, schema, aligned, t_cols)
                 if changes is not None:
+                    # U/I/D ride the change-file write via observe()
+                    # (the write is the changes frame's only action);
+                    # C falls out of the materialize's numOutputRows
+                    # below — the historical separate groupBy-agg job
+                    # over the cache disappears
+                    from pyspark.sql import Observation
+
+                    ch_obs = Observation()
+                    changes = changes.observe(
+                        ch_obs,
+                        *[F.coalesce(
+                            F.sum(F.when(F.col("_change_type") == ct, 1)),
+                            F.lit(0)).alias(a)
+                          for a, ct in (("U", "update_preimage"),
+                                        ("I", "insert"),
+                                        ("D", "delete"))])
                     staged_changes = t._stage_changes(changes)
 
             entries = t._materialize(
@@ -298,12 +315,18 @@ class MergeBuilder:
                 partition_by=t.partition_columns(snap) or None,
                 mapping=({f.name: t._physical(f) for f in schema.fields}
                          if evolved_json else None))
+            n_out = sum(e.num_records for e in entries)
             if obs is not None:
                 # single-action path: the materialize streamed every
                 # row through the observe node exactly once
                 counts = obs.get
+            elif ch_obs is not None:
+                # cached CDF path: the change write counted U/I/D; the
+                # materialized row count C+U+I closes the system
+                counts = dict(ch_obs.get)
+                counts["C"] = n_out - counts["U"] - counts["I"]
             else:
-                # cached path: the cache is filled; one tiny agg job
+                # cached path without change rows: one tiny agg job
                 # (cache scan + partial count), no join recompute
                 counts = {
                     r["__action"]: r["cnt"]
@@ -329,7 +352,7 @@ class MergeBuilder:
                     "numTargetRowsInserted": counts.get("I", 0),
                     "numTargetRowsDeleted": counts.get("D", 0),
                     "numTargetRowsCopied": counts.get("C", 0),
-                    "numOutputRows": sum(e.num_records for e in entries),
+                    "numOutputRows": n_out,
                     "numTargetFilesRemoved": len(rel_touched),
                     "numTargetFilesAdded": len(entries),
                 },

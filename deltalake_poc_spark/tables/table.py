@@ -226,7 +226,20 @@ class VersionedTable:
                         .withColumn("__pos", F.lit(None).cast("long")))
             return df
         paths = [self.log.abs_path(p) for p in rel_paths]
-        reader = self.spark.read.option("mergeSchema", "true")
+        reader = self.spark.read
+        if schema is not None:
+            # explicit PHYSICAL read schema from the snapshot: no
+            # schema-inference/mergeSchema footer job per read (at
+            # 1M files that merge was a distributed job per read; the
+            # log already knows the schema). Files missing a column
+            # (add-only evolution) read it as null natively; extra
+            # columns (dropped-column data) are ignored natively.
+            from pyspark.sql.types import StructField as _SF
+            from pyspark.sql.types import StructType as _ST
+            reader = reader.schema(_ST([
+                _SF(self._physical(f), f.dataType, True) for f in schema.fields]))
+        else:
+            reader = reader.option("mergeSchema", "true")
         if self.partition_columns(snap):
             # Hive-layout files: partition values live in the directory
             # names; basePath lets Spark recover (and prune on) them
@@ -258,7 +271,7 @@ class VersionedTable:
             # _metadata.file_path URI they carry no URL-encodable
             # characters — matching on a reconstructed absolute URI
             # breaks silently for table roots with spaces etc.
-            dv_df = (self.spark.read.parquet(
+            dv_df = (self.spark.read.schema("file string, pos long").parquet(
                         *sorted({self.log.abs_path(d) for d in dvs.values()}))
                      .filter(F.col("file").isin(list(dvs)))
                      .select(F.element_at(F.split(F.col("file"), "/"), -1)
@@ -309,7 +322,18 @@ class VersionedTable:
                 if os.path.isdir(cd) and any(
                     f.endswith(".parquet") for f in os.listdir(cd)
                 ):
-                    ch = self.spark.read.parquet(cd)
+                    rd = self.spark.read
+                    if schema is not None:
+                        # explicit physical schema: no footer-inference
+                        # job per commit leg (same rule as _read_files)
+                        from pyspark.sql.types import StringType as _St
+                        from pyspark.sql.types import StructField as _SF
+                        from pyspark.sql.types import StructType as _ST
+                        rd = rd.schema(_ST(
+                            [_SF(self._physical(f), f.dataType, True)
+                             for f in schema.fields]
+                            + [_SF("_change_type", _St(), True)]))
+                    ch = rd.parquet(cd)
                     if schema is not None:
                         # change files carry physical names; realign to
                         # the current logical schema (column mapping)
@@ -823,24 +847,29 @@ class VersionedTable:
         # total — identical numbers, one pass.
         tagged = new_rows.withColumn("__p", F.lit(0))
         if prior_dirs:
-            prior = (self.spark.read.parquet(
+            prior = (self.spark.read.schema("file string, pos long").parquet(
                         *[self.log.abs_path(d) for d in prior_dirs])
                      .filter(F.col("file").isin(list(snap.dvs)))
                      .select("file", F.col("pos").cast("long").alias("pos")))
             tagged = tagged.unionByName(prior.withColumn("__p", F.lit(1)))
+        # stats ride the sidecar write via observe(): the write is the
+        # single consumer of the dedup'd frame, so the historical
+        # persist + separate stats-agg job (cache fill barrier + one
+        # extra job per DV commit) collapse into the one write pass
+        from pyspark.sql import Observation
+
+        obs = Observation()
         dedup = (tagged.groupBy("file", "pos")
-                 .agg(F.max("__p").alias("__p")).persist())
+                 .agg(F.max("__p").alias("__p"))
+                 .observe(obs,
+                          F.count(F.lit(1)).alias("n"),
+                          F.coalesce(F.sum("__p"), F.lit(0)).alias("np"),
+                          F.collect_set("file").alias("fs")))
         dv_rel = f"{DV_DIR}/{uuid.uuid4().hex}"
         out_dir = self.log.abs_path(dv_rel)
-        try:
-            dedup.select("file", "pos").coalesce(1) \
-                .write.mode("overwrite").parquet(out_dir)
-            stats = dedup.agg(
-                F.count(F.lit(1)).alias("n"),
-                F.coalesce(F.sum("__p"), F.lit(0)).alias("np"),
-                F.collect_set("file").alias("fs")).collect()[0]
-        finally:
-            dedup.unpersist()
+        dedup.select("file", "pos").coalesce(1) \
+            .write.mode("overwrite").parquet(out_dir)
+        stats = obs.get
         dv_files = list(stats["fs"])
         if not dv_files:
             shutil.rmtree(out_dir, ignore_errors=True)
