@@ -184,18 +184,31 @@ class CDCApplier:
                           and str(batch_id) in self.applied_batch_ids())
             if not skip_audit:
                 extra = {"batchId": str(batch_id)} if batch_id is not None else None
-                # REBALANCE before the audit append: the envelope frame
-                # keeps its upstream partitioning (spread/scan
-                # parallelism), so a small batch landed as one
-                # near-empty file PER CORE — 64 x 65 KB files for two
-                # micro-batches at sf0.1, each a commit-time footer
+                # Right-size the audit append WITHOUT a shuffle: the
+                # envelope frame keeps its upstream partitioning
+                # (spread/scan parallelism), so a small batch landed as
+                # one near-empty file PER CORE — 64 x 65 KB files for
+                # two micro-batches at sf0.1, each a commit-time footer
                 # read and a scan entry for every later audit read.
-                # The hint is AQE-sized (advisory target), so it is
-                # scale-adaptive with no driver-side count: tiny
-                # batches coalesce to one file, big batches split at
-                # ~64 MB (guide: coalesce on write / REBALANCE).
-                self.audit_table().write(events.hint("rebalance"),
-                                         "append", extra_params=extra)
+                # r12 used a REBALANCE hint; its AQE exchange moved the
+                # whole envelope frame per batch and measured ~0.3 s/
+                # append slower than a plain coalesce to a bytes-
+                # derived file target (interleaved A/B, 5 pairs). The
+                # target comes from plan statistics (driver-side, no
+                # job): tiny batches coalesce to one file, big batches
+                # keep one partition per ~64 MB, so write parallelism
+                # returns exactly when the bytes justify it (guide §6).
+                to_write = events
+                try:
+                    nbytes = int(events._jdf.queryExecution()
+                                 .optimizedPlan().stats().sizeInBytes())
+                    target = max(1, nbytes // (64 << 20) + 1)
+                    if events.rdd.getNumPartitions() > target:
+                        to_write = events.coalesce(target)
+                except Exception:
+                    pass  # unsizable plan: append as-is
+                self.audit_table().write(to_write, "append",
+                                         extra_params=extra)
             if tables is None:
                 seen = [r["source_table"] for r in
                         events.select("source_table").distinct().collect()]

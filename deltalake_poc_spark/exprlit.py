@@ -64,7 +64,17 @@ def lit_long_array(vals) -> Column:
 
 
 def sql_double_array(vals) -> str:
-    """The SQL text of an ``array<double>`` literal (exact %.17e)."""
+    """The SQL text of an ``array<double>`` literal (exact %.17e).
+
+    Unlike lit_double_array there is no Column fallback to return, so
+    non-finite values (no SQL literal form — 'nan'/'inf' tokens parse
+    as unresolved identifiers) fail loudly here instead of as a
+    confusing AnalysisException from generated SQL."""
+    vals = list(vals)
+    if not _finite(vals):
+        raise ValueError(
+            "sql_double_array: non-finite value has no SQL literal "
+            "form; route non-finite inputs through the F.lit path")
     return "array(" + ",".join(_d(v) for v in vals) + ")"
 
 

@@ -724,9 +724,13 @@ def connected_components(pairs: DataFrame, max_iterations: int = 20,
         # (dedup_groups / canonical_selection / semantic_dedup join it
         # against the docs), shuffling the corpus side by doc_id just
         # to attach group ids. The distributed regimes return unhinted
-        # frames — their components can be corpus-sized.
-        return F.broadcast(
-            spark.createDataFrame(data, "doc_id long, group_id long"))
+        # frames — their components can be corpus-sized. The hint is
+        # capped INDEPENDENTLY of the caller-tunable driver_threshold
+        # (a forced broadcast bypasses the planner's size check, so a
+        # raised threshold must degrade to a planner-chosen join, not
+        # a mandatory executor broadcast): 8M rows ~= 128 MB built.
+        out = spark.createDataFrame(data, "doc_id long, group_id long")
+        return F.broadcast(out) if len(data) <= 8_000_000 else out
     if distributed_algorithm == "star":
         try:
             return _alternating_star(pairs, max_iterations, n_edges)

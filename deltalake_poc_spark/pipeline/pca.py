@@ -69,6 +69,12 @@ def moment_profile(emb: DataFrame, id_col: str = "vec_id",
     first = q.select(F.size("__q").alias("d")).first()
     if first is None:
         raise ValueError("moment_profile: empty input")
+    if first["d"] is None or int(first["d"]) < 0:
+        # FIXED-DIM CONTRACT: vectors must be non-null, equal-length
+        # arrays (the dim probe and the per-dim array aggregate both
+        # assume it); fail loudly instead of truncating moments
+        raise ValueError("moment_profile: null embedding vector "
+                         "(fixed-dimension non-null vectors required)")
     dim = int(first["d"])
     rows = (q.select(F.posexplode_outer("__q").alias("__i", "__vi"),
                      "__q")
@@ -79,13 +85,27 @@ def moment_profile(emb: DataFrame, id_col: str = "vec_id",
                      f"sum(__q[{j}] * __vi)" for j in range(dim))
                      + ") AS __m"))
             .collect())
-    dim = 1 + max(int(r["__i"]) for r in rows)
+    seen_dim = 1 + max(int(r["__i"]) for r in rows)
+    if seen_dim != dim:
+        # ragged input: some vector was longer than the probed dim, so
+        # the __m arrays above truncated its cross-moments — the
+        # result would be silently wrong, not just incomplete
+        raise ValueError(
+            f"moment_profile: ragged embedding dims (probed {dim}, "
+            f"saw index up to {seen_dim - 1}); fixed-dimension "
+            "vectors required")
     M = [[0] * dim for _ in range(dim)]
     S = [0] * dim
     n = 0
     for r in rows:
         i = int(r["__i"])
-        M[i] = [int(x) for x in r["__m"][:dim]]
+        vals = list(r["__m"])
+        if len(vals) != dim or any(v is None for v in vals):
+            # shorter vectors contribute NULL cells to the array sums
+            raise ValueError(
+                "moment_profile: ragged/null embedding dims; "
+                "fixed-dimension non-null vectors required")
+        M[i] = [int(x) for x in vals]
         S[i] = int(r["__sv"])
         n = int(r["__n"])
     return n, S, M

@@ -625,8 +625,16 @@ def length_quantiles(docs: DataFrame, strata_col: str = "source",
     for i, r in enumerate(approx):
         for j, p in enumerate(percents):
             v = int(r["__ap"][j])
-            esc = r["__strata"].replace("'", "''")
-            s = f"(__strata = '{esc}')"
+            # Spark SQL string literals use BACKSLASH escapes (quote-
+            # doubling '' is literal concatenation, not an escape), so
+            # escape \ and ' with backslash semantics; a NULL stratum
+            # gets an IS NULL branch (no quoting at all)
+            if r["__strata"] is None:
+                s = "(__strata IS NULL)"
+            else:
+                esc = (r["__strata"].replace("\\", "\\\\")
+                       .replace("'", "\\'"))
+                s = f"(__strata = '{esc}')"
             aggs.append(F.expr(
                 f"sum(CASE WHEN {s} AND (n_tokens < {v}L) THEN 1 "
                 f"ELSE 0 END) AS lt_{i}_{j}"))

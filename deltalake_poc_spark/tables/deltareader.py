@@ -318,17 +318,62 @@ class DeltaLakeReader:
                     if partition_may_match(pv, preds)
                     and file_may_match(snap.stats.get(p, {}), preds)
                 }
-        out = self._read_files(
-            snap, files,
-            drop_positions=self._dv_positions(
-                {p: d for p, d in snap.dvs.items() if p in files}))
+        dv_sub = {p: d for p, d in snap.dvs.items() if p in files}
+        total_card = sum(int(d.get("cardinality", 0)) for d in dv_sub.values())
+        if dv_sub and total_card > self.dv_driver_positions_max:
+            # pervasive DVs: O(deleted rows) positions neither decode
+            # on the driver nor broadcast — descriptors (O(files))
+            # ship to executors, decode distributed, and the anti-join
+            # strategy is left to the planner (guide §3/§5)
+            out = self._read_files(snap, files, drop_descriptors=dv_sub)
+        else:
+            out = self._read_files(
+                snap, files, drop_positions=self._dv_positions(dv_sub))
         return out.filter(where) if where is not None else out
+
+    # above this many total deleted positions (descriptor cardinality,
+    # known without decoding) the read switches from driver-decoded
+    # broadcast position frames to executor-side sidecar decode + a
+    # planner-chosen join: a 100 TB table with pervasive DVs has
+    # O(deleted rows) positions, which must not hit driver memory or a
+    # broadcast. 4M positions ~= 64 MB as (file, pos) pairs.
+    dv_driver_positions_max: int = 4_000_000
 
     def _dv_positions(self, dvs: dict[str, dict]) -> dict[str, list[int]]:
         """Decode each file's DV descriptor to its deleted row indexes
         (driver-side metadata work, like every Delta client)."""
         return {path: roaring.read_descriptor(self.root, d)
                 for path, d in dvs.items()}
+
+    def _descriptor_pairs_df(self, dvs: dict[str, dict]) -> DataFrame:
+        """(file basename, deleted row index) pairs decoded ON THE
+        EXECUTORS: the driver ships only the descriptor dicts
+        (O(files), ~hundreds of bytes each); each task reads its
+        sidecar bytes / inline payload and explodes to positions.
+        This is the scale regime of DV application — the pair count
+        is O(deleted rows) and never exists driver-side."""
+        import json as _json
+
+        root = self.root
+        rows = [(os.path.basename(urllib.parse.unquote(p)), _json.dumps(d))
+                for p, d in dvs.items()]
+        par = max(1, min(len(rows),
+                         self.spark.sparkContext.defaultParallelism))
+        desc = self.spark.createDataFrame(
+            rows, "__dvf string, __desc string").repartition(par)
+
+        def _decode(batches):
+            import pandas as pd
+
+            from deltalake_poc_spark.tables import roaring as _r
+            for pdf in batches:
+                for f, dj in zip(pdf["__dvf"], pdf["__desc"]):
+                    pos = _r.read_descriptor(root, _json.loads(dj))
+                    yield pd.DataFrame(
+                        {"__dvf": pd.Series([f] * len(pos), dtype="object"),
+                         "__dvp": pd.Series(pos, dtype="int64")})
+
+        return desc.mapInPandas(_decode, "__dvf string, __dvp long")
 
     def _data_path(self, rel: str, subdir: str = "") -> str:
         """Log ``path`` fields are URL-encoded per the protocol."""
@@ -355,20 +400,27 @@ class DeltaLakeReader:
                     subdir: str = "",
                     drop_positions: dict[str, list[int]] | None = None,
                     keep_positions: dict[str, list[int]] | None = None,
+                    drop_descriptors: dict[str, dict] | None = None,
                     ) -> DataFrame:
         """``drop_positions``: per-file row indexes to EXCLUDE (deletion
         vectors). ``keep_positions``: per-file row indexes to KEEP
-        (CDF replay of a DV delta). Both keyed by log-relative path."""
+        (CDF replay of a DV delta). ``drop_descriptors``: per-file DV
+        DESCRIPTORS to exclude — decoded on the executors for tables
+        whose total DV cardinality is too large for driver decode +
+        broadcast. All keyed by log-relative path."""
         fields = self._physical_fields(snap)
         types = {f_.name: f_.dataType for f_ in snap.schema.fields}
         if not files:
             return self.spark.createDataFrame([], snap.schema)
         drop_positions = {p: v for p, v in (drop_positions or {}).items()
                           if p in files and v}
+        drop_descriptors = {p: d for p, d in (drop_descriptors or {}).items()
+                            if p in files}
         keep_positions = ({p: v for p, v in keep_positions.items()
                            if p in files}
                           if keep_positions is not None else None)
-        with_pos = bool(drop_positions) or keep_positions is not None
+        with_pos = (bool(drop_positions) or bool(drop_descriptors)
+                    or keep_positions is not None)
         # group by partition values: each group is one distributed scan
         # with its literal partition columns; groups then union (at
         # scale the group count is the partition count, not file count)
@@ -425,6 +477,15 @@ class DeltaLakeReader:
                 pairs = self._positions_df(drop_positions)
                 out = out.join(
                     F.broadcast(pairs),
+                    (F.col("__dvfile") == F.col("__dvf"))
+                    & (F.col("__dvpos") == F.col("__dvp")), "left_anti")
+            if drop_descriptors:
+                # executor-decoded pairs: O(deleted rows) — NO
+                # broadcast hint; the planner picks the join from
+                # measured sizes (SMJ/shuffled-hash once it is big)
+                pairs = self._descriptor_pairs_df(drop_descriptors)
+                out = out.join(
+                    pairs,
                     (F.col("__dvfile") == F.col("__dvf"))
                     & (F.col("__dvpos") == F.col("__dvp")), "left_anti")
             out = out.drop("__dvfile", "__dvpos")
