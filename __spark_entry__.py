@@ -2929,65 +2929,147 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     satisfiable at 132 registered). STANDING POLICY (adopted r9, per
     the r8 verdict): any gate query whose IMPLEMENTATION changed in
     round N enters round N+1's window at the latest — freshness is
-    change-based as well as time-based. Round-12 window, executing
-    the plan recorded here in r11 (and ordered by the r11 verdict):
-    (a) the four change-based hoists FIRST — all four are r10-green
-    queries whose implementations changed in r11: kmeans_clusters
-    (kmeans_fit gained the fit-scoped persist),
-    dedup_groups_distributed (_alternating_star dropped one exchange
-    per round), incremental_dedup (the signature-store append
-    right-sizing, re-derived bytes/row + repartition), bpe_segment
-    (the cache_words two-generation encode-cache bound); (b) the 32
-    remaining r9-green in dict order (q18_large_volume ...
-    multimodal_decode) — r9 -> r12 is the freshness limit; (c) 14
-    r10-green in dict order from corpus_pipeline, which reaches
-    repetition_signals (all_ngrams_col rewritten to
-    zip_with-over-shifted-slices in r11) at tail position 3 and
-    semantic_dedup (kmeans_fit persist consumer) at tail position 14
-    — so ALL SIX r11-touched queries gate this round, exactly as the
-    r11 verdict requires. Ledger after r11: 50 r11-green (due r14),
-    50 r10-green (due r13), 32 r9-green (due r12, all in this
-    window). This window takes 18 of the 50 r10-green (4 hoists +
-    14), leaving 32. ROUND-12 IMPL CHANGES and who re-gates them:
-    ngram_jaccard_pairs' CAPLESS branch was rewritten after the tier
-    audit of split_safety (per-doc gram counts now ride the posting
-    list and the pair aggregate picks them up with min(), replacing
-    the two count-joins whose re-attach re-tokenized the corpus —
-    the plan drops from 4 document scans to 2). Consumers:
-    dedup_groups_distributed is IN this window (position 2), so the
-    change gates THIS round; split_safety and canonical_selection
-    are r11-green, so the change-based rule pulls BOTH into r13's
-    head; ngram_jaccard (the capped branch also changed — its join
-    sides took the df>=2 prefilter), ngram_jaccard_nocap, and
-    dedup_group_assign are r10-green and already inside r13's 32. Plan: r13 = the 32 remaining r10-green
-    (lm_perplexity ... embedding_topk, dict order, r10 -> r13 hard
-    limit) + 18 r11-green with split_safety and canonical_selection
-    hoisted FIRST (r12-touched), then dict order from the r11-window
-    head (incremental_dedup_prod, bpe_learn, priority_stats ...
-    through order_cube at tail position 16); r14 = the remaining 32
-    r11-green + 18 r12-green head — the rotation stays solvable with
-    zero slack violations at 132 registered. Every registered query,
-    in or out of the window, is oracle-checked by
-    tests/test_entry_oracle.py and timed+oracled by bench.py.
+    change-based as well as time-based. Round-13 window, executing
+    the plan recorded here in r12 (and endorsed by the r12 verdict):
+    (a) the 32 remaining r10-green in dict order (lm_perplexity ...
+    embedding_topk) — r10 -> r13 is the freshness hard limit; this
+    block already contains many r12/r13-touched paths
+    (wal_cdc_pipeline, pq_stream_ingest, time_travel_diff, tf_idf,
+    ngram_jaccard, ngram_jaccard_nocap, dedup_group_assign,
+    bloom_lookup — all re-gated here); (b) 18 r11-green with
+    split_safety and canonical_selection hoisted FIRST (both
+    r12-touched via the ngram_jaccard_pairs rewrite, per the
+    change-based rule), then dict order from the r11-window head
+    (incremental_dedup_prod, bpe_learn, priority_stats ... through
+    order_cube at tail position 16). Ledger after r12: 50 r12-green
+    (due r15), 50 r11-green (due r14, 18 taken here leaving 32),
+    32 r10-green (due r13, all in this window). ROUND-13 IMPL
+    CHANGES and who re-gates them in r14: (1) explicit-physical-
+    schema reads in tables/table.py + tables/deltareader.py touch
+    every versioned/Delta read — of the affected queries,
+    wal_cdc_pipeline / pq_stream_ingest / time_travel_diff /
+    bloom_lookup / incremental_dedup_prod gate THIS round; the
+    change-based rule pulls delta_read, delta_dv_read, cdf_changes,
+    cdc_pipeline, dv_pipeline, mv_refresh, skipping_read and
+    incremental_dedup (all r12-green) into r14's head; (2) the
+    observe() convergence fold in connected_components touches
+    dedup_group_assign (gates here) and dedup_groups_distributed /
+    semantic_dedup / multimodal_dedup (r12-green -> r14 head);
+    (3) lm_trigram_backoff_score's spread_if_narrow touches
+    lm_perplexity3 (r12-green -> r14 head); (4) the CDC audit
+    coalesce touches the same CDC set as (1); (5) length_quantiles'
+    predicate escaping and moment_profile's ragged guard gate via
+    their r11-green entries at positions 51+ (both due r14 —
+    hoist them too). Plan: r14 = the r13-touched r12-green head
+    (delta_read, delta_dv_read, cdf_changes, cdc_pipeline,
+    dv_pipeline, mv_refresh, skipping_read, incremental_dedup,
+    dedup_groups_distributed, semantic_dedup, multimodal_dedup,
+    lm_perplexity3) + pca_project/length_quantiles hoisted from the
+    r11-green remainder, then the remaining r11-green in dict order
+    — the rotation stays solvable with zero slack violations at 132
+    registered. Every registered query, in or out of the window, is
+    oracle-checked by tests/test_entry_oracle.py and timed+oracled
+    by bench.py.
     """
     return {
-        # === r12 gate window (first 50) ===
-        # --- the four change-based hoists FIRST: all r10-green
-        # queries whose implementations changed in r11, re-gated at
-        # the head per the standing change-based freshness policy:
-        # kmeans_fit gained the fit-scoped persist
-        "kmeans_clusters": _kmeans_clusters,         # iterative Lloyd k-means
-        # _alternating_star dropped one exchange per CC round
-        "dedup_groups_distributed": _dedup_groups_distributed, # star CC regime
-        # signature-store append right-sizing (schema-derived
-        # bytes/row + repartition)
-        "incremental_dedup": _incremental_dedup,     # signature store
-        # bpe_segment_prod gained the cache_words two-generation cap
-        "bpe_segment": _bpe_segment,                 # corpus BPE segmentation (prod encoder)
-        # --- the 32 remaining r9-green in dict order (r9 -> r12 is
+        # === r13 gate window (first 50) ===
+        # --- the 32 remaining r10-green in dict order (r10 -> r13 is
         # the freshness limit):
+        "lm_perplexity": _lm_perplexity,             # bigram-LM quality scoring
+        "heavy_hitters": _heavy_hitters,             # count-min top-k rollup
+        "wal_cdc_pipeline": _wal_cdc_pipeline,       # LIVE postgres WAL CDC
+        "mixture_sample": _mixture_sample,           # domain mixing
+        "source_overlap": _source_overlap,           # overlap matrix
+        "chunk_dedup": _chunk_dedup,                 # chunk-level dedup
+        "bloom_lookup": _bloom_lookup,               # bloom skipping
+        "q11_important_parts": _q11_important_parts, # fraction HAVING
+        "q15_top_supplier": _q15_top_supplier,       # view + max probe
+        "pq_stream_ingest": _pq_stream_ingest,       # streaming PQ ingest
+        "span_dedup": _span_dedup,                   # repeated substrings
+        "sketch_rollup": _sketch_rollup,             # HLL union rollup
+        "cohort_retention": _cohort_retention,       # retention matrix
+        "skewed_agg": _skewed_agg,                   # salted hot-key agg
+        "minhash_dedup_prod": _minhash_dedup_prod,   # 16x4 banding, exact oracle
+        "ngram_jaccard_nocap": _ngram_jaccard_nocap, # capless, exact oracle
+        "ivf_kmeans_topk": _ivf_kmeans_topk,         # fitted IVF, exact-probe oracle
+        "props_analytics": _props_analytics,         # JSON extraction agg
+        "customers_without_orders": _customers_without_orders,# anti join
+        "change_type_counts": _change_type_counts,   # A6
+        "intersect_keys": _intersect_keys,           # INTERSECT
+        "string_funcs": _string_funcs,               # string surface
+        "date_parts": _date_parts,                   # date extraction
+        "time_travel_diff": _time_travel_diff,       # S6 U3
+        "tf_idf": _tf_idf,                           # corpus TF-IDF
+        "dedup_exact_groups": _dedup_exact_groups,   # exact dedup
+        "ngram_jaccard": _ngram_jaccard,             # n-gram Jaccard
+        "dedup_group_assign": _dedup_group_assign,   # connected components
+        "top_tokens": _top_tokens,                   # token counting
+        "doc_chunks": _doc_chunks,                   # chunking w/ overlap
+        "scrub_pii": _scrub_pii,                     # PII scrubbing
+        "embedding_topk": _embedding_topk,           # brute-force ANN baseline
+        # --- 18 r11-green: split_safety and canonical_selection
+        # hoisted FIRST (both r12-touched via the ngram_jaccard_pairs
+        # rewrite), then dict order from the r11-window head:
+        "split_safety": _split_safety,               # dedup-aware leak-free split
+        "canonical_selection": _canonical_selection, # quality-aware dedup
+        "incremental_dedup_prod": _incremental_dedup_prod,# sig-agreement, exact-decision oracle
+        "bpe_learn": _bpe_learn,                     # BPE tokenizer training
+        "priority_stats": _priority_stats,           # A5 P8
+        "event_stats": _event_stats,                 # A7
+        "customer_order_lists": _customer_order_lists,# array_agg
+        "scalar_showcase": _scalar_showcase,         # F2-F10
+        "suppliers_with_lineitems": _suppliers_with_lineitems,# semi join
+        "top_value_events": _top_value_events,       # O1 O4
+        "inventory_status": _inventory_status,       # F8
+        "customer_order_summary": _customer_order_summary,# J1 A2 F10
+        "product_popularity": _product_popularity,   # J2 A3 O1
+        "order_line_summary": _order_line_summary,   # J3 A4
+        "order_analytics": _order_analytics,         # A1 F9
+        "analytics_summary": _analytics_summary,     # A8 A9 U1
+        "order_rollup": _order_rollup,               # ROLLUP subtotals
+        "order_cube": _order_cube,                   # CUBE subtotals
+        # --- positions 51+: outside the driver's 50-query gate
+        # window. FIRST the remaining 32 r11-green (due r14):
+        "price_ranks": _price_ranks,                 # rank/ntile windows
+        "version_diff_keys": _version_diff_keys,     # U3 P6
+        "q1_pricing_summary": _q1_pricing_summary,   # wide-scan computed agg
+        "q6_forecast_revenue": _q6_forecast_revenue, # selective scan-agg
+        "q3_shipping_priority": _q3_shipping_priority,# 3-way join top-k
+        "q5_local_supplier": _q5_local_supplier_volume,# 5-way join bcast dims
+        "simhash_dedup_prod": _simhash_dedup_prod,   # xxhash64, identity-set oracle
+        "winnow_dedup_prod": _winnow_dedup_prod,     # xxhash64, exact-8gram oracle
+        "pq_fitted_topk": _pq_fitted_topk,           # fitted PQ, exact-topk oracle
+        "kmeans_ivf_clusters": _kmeans_ivf_clusters, # two-level pruned assignment
+        "dsir_select": _dsir_select,                 # DSIR importance selection
+        "bm25_search": _bm25_search,                 # Okapi BM25 retrieval
+        "dataset_split": _dataset_split,             # deterministic train/val/test
+        "shard_layout": _shard_layout,               # deterministic global shuffle
+        "shard_manifest": _shard_manifest,           # export manifest rollup
+        "hard_negatives": _hard_negatives,           # contrastive mining
+        "pca_project": _pca_project,                 # exact power-iteration PCA
+        "length_quantiles": _length_quantiles,       # mergeable quantile profile
+        "lang_id": _lang_id,                         # language ID
+        "text_quality": _text_quality,               # quality scoring
+        "doc_fingerprint": _doc_fingerprint,         # fingerprinting
+        "asof_join": _asof_join,                     # as-of join
+        "range_join": _range_join,                   # band/range join
+        "event_windows": _event_windows,             # windowed agg
+        "user_sessions": _user_sessions,             # sessionization
+        "funnel_steps": _funnel_steps,               # sequential funnel
+        "q2_min_cost_supplier": _q2_min_cost_supplier,# correlated min
+        "q4_order_priority": _q4_order_priority,     # EXISTS semi join
+        "q8_market_share": _q8_market_share,         # share quotient
+        "q13_cust_distribution": _q13_cust_distribution,# outer-join hist
+        "q16_supplier_cnt": _q16_supplier_cnt,       # anti + distinct
+        "q17_small_qty_revenue": _q17_small_qty_revenue,# correlated avg
+        # --- then the 50 r12-green (due r15; r14 takes the
+        # r13-impl-touched members per the change-based rule first):
+        "kmeans_clusters": _kmeans_clusters,         # iterative Lloyd k-means
+        "dedup_groups_distributed": _dedup_groups_distributed,# star CC regime
+        "incremental_dedup": _incremental_dedup,     # signature store
+        "bpe_segment": _bpe_segment,                 # corpus BPE segmentation (prod encoder)
         "q18_large_volume": _q18_large_volume,       # IN group-having
-        "q21_waiting_suppliers": _q21_waiting_suppliers, # semi+anti self
+        "q21_waiting_suppliers": _q21_waiting_suppliers,# semi+anti self
         "q22_idle_customers": _q22_idle_customers,   # scalar avg + anti
         "delta_read": _delta_read,                   # Delta-protocol interop
         "delta_dv_read": _delta_dv_read,             # standard deletion vectors
@@ -2997,7 +3079,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q7_volume_shipping": _q7_volume_shipping,   # dual-nation join
         "q9_product_revenue": _q9_product_revenue,   # nation/year rollup
         "q10_returned_items": _q10_returned_items,   # returns top-k
-        "q12_priority_lateness": _q12_priority_lateness, # conditional agg
+        "q12_priority_lateness": _q12_priority_lateness,# conditional agg
         "q14_promo_revenue": _q14_promo_revenue,     # promo share
         "q19_bracket_revenue": _q19_bracket_revenue, # OR brackets
         "q20_promo_suppliers": _q20_promo_suppliers, # nested semi
@@ -3018,11 +3100,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_topk": _pq_topk,                         # PQ/ADC ANN
         "embedding_neardup": _embedding_neardup,     # cosine near-dup pairs
         "multimodal_decode": _multimodal_decode,     # binary decode + resize
-        # --- 14 r10-green in dict order from corpus_pipeline: the
-        # tail reaches repetition_signals (all_ngrams_col rewritten
-        # to zip_with in r11) at position 3 and semantic_dedup
-        # (kmeans_fit persist consumer) at position 14, so all six
-        # r11-touched queries gate this round:
         "corpus_pipeline": _corpus_pipeline,         # filter+dedup+sample+budget
         "quality_classifier": _quality_classifier,   # distilled quality filter
         "repetition_signals": _repetition_signals,   # Gopher repetition stats
@@ -3037,94 +3114,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mp4_index": _mp4_index,                     # ISO-BMFF sample-table index
         "mp3_index": _mp3_index,                     # MPEG audio frame walk
         "semantic_dedup": _semantic_dedup,           # SemDeDup over clusters
-        # --- positions 51+: outside the driver's 50-query gate
-        # window. FIRST the remaining 32 r10-green (due r13):
-        "lm_perplexity": _lm_perplexity,             # bigram-LM quality scoring
-        "heavy_hitters": _heavy_hitters,             # count-min top-k rollup
-        "wal_cdc_pipeline": _wal_cdc_pipeline,       # LIVE postgres WAL CDC
-        "mixture_sample": _mixture_sample,           # domain mixing
-        "source_overlap": _source_overlap,           # overlap matrix
-        "chunk_dedup": _chunk_dedup,                 # chunk-level dedup
-        "bloom_lookup": _bloom_lookup,               # bloom skipping
-        "q11_important_parts": _q11_important_parts, # fraction HAVING
-        "q15_top_supplier": _q15_top_supplier,       # view + max probe
-        "pq_stream_ingest": _pq_stream_ingest,       # streaming PQ ingest
-        "span_dedup": _span_dedup,                   # repeated substrings
-        "sketch_rollup": _sketch_rollup,             # HLL union rollup
-        "cohort_retention": _cohort_retention,       # retention matrix
-        "skewed_agg": _skewed_agg,                   # salted hot-key agg
-        "minhash_dedup_prod": _minhash_dedup_prod,   # 16x4 banding, exact oracle
-        "ngram_jaccard_nocap": _ngram_jaccard_nocap, # capless, exact oracle
-        "ivf_kmeans_topk": _ivf_kmeans_topk,         # fitted IVF, exact-probe oracle
-        "props_analytics": _props_analytics,         # JSON extraction agg
-        "customers_without_orders": _customers_without_orders, # anti join
-        "change_type_counts": _change_type_counts,   # A6
-        "intersect_keys": _intersect_keys,           # INTERSECT
-        "string_funcs": _string_funcs,               # string surface
-        "date_parts": _date_parts,                   # date extraction
-        "time_travel_diff": _time_travel_diff,       # S6 U3
-        "tf_idf": _tf_idf,                           # corpus TF-IDF
-        "dedup_exact_groups": _dedup_exact_groups,   # exact dedup
-        "ngram_jaccard": _ngram_jaccard,             # n-gram Jaccard
-        "dedup_group_assign": _dedup_group_assign,   # connected components
-        "top_tokens": _top_tokens,                   # token counting
-        "doc_chunks": _doc_chunks,                   # chunking w/ overlap
-        "scrub_pii": _scrub_pii,                     # PII scrubbing
-        "embedding_topk": _embedding_topk,           # brute-force ANN baseline
-        # --- then the 50 r11-green (due r14; r13 takes 18 per the
-        # plan above — split_safety and canonical_selection hoisted
-        # first, then dict order through order_cube):
-        "incremental_dedup_prod": _incremental_dedup_prod, # sig-agreement, exact-decision oracle
-        "bpe_learn": _bpe_learn,                     # BPE tokenizer training
-        "priority_stats": _priority_stats,           # A5 P8
-        "event_stats": _event_stats,                 # A7
-        "customer_order_lists": _customer_order_lists, # array_agg
-        "scalar_showcase": _scalar_showcase,         # F2-F10
-        "suppliers_with_lineitems": _suppliers_with_lineitems, # semi join
-        "top_value_events": _top_value_events,       # O1 O4
-        "inventory_status": _inventory_status,       # F8
-        "customer_order_summary": _customer_order_summary, # J1 A2 F10
-        "product_popularity": _product_popularity,   # J2 A3 O1
-        "order_line_summary": _order_line_summary,   # J3 A4
-        "order_analytics": _order_analytics,         # A1 F9
-        "analytics_summary": _analytics_summary,     # A8 A9 U1
-        "order_rollup": _order_rollup,               # ROLLUP subtotals
-        "order_cube": _order_cube,                   # CUBE subtotals
-        "price_ranks": _price_ranks,                 # rank/ntile windows
-        "version_diff_keys": _version_diff_keys,     # U3 P6
-        "q1_pricing_summary": _q1_pricing_summary,   # wide-scan computed agg
-        "q6_forecast_revenue": _q6_forecast_revenue, # selective scan-agg
-        "q3_shipping_priority": _q3_shipping_priority, # 3-way join top-k
-        "q5_local_supplier": _q5_local_supplier_volume, # 5-way join bcast dims
-        # (production twins, re-gated with full oracles in r8)
-        "simhash_dedup_prod": _simhash_dedup_prod,   # xxhash64, identity-set oracle
-        "winnow_dedup_prod": _winnow_dedup_prod,     # xxhash64, exact-8gram oracle
-        "pq_fitted_topk": _pq_fitted_topk,           # fitted PQ, exact-topk oracle
-        "kmeans_ivf_clusters": _kmeans_ivf_clusters, # two-level pruned assignment
-        "dsir_select": _dsir_select,                 # DSIR importance selection
-        "bm25_search": _bm25_search,                 # Okapi BM25 retrieval
-        "dataset_split": _dataset_split,             # deterministic train/val/test
-        "split_safety": _split_safety,               # dedup-aware leak-free split
-        "shard_layout": _shard_layout,               # deterministic global shuffle
-        "shard_manifest": _shard_manifest,           # export manifest rollup
-        "hard_negatives": _hard_negatives,           # contrastive mining
-        "pca_project": _pca_project,                 # exact power-iteration PCA
-        "length_quantiles": _length_quantiles,       # mergeable quantile profile
-        "lang_id": _lang_id,                         # language ID
-        "text_quality": _text_quality,               # quality scoring
-        "doc_fingerprint": _doc_fingerprint,         # fingerprinting
-        "asof_join": _asof_join,                     # as-of join
-        "range_join": _range_join,                   # band/range join
-        "event_windows": _event_windows,             # windowed agg
-        "user_sessions": _user_sessions,             # sessionization
-        "canonical_selection": _canonical_selection, # quality-aware dedup
-        "funnel_steps": _funnel_steps,               # sequential funnel
-        "q2_min_cost_supplier": _q2_min_cost_supplier, # correlated min
-        "q4_order_priority": _q4_order_priority,     # EXISTS semi join
-        "q8_market_share": _q8_market_share,         # share quotient
-        "q13_cust_distribution": _q13_cust_distribution, # outer-join hist
-        "q16_supplier_cnt": _q16_supplier_cnt,       # anti + distinct
-        "q17_small_qty_revenue": _q17_small_qty_revenue, # correlated avg
     }
 
 

@@ -691,11 +691,30 @@ def streaming_pq_ingest(emb_stream: DataFrame, store_root: str,
         # ~2 KB files, each costing a commit-time footer-stats read
         # and a listing/scan entry for every later batch and the
         # OPTIMIZE pass (measured: 64-path listing jobs mid-stream).
-        # The count scans one micro-batch file — bounded by batch
-        # size, and at production batch sizes the same formula yields
-        # many right-sized files so write parallelism returns exactly
-        # when the bytes justify it.
-        n_rows = batch_df.count()
+        # The row count comes from the batch files' parquet FOOTERS
+        # (driver-side metadata, exact for a file-source micro-batch —
+        # batches are whole files), so the sizing costs NO Spark job
+        # on the hot per-trigger path; non-file sources fall back to
+        # one count job. At production batch sizes the same formula
+        # yields many right-sized files so write parallelism returns
+        # exactly when the bytes justify it.
+        n_rows = -1
+        try:
+            infiles = batch_df.inputFiles()
+            if infiles:
+                import urllib.parse as _up
+
+                import pyarrow.parquet as _pq
+                n_rows = sum(
+                    _pq.read_metadata(
+                        _up.unquote(_up.urlparse(f).path)
+                        if "://" in f or f.startswith("file:") else f
+                    ).num_rows
+                    for f in infiles)
+        except Exception:
+            n_rows = -1
+        if n_rows < 0:
+            n_rows = batch_df.count()
         row_bytes = 16 + 4 * len(codebooks)
         n_files = max(1, -(-(n_rows * row_bytes) // (64 << 20)))
         store.write(encoded.repartition(n_files), "append",
