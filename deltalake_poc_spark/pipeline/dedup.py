@@ -351,6 +351,8 @@ def winnow_pairs(docs: DataFrame, n: int = 4, window: int = 4,
     hot fingerprints exactly like hot grams). All-integer output
     (doc_a, doc_b, n_shared, na, nb) hashes identically across
     engines; consumers derive containment as n_shared/least(na, nb)."""
+    from deltalake_poc_spark.analytics.scratch import scratch_persist
+
     with_fps = winnow_fingerprints(docs, n, window, portable=portable)
     posting = _explode_posting(with_fps, "fps", "fp")
     if max_df is not None:
@@ -361,6 +363,14 @@ def winnow_pairs(docs: DataFrame, n: int = 4, window: int = 4,
             .filter(F.col("__df") <= max_df)
             .drop("__df")
         )
+        # scratch-persist the SLIM (doc_id, fp) posting: the self-join
+        # reads it twice and counts a third time — without the cache
+        # each consumer replays the whole winnowing chain (tokenize,
+        # n-gram hash, window minima) plus the df-cap window shuffle
+        # (the image_neardup dhash rule; 16 B/row cache vs triple
+        # recompute at any scale)
+        posting = scratch_persist(f"dedup.winnow.posting.{portable}",
+                                  posting)
         counts = posting.groupBy("doc_id").agg(
             F.count(F.lit(1)).alias("n_fps"))
     else:
@@ -444,6 +454,12 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 64, bands: int = 16,
     # set afterwards — carrying arrays through a x16-exploded join is
     # the classic LSH-join mistake at scale
     banded = _banded(sigs, bands, rows_per_band)
+    # scratch-persist the SLIM (doc_id, band, band_hash) frame: both
+    # self-join sides otherwise replay the whole signature chain
+    # (tokenize + 64 hash folds per doc) — the winnow/dhash rule
+    from deltalake_poc_spark.analytics.scratch import scratch_persist
+    banded = scratch_persist(
+        f"dedup.minhash.banded.{num_hashes}.{bands}", banded)
     a, b = banded.alias("a"), banded.alias("b")
     cands = (
         a.join(b, (F.col("a.band") == F.col("b.band"))

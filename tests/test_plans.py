@@ -122,18 +122,24 @@ def test_money_aggregates_partial_and_jvm(spark):
 
 
 def test_winnow_cap_reuses_shuffle_no_python(spark):
-    """winnow_pairs mirrors the ngram shapes: the fingerprint df-cap is
-    a window count over the SAME hash(fp) shuffle the self-join uses
-    (runtime stage reuse under AQE), everything stays JVM-side, and no
-    join side carries a forced broadcast (fingerprint postings grow
-    with the corpus)."""
+    """winnow_pairs must not replay the winnowing chain per self-join
+    side: since r13 the df-capped (doc_id, fp) posting is scratch-
+    persisted, so every consumer reads the cache (TableCacheQueryStage
+    in the final adaptive plan) — the window/shuffle runs once inside
+    the cache fill. Everything stays JVM-side, and no join side
+    carries a forced broadcast (fingerprint postings grow with the
+    corpus)."""
     df = entrymod.queries()["winnow_dedup"](spark, SF_DIR)
     df.collect()
     jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
         "formatted")
     plan = df._jdf.queryExecution().explainString(jmode)
     assert "EvalPython" not in plan, plan[:800]
-    assert "Window" in plan and "Reused" in plan, plan[:800]
+    # cached posting consumers (r13) — or, were the cache removed, the
+    # pre-r13 guarantee: the df-cap window over the same hash(fp)
+    # shuffle the self-join reuses at runtime
+    assert ("TableCacheQueryStage" in plan
+            or ("Window" in plan and "Reused" in plan)), plan[:800]
 
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try:
